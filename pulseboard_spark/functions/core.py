@@ -1,0 +1,34 @@
+"""Core scalar expression builders shared by rule and profile operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def severity(value: Column, threshold: Column) -> Column:
+    """R5 severity ladder (`core/Rules.kt:220-231`): ratio = value/threshold;
+    >=10 HIGH, >=5 MEDIUM, else LOW; non-positive threshold → HIGH."""
+    ratio = value / threshold
+    return (
+        F.when(threshold <= 0, F.lit("HIGH"))
+        .when(ratio >= 10.0, F.lit("HIGH"))
+        .when(ratio >= 5.0, F.lit("MEDIUM"))
+        .otherwise(F.lit("LOW"))
+    )
+
+
+def lww_order_key(ts_us: Column, event_id: Column) -> Column:
+    """Total-order key for last-write-wins merges.
+
+    The reference resolves same-timestamp trait writes as 'later processed
+    write wins' (`cdp/store/ProfileStore.kt:97` uses >=); in a set-based
+    batch engine we pin the deterministic twin: order by (ts, event_id).
+    Encoded as a zero-padded string so it is a single comparable key in both
+    Spark and the DuckDB oracle.
+    """
+    return F.concat(
+        F.lpad(ts_us.cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(event_id.cast("string"), 12, "0"),
+    )

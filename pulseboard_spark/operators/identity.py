@@ -1,0 +1,147 @@
+"""Identity resolution: validation, normalization, connected components.
+
+Reference: union-find with path compression + union-by-rank
+(`cdp/identity/IdentityGraph.kt:24-102`), wired by the pipeline which unions
+every event's identifier pairs (`cdp/runtime/CdpPipeline.kt:106-119,189-198`).
+
+Spark-first re-expression: the graph is an edges DataFrame; the canonical id
+is the lexicographic minimum of each connected component (the deterministic
+twin of the reference's tie-breaking; SURVEY §3.2 pins apply-time
+resolution).  Components are computed by iterative min-label propagation —
+each round is one shuffle join on the node id; rounds ≈ graph diameter.
+At 100 TB scale this is the standard large-star/small-star pattern (two
+joins per round, converges in O(log d) rounds); our graphs here are shallow
+so plain propagation converges in a handful of rounds.  GraphFrames'
+connectedComponents is a drop-in upgrade when the jar is available.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pulseboard_spark.functions.ids import normalize_id
+
+
+def validate_cdp(cdp: DataFrame) -> DataFrame:
+    """P1 validation predicate (`cdp/model/CdpEvent.kt:36-44`): at least one
+    identifier, and TRACK requires a name.  Adds valid/reason columns; keep
+    invalid rows for dead-letter routing."""
+    no_id = (
+        F.col("user_id_raw").isNull()
+        & F.col("anon_id_raw").isNull()
+        & F.col("email_raw").isNull()
+    )
+    track_noname = (F.col("ctype") == "TRACK") & F.col("name").isNull()
+    return cdp.withColumn("valid", ~no_id & ~track_noname).withColumn(
+        "reason",
+        F.when(no_id, F.lit("NO_IDENTIFIER")).when(track_noname, F.lit("TRACK_WITHOUT_NAME")),
+    )
+
+
+def valid_cdp_events(cdp: DataFrame) -> DataFrame:
+    """Validated, deduplicated (W1), normalized CDP events.
+
+    Dedup: the reference drops duplicate eventIds per profile within a TTL
+    (`cdp/runtime/CdpEventProcessor.kt:181-187`); the batch twin keeps one
+    row per event_id (duplicate injections are exact row copies).
+    Normalization applies F1 to each raw identifier.
+    """
+    v = validate_cdp(cdp).filter("valid")
+    return (
+        v.select(
+            "event_id",
+            "ts_us",
+            "ts_ms",
+            "ctype",
+            "name",
+            "plan",
+            "country",
+            F.when(F.col("user_id_raw").isNotNull(), normalize_id(F.col("user_id_raw"))).alias("nuser"),
+            F.when(F.col("anon_id_raw").isNotNull(), normalize_id(F.col("anon_id_raw"))).alias("nanon"),
+            F.when(F.col("email_raw").isNotNull(), normalize_id(F.col("email_raw"))).alias("nemail"),
+        )
+        .dropDuplicates(["event_id"])
+    )
+
+
+def identity_edges(cvalid: DataFrame) -> DataFrame:
+    """Distinct undirected edges (a < b) from each event's identifier set —
+    the DataFrame twin of pairwise union in canonicalIdFor
+    (`IdentityGraph.kt:89-102`)."""
+    ids = (
+        cvalid.select("event_id", F.col("nuser").alias("id"))
+        .unionByName(cvalid.select("event_id", F.col("nanon").alias("id")))
+        .unionByName(cvalid.select("event_id", F.col("nemail").alias("id")))
+        .filter(F.col("id").isNotNull())
+    )
+    a, b = ids.alias("a"), ids.alias("b")
+    return (
+        a.join(b, (F.col("a.event_id") == F.col("b.event_id")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
+def identity_nodes(cvalid: DataFrame) -> DataFrame:
+    return (
+        cvalid.select(F.col("nuser").alias("id"))
+        .unionByName(cvalid.select(F.col("nanon").alias("id")))
+        .unionByName(cvalid.select(F.col("nemail").alias("id")))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+    )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(id, component) with component = min id reachable; min-label
+    propagation to fixpoint.
+
+    Each iteration: component[id] = min(component[id], min over neighbors'
+    components).  Caches + localCheckpoint cut the growing lineage; the
+    loop stops when no label changes (driver-side count of changed rows —
+    a scalar per round, not a collect of data).
+    """
+    sym = edges.select("a", "b").unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym.cache()
+    comp = nodes.select(F.col("id"), F.col("id").alias("component")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(comp, sym["a"] == comp["id"])
+            .select(F.col("b").alias("id"), F.col("component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            comp.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))).alias(
+                    "new_component"
+                ),
+                "component",
+            )
+        )
+        changed = updated.filter(F.col("new_component") != F.col("component")).limit(1).count()
+        comp = updated.select("id", F.col("new_component").alias("component")).localCheckpoint()
+        if changed == 0:
+            break
+    sym.unpersist()
+    return comp
+
+
+def components_for(cvalid: DataFrame) -> DataFrame:
+    return connected_components(identity_nodes(cvalid), identity_edges(cvalid))
+
+
+def resolve_profiles(cvalid: DataFrame, comp: DataFrame) -> DataFrame:
+    """Attach the canonical profile_id to each valid event (apply-time
+    resolution): the component of any of the event's ids — the event's own
+    ids are mutually unioned, so any representative resolves identically."""
+    key = F.coalesce(F.col("nuser"), F.col("nanon"), F.col("nemail"))
+    return (
+        cvalid.withColumn("pkey", key)
+        .join(F.broadcast(comp.withColumnRenamed("id", "pkey")), "pkey")
+        .withColumnRenamed("component", "profile_id")
+        .drop("pkey")
+    )

@@ -1,0 +1,99 @@
+"""Profile materialization: identifier sets, LWW traits, lastSeen, counters.
+
+Reference: `cdp/store/ProfileStore.kt` — mergeIdentifiers (set union, :55-79),
+mergeTraits (per-key LWW on event ts with >= tiebreak, :85-122), lastSeen
+max (:127-139); Feature-Used counter from `cdp/store/RollingCounter.kt`.
+
+Spark-first: one grouped aggregation per concern over events already tagged
+with their canonical profile_id (operators/identity.resolve_profiles), then
+a join-up.  All aggregates are algebraic (collect_set, max_by, max, count)
+→ partial aggregation map-side, single shuffle each on profile_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pulseboard_spark.functions.core import lww_order_key
+from pulseboard_spark.functions.ids import strip_prefix
+
+MINUTE_MS = 60_000
+DAY_MS = 86_400_000
+
+
+def _bucket_ms(col):
+    """1-minute bucket floor (`cdp/store/RollingCounter.kt:164-168`)."""
+    return col - (col % MINUTE_MS)
+
+
+def build_profiles(evprof: DataFrame) -> DataFrame:
+    """Materialize profiles from canonical-id-tagged events.
+
+    Columns: profile_id, user_ids/emails/anonymous_ids (sorted arrays),
+    plan, country (LWW), last_seen_ms, feature_used_24h (1-min-bucketed
+    trailing count as of the global max event ts — the batch "now").
+    """
+    okey = lww_order_key(F.col("ts_us"), F.col("event_id"))
+
+    ids = (
+        evprof.select("profile_id", F.col("nuser").alias("id"))
+        .unionByName(evprof.select("profile_id", F.col("nanon").alias("id")))
+        .unionByName(evprof.select("profile_id", F.col("nemail").alias("id")))
+        .filter(F.col("id").isNotNull())
+    )
+    id_lists = ids.groupBy("profile_id").agg(
+        F.array_sort(F.collect_set(F.when(F.col("id").startswith("user:"), F.col("id")))).alias("user_ids"),
+        F.array_sort(F.collect_set(F.when(F.col("id").startswith("email:"), F.col("id")))).alias("emails"),
+        F.array_sort(F.collect_set(F.when(F.col("id").startswith("anon:"), F.col("id")))).alias("anonymous_ids"),
+    )
+
+    traits = (
+        evprof.filter(F.col("ctype") == "IDENTIFY")
+        .groupBy("profile_id")
+        .agg(
+            F.max_by("plan", okey).alias("plan"),
+            F.max_by("country", okey).alias("country"),
+        )
+    )
+
+    seen = evprof.groupBy("profile_id").agg(F.max("ts_ms").alias("last_seen_ms"))
+
+    as_of = evprof.agg(F.max("ts_ms").alias("as_of_ms"))
+    cutoff = _bucket_ms(F.col("as_of_ms") - DAY_MS)
+    counts = (
+        evprof.filter((F.col("ctype") == "TRACK") & (F.col("name") == "Feature Used"))
+        .crossJoin(F.broadcast(as_of))
+        .filter(_bucket_ms(F.col("ts_ms")) >= cutoff)
+        .groupBy("profile_id")
+        .agg(F.count(F.lit(1)).alias("feature_used_24h"))
+    )
+
+    return (
+        id_lists.join(traits, "profile_id", "left")
+        .join(seen, "profile_id")
+        .join(counts, "profile_id", "left")
+        .withColumn("feature_used_24h", F.coalesce(F.col("feature_used_24h"), F.lit(0)).cast("long"))
+    )
+
+
+def top20_summaries(profiles: DataFrame) -> DataFrame:
+    """Top-20 profile summaries by recency (A10 + P6,
+    `cdp/api/CdpController.kt:144-174`): prefix-stripped identifiers,
+    deterministic (last_seen desc, profile_id) order → TakeOrderedAndProject,
+    no full sort."""
+    strip = lambda c: F.transform(c, strip_prefix)  # noqa: E731
+    return (
+        profiles.select(
+            "profile_id",
+            strip(F.col("user_ids")).alias("user_ids"),
+            strip(F.col("emails")).alias("emails"),
+            strip(F.col("anonymous_ids")).alias("anonymous_ids"),
+            "plan",
+            "country",
+            "last_seen_ms",
+            "feature_used_24h",
+        )
+        .orderBy(F.desc("last_seen_ms"), F.asc("profile_id"))
+        .limit(20)
+    )

@@ -1,0 +1,105 @@
+"""Segment engine: membership rules G1-G3 + ENTER/EXIT diff G4.
+
+Reference: `cdp/segments/SegmentEngine.kt` — power_user (Feature-Used
+bucketed count >= 5 in 24 h, :125-133), pro_plan (trait plan == 'pro',
+:139-141), reengage (now − lastSeen > 10 m strictly, :147-151), and the
+per-profile previous-membership diff emitting SegmentEvents (:79-119).
+
+Batch twin: membership is a *snapshot* as of a given event-time "now";
+the change stream is the diff of two snapshots (the streaming twin keeps
+previous membership in keyed state instead).  Rules are plain boolean
+Column expressions — data, not code — so new segments are config entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pulseboard_spark.functions.core import lww_order_key
+from pulseboard_spark.operators.profiles import DAY_MS, MINUTE_MS, _bucket_ms
+
+REENGAGE_MS = 600_000
+POWER_USER_THRESHOLD = 5
+
+
+def segment_membership(evprof: DataFrame, as_of_ms) -> DataFrame:
+    """Snapshot membership per profile at event-time ``as_of_ms``.
+
+    ``as_of_ms`` is a scalar Column (typically an aggregate over the input —
+    kept as a broadcast single-row join so nothing is collected).
+    Returns profile_id, power_user, pro_plan, reengage booleans.
+    """
+    okey = lww_order_key(F.col("ts_us"), F.col("event_id"))
+    as_of = evprof.agg(as_of_ms.alias("as_of_ms"))
+    e = evprof.crossJoin(F.broadcast(as_of)).filter(F.col("ts_ms") <= F.col("as_of_ms"))
+
+    seen = e.groupBy("profile_id").agg(
+        F.max("ts_ms").alias("last_seen_ms"), F.first("as_of_ms").alias("as_of_ms")
+    )
+    plans = (
+        e.filter(F.col("ctype") == "IDENTIFY")
+        .groupBy("profile_id")
+        .agg(F.max_by("plan", okey).alias("plan"))
+    )
+    cutoff = _bucket_ms(F.col("as_of_ms") - DAY_MS)
+    counts = (
+        e.filter(
+            (F.col("ctype") == "TRACK")
+            & (F.col("name") == "Feature Used")
+            & (_bucket_ms(F.col("ts_ms")) >= cutoff)
+        )
+        .groupBy("profile_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        seen.join(plans, "profile_id", "left")
+        .join(counts, "profile_id", "left")
+        .select(
+            "profile_id",
+            (F.coalesce(F.col("cnt"), F.lit(0)) >= POWER_USER_THRESHOLD).alias("power_user"),
+            (F.coalesce(F.col("plan"), F.lit("")) == "pro").alias("pro_plan"),
+            (F.col("as_of_ms") - F.col("last_seen_ms") > REENGAGE_MS).alias("reengage"),
+        )
+    )
+
+
+def with_segments_array(membership: DataFrame) -> DataFrame:
+    """Attach the sorted segments array (alphabetical == build order)."""
+    seg = F.concat(
+        F.when(F.col("power_user"), F.array(F.lit("power_user"))).otherwise(F.array().cast("array<string>")),
+        F.when(F.col("pro_plan"), F.array(F.lit("pro_plan"))).otherwise(F.array().cast("array<string>")),
+        F.when(F.col("reengage"), F.array(F.lit("reengage"))).otherwise(F.array().cast("array<string>")),
+    )
+    return membership.withColumn("segments", seg)
+
+
+def _members(membership: DataFrame) -> DataFrame:
+    return (
+        membership.filter("power_user").select("profile_id", F.lit("power_user").alias("segment"))
+        .unionByName(membership.filter("pro_plan").select("profile_id", F.lit("pro_plan").alias("segment")))
+        .unionByName(membership.filter("reengage").select("profile_id", F.lit("reengage").alias("segment")))
+    )
+
+
+def segment_events(evprof: DataFrame) -> DataFrame:
+    """ENTER/EXIT change rows between the mid-timeline snapshot and the
+    final snapshot (G4 diff semantics: new − old → ENTER, old − new → EXIT;
+    profiles unseen at mid start from the empty set, matching
+    `SegmentEngine.kt:87`)."""
+    mid = segment_membership(
+        evprof, (F.min("ts_ms") + F.floor((F.max("ts_ms") - F.min("ts_ms")) / 2)).cast("long")
+    )
+    end = segment_membership(evprof, F.max("ts_ms"))
+    m_end = _members(end).alias("e")
+    m_mid = _members(mid).alias("m")
+    j = m_end.join(
+        m_mid,
+        (F.col("e.profile_id") == F.col("m.profile_id")) & (F.col("e.segment") == F.col("m.segment")),
+        "full_outer",
+    )
+    return j.filter(F.col("e.profile_id").isNull() | F.col("m.profile_id").isNull()).select(
+        F.coalesce(F.col("e.profile_id"), F.col("m.profile_id")).alias("profile_id"),
+        F.coalesce(F.col("e.segment"), F.col("m.segment")).alias("segment"),
+        F.when(F.col("m.profile_id").isNull(), F.lit("ENTER")).otherwise(F.lit("EXIT")).alias("action"),
+    )

@@ -1,0 +1,89 @@
+"""Trailing (sliding, per-event) window aggregates — the WindowStore layer.
+
+Reference: `core/WindowStore.kt` — per-(entityId, type) deques queried with
+inclusive trailing ranges relative to "now":
+  * ratePerMin  = count in [now-60s, now]            (`WindowStore.kt:55-67`)
+  * sumIn(d)    = sum   in [now-d, now]              (`WindowStore.kt:72-84`)
+  * countIn(d)  = count in [now-d, now]              (`WindowStore.kt:89-101`)
+  * avgOverLast = sumIn/countIn over N minutes       (`WindowStore.kt:137-147`)
+
+In the reference "now" is the processing-time clock at evaluation; events are
+appended before rules run (`ingest/Processor.kt:79-128`), so the current
+event is always inside its own window.  The batch twin is event-time exact:
+"now" = the current row's ``ts``, expressed as a RANGE frame over epoch
+micros — Catalyst evaluates all frames for one partition in a single sort,
+no shuffle beyond the hash partition on (entity_id, type).
+
+Scale posture: one shuffle on (entity_id, type); frames are bounded (≤1 h)
+so state per key is small.  Skewed entities are handled by AQE skew-join
+settings at the shuffle, and the streaming twin bounds state with
+watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+US_PER_SEC = 1_000_000
+
+
+def trailing_window(partition_cols: list[str], seconds: int, order_col: str = "ts_us") -> WindowSpec:
+    """RANGE frame covering the inclusive trailing ``seconds`` window."""
+    return (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(order_col))
+        .rangeBetween(-seconds * US_PER_SEC, 0)
+    )
+
+
+def with_trailing_aggs(
+    df: DataFrame,
+    partition_cols: list[str] = ("entity_id", "type"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Add the full WindowStore aggregate surface as columns.
+
+    rate_1m (A2), sum_30s (A3), count_60s (A4), avg_5m / avg_1h (A5).
+    All windows are inclusive of the current row, matching
+    ``countInRange``'s closed interval (`WindowStore.kt:184-191`).
+    """
+    cols = list(partition_cols)
+    w60 = trailing_window(cols, 60)
+    w30 = trailing_window(cols, 30)
+    w5m = trailing_window(cols, 300)
+    w1h = trailing_window(cols, 3600)
+    v = F.col(value_col)
+    return (
+        df.withColumn("rate_1m", F.count(F.lit(1)).over(w60).cast("double"))
+        .withColumn("sum_30s", F.sum(v).over(w30))
+        .withColumn("count_60s", F.count(v).over(w60))
+        .withColumn(
+            "avg_5m",
+            F.coalesce(F.sum(v).over(w5m) / F.count(v).over(w5m), F.lit(0.0)),
+        )
+        .withColumn(
+            "avg_1h",
+            F.coalesce(F.sum(v).over(w1h) / F.count(v).over(w1h), F.lit(0.0)),
+        )
+    )
+
+
+def trailing_percentile(
+    df: DataFrame,
+    pct: float = 0.95,
+    seconds: int = 3600,
+    partition_cols: list[str] = ("entity_id", "type"),
+    value_col: str = "value",
+    out: str = "p95_1h",
+) -> DataFrame:
+    """Exact trailing percentile per event (A8 done right).
+
+    The reference defers true P95 to a ticket (`docs/TICKETS.md:127-135`)
+    and ships a 10×avg fallback (`core/Rules.kt:190-200`); Spark's native
+    ``percentile`` gives the real quantile.  At 100 TB scale swap for
+    ``percentile_approx`` (t-digest-style mergeable sketch) — same call
+    shape, documented divergence from the exact oracle.
+    """
+    w = trailing_window(list(partition_cols), seconds)
+    return df.withColumn(out, F.percentile(F.col(value_col), F.lit(pct)).over(w))

@@ -1,0 +1,579 @@
+"""DuckDB oracle SQL for every declared query.
+
+The correctness driver runs each Spark query AND the matching SQL here on
+the same parquet tables (DuckDB views: region nation customer supplier part
+orders lineitem events documents embeddings) and hash-compares results with
+columns sorted by name.  Contract rules observed throughout:
+
+  * identical column NAMES and logical types on both sides;
+  * no raw TIMESTAMP outputs — epoch millis BIGINT (``epoch_ms`` here,
+    ``unix_millis`` in Spark; both floor sub-ms precision identically);
+  * doubles rounded in-query on BOTH sides; large global sums routed
+    through DECIMAL so engine-order float drift cannot flip a rounding
+    boundary;
+  * every nondeterministic choice (top-k ties, LWW ties, latest-conflict
+    picks) carries an explicit deterministic tiebreak.
+
+The entity/CDP event derivations MUST stay in lockstep with
+``pulseboard_spark/sources/tables.py`` — that file's docstring is the
+contract.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Shared derivation CTEs (mirror sources/tables.py)
+# ---------------------------------------------------------------------------
+
+ENT_CTE = """
+ent AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         epoch_us(ts) AS ts_us,
+         epoch_ms(ts) AS ts_ms,
+         CAST(user_id AS VARCHAR) AS entity_id,
+         CASE WHEN user_id % 2 = 0 THEN 'SASE' ELSE 'IGAMING' END AS profile,
+         event_type AS type,
+         value,
+         ['US','UK','DE','FR','CA'][CAST((CAST(regexp_extract(props,'([0-9]+)',1) AS INTEGER) + user_id) % 5 + 1 AS INTEGER)] AS geo,
+         ['desktop','mobile','tablet'][CAST(CAST(regexp_extract(props,'([0-9]+)',1) AS INTEGER) % 3 + 1 AS INTEGER)] AS device
+  FROM events
+)
+"""
+
+CDP_CTE = """
+cdp_base AS (
+  SELECT 'e' || CAST(event_id AS VARCHAR) AS event_id,
+         epoch_us(ts) AS ts_us,
+         epoch_ms(ts) AS ts_ms,
+         CASE WHEN event_type = 'signup' THEN 'IDENTIFY'
+              WHEN event_type = 'purchase' THEN 'ALIAS'
+              ELSE 'TRACK' END AS ctype,
+         user_id,
+         CAST(regexp_extract(props,'([0-9]+)',1) AS INTEGER) AS k
+  FROM events
+),
+cdp_shaped AS (
+  SELECT event_id, ts_us, ts_ms, ctype,
+         CASE WHEN ctype <> 'TRACK' OR k % 4 <> 0
+              THEN 'u' || CAST(user_id AS VARCHAR) END AS user_id_raw,
+         CASE WHEN ctype = 'ALIAS'
+                OR (ctype = 'IDENTIFY' AND k % 2 = 0)
+                OR (ctype = 'TRACK' AND k % 4 = 0)
+              THEN 'anon' || CAST(user_id % 7 AS VARCHAR) END AS anon_id_raw,
+         CASE WHEN ctype = 'IDENTIFY'
+              THEN 'U' || CAST(user_id AS VARCHAR) || '@Example.COM' END AS email_raw,
+         CASE WHEN ctype = 'TRACK' AND k % 11 <> 0
+              THEN ['Feature Used','Sign In','Checkout'][CAST(k % 3 + 1 AS INTEGER)] END AS name,
+         CASE WHEN ctype = 'IDENTIFY'
+              THEN CASE WHEN k % 2 = 0 THEN 'pro' ELSE 'basic' END END AS plan,
+         CASE WHEN ctype = 'IDENTIFY'
+              THEN ['US','UK','DE','FR','CA','AU','JP'][CAST(k % 7 + 1 AS INTEGER)] END AS country,
+         k
+  FROM cdp_base
+),
+cdp AS (
+  SELECT * FROM cdp_shaped
+  UNION ALL
+  SELECT * FROM cdp_shaped WHERE k % 20 = 0
+)
+"""
+
+# Validation predicate P1 (`cdp/model/CdpEvent.kt:36-44`) + W1 dedup by
+# event_id (duplicate rows are exact copies, so DISTINCT == keep-one) +
+# normalized identifiers (simple forms — the raw ids carry no prefixes, so
+# full F1 reduces to prefix-attach + email lowercase).
+CVALID_CTE = (
+    CDP_CTE
+    + """,
+cvalid AS (
+  SELECT DISTINCT event_id, ts_us, ts_ms, ctype, name, plan, country,
+         CASE WHEN user_id_raw IS NOT NULL THEN 'user:' || user_id_raw END AS nuser,
+         CASE WHEN anon_id_raw IS NOT NULL THEN 'anon:' || anon_id_raw END AS nanon,
+         CASE WHEN email_raw IS NOT NULL THEN 'email:' || lower(email_raw) END AS nemail
+  FROM cdp
+  WHERE (user_id_raw IS NOT NULL OR anon_id_raw IS NOT NULL OR email_raw IS NOT NULL)
+    AND (ctype <> 'TRACK' OR name IS NOT NULL)
+)
+"""
+)
+
+# Connected components over the identity graph: union-find replaced by
+# min-label transitive closure (canonical id = lexicographic min of the
+# component, the deterministic twin of `IdentityGraph.kt:50-80`).
+COMPONENTS_CTE = (
+    CVALID_CTE
+    + """,
+idrows AS (
+  SELECT event_id, nuser AS id FROM cvalid WHERE nuser IS NOT NULL
+  UNION
+  SELECT event_id, nanon FROM cvalid WHERE nanon IS NOT NULL
+  UNION
+  SELECT event_id, nemail FROM cvalid WHERE nemail IS NOT NULL
+),
+nodes AS (SELECT DISTINCT id FROM idrows),
+edges0 AS (
+  SELECT DISTINCT a.id AS a, b.id AS b
+  FROM idrows a JOIN idrows b ON a.event_id = b.event_id AND a.id < b.id
+),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.b AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.a
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+"""
+)
+
+# Per-event profile resolution + profile materialization (apply-time
+# resolution semantics, SURVEY §3.2): identifiers A11, LWW traits A12 with
+# (ts, event_id) tiebreak, lastSeen A13, Feature-Used 24 h counter A7.
+PROFILES_CTE = (
+    COMPONENTS_CTE
+    + """,
+evprof AS (
+  SELECT v.*, c.component AS profile_id,
+         lpad(CAST(v.ts_us AS VARCHAR), 20, '0') || '|' || lpad(v.event_id, 12, '0') AS okey
+  FROM cvalid v
+  JOIN comp c ON c.id = coalesce(v.nuser, v.nanon, v.nemail)
+),
+prof_ids AS (
+  SELECT profile_id, id FROM (
+    SELECT DISTINCT profile_id, nuser AS id FROM evprof WHERE nuser IS NOT NULL
+    UNION
+    SELECT DISTINCT profile_id, nanon FROM evprof WHERE nanon IS NOT NULL
+    UNION
+    SELECT DISTINCT profile_id, nemail FROM evprof WHERE nemail IS NOT NULL
+  )
+),
+prof_id_lists AS (
+  SELECT profile_id,
+         list(id ORDER BY id) FILTER (WHERE starts_with(id, 'user:')) AS user_ids,
+         list(id ORDER BY id) FILTER (WHERE starts_with(id, 'email:')) AS emails,
+         list(id ORDER BY id) FILTER (WHERE starts_with(id, 'anon:')) AS anonymous_ids
+  FROM prof_ids GROUP BY profile_id
+),
+prof_traits AS (
+  SELECT profile_id,
+         arg_max(plan, okey) AS plan,
+         arg_max(country, okey) AS country
+  FROM evprof WHERE ctype = 'IDENTIFY' GROUP BY profile_id
+),
+as_of AS (SELECT max(ts_ms) AS as_of_ms FROM evprof),
+prof_counts AS (
+  SELECT e.profile_id, count(*) AS feature_used_24h
+  FROM evprof e CROSS JOIN as_of a
+  WHERE e.ctype = 'TRACK' AND e.name = 'Feature Used'
+    AND (e.ts_ms - (e.ts_ms % 60000))
+        >= ((a.as_of_ms - 86400000) - ((a.as_of_ms - 86400000) % 60000))
+  GROUP BY e.profile_id
+),
+profiles AS (
+  SELECT l.profile_id,
+         coalesce(l.user_ids, []) AS user_ids,
+         coalesce(l.emails, []) AS emails,
+         coalesce(l.anonymous_ids, []) AS anonymous_ids,
+         t.plan, t.country,
+         s.last_seen_ms,
+         coalesce(c.feature_used_24h, 0) AS feature_used_24h
+  FROM prof_id_lists l
+  LEFT JOIN prof_traits t USING (profile_id)
+  JOIN (SELECT profile_id, max(ts_ms) AS last_seen_ms FROM evprof GROUP BY profile_id) s
+    USING (profile_id)
+  LEFT JOIN prof_counts c USING (profile_id)
+)
+"""
+)
+
+
+def _segment_membership_cte(tag: str, as_of_expr: str) -> str:
+    """Segment membership snapshot as of ``as_of_expr`` (epoch ms over
+    evprof rows with ts_ms <= as_of).
+
+    Rules (`cdp/segments/SegmentEngine.kt:125-151`):
+      power_user: Feature-Used 24 h bucketed count >= 5
+      pro_plan:   LWW plan == 'pro'
+      reengage:   as_of - last_seen > 10 min (strict)
+    """
+    return f"""
+snap_{tag} AS (
+  SELECT p.profile_id,
+         coalesce(c.cnt, 0) >= 5 AS power_user,
+         coalesce(t.plan, '') = 'pro' AS pro_plan,
+         ({as_of_expr}) - p.last_seen_ms > 600000 AS reengage
+  FROM (SELECT profile_id, max(ts_ms) AS last_seen_ms
+        FROM evprof WHERE ts_ms <= ({as_of_expr}) GROUP BY profile_id) p
+  LEFT JOIN (SELECT profile_id, arg_max(plan, okey) AS plan
+             FROM evprof WHERE ctype = 'IDENTIFY' AND ts_ms <= ({as_of_expr})
+             GROUP BY profile_id) t USING (profile_id)
+  LEFT JOIN (SELECT profile_id, count(*) AS cnt
+             FROM evprof
+             WHERE ctype = 'TRACK' AND name = 'Feature Used'
+               AND ts_ms <= ({as_of_expr})
+               AND (ts_ms - (ts_ms % 60000))
+                   >= ((({as_of_expr}) - 86400000) - ((({as_of_expr}) - 86400000) % 60000))
+             GROUP BY profile_id) c USING (profile_id)
+),
+members_{tag} AS (
+  SELECT profile_id, 'power_user' AS segment FROM snap_{tag} WHERE power_user
+  UNION ALL
+  SELECT profile_id, 'pro_plan' FROM snap_{tag} WHERE pro_plan
+  UNION ALL
+  SELECT profile_id, 'reengage' FROM snap_{tag} WHERE reengage
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window / rule CTEs over ent
+# ---------------------------------------------------------------------------
+
+WINDOWS_CTE = (
+    ENT_CTE
+    + """,
+win AS (
+  SELECT event_id, entity_id, type, profile, ts_us, ts_ms, value, geo, device,
+         CAST(count(*) OVER w60 AS DOUBLE) AS rate_1m,
+         sum(value) OVER w30 AS sum_30s,
+         count(value) OVER w60 AS count_60s,
+         coalesce(sum(value) OVER w5m / count(value) OVER w5m, 0.0) AS avg_5m,
+         coalesce(sum(value) OVER w1h / count(value) OVER w1h, 0.0) AS avg_1h
+  FROM ent
+  WINDOW
+    w30 AS (PARTITION BY entity_id, type ORDER BY ts_us RANGE BETWEEN 30000000 PRECEDING AND CURRENT ROW),
+    w60 AS (PARTITION BY entity_id, type ORDER BY ts_us RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW),
+    w5m AS (PARTITION BY entity_id, type ORDER BY ts_us RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW),
+    w1h AS (PARTITION BY entity_id, type ORDER BY ts_us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+)
+"""
+)
+
+# Per-event EWMA (alpha = 0.1, seeded with the first value) via a recursive
+# CTE marching row_number per (entity_id, type) — the sequential fold twin
+# of `core/WindowStore.kt:106-132`.
+EWMA_CTE = (
+    ENT_CTE
+    + """,
+seq AS (
+  SELECT event_id, entity_id, type, ts_us, ts_ms, value,
+         row_number() OVER (PARTITION BY entity_id, type ORDER BY ts_us, event_id) AS rn
+  FROM ent WHERE value IS NOT NULL
+),
+ewma_rec AS (
+  SELECT entity_id, type, rn, event_id, ts_us, ts_ms, value,
+         CAST(value AS DOUBLE) AS ewma
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.entity_id, s.type, s.rn, s.event_id, s.ts_us, s.ts_ms, s.value,
+         0.1 * s.value + 0.9 * e.ewma
+  FROM seq s JOIN ewma_rec e
+    ON s.entity_id = e.entity_id AND s.type = e.type AND s.rn = e.rn + 1
+)
+"""
+)
+
+_SEVERITY = """
+CASE WHEN {t} <= 0 THEN 'HIGH'
+     WHEN {v} / {t} >= 10.0 THEN 'HIGH'
+     WHEN {v} / {t} >= 5.0 THEN 'MEDIUM'
+     ELSE 'LOW' END
+"""
+
+
+def _r1_sql() -> str:
+    sev = _SEVERITY.format(v="rate_1m", t="(avg_5m * 3.0)")
+    return f"""
+WITH {WINDOWS_CTE}
+SELECT event_id, entity_id, type, profile, ts_ms,
+       round(rate_1m, 4) AS rate_now,
+       round(avg_5m, 4) AS avg_5m,
+       round(avg_5m * 3.0, 4) AS threshold,
+       (rate_1m > avg_5m * 3.0 AND rate_1m >= 20.0) AS fired,
+       CASE WHEN (rate_1m > avg_5m * 3.0 AND rate_1m >= 20.0)
+            THEN {sev} END AS severity
+FROM win
+"""
+
+
+def _r2_sql() -> str:
+    sev = _SEVERITY.format(v="w.value", t="(e.ewma * 4.0)")
+    return f"""
+WITH RECURSIVE {WINDOWS_CTE},
+seq AS (
+  SELECT event_id, entity_id, type,
+         row_number() OVER (PARTITION BY entity_id, type ORDER BY ts_us, event_id) AS rn
+  FROM ent WHERE value IS NOT NULL
+),
+ewma_rec AS (
+  SELECT s.entity_id, s.type, s.rn, s.event_id, CAST(w2.value AS DOUBLE) AS ewma
+  FROM seq s JOIN ent w2 ON w2.event_id = s.event_id
+  WHERE s.rn = 1
+  UNION ALL
+  SELECT s.entity_id, s.type, s.rn, s.event_id, 0.1 * w2.value + 0.9 * e.ewma
+  FROM seq s
+  JOIN ent w2 ON w2.event_id = s.event_id
+  JOIN ewma_rec e ON s.entity_id = e.entity_id AND s.type = e.type AND s.rn = e.rn + 1
+)
+SELECT w.event_id, w.entity_id, w.type, w.profile, w.ts_ms,
+       round(w.value, 4) AS value_now,
+       round(e.ewma, 6) AS ewma,
+       round(e.ewma * 4.0, 6) AS threshold,
+       CAST(w.count_60s AS BIGINT) AS count_60s,
+       (w.value > e.ewma * 4.0 AND w.count_60s >= 5) AS fired,
+       CASE WHEN (w.value > e.ewma * 4.0 AND w.count_60s >= 5)
+            THEN {sev} END AS severity
+FROM win w JOIN ewma_rec e ON e.event_id = w.event_id
+WHERE w.value IS NOT NULL
+"""
+
+
+def _r3_sql() -> str:
+    return f"""
+WITH {ENT_CTE},
+conf AS (
+  SELECT e1.event_id, e1.entity_id, e1.type, e1.profile, e1.ts_ms,
+         e1.geo AS current_geo, e1.device AS current_device,
+         e2.geo AS prev_geo_val, e2.device AS prev_device_val,
+         (e1.geo IS NOT NULL AND e2.geo IS NOT NULL AND e1.geo <> e2.geo) AS gc,
+         (e1.device IS NOT NULL AND e2.device IS NOT NULL AND e1.device <> e2.device) AS dc,
+         lpad(CAST(e2.ts_us AS VARCHAR), 20, '0') || lpad(CAST(e2.event_id AS VARCHAR), 12, '0') AS okey
+  FROM ent e1 JOIN ent e2
+    ON e1.entity_id = e2.entity_id
+   AND e2.ts_us >= e1.ts_us - 120000000
+   AND (e2.ts_us < e1.ts_us OR (e2.ts_us = e1.ts_us AND e2.event_id < e1.event_id))
+  WHERE (e1.geo IS NOT NULL AND e2.geo IS NOT NULL AND e1.geo <> e2.geo)
+     OR (e1.device IS NOT NULL AND e2.device IS NOT NULL AND e1.device <> e2.device)
+)
+SELECT event_id, entity_id, type, profile, ts_ms, current_geo, current_device,
+       max(CASE WHEN gc THEN okey END) IS NOT NULL AS geo_conflict,
+       max(CASE WHEN dc THEN okey END) IS NOT NULL AS device_conflict,
+       arg_max(prev_geo_val, okey) FILTER (WHERE gc) AS prev_geo,
+       arg_max(prev_device_val, okey) FILTER (WHERE dc) AS prev_device,
+       CAST(count(*) AS BIGINT) AS n_conflicts,
+       'MEDIUM' AS severity
+FROM conf
+GROUP BY event_id, entity_id, type, profile, ts_ms, current_geo, current_device
+"""
+
+
+def _r4_sql() -> str:
+    return f"""
+WITH {WINDOWS_CTE}
+SELECT event_id, entity_id, type, profile, ts_ms,
+       round(sum_30s, 4) AS sum_30s,
+       round(greatest(CAST(floor(avg_1h * 10) AS DOUBLE), 1000.0), 4) AS p95_threshold,
+       round(value, 4) AS current_value,
+       (sum_30s > greatest(CAST(floor(avg_1h * 10) AS DOUBLE), 1000.0)) AS fired,
+       CASE WHEN sum_30s > greatest(CAST(floor(avg_1h * 10) AS DOUBLE), 1000.0)
+            THEN 'HIGH' END AS severity
+FROM win
+WHERE profile = 'SASE' AND value IS NOT NULL
+"""
+
+
+def _alerts_sql() -> str:
+    r1 = _r1_sql().strip()
+    r2 = _r2_sql().strip()
+    r3 = _r3_sql().strip()
+    r4 = _r4_sql().strip()
+    return f"""
+SELECT 'R1_VELOCITY_SPIKE' AS rule, entity_id, ts_ms, severity, event_id
+FROM ({r1}) WHERE fired
+UNION ALL
+SELECT 'R2_VALUE_SPIKE', entity_id, ts_ms, severity, event_id FROM ({r2}) WHERE fired
+UNION ALL
+SELECT 'R3_GEO_DEVICE_MISMATCH', entity_id, ts_ms, severity, event_id FROM ({r3})
+UNION ALL
+SELECT 'R4_EXFIL', entity_id, ts_ms, severity, event_id FROM ({r4}) WHERE fired
+"""
+
+
+# ---------------------------------------------------------------------------
+# Assembled oracle map (populated further by the sections below)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {}
+
+ORACLE_SQL["tpch_q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLE_SQL["tpch_q3_shipping_priority"] = """
+SELECT l_orderkey AS o_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       epoch_ms(o_orderdate) AS o_orderdate_ms,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) DESC, l_orderkey
+LIMIT 10
+"""
+
+ORACLE_SQL["tpch_q5_region_revenue"] = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY r_name, n_name
+"""
+
+ORACLE_SQL["win_trailing_aggs"] = f"""
+WITH {WINDOWS_CTE}
+SELECT event_id, entity_id, type, ts_ms,
+       round(rate_1m, 4) AS rate_1m,
+       round(sum_30s, 4) AS sum_30s,
+       CAST(count_60s AS BIGINT) AS count_60s,
+       round(avg_5m, 4) AS avg_5m,
+       round(avg_1h, 4) AS avg_1h
+FROM win
+"""
+
+ORACLE_SQL["win_p95_1h"] = f"""
+WITH {ENT_CTE}
+SELECT event_id, entity_id, type, ts_ms,
+       round(quantile_cont(value, 0.95) OVER (
+         PARTITION BY entity_id, type ORDER BY ts_us
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS p95_1h
+FROM ent
+"""
+
+ORACLE_SQL["ewma"] = f"""
+WITH RECURSIVE {EWMA_CTE}
+SELECT event_id, entity_id, type, ts_ms, round(ewma, 6) AS ewma
+FROM ewma_rec
+"""
+
+ORACLE_SQL["r1_velocity_spike"] = _r1_sql()
+ORACLE_SQL["r2_value_spike"] = _r2_sql()
+ORACLE_SQL["r3_geo_device_mismatch"] = _r3_sql()
+ORACLE_SQL["r4_exfil"] = _r4_sql()
+ORACLE_SQL["alerts"] = _alerts_sql()
+
+ORACLE_SQL["cdp_validation"] = f"""
+WITH {CDP_CTE}
+SELECT event_id, ctype, ts_ms,
+       ((user_id_raw IS NOT NULL OR anon_id_raw IS NOT NULL OR email_raw IS NOT NULL)
+        AND (ctype <> 'TRACK' OR name IS NOT NULL)) AS valid,
+       CASE
+         WHEN user_id_raw IS NULL AND anon_id_raw IS NULL AND email_raw IS NULL
+           THEN 'NO_IDENTIFIER'
+         WHEN ctype = 'TRACK' AND name IS NULL THEN 'TRACK_WITHOUT_NAME'
+       END AS reason
+FROM cdp
+"""
+
+ORACLE_SQL["identity_normalize"] = f"""
+WITH {CDP_CTE},
+raws AS (
+  SELECT DISTINCT user_id_raw AS raw FROM cdp WHERE user_id_raw IS NOT NULL
+  UNION
+  SELECT DISTINCT anon_id_raw FROM cdp WHERE anon_id_raw IS NOT NULL
+  UNION
+  SELECT DISTINCT email_raw FROM cdp WHERE email_raw IS NOT NULL
+  UNION
+  SELECT DISTINCT 'user:' || user_id_raw FROM cdp WHERE user_id_raw IS NOT NULL
+  UNION
+  SELECT DISTINCT 'email:' || email_raw FROM cdp WHERE email_raw IS NOT NULL
+  UNION
+  SELECT DISTINCT '  ' || email_raw || '  ' FROM cdp WHERE email_raw IS NOT NULL
+),
+t AS (SELECT raw, trim(raw) AS tr FROM raws)
+SELECT raw,
+       CASE
+         WHEN starts_with(tr, 'email:') THEN 'email:' || lower(trim(regexp_extract(tr, '[^:]*$')))
+         WHEN starts_with(tr, 'user:') THEN 'user:' || trim(regexp_extract(tr, '[^:]*$'))
+         WHEN starts_with(tr, 'anon:') THEN 'anon:' || trim(regexp_extract(tr, '[^:]*$'))
+         WHEN contains(tr, '@') THEN 'email:' || lower(tr)
+         WHEN contains(lower(tr), 'anon') THEN 'anon:' || tr
+         ELSE 'user:' || tr
+       END AS normalized
+FROM t
+"""
+
+ORACLE_SQL["identity_components"] = f"""
+WITH RECURSIVE {COMPONENTS_CTE}
+SELECT id, component FROM comp
+"""
+
+ORACLE_SQL["cdp_profiles"] = f"""
+WITH RECURSIVE {PROFILES_CTE}
+SELECT profile_id, user_ids, emails, anonymous_ids, plan, country,
+       last_seen_ms, CAST(feature_used_24h AS BIGINT) AS feature_used_24h
+FROM profiles
+"""
+
+ORACLE_SQL["rolling_counter_24h"] = f"""
+WITH {CVALID_CTE},
+trk AS (
+  SELECT event_id, ts_us, ts_ms, name, coalesce(nuser, nanon) AS pid
+  FROM cvalid WHERE ctype = 'TRACK' AND name IS NOT NULL
+)
+SELECT e1.event_id, e1.pid, e1.name, e1.ts_ms, CAST(count(*) AS BIGINT) AS cnt_24h
+FROM trk e1 JOIN trk e2
+  ON e2.pid = e1.pid AND e2.name = e1.name
+ AND (e2.ts_us < e1.ts_us OR (e2.ts_us = e1.ts_us AND e2.event_id <= e1.event_id))
+ AND (e2.ts_ms - (e2.ts_ms % 60000))
+     >= ((e1.ts_ms - 86400000) - ((e1.ts_ms - 86400000) % 60000))
+GROUP BY e1.event_id, e1.pid, e1.name, e1.ts_ms
+"""
+
+_SEG_MID = "(SELECT min(ts_ms) + (max(ts_ms) - min(ts_ms)) // 2 FROM evprof)"
+_SEG_END = "(SELECT max(ts_ms) FROM evprof)"
+
+ORACLE_SQL["cdp_segments"] = f"""
+WITH RECURSIVE {PROFILES_CTE},
+{_segment_membership_cte('end', _SEG_END)}
+SELECT s.profile_id, s.power_user, s.pro_plan, s.reengage,
+       (CASE WHEN s.power_user THEN ['power_user'] ELSE [] END)
+       || (CASE WHEN s.pro_plan THEN ['pro_plan'] ELSE [] END)
+       || (CASE WHEN s.reengage THEN ['reengage'] ELSE [] END) AS segments
+FROM snap_end s
+"""
+
+ORACLE_SQL["segment_events"] = f"""
+WITH RECURSIVE {PROFILES_CTE},
+{_segment_membership_cte('mid', _SEG_MID)},
+{_segment_membership_cte('end', _SEG_END)}
+SELECT coalesce(e.profile_id, m.profile_id) AS profile_id,
+       coalesce(e.segment, m.segment) AS segment,
+       CASE WHEN m.profile_id IS NULL THEN 'ENTER' ELSE 'EXIT' END AS action
+FROM members_end e
+FULL OUTER JOIN members_mid m
+  ON e.profile_id = m.profile_id AND e.segment = m.segment
+WHERE e.profile_id IS NULL OR m.profile_id IS NULL
+"""
+
+ORACLE_SQL["top20_profiles"] = f"""
+WITH RECURSIVE {PROFILES_CTE}
+SELECT profile_id,
+       list_transform(user_ids, x -> regexp_replace(x, '^(user|email|anon):', '')) AS user_ids,
+       list_transform(emails, x -> regexp_replace(x, '^(user|email|anon):', '')) AS emails,
+       list_transform(anonymous_ids, x -> regexp_replace(x, '^(user|email|anon):', '')) AS anonymous_ids,
+       plan, country, last_seen_ms,
+       CAST(feature_used_24h AS BIGINT) AS feature_used_24h
+FROM profiles
+ORDER BY last_seen_ms DESC, profile_id
+LIMIT 20
+"""

@@ -1,0 +1,284 @@
+"""Query registry: every declared operator as a (spark_fn, oracle_sql) pair.
+
+This is the single source for ``__spark_entry__.queries()`` /
+``oracle_sql()`` and for the in-repo parity harness
+(tests/test_oracle_parity.py), which replicates the driver's comparison at
+sf0.001 before the driver ever runs it at sf0.01.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulseboard_spark.oracle.sql import ORACLE_SQL
+from pulseboard_spark.session import tune
+from pulseboard_spark.sources.tables import cdp_events, entity_events, load_table
+from pulseboard_spark.functions.ids import normalize_id
+from pulseboard_spark.operators import rules
+from pulseboard_spark.operators.ewma import with_ewma
+from pulseboard_spark.operators.identity import (
+    components_for,
+    resolve_profiles,
+    valid_cdp_events,
+    validate_cdp,
+)
+from pulseboard_spark.operators.profiles import build_profiles, top20_summaries
+from pulseboard_spark.operators.rolling_counter import rolling_counter_24h
+from pulseboard_spark.operators.segments import (
+    segment_events,
+    segment_membership,
+    with_segments_array,
+)
+from pulseboard_spark.operators.windows import trailing_window, with_trailing_aggs
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_R4 = lambda c: F.round(c, 4)  # noqa: E731
+
+
+def _dsum(expr) -> F.Column:
+    """Order-insensitive exact sum: route doubles through DECIMAL(27,6) so
+    Spark's partition-parallel accumulation and DuckDB's sequential one
+    produce bit-identical results, then surface as DOUBLE."""
+    return F.sum(expr.cast("decimal(27,6)")).cast("double")
+
+
+# --- TPC-H-ish batch layer ---------------------------------------------------
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast(dict(l.dtypes)["l_shipdate"]))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc).alias("sum_disc_price"),
+            _dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _R4(F.avg("l_quantity")).alias("avg_qty"),
+            _R4(F.avg("l_extendedprice")).alias("avg_price"),
+            _R4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cutoff_o = F.lit("1998-03-15 00:00:00").cast(dict(o.dtypes)["o_orderdate"])
+    cutoff_l = F.lit("1998-03-15 00:00:00").cast(dict(l.dtypes)["l_shipdate"])
+    rev_dec = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)"))
+    return (
+        l.filter(F.col("l_shipdate") > cutoff_l)
+        .join(o.filter(F.col("o_orderdate") < cutoff_o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev_dec.alias("revenue_dec"))
+        .orderBy(F.desc("revenue_dec"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+            "o_orderpriority",
+        )
+    )
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01 00:00:00").cast(dict(o.dtypes)["o_orderdate"])
+    hi = F.lit("1997-01-01 00:00:00").cast(dict(o.dtypes)["o_orderdate"])
+    dims = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        l.join(
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- Windowed aggregate layer (A2-A8) ---------------------------------------
+
+
+def win_trailing_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_trailing_aggs(entity_events(spark, sf_dir))
+    return df.select(
+        "event_id",
+        "entity_id",
+        "type",
+        "ts_ms",
+        _R4(F.col("rate_1m")).alias("rate_1m"),
+        _R4(F.col("sum_30s")).alias("sum_30s"),
+        F.col("count_60s").cast("long").alias("count_60s"),
+        _R4(F.col("avg_5m")).alias("avg_5m"),
+        _R4(F.col("avg_1h")).alias("avg_1h"),
+    )
+
+
+def win_p95_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = entity_events(spark, sf_dir)
+    w = trailing_window(["entity_id", "type"], 3600)
+    return df.select(
+        "event_id",
+        "entity_id",
+        "type",
+        "ts_ms",
+        _R4(F.percentile(F.col("value"), F.lit(0.95)).over(w)).alias("p95_1h"),
+    )
+
+
+def ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_ewma(entity_events(spark, sf_dir)).filter(F.col("value").isNotNull())
+    return df.select("event_id", "entity_id", "type", "ts_ms", F.round("ewma", 6).alias("ewma"))
+
+
+# --- Rules -------------------------------------------------------------------
+
+
+def r1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rules.r1_velocity_eval(entity_events(spark, sf_dir))
+
+
+def r2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rules.r2_value_eval(entity_events(spark, sf_dir))
+
+
+def r3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rules.r3_geo_device_eval(entity_events(spark, sf_dir))
+
+
+def r4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rules.r4_exfil_eval(entity_events(spark, sf_dir))
+
+
+def alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rules.alerts(entity_events(spark, sf_dir))
+
+
+# --- CDP ---------------------------------------------------------------------
+
+
+def cdp_validation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validate_cdp(cdp_events(spark, sf_dir)).select("event_id", "ctype", "ts_ms", "valid", "reason")
+
+
+def identity_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdp = cdp_events(spark, sf_dir)
+    raws = (
+        cdp.select(F.col("user_id_raw").alias("raw"))
+        .unionByName(cdp.select(F.col("anon_id_raw").alias("raw")))
+        .unionByName(cdp.select(F.col("email_raw").alias("raw")))
+        .unionByName(cdp.select(F.concat(F.lit("user:"), F.col("user_id_raw")).alias("raw")))
+        .unionByName(cdp.select(F.concat(F.lit("email:"), F.col("email_raw")).alias("raw")))
+        .unionByName(cdp.select(F.concat(F.lit("  "), F.col("email_raw"), F.lit("  ")).alias("raw")))
+        .filter(F.col("raw").isNotNull())
+        .distinct()
+    )
+    return raws.select("raw", normalize_id(F.col("raw")).alias("normalized"))
+
+
+def _evprof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cvalid = valid_cdp_events(cdp_events(spark, sf_dir))
+    comp = components_for(cvalid)
+    return resolve_profiles(cvalid, comp)
+
+
+def identity_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cvalid = valid_cdp_events(cdp_events(spark, sf_dir))
+    return components_for(cvalid)
+
+
+def cdp_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_profiles(_evprof(spark, sf_dir)).select(
+        "profile_id",
+        "user_ids",
+        "emails",
+        "anonymous_ids",
+        "plan",
+        "country",
+        "last_seen_ms",
+        "feature_used_24h",
+    )
+
+
+def rolling_counter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_counter_24h(valid_cdp_events(cdp_events(spark, sf_dir)))
+
+
+def cdp_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _evprof(spark, sf_dir)
+    return with_segments_array(segment_membership(ev, F.max("ts_ms"))).select(
+        "profile_id", "power_user", "pro_plan", "reengage", "segments"
+    )
+
+
+def segment_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_events(_evprof(spark, sf_dir))
+
+
+def top20_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top20_summaries(build_profiles(_evprof(spark, sf_dir)))
+
+
+# --- Registry ----------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "tpch_q1_pricing_summary": tpch_q1,
+    "tpch_q3_shipping_priority": tpch_q3,
+    "tpch_q5_region_revenue": tpch_q5,
+    "win_trailing_aggs": win_trailing_aggs,
+    "win_p95_1h": win_p95_1h,
+    "ewma": ewma_q,
+    "r1_velocity_spike": r1_q,
+    "r2_value_spike": r2_q,
+    "r3_geo_device_mismatch": r3_q,
+    "r4_exfil": r4_q,
+    "alerts": alerts_q,
+    "cdp_validation": cdp_validation_q,
+    "identity_normalize": identity_normalize_q,
+    "identity_components": identity_components_q,
+    "cdp_profiles": cdp_profiles_q,
+    "rolling_counter_24h": rolling_counter_q,
+    "cdp_segments": cdp_segments_q,
+    "segment_events": segment_events_q,
+    "top20_profiles": top20_profiles_q,
+}
+
+
+def wrap_tuned(fn: QueryFn) -> QueryFn:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: wrap_tuned(fn) for name, fn in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: ORACLE_SQL[name] for name in QUERIES if name in ORACLE_SQL}
