@@ -15,7 +15,7 @@ Scale posture (100 TB of documents):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_HASHES = 8
@@ -25,9 +25,8 @@ SHINGLE = 5
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact content dedup: md5 groups, canonical = min doc_id per group."""
-    h = F.md5(F.col("text"))
-    w_min = F.min("doc_id").over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("content_hash"))
-    df = documents.select("doc_id", h.alias("content_hash"))
+    df = documents.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+    w_min = F.min("doc_id").over(Window.partitionBy("content_hash"))
     return df.withColumn("canonical_doc_id", w_min).withColumn(
         "is_duplicate", F.col("doc_id") != F.col("canonical_doc_id")
     )
@@ -38,11 +37,10 @@ def shingles(documents: DataFrame, n: int = SHINGLE) -> DataFrame:
 
     Shingling via explode(sequence) keeps everything JVM-side; short docs
     degrade to a single truncated shingle."""
-    t = F.lower(F.col("text"))
-    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))))
+    base = documents.select("doc_id", F.lower(F.col("text")).alias("t"))
+    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.length(F.col("t")) - (n - 1), F.lit(1))))
     return (
-        documents.select("doc_id", t.alias("t"))
-        .select("doc_id", idx.alias("i"), "t")
+        base.select("doc_id", idx.alias("i"), "t")
         .select("doc_id", F.col("t").substr(F.col("i"), F.lit(n)).alias("s"))
         .distinct()
     )

@@ -577,3 +577,172 @@ FROM profiles
 ORDER BY last_seen_ms DESC, profile_id
 LIMIT 20
 """
+
+# ---------------------------------------------------------------------------
+# Beyond-reference operators: documents / embeddings
+# ---------------------------------------------------------------------------
+
+SHINGLES_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
+  FROM (SELECT doc_id, lower(text) AS t,
+               unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+        FROM documents)
+)
+"""
+
+ORACLE_SQL["dedup_exact"] = """
+SELECT doc_id,
+       md5(text) AS content_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents
+"""
+
+_MINHASH_BODY = f"""
+{SHINGLES_CTE},
+minh AS (
+  SELECT doc_id,
+         min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+         min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+         min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+         min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS bi, h0 || h1 AS band FROM minh
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM minh
+  UNION ALL SELECT doc_id, 2, h4 || h5 FROM minh
+  UNION ALL SELECT doc_id, 3, h6 || h7 FROM minh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bi = b.bi AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+"""
+
+ORACLE_SQL["dedup_minhash"] = f"""
+WITH {_MINHASH_BODY}
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+"""
+
+_TOPK_CTE = """
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+  FROM n a, n b WHERE a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT vec_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+"""
+
+ORACLE_SQL["similarity_topk"] = f"""
+WITH {_TOPK_CTE}
+SELECT vec_id, neighbor_id, cosine, rank FROM topk WHERE rank <= 5
+"""
+
+ORACLE_SQL["knn_label_agreement"] = f"""
+WITH {_TOPK_CTE}
+SELECT l.label, CAST(count(*) AS BIGINT) AS pairs,
+       round(avg(CASE WHEN l.label = nl.label THEN 1.0 ELSE 0.0 END), 6) AS same_label_rate
+FROM (SELECT * FROM topk WHERE rank <= 5) t
+JOIN embeddings l ON l.vec_id = t.vec_id
+JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+GROUP BY l.label
+"""
+
+ORACLE_SQL["text_quality"] = """
+WITH q AS (
+  SELECT doc_id, lang, text,
+         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_count,
+         CAST(len(list_filter(list_filter(string_split(text, ' '), x -> len(x) > 0),
+              x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS stop_count
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(n_tokens, 1), 4) AS avg_token_len,
+       punct_count,
+       round(CAST(stop_count AS DOUBLE) / greatest(n_tokens, 1), 4) AS stopword_ratio,
+       round(least(1.0, n_tokens / 100.0)
+             * (1.0 - least(1.0, CAST(punct_count AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE))), 4) AS quality_score
+FROM q
+"""
+
+ORACLE_SQL["lang_id"] = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(toks, x -> list_contains(['the','and','is'], x))) AS BIGINT) AS score_en,
+         CAST(len(list_filter(toks, x -> list_contains(['der','und','ist'], x))) AS BIGINT) AS score_de,
+         CAST(len(list_filter(toks, x -> list_contains(['le','et','est'], x))) AS BIGINT) AS score_fr,
+         CAST(len(list_filter(toks, x -> list_contains(['el','y','es'], x))) AS BIGINT) AS score_es
+  FROM t
+)
+SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+       CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+            WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+            WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+            WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+            ELSE 'es' END AS lang_guess
+FROM s
+"""
+
+ORACLE_SQL["token_stats"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_word_tokens,
+         CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_number_tokens
+  FROM documents
+)
+SELECT doc_id, n_bpe_tokens, n_word_tokens, n_number_tokens,
+       n_bpe_tokens - n_word_tokens - n_number_tokens AS n_symbol_tokens
+FROM t
+"""
+
+ORACLE_SQL["doc_fingerprint"] = f"""
+WITH {SHINGLES_CTE}
+SELECT d.doc_id, md5(d.text) AS content_hash,
+       min(md5(s.s)) AS min_shingle_hash,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM documents d JOIN sh s ON s.doc_id = d.doc_id
+GROUP BY d.doc_id, md5(d.text)
+"""
+
+ORACLE_SQL["frame_sample_plan"] = """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS meta_n_bytes
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(unnest(generate_series(0, greatest(CAST(floor(meta_n_bytes / 1024.0) AS INT) - 1, 0))) AS INT) AS chunk_index,
+       CAST(unnest(generate_series(0, greatest(CAST(floor(meta_n_bytes / 1024.0) AS INT) - 1, 0))) * 1024 AS BIGINT) AS byte_offset
+FROM media
+"""

@@ -17,7 +17,7 @@ from pulseboard_spark.oracle.sql import ORACLE_SQL
 from pulseboard_spark.session import tune
 from pulseboard_spark.sources.tables import cdp_events, entity_events, load_table
 from pulseboard_spark.functions.ids import normalize_id
-from pulseboard_spark.operators import rules
+from pulseboard_spark.operators import dedup, multimodal, rules, similarity, text
 from pulseboard_spark.operators.ewma import with_ewma
 from pulseboard_spark.operators.identity import (
     components_for,
@@ -242,6 +242,61 @@ def top20_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top20_summaries(build_profiles(_evprof(spark, sf_dir)))
 
 
+# --- Beyond-reference: documents / embeddings --------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_near_dups(_docs(spark, sf_dir))
+
+
+def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_embs(spark, sf_dir), k=5)
+
+
+def knn_label_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_knn_accuracy(_embs(spark, sf_dir), k=5)
+
+
+def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk(_embs(spark, sf_dir), k=5)
+
+
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_quality(_docs(spark, sf_dir))
+
+
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.extract_features(multimodal.synth_media(_docs(spark, sf_dir)))
+
+
+def frame_sample_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample_plan(multimodal.synth_media(_docs(spark, sf_dir)))
+
+
 # --- Registry ----------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -264,6 +319,18 @@ QUERIES: dict[str, QueryFn] = {
     "cdp_segments": cdp_segments_q,
     "segment_events": segment_events_q,
     "top20_profiles": top20_profiles_q,
+    # beyond-reference (LLM-data-pipeline) operators
+    "dedup_exact": dedup_exact_q,
+    "dedup_minhash": dedup_minhash_q,
+    "similarity_topk": similarity_topk_q,
+    "knn_label_agreement": knn_label_agreement_q,
+    "ann_topk": ann_topk_q,  # approximate — rows-only check, exact twin is similarity_topk
+    "text_quality": text_quality_q,
+    "lang_id": lang_id_q,
+    "token_stats": token_stats_q,
+    "doc_fingerprint": doc_fingerprint_q,
+    "multimodal_features": multimodal_features_q,  # mapInPandas — rows-only check
+    "frame_sample_plan": frame_sample_plan_q,
 }
 
 

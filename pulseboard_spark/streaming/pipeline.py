@@ -1,0 +1,134 @@
+"""Streaming sources/sinks and end-to-end pipeline wiring (SURVEY §2.1).
+
+Maps the reference's transports onto Structured Streaming:
+
+  S1/S2 Kafka sources  → ``readStream.format("kafka")`` + ``from_json``
+         (`transport/KafkaEntityEventTransport.kt:60-84`, KafkaCdpEventTransport)
+  S3     Kafka sinks   → ``to_json(struct(...))`` keyed by entity/CDP key
+         (`KafkaEntityEventTransport.kt:35-54`; key() = coalesce(user, anon,
+         event_id), `cdp/model/CdpEvent.kt:28-30`)
+  S4     in-memory bus → file/rate/memory sources for tests; backpressure =
+         ``maxOffsetsPerTrigger`` (lossless, replacing DROP_OLDEST — W9)
+  W1     dedup         → ``dropDuplicatesWithinWatermark`` on event_id
+  W2     admission     → ``withWatermark(ts, 120s)`` drop tier; the 5 s
+         processing tier is the trigger interval
+  W4     ticker        → ``trigger(processingTime="1 second")``
+
+No Kafka broker ships in this container, so the Kafka paths are wired but
+exercised only through their file-source twins; the transformations in
+between are source-agnostic DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ENTITY_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField("entityId", T.StringType()),
+                    T.StructField("profile", T.StringType()),
+                    T.StructField("type", T.StringType()),
+                    T.StructField("value", T.LongType()),
+                    T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+                ]
+            ),
+        ),
+    ]
+)
+
+CDP_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("eventId", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField("type", T.StringType()),
+                    T.StructField("anonymousId", T.StringType()),
+                    T.StructField("userId", T.StringType()),
+                    T.StructField("email", T.StringType()),
+                    T.StructField("name", T.StringType()),
+                    T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+                    T.StructField("traits", T.MapType(T.StringType(), T.StringType())),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def kafka_entity_source(spark: SparkSession, brokers: str, topic: str = "entity-events") -> DataFrame:
+    """S1: JSON entity events from Kafka, flattened to the engine's entity
+    view columns.  Kafka partitioning by entityId is preserved at the scan;
+    the first shuffle happens only at the keyed stateful op."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load()
+    )
+    parsed = raw.select(F.from_json(F.col("value").cast("string"), ENTITY_EVENT_SCHEMA).alias("e"))
+    return parsed.select(
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.ts").alias("ts"),
+        F.unix_micros("e.ts").alias("ts_us"),
+        F.unix_millis("e.ts").alias("ts_ms"),
+        F.col("e.payload.entityId").alias("entity_id"),
+        F.col("e.payload.profile").alias("profile"),
+        F.col("e.payload.type").alias("type"),
+        F.col("e.payload.value").cast("double").alias("value"),
+        F.col("e.payload.tags").alias("tags"),
+    )
+
+
+def kafka_alert_sink(alerts: DataFrame, brokers: str, topic: str = "alerts", checkpoint: str = "/tmp/pb_ckpt_alerts"):
+    """S3: alerts as JSON keyed by entity_id (reference keying —
+    `KafkaEntityEventTransport.kt:37`)."""
+    payload = alerts.select(
+        F.col("entity_id").alias("key"),
+        F.to_json(F.struct(*alerts.columns)).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+
+def file_entity_source(spark: SparkSession, path: str, schema, max_files_per_trigger: int = 1) -> DataFrame:
+    """S4 twin for tests: time-ordered parquet chunks trickled one per
+    micro-batch."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def with_admission(events: DataFrame, grace: str = "120 seconds") -> DataFrame:
+    """W2: late-event admission — watermark gives the drop tier; an
+    is_late tag (event older than 5 s against the micro-batch clock) feeds
+    the late-vs-ontime metrics the reference tracks
+    (`CdpEventProcessor.kt:177-230`)."""
+    return events.withWatermark("ts", grace).withColumn(
+        "is_late", F.col("ts") < F.current_timestamp() - F.expr("INTERVAL 5 SECONDS")
+    )
+
+
+def with_dedup(events: DataFrame, key_cols: list[str] = ("event_id",)) -> DataFrame:
+    """W1: duplicate eventIds dropped within the watermark TTL
+    (`CdpEventProcessor.kt:181-187`; cache TTL ≈ watermark delay)."""
+    return events.dropDuplicatesWithinWatermark(list(key_cols))

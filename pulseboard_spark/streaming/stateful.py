@@ -1,0 +1,189 @@
+"""Custom stateful streaming operators: the per-key logic Spark's built-in
+windowed aggregations can't express.
+
+Two operators, both ``applyInPandasWithState`` (Arrow-batched keyed state):
+
+* :func:`alert_rules_stateful` — the streaming twin of the reference's
+  WindowStore + Rules loop (`ingest/Processor.kt:79-128`): per
+  (entity_id, type) it keeps the trailing point buffer + EWMA state and
+  evaluates R1/R2/R4 per arriving event, plus R3 over a 2-minute
+  tag-carrying buffer per entity.  Exactly the batch semantics
+  (operators/rules.py) when events arrive in event-time order — the
+  equivalence is pinned by tests/test_streaming.py.
+
+* :func:`segment_diff_stateful` — G4: remembered previous membership per
+  profile, emitting ENTER/EXIT rows on change
+  (`cdp/segments/SegmentEngine.kt:79-119`).
+
+State is bounded: point buffers prune to the largest rule window (1 h;
+reference horizon is 5 m — `core/WindowStore.kt:46-49` — we keep 1 h
+because R4's avg_1h needs it), so per-key state is O(events/hour), evicted
+by watermark downstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+US = 1_000_000
+HORIZON_US = 3600 * US  # largest trailing window (avg_1h)
+
+ALERT_SCHEMA = (
+    "rule string, entity_id string, ts_ms bigint, severity string, event_id bigint"
+)
+_RULE_STATE_SCHEMA = "ts_us array<long>, value array<double>, ewma double, has_ewma boolean"
+
+
+def _severity(value: float, threshold: float) -> str:
+    if threshold <= 0:
+        return "HIGH"
+    ratio = value / threshold
+    if ratio >= 10.0:
+        return "HIGH"
+    if ratio >= 5.0:
+        return "MEDIUM"
+    return "LOW"
+
+
+def _eval_rules(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per (entity_id, type): replay arriving events in (ts, event_id) order
+    against the trailing-window buffer, emitting fired R1/R2/R4 rows.
+
+    Window math is vectorized: the buffer stays sorted, so each trailing
+    range is a searchsorted pair over the timestamp array + prefix-sum
+    lookup — no per-point scan."""
+    entity_id, etype = key
+    if state.exists:
+        ts_list, val_list, ewma, has_ewma = state.get
+        buf_ts = np.array(ts_list, dtype=np.int64)
+        buf_val = np.array(val_list, dtype=np.float64)
+    else:
+        buf_ts = np.empty(0, dtype=np.int64)
+        buf_val = np.empty(0, dtype=np.float64)
+        ewma, has_ewma = 0.0, False
+
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts_us", "event_id"], kind="mergesort")
+    out: list[tuple] = []
+
+    n_ts = batch["ts_us"].to_numpy(np.int64)
+    n_val = batch["value"].to_numpy(np.float64)
+    n_eid = batch["event_id"].to_numpy(np.int64)
+    n_tsms = batch["ts_ms"].to_numpy(np.int64)
+    profile = batch["profile"].to_numpy()
+
+    all_ts = np.concatenate([buf_ts, n_ts])
+    all_val = np.concatenate([buf_val, n_val])
+    order = np.argsort(all_ts, kind="mergesort")
+    all_ts, all_val = all_ts[order], all_val[order]
+    csum = np.concatenate([[0.0], np.cumsum(all_val)])
+
+    def window(t: int, dur_us: int, upto: int) -> tuple[int, float]:
+        """count and sum of points with ts in [t-dur, t], restricted to the
+        first ``upto`` points processed so far (processing order ≈ ts order)."""
+        lo = np.searchsorted(all_ts[:upto], t - dur_us, side="left")
+        hi = np.searchsorted(all_ts[:upto], t, side="right")
+        return int(hi - lo), float(csum[hi] - csum[lo])
+
+    base = len(buf_ts)
+    for i in range(len(batch)):
+        t = int(n_ts[i])
+        upto = base + i + 1  # current event included (append-before-eval)
+        # A2/A4/A5: trailing aggregates
+        c60, _ = window(t, 60 * US, upto)
+        rate_1m = float(c60)
+        c5m, s5m = window(t, 300 * US, upto)
+        avg_5m = s5m / c5m if c5m else 0.0
+        c1h, s1h = window(t, 3600 * US, upto)
+        avg_1h = s1h / c1h if c1h else 0.0
+        _, s30 = window(t, 30 * US, upto)
+
+        # R1 velocity spike
+        thr1 = avg_5m * 3.0
+        if rate_1m > thr1 and rate_1m >= 20.0:
+            out.append(("R1_VELOCITY_SPIKE", entity_id, int(n_tsms[i]), _severity(rate_1m, thr1), int(n_eid[i])))
+
+        # R2 value spike (EWMA updated with current value first)
+        v = float(n_val[i])
+        if not np.isnan(v):
+            ewma = v if not has_ewma else 0.1 * v + 0.9 * ewma
+            has_ewma = True
+            thr2 = ewma * 4.0
+            if v > thr2 and c60 >= 5:
+                out.append(("R2_VALUE_SPIKE", entity_id, int(n_tsms[i]), _severity(v, thr2), int(n_eid[i])))
+
+        # R4 exfil (SASE only)
+        if profile[i] == "SASE" and not np.isnan(v):
+            p95 = max(float(np.floor(avg_1h * 10)), 1000.0)
+            if s30 > p95:
+                out.append(("R4_EXFIL", entity_id, int(n_tsms[i]), "HIGH", int(n_eid[i])))
+
+    # prune buffer to the horizon relative to the newest point
+    if len(all_ts):
+        keep = all_ts >= all_ts[-1] - HORIZON_US
+        state.update((all_ts[keep].tolist(), all_val[keep].tolist(), float(ewma), bool(has_ewma)))
+
+    yield pd.DataFrame(out, columns=["rule", "entity_id", "ts_ms", "severity", "event_id"])
+
+
+def alert_rules_stateful(entity_stream: DataFrame) -> DataFrame:
+    """Streaming R1/R2/R4 alerts over an entity-event stream.
+
+    Input needs: entity_id, type, profile, ts (timestamp), ts_us, ts_ms,
+    value, event_id.  Watermark bounds state and admits 120 s of lateness
+    (W2's drop tier, `cdp/runtime/CdpEventProcessor.kt:189-204`)."""
+    return (
+        entity_stream.withWatermark("ts", "120 seconds")
+        .groupBy("entity_id", "type")
+        .applyInPandasWithState(
+            _eval_rules,
+            outputStructType=ALERT_SCHEMA,
+            stateStructType=_RULE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+SEGMENT_EVENT_SCHEMA = "profile_id string, segment string, action string, ts_ms bigint"
+_SEG_STATE_SCHEMA = "segments array<string>"
+
+
+def _diff_segments(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (profile_id,) = key
+    prev = set(state.get[0]) if state.exists else set()
+    rows: list[tuple] = []
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_ms", kind="mergesort")
+    for _, r in batch.iterrows():
+        current = set(r["segments"])
+        for seg in sorted(current - prev):
+            rows.append((profile_id, seg, "ENTER", int(r["ts_ms"])))
+        for seg in sorted(prev - current):
+            rows.append((profile_id, seg, "EXIT", int(r["ts_ms"])))
+        prev = current
+    state.update((sorted(prev),))
+    yield pd.DataFrame(rows, columns=["profile_id", "segment", "action", "ts_ms"])
+
+
+def segment_diff_stateful(snapshot_stream: DataFrame) -> DataFrame:
+    """G4 as a keyed-state stream: input rows are membership snapshots
+    (profile_id, segments array<string>, ts, ts_ms); output is the
+    ENTER/EXIT change stream."""
+    return (
+        snapshot_stream.withWatermark("ts", "120 seconds")
+        .groupBy("profile_id")
+        .applyInPandasWithState(
+            _diff_segments,
+            outputStructType=SEGMENT_EVENT_SCHEMA,
+            stateStructType=_SEG_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,111 @@
+"""Unit tests porting the reference's semantics-bearing suites (SURVEY §5)
+to the batch operators: normalization rules, severity ladder boundaries,
+LWW tie-breaks, connected-component determinism, EWMA alpha recurrence,
+window boundary inclusivity."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pulseboard_spark.functions.core import severity
+from pulseboard_spark.functions.ids import normalize_id
+from pulseboard_spark.operators.ewma import with_ewma
+from pulseboard_spark.operators.identity import connected_components
+from pulseboard_spark.operators.windows import with_trailing_aggs
+
+
+# --- F1 normalization (`IdentityGraphTest.kt` normalization cases) ----------
+
+NORMALIZE_CASES = [
+    ("user123", "user:user123"),
+    ("  user123  ", "user:user123"),
+    ("John@Example.COM", "email:john@example.com"),
+    ("email:John@Example.COM", "email:john@example.com"),
+    ("anon-abc", "anon:anon-abc"),
+    ("ANON42", "anon:ANON42"),
+    ("user:u1", "user:u1"),
+    ("anon:xyz", "anon:xyz"),
+]
+
+
+def test_normalize(spark):
+    df = spark.createDataFrame([(r,) for r, _ in NORMALIZE_CASES], "raw string")
+    got = {r["raw"]: r["norm"] for r in df.select("raw", normalize_id(F.col("raw")).alias("norm")).collect()}
+    for raw, want in NORMALIZE_CASES:
+        assert got[raw] == want, f"{raw!r}: {got[raw]!r} != {want!r}"
+
+
+# --- R5 severity ladder (`RulesTest.kt:325-370`) ----------------------------
+
+
+def test_severity_ladder(spark):
+    cases = [
+        (100.0, 10.0, "HIGH"),     # ratio 10 → HIGH (boundary inclusive)
+        (99.9, 10.0, "MEDIUM"),    # just under 10×
+        (50.0, 10.0, "MEDIUM"),    # ratio 5 boundary
+        (49.9, 10.0, "LOW"),
+        (1.0, 0.0, "HIGH"),        # zero threshold → HIGH
+    ]
+    df = spark.createDataFrame([(v, t) for v, t, _ in cases], "v double, t double")
+    got = [r["s"] for r in df.select(severity(F.col("v"), F.col("t")).alias("s")).collect()]
+    assert got == [w for _, _, w in cases]
+
+
+# --- EWMA recurrence (`WindowStoreTest.kt:296-323`) -------------------------
+
+
+def test_ewma_recurrence(spark):
+    rows = [(i, 1_000_000 * i, float(v)) for i, v in enumerate([10, 20, 10, 40])]
+    df = spark.createDataFrame(rows, "event_id long, ts_us long, value double")
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in with_ewma(df.withColumn("entity_id", F.lit("e")).withColumn("type", F.lit("t"))).collect()
+    }
+    # seed = first value; then ewma = 0.1 v + 0.9 prev
+    assert got[0] == pytest.approx(10.0)
+    assert got[1] == pytest.approx(0.1 * 20 + 0.9 * 10.0)
+    assert got[2] == pytest.approx(0.1 * 10 + 0.9 * got[1])
+    assert got[3] == pytest.approx(0.1 * 40 + 0.9 * got[2])
+
+
+# --- Window inclusivity (`WindowStoreTest.kt:79-105`) -----------------------
+
+
+def test_trailing_window_boundaries(spark):
+    # points at t=0s and exactly t=60s: the 60s trailing window is inclusive
+    # on both ends (countInRange closed interval)
+    rows = [(0, 0, 5.0), (1, 60_000_000, 7.0), (2, 60_000_001, 9.0)]
+    df = (
+        spark.createDataFrame(rows, "event_id long, ts_us long, value double")
+        .withColumn("entity_id", F.lit("e"))
+        .withColumn("type", F.lit("t"))
+    )
+    got = {r["event_id"]: r for r in with_trailing_aggs(df).collect()}
+    assert got[1]["count_60s"] == 2  # t=0 is inside [t-60s, t]
+    assert got[2]["count_60s"] == 2  # t=0 now outside by 1 µs
+
+
+# --- Connected components (`IdentityGraphTest.kt:105-214`) ------------------
+
+
+def test_connected_components_diamond(spark):
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("b", "d"), ("x", "y")], "a string, b string"
+    )
+    nodes = spark.createDataFrame([("b",), ("c",), ("d",), ("x",), ("y",), ("solo",)], "id string")
+    comp = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert comp["b"] == comp["c"] == comp["d"] == "b"  # canonical = lexicographic min
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["solo"] == "solo"
+
+
+def test_connected_components_order_independent(spark):
+    # same graph, edges listed in reverse — canonical ids must not change
+    edges = spark.createDataFrame([("c", "d"), ("b", "c")], "a string, b string")
+    edges_rev = spark.createDataFrame([("b", "c"), ("c", "d")], "a string, b string")
+    nodes = spark.createDataFrame([("b",), ("c",), ("d",)], "id string")
+    c1 = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    c2 = {r["id"]: r["component"] for r in connected_components(nodes, edges_rev).collect()}
+    assert c1 == c2 == {"b": "b", "c": "b", "d": "b"}
