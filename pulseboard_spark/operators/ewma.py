@@ -43,20 +43,28 @@ def with_ewma(
     skips them entirely (`core/Rules.kt:66`).
     """
     cols = list(partition_cols)
-    schema_str = df.schema.simpleString()[7:-1] + f",{out}:double"
+
+    # Narrow projection through the Python seam: only (key, order, value)
+    # crosses Arrow; the full row set never leaves the JVM and is joined
+    # back on event_id (broadcast-size right side relative to the fact
+    # table is wrong here — both sides are the same cardinality — but the
+    # join is co-partitioned on the same key as downstream consumers).
+    narrow = df.select(*cols, "ts_us", "event_id", F.col(value_col).alias("__v"))
+    dt = dict(narrow.dtypes)
+    schema_str = ", ".join(f"{c} {dt[c]}" for c in narrow.columns) + f", {out} double"
 
     def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
-        mask = pdf[value_col].notna()
+        mask = pdf["__v"].notna()
         e = pd.Series(float("nan"), index=pdf.index)
         if mask.any():
-            e.loc[mask] = (
-                pdf.loc[mask, value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean()
-            )
+            e.loc[mask] = pdf.loc[mask, "__v"].astype("float64").ewm(alpha=alpha, adjust=False).mean()
         pdf[out] = e
         return pdf
 
-    nonnull = df.filter(F.col(value_col).isNotNull())
-    nulls = df.filter(F.col(value_col).isNull()).withColumn(out, F.lit(None).cast("double"))
-    result = nonnull.groupBy(*cols).applyInPandas(_ewma, schema=schema_str)
-    return result.unionByName(nulls)
+    ewma_rows = (
+        narrow.groupBy(*cols)
+        .applyInPandas(_ewma, schema=schema_str)
+        .select("event_id", out)
+    )
+    return df.join(ewma_rows, "event_id", "left")
