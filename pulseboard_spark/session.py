@@ -8,6 +8,8 @@ must be *runtime-settable* SQL confs, not static Spark confs.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -36,6 +38,41 @@ RUNTIME_CONFS = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``pulseboard_spark`` importable on Spark's Python workers.
+
+    cloudpickle serializes closures that reference module-level names (the
+    numpy similarity kernels, the stateful streaming handlers) BY REFERENCE
+    to this package, so workers must be able to import it.  When the
+    session is created by a foreign driver (the correctness harness) the
+    repo root is on the *driver's* sys.path only; ``addPyFile`` ships a zip
+    of the package to every worker.  Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_pulseboard_shipped", False):
+        return
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"pulseboard_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for dirpath, _dirs, files in os.walk(pkg_root):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        arc = os.path.join(
+                            "pulseboard_spark", os.path.relpath(full, pkg_root)
+                        )
+                        zf.write(full, arc)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        # Already registered under this name (session reuse) — fine.
+        pass
+    sc._pulseboard_shipped = True
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs; idempotent and safe on a foreign session."""
     for k, v in RUNTIME_CONFS.items():
@@ -45,6 +82,7 @@ def tune(spark: SparkSession) -> SparkSession:
             # Conf not settable at runtime in this build — proceed; loaders
             # have a pyarrow fallback for the nanos issue.
             pass
+    _ship_package(spark)
     return spark
 
 
