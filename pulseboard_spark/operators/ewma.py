@@ -6,25 +6,33 @@ Reference: `core/WindowStore.kt:106-132` — per (entityId, type):
 R2 reads the *updated* EWMA for its threshold (`core/Rules.kt:65-74`).
 
 A per-key linear recurrence can't be expressed as a built-in window
-aggregate, so this is the designated Pandas-UDF escape hatch: grouped
-``applyInPandas`` with pandas' ``ewm(alpha, adjust=False)``, whose
-recurrence y_t = (1-α)·y_{t-1} + α·x_t with y_0 = x_0 is exactly the
-reference's.  Arrow-batched, one shuffle on the key, vectorized C inside
-each group — no row-at-a-time Python.
+aggregate, so this is a designated Python escape hatch — but shaped as ONE
+partition-level pass, not one pandas group per key: repartition on the key,
+sort within partitions by (key, ts, event_id), then a single ``mapInPandas``
+scan that carries per-key state in a dict across rows and Arrow batches.
+Grouped ``applyInPandas`` was measured 100× slower here purely on per-group
+Arrow/pandas overhead (~9k groups of ~11 rows at sf0.1); the recurrence
+itself is trivial.
 
-Order: the reference applies events in arrival order; the deterministic
-batch twin sorts by (ts_us, event_id).  The streaming twin
-(streaming/stateful.py) keeps the same recurrence in keyed state.
+Only (key, order, event_id, value) crosses the Python seam and only
+(event_id, ewma) comes back; null-value rows never enter Python at all
+(the reference skips them — `core/Rules.kt:66` — and the left join
+re-attaches them with null ewma).
 
-Scale posture: shuffle on (entity_id, type) only; each group is processed
-sequentially (inherent to the recurrence) but groups parallelize across
-executors.  For monster keys, the algebraic form ewma_n = Σ α(1-α)^{n-i}v_i
+Scale posture: shuffle on (entity_id, type) only; each key's scan is
+sequential (inherent), keys parallelize across partitions.  The per-row
+dict loop is O(partition rows) single-pass; on a real 100 TB deployment the
+inner loop is the piece to swap for a numba/cython kernel — the plan shape
+(repartition → sortWithinPartitions → mapInPandas) is already the scalable
+one.  For monster keys, the algebraic form ewma_n = Σ α(1-α)^{n-i}·v_i
 admits a segmented-scan formulation; not needed at this state size.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+from decimal import Decimal
+
+import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,28 +51,37 @@ def with_ewma(
     skips them entirely (`core/Rules.kt:66`).
     """
     cols = list(partition_cols)
+    # Decimal complement, not 1.0 - alpha: for α = 0.1 the binary result of
+    # 1.0 - 0.1 (0.8999999999999999…) is a DIFFERENT double from the parsed
+    # literal 0.9 the SQL oracle uses, and over a long recurrence the ulp
+    # drift can flip a round-to-6 boundary (it did, at sf0.01).
+    beta = float(Decimal(1) - Decimal(str(alpha)))
 
-    # Narrow projection through the Python seam: only (key, order, value)
-    # crosses Arrow; the full row set never leaves the JVM and is joined
-    # back on event_id (broadcast-size right side relative to the fact
-    # table is wrong here — both sides are the same cardinality — but the
-    # join is co-partitioned on the same key as downstream consumers).
-    narrow = df.select(*cols, "ts_us", "event_id", F.col(value_col).alias("__v"))
-    dt = dict(narrow.dtypes)
-    schema_str = ", ".join(f"{c} {dt[c]}" for c in narrow.columns) + f", {out} double"
+    narrow = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*cols, "ts_us", "event_id", F.col(value_col).cast("double").alias("__v"))
+    )
+    id_type = dict(narrow.dtypes)["event_id"]
 
-    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
-        mask = pdf["__v"].notna()
-        e = pd.Series(float("nan"), index=pdf.index)
-        if mask.any():
-            e.loc[mask] = pdf.loc[mask, "__v"].astype("float64").ewm(alpha=alpha, adjust=False).mean()
-        pdf[out] = e
-        return pdf
+    def _scan(batches):
+        state: dict = {}
+        for pdf in batches:
+            v = pdf["__v"].to_numpy(dtype="float64")
+            kcols = [pdf[c].to_numpy() for c in cols]
+            e = np.empty(len(v), dtype="float64")
+            get = state.get
+            for i in range(len(v)):
+                k = tuple(kc[i] for kc in kcols)
+                prev = get(k)
+                cur = v[i] if prev is None else alpha * v[i] + beta * prev
+                state[k] = cur
+                e[i] = cur
+            pdf[out] = e
+            yield pdf[["event_id", out]]
 
     ewma_rows = (
-        narrow.groupBy(*cols)
-        .applyInPandas(_ewma, schema=schema_str)
-        .select("event_id", out)
+        narrow.repartition(*cols)
+        .sortWithinPartitions(*cols, "ts_us", "event_id")
+        .mapInPandas(_scan, schema=f"event_id {id_type}, {out} double")
     )
     return df.join(ewma_rows, "event_id", "left")

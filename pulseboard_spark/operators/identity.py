@@ -95,12 +95,17 @@ def identity_nodes(cvalid: DataFrame) -> DataFrame:
 
 def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """(id, component) with component = min id reachable; min-label
-    propagation to fixpoint.
+    propagation with path halving, to fixpoint.
 
-    Each iteration: component[id] = min(component[id], min over neighbors'
-    components).  Caches + localCheckpoint cut the growing lineage; the
-    loop stops when no label changes (driver-side count of changed rows —
-    a scalar per round, not a collect of data).
+    Each round: (1) component[id] ← min(component[id], min of neighbors'
+    components) — one join + partial-aggregated groupBy; (2) path halving:
+    component[id] ← component[component[id]] — one self-join, which makes
+    label distance shrink geometrically (the two-join round is the same
+    work shape as large-star/small-star and converges in O(log diameter)
+    rounds).  One localCheckpoint materializes each round's result exactly
+    once — the convergence test reuses the checkpointed blocks rather than
+    re-running the round's plan — and truncates lineage so the plan doesn't
+    grow across iterations.  Driver sees only a 0/1 changed count per round.
     """
     sym = edges.select("a", "b").unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym.cache()
@@ -112,18 +117,28 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50)
             .groupBy("id")
             .agg(F.min("component").alias("nbr_component"))
         )
+        stepped = comp.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))).alias(
+                "mid_component"
+            ),
+            "component",
+        )
+        # path halving: follow the label one hop (component of my component)
+        hop = comp.select(F.col("id").alias("mid_component"), F.col("component").alias("hop_component"))
         updated = (
-            comp.join(nbr_min, "id", "left")
+            stepped.join(hop, "mid_component", "left")
             .select(
                 "id",
-                F.least(F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))).alias(
+                F.least(F.col("mid_component"), F.coalesce(F.col("hop_component"), F.col("mid_component"))).alias(
                     "new_component"
                 ),
                 "component",
             )
+            .localCheckpoint()
         )
         changed = updated.filter(F.col("new_component") != F.col("component")).limit(1).count()
-        comp = updated.select("id", F.col("new_component").alias("component")).localCheckpoint()
+        comp = updated.select("id", F.col("new_component").alias("component"))
         if changed == 0:
             break
     sym.unpersist()

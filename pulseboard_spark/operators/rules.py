@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pulseboard_spark.functions.core import severity
+from pulseboard_spark.functions.core import duck_round, severity
 from pulseboard_spark.operators.ewma import with_ewma
 from pulseboard_spark.operators.windows import with_trailing_aggs
 
@@ -60,8 +60,10 @@ def r2_value_eval(entity: DataFrame) -> DataFrame:
         "profile",
         "ts_ms",
         _R(F.col("value")).alias("value_now"),
-        _R(F.col("ewma"), 6).alias("ewma"),
-        _R(threshold, 6).alias("threshold"),
+        # EWMA chains produce doubles in F.round's engine-ambiguous zone;
+        # round the recurrence-derived outputs with the oracle's op order.
+        duck_round(F.col("ewma"), 6).alias("ewma"),
+        duck_round(threshold, 6).alias("threshold"),
         F.col("count_60s").cast("long").alias("count_60s"),
         fired.alias("fired"),
         F.when(fired, severity(F.col("value"), threshold)).alias("severity"),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pulseboard_spark.oracle.sql import ORACLE_SQL
 from pulseboard_spark.session import tune
 from pulseboard_spark.sources.tables import cdp_events, entity_events, load_table
+from pulseboard_spark.functions.core import duck_round
 from pulseboard_spark.functions.ids import normalize_id
 from pulseboard_spark.operators import dedup, multimodal, rules, similarity, text
 from pulseboard_spark.operators.ewma import with_ewma
@@ -151,7 +152,9 @@ def win_p95_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = with_ewma(entity_events(spark, sf_dir)).filter(F.col("value").isNotNull())
-    return df.select("event_id", "entity_id", "type", "ts_ms", F.round("ewma", 6).alias("ewma"))
+    return df.select(
+        "event_id", "entity_id", "type", "ts_ms", duck_round(F.col("ewma"), 6).alias("ewma")
+    )
 
 
 # --- Rules -------------------------------------------------------------------
