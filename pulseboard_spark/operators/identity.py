@@ -65,30 +65,39 @@ def valid_cdp_events(cdp: DataFrame) -> DataFrame:
     )
 
 
+def _ids_array() -> F.Column:
+    """Sorted array of the event's (≤3) normalized identifiers, JVM-side."""
+    return F.array_sort(
+        F.array_compact(F.array(F.col("nuser"), F.col("nanon"), F.col("nemail")))
+    )
+
+
 def identity_edges(cvalid: DataFrame) -> DataFrame:
     """Distinct undirected edges (a < b) from each event's identifier set —
     the DataFrame twin of pairwise union in canonicalIdFor
-    (`IdentityGraph.kt:89-102`)."""
-    ids = (
-        cvalid.select("event_id", F.col("nuser").alias("id"))
-        .unionByName(cvalid.select("event_id", F.col("nanon").alias("id")))
-        .unionByName(cvalid.select("event_id", F.col("nemail").alias("id")))
-        .filter(F.col("id").isNotNull())
+    (`IdentityGraph.kt:89-102`).
+
+    Pair expansion is a higher-order array expression inside one scan — no
+    self-join, no shuffle before the final ``distinct`` (and the id arrays
+    are ≤3 wide, so the flatten is bounded)."""
+    pairs = F.expr(
+        """
+        flatten(transform(__ids, (x, i) ->
+            transform(slice(__ids, i + 2, size(__ids) - i - 1),
+                      y -> struct(x AS a, y AS b))))
+        """
     )
-    a, b = ids.alias("a"), ids.alias("b")
     return (
-        a.join(b, (F.col("a.event_id") == F.col("b.event_id")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        cvalid.select(_ids_array().alias("__ids"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
 
 def identity_nodes(cvalid: DataFrame) -> DataFrame:
     return (
-        cvalid.select(F.col("nuser").alias("id"))
-        .unionByName(cvalid.select(F.col("nanon").alias("id")))
-        .unionByName(cvalid.select(F.col("nemail").alias("id")))
-        .filter(F.col("id").isNotNull())
+        cvalid.select(F.explode(_ids_array()).alias("id"))
         .distinct()
     )
 

@@ -5,24 +5,32 @@ Reference: `cdp/store/RollingCounter.kt` — 1-minute buckets
 (:80-110), eviction of older buckets (:118-159).
 
 Batch twin: for each TRACK event ("query at event time"), count same-key
-events processed at-or-before it whose bucket is inside the trailing 24 h
-bucket range — exactly tailMap(cutoffBucket, inclusive).  Implemented as a
-time-bounded self-join on (pid, name); the streaming twin is a windowed
-count with watermark eviction (the reference's eviction made lossless).
+events at-or-before it (lexicographic (ts, eventId) order) whose bucket is
+inside the trailing 24 h bucket range — exactly tailMap(cutoffBucket,
+inclusive).
 
-Scale note: the exact per-event form is a bounded self-join (window is
-24 h); the scalable aggregate form is two-level — pre-aggregate to 1-min
-bucket counts (partial agg map-side), then range-join buckets — which is
-what the streaming path and any periodic batch rollup should use.  Both
-yield identical counts; the per-event form is what the oracle pins.
+Implemented with window functions, ONE shuffle on (pid, name), no
+self-join.  The algebra: because the 24 h horizon is a whole multiple of
+the 1-min bucket, ``bucket(ts − 24h) = bucket(ts) − 24h``, so
+
+    cnt(e) = #{e' ≤ e}                                  (row_number)
+           − #{e' : bucket(e') < bucket(e) − 24h}       (RANGE-frame count)
+
+— the second term needs no order tiebreak since an older bucket implies a
+strictly smaller (ts, eventId).  Both windows share the partition key, so
+Catalyst plans a single exchange with two sorts.  This form survives scale:
+the earlier self-join twin was Σ k² per key; this is O(n log n) per
+partition with map-side nothing to explode.  The streaming twin is a
+windowed count with watermark eviction (the reference's eviction made
+lossless).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pulseboard_spark.operators.profiles import DAY_MS, _bucket_ms
+from pulseboard_spark.operators.profiles import DAY_MS, MINUTE_MS, _bucket_ms
 
 
 def rolling_counter_24h(cvalid: DataFrame) -> DataFrame:
@@ -36,22 +44,18 @@ def rolling_counter_24h(cvalid: DataFrame) -> DataFrame:
         "ts_ms",
         "name",
         F.coalesce(F.col("nuser"), F.col("nanon")).alias("pid"),
+        _bucket_ms(F.col("ts_ms")).alias("bucket_ms"),
     )
-    e1, e2 = trk.alias("e1"), trk.alias("e2")
-    cutoff = _bucket_ms(F.col("e1.ts_ms") - DAY_MS)
-    joined = e1.join(
-        e2,
-        (F.col("e2.pid") == F.col("e1.pid"))
-        & (F.col("e2.name") == F.col("e1.name"))
-        & (
-            (F.col("e2.ts_us") < F.col("e1.ts_us"))
-            | ((F.col("e2.ts_us") == F.col("e1.ts_us")) & (F.col("e2.event_id") <= F.col("e1.event_id")))
-        )
-        & (_bucket_ms(F.col("e2.ts_ms")) >= cutoff),
+    w_rn = Window.partitionBy("pid", "name").orderBy("ts_us", "event_id")
+    w_old = (
+        Window.partitionBy("pid", "name")
+        .orderBy("bucket_ms")
+        .rangeBetween(Window.unboundedPreceding, -(DAY_MS + MINUTE_MS))
     )
-    return joined.groupBy(
-        F.col("e1.event_id").alias("event_id"),
-        F.col("e1.pid").alias("pid"),
-        F.col("e1.name").alias("name"),
-        F.col("e1.ts_ms").alias("ts_ms"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt_24h"))
+    return trk.select(
+        "event_id",
+        "pid",
+        "name",
+        "ts_ms",
+        (F.row_number().over(w_rn) - F.count(F.lit(1)).over(w_old)).cast("long").alias("cnt_24h"),
+    )

