@@ -69,6 +69,45 @@ def with_trailing_aggs(
     )
 
 
+MINUTE_MS = 60_000
+
+
+def minute_counts(df: DataFrame, ts_col: str = "ts_ms") -> DataFrame:
+    """A9 batch twin (`core/StatsService.kt:19-55`): global per-minute
+    tumbling event counts — the events/min ops gauge as an event-time table.
+    One partial-aggregated groupBy; the streaming twin is a 1-min windowed
+    count surfaced through ``observe()``."""
+    m = (F.col(ts_col) - F.col(ts_col) % MINUTE_MS).alias("minute_ms")
+    return df.groupBy(m).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+
+def sliding_rate_5m(df: DataFrame, ts_col: str = "ts_ms") -> DataFrame:
+    """A15 (`ui/src/lib/slidingWindow.ts:15-79`): per minute, the trailing
+    5-minute sliding count and per-minute rate.
+
+    Two-level: pre-aggregate to 1-min buckets (partial agg map-side), then a
+    RANGE frame over the bucket table — the frame runs over minutes, not
+    events, so the unpartitioned window is over an already-tiny series (the
+    global ops gauge; at 100 TB partition the gauge by tenant/profile)."""
+    per_min = minute_counts(df, ts_col)
+    w = Window.orderBy("minute_ms").rangeBetween(-(4 * MINUTE_MS), 0)
+    cnt = F.sum("n_events").over(w)
+    return per_min.select(
+        "minute_ms",
+        cnt.cast("long").alias("cnt_5m"),
+        (cnt / F.lit(5.0)).alias("rate_per_min"),
+    )
+
+
+def unique_entities_5m(df: DataFrame, key: str = "entity_id", ts_col: str = "ts_ms") -> DataFrame:
+    """A16 (`ui/src/lib/slidingWindow.ts:85-108`): distinct keys per 5-min
+    tumbling window.  Exact count_distinct (two-phase: partial distinct
+    map-side); the 100 TB path is ``approx_count_distinct`` (HLL merge, no
+    distinct shuffle) — same call shape, documented divergence."""
+    w5 = (F.col(ts_col) - F.col(ts_col) % (5 * MINUTE_MS)).alias("window_ms")
+    return df.groupBy(w5).agg(F.count_distinct(F.col(key)).cast("long").alias("uniques"))
+
+
 def trailing_percentile(
     df: DataFrame,
     pct: float = 0.95,

@@ -800,3 +800,33 @@ SELECT doc_id, media_type,
        CAST(unnest(generate_series(0, greatest(CAST(floor(meta_n_bytes / 1024.0) AS INT) - 1, 0))) * 1024 AS BIGINT) AS byte_offset
 FROM media
 """
+
+ORACLE_SQL["events_per_min"] = f"""
+WITH {ENT_CTE}
+SELECT ts_ms - ts_ms % 60000 AS minute_ms,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ent
+GROUP BY 1
+"""
+
+ORACLE_SQL["sliding_rate_5m"] = f"""
+WITH {ENT_CTE},
+per_min AS (
+  SELECT ts_ms - ts_ms % 60000 AS minute_ms,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ent GROUP BY 1
+)
+SELECT minute_ms,
+       CAST(sum(n_events) OVER w AS BIGINT) AS cnt_5m,
+       CAST(sum(n_events) OVER w AS DOUBLE) / 5.0 AS rate_per_min
+FROM per_min
+WINDOW w AS (ORDER BY minute_ms RANGE BETWEEN 240000 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE_SQL["unique_entities_5m"] = f"""
+WITH {ENT_CTE}
+SELECT ts_ms - ts_ms % 300000 AS window_ms,
+       CAST(count(DISTINCT entity_id) AS BIGINT) AS uniques
+FROM ent
+GROUP BY 1
+"""

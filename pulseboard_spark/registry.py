@@ -33,7 +33,13 @@ from pulseboard_spark.operators.segments import (
     segment_membership,
     with_segments_array,
 )
-from pulseboard_spark.operators.windows import trailing_window, with_trailing_aggs
+from pulseboard_spark.operators.windows import (
+    minute_counts,
+    sliding_rate_5m,
+    trailing_window,
+    unique_entities_5m,
+    with_trailing_aggs,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -148,6 +154,18 @@ def win_p95_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_ms",
         _R4(F.percentile(F.col("value"), F.lit(0.95)).over(w)).alias("p95_1h"),
     )
+
+
+def events_per_min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minute_counts(entity_events(spark, sf_dir))
+
+
+def sliding_rate_5m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_rate_5m(entity_events(spark, sf_dir))
+
+
+def unique_entities_5m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unique_entities_5m(entity_events(spark, sf_dir))
 
 
 def ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,6 +362,9 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q5_region_revenue": tpch_q5,
     "win_trailing_aggs": win_trailing_aggs,
     "win_p95_1h": win_p95_1h,
+    "events_per_min": events_per_min_q,
+    "sliding_rate_5m": sliding_rate_5m_q,
+    "unique_entities_5m": unique_entities_5m_q,
     "ewma": ewma_q,
     "r1_velocity_spike": r1_q,
     "r2_value_spike": r2_q,

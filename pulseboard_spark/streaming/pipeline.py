@@ -108,6 +108,53 @@ def kafka_alert_sink(alerts: DataFrame, brokers: str, topic: str = "alerts", che
     )
 
 
+def kafka_cdp_source(spark: SparkSession, brokers: str, topic: str = "cdp-events") -> DataFrame:
+    """S2: JSON CDP events from Kafka, flattened to the engine's raw CDP view
+    (`transport/KafkaCdpEventTransport.kt:60-84`).  Identifier normalization
+    and validation happen downstream (operators/identity.py) so the source
+    stays a pure parse."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load()
+    )
+    parsed = raw.select(F.from_json(F.col("value").cast("string"), CDP_EVENT_SCHEMA).alias("e"))
+    return parsed.select(
+        F.col("e.eventId").alias("event_id"),
+        F.col("e.ts").alias("ts"),
+        F.unix_micros("e.ts").alias("ts_us"),
+        F.unix_millis("e.ts").alias("ts_ms"),
+        F.col("e.payload.type").alias("ctype"),
+        F.col("e.payload.userId").alias("user_id_raw"),
+        F.col("e.payload.anonymousId").alias("anon_id_raw"),
+        F.col("e.payload.email").alias("email_raw"),
+        F.col("e.payload.name").alias("name"),
+        F.col("e.payload.traits").getItem("plan").alias("plan"),
+        F.col("e.payload.traits").getItem("country").alias("country"),
+    )
+
+
+def kafka_cdp_sink(events: DataFrame, brokers: str, topic: str = "cdp-events", checkpoint: str = "/tmp/pb_ckpt_cdp"):
+    """S3 (CDP side): JSON keyed by the reference's partition key
+    ``coalesce(userId, anonymousId, eventId)`` (`cdp/model/CdpEvent.kt:28-30`)
+    — same-key events land on one Kafka partition, preserving per-profile
+    arrival order into the consumer."""
+    payload = events.select(
+        F.coalesce(F.col("user_id_raw"), F.col("anon_id_raw"), F.col("event_id")).alias("key"),
+        F.to_json(F.struct(*events.columns)).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+
 def file_entity_source(spark: SparkSession, path: str, schema, max_files_per_trigger: int = 1) -> DataFrame:
     """S4 twin for tests: time-ordered parquet chunks trickled one per
     micro-batch."""

@@ -152,6 +152,119 @@ def alert_rules_stateful(entity_stream: DataFrame) -> DataFrame:
     )
 
 
+PROFILE_SNAPSHOT_SCHEMA = (
+    "profile_id string, user_ids array<string>, emails array<string>, "
+    "anonymous_ids array<string>, plan string, country string, "
+    "last_seen_ms bigint, feature_used_24h bigint"
+)
+_PROFILE_STATE_SCHEMA = (
+    "user_ids array<string>, emails array<string>, anon_ids array<string>, "
+    "plan string, plan_key string, country string, country_key string, "
+    "last_seen_ms bigint, bucket_ms array<long>, bucket_cnt array<long>, "
+    "prev_hash string"
+)
+DAY_MS = 86_400_000
+MINUTE_MS = 60_000
+
+
+def _lww_key(ts_us: int, event_id: str) -> str:
+    """Python twin of functions.core.lww_order_key — zero-padded composite
+    so cross-batch comparisons order exactly like the batch max_by."""
+    return f"{ts_us:020d}|{str(event_id):0>12}"
+
+
+def _apply_profiles(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per profile_id: apply events in (ts, eventId) order — W3's in-order
+    drain — maintaining identifier sets (A11), LWW plan/country on IDENTIFY
+    (A12), lastSeen max (A13) and the 1-min-bucketed Feature-Used counter
+    (A7 append + evict).  Emits the post-batch snapshot only when it differs
+    from the previously emitted one (W7 change-suppression,
+    `cdp/api/CdpController.kt:105-139`)."""
+    (profile_id,) = key
+    if state.exists:
+        (users, emails, anons, plan, plan_key, country, country_key,
+         last_seen, b_ms, b_cnt, prev_hash) = state.get
+        users, emails, anons = set(users), set(emails), set(anons)
+        buckets = dict(zip(b_ms, b_cnt))
+    else:
+        users, emails, anons = set(), set(), set()
+        plan = plan_key = country = country_key = None
+        last_seen, buckets, prev_hash = None, {}, None
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+    for r in batch.itertuples(index=False):
+        if r.nuser is not None:
+            users.add(r.nuser)
+        if r.nemail is not None:
+            emails.add(r.nemail)
+        if r.nanon is not None:
+            anons.add(r.nanon)
+        okey = _lww_key(int(r.ts_us), r.event_id)
+        if r.ctype == "IDENTIFY":
+            if r.plan is not None and (plan_key is None or okey >= plan_key):
+                plan, plan_key = r.plan, okey
+            if r.country is not None and (country_key is None or okey >= country_key):
+                country, country_key = r.country, okey
+        ts_ms = int(r.ts_ms)
+        last_seen = ts_ms if last_seen is None else max(last_seen, ts_ms)
+        if r.ctype == "TRACK" and r.name == "Feature Used":
+            b = ts_ms - ts_ms % MINUTE_MS
+            buckets[b] = buckets.get(b, 0) + 1
+
+    # A7 eviction relative to the newest seen event (lossless: cutoff only grows)
+    cutoff = (last_seen - DAY_MS) - (last_seen - DAY_MS) % MINUTE_MS if last_seen is not None else 0
+    buckets = {b: c for b, c in buckets.items() if b >= cutoff}
+    feature_24h = sum(buckets.values())
+
+    snap = (
+        profile_id, sorted(users), sorted(emails), sorted(anons),
+        plan, country, last_seen, feature_24h,
+    )
+    snap_hash = repr(snap)
+    state.update((
+        sorted(users), sorted(emails), sorted(anons), plan, plan_key,
+        country, country_key, last_seen,
+        list(buckets.keys()), list(buckets.values()), snap_hash,
+    ))
+    if snap_hash != prev_hash:
+        yield pd.DataFrame(
+            [snap],
+            columns=[
+                "profile_id", "user_ids", "emails", "anonymous_ids",
+                "plan", "country", "last_seen_ms", "feature_used_24h",
+            ],
+        )
+    else:
+        yield pd.DataFrame(
+            columns=[
+                "profile_id", "user_ids", "emails", "anonymous_ids",
+                "plan", "country", "last_seen_ms", "feature_used_24h",
+            ]
+        )
+
+
+def profile_apply_stateful(resolved_stream: DataFrame) -> DataFrame:
+    """Streaming profile materialization: the stateful twin of
+    operators/profiles.build_profiles over canonical-id-tagged CDP events.
+
+    Input: profile_id, ts (timestamp), ts_us, ts_ms, event_id, ctype, name,
+    plan, country, nuser, nanon, nemail.  Output: changed profile snapshots
+    per micro-batch (append).  State is bounded: identifier sets are small
+    per profile, the counter holds ≤ 1441 minute buckets."""
+    return (
+        resolved_stream.withWatermark("ts", "120 seconds")
+        .groupBy("profile_id")
+        .applyInPandasWithState(
+            _apply_profiles,
+            outputStructType=PROFILE_SNAPSHOT_SCHEMA,
+            stateStructType=_PROFILE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 SEGMENT_EVENT_SCHEMA = "profile_id string, segment string, action string, ts_ms bigint"
 _SEG_STATE_SCHEMA = "segments array<string>"
 

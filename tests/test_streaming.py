@@ -105,3 +105,72 @@ def test_segment_diff_stateful(spark, tmp_path):
         ("p2", "reengage", "ENTER", 2_500),
     }
     assert got == want
+
+
+def test_profile_apply_stateful_matches_batch(spark, sf_dir, tmp_path):
+    """Feed canonical-id-tagged CDP events through the stateful profile
+    operator in 3 time-ordered chunks; the LAST emitted snapshot per profile
+    must equal the batch materialization (identifiers, LWW traits, lastSeen)
+    with the counter as of each profile's own last event."""
+    from pulseboard_spark.registry import _evprof
+    from pulseboard_spark.operators.profiles import build_profiles, DAY_MS, MINUTE_MS
+    from pulseboard_spark.streaming.stateful import profile_apply_stateful
+
+    ev = _evprof(spark, sf_dir).select(
+        "profile_id", F.timestamp_micros(F.col("ts_us")).alias("ts"), "ts_us", "ts_ms",
+        "event_id", "ctype", "name", "plan", "country", "nuser", "nanon", "nemail",
+    ).orderBy("ts_us", "event_id")
+    rows = ev.collect()
+    out = str(tmp_path / "cdp_stream")
+    chunk = (len(rows) + 2) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(f"{out}/chunk={i}")
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(f"{out}/chunk=*")
+    q = (
+        profile_apply_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("profile_snaps")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snaps = spark.sql("SELECT * FROM profile_snaps").collect()
+    assert snaps, "no snapshots emitted"
+    last = {}
+    for r in snaps:  # memory sink appends in batch order; later batch wins
+        last[r.profile_id] = r
+
+    batch = {r.profile_id: r for r in build_profiles(_evprof(spark, sf_dir)).collect()}
+    assert set(last) == set(batch)
+
+    # per-profile 24h counter as of that profile's last event (the streaming
+    # "now"); batch build_profiles uses the global max ts, so recompute here
+    from pyspark.sql import functions as F2
+    e = _evprof(spark, sf_dir)
+    seen = e.groupBy("profile_id").agg(F2.max("ts_ms").alias("as_of"))
+    cnt = (
+        e.join(seen, "profile_id")
+        .filter(
+            (F2.col("ctype") == "TRACK") & (F2.col("name") == "Feature Used")
+            & (F2.col("ts_ms") - F2.col("ts_ms") % MINUTE_MS
+               >= (F2.col("as_of") - DAY_MS) - (F2.col("as_of") - DAY_MS) % MINUTE_MS)
+        )
+        .groupBy("profile_id").count()
+    )
+    want_cnt = {r.profile_id: r["count"] for r in cnt.collect()}
+
+    for pid, b in batch.items():
+        s = last[pid]
+        assert s.user_ids == sorted(b.user_ids), pid
+        assert s.emails == sorted(b.emails), pid
+        assert s.anonymous_ids == sorted(b.anonymous_ids), pid
+        assert s.plan == b.plan and s.country == b.country, pid
+        assert s.last_seen_ms == b.last_seen_ms, pid
+        assert s.feature_used_24h == want_cnt.get(pid, 0), pid
