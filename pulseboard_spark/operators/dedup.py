@@ -71,15 +71,23 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
 
 
 def minhash_candidates(sig: DataFrame) -> DataFrame:
-    """LSH banding: 4 bands × 2 hashes; docs sharing any band are candidates."""
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("bi"),
-            F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("band"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    """LSH banding: 4 bands × 2 hashes; docs sharing any band are candidates.
+
+    Bands come from ONE pass over the signature table (explode of a
+    4-element struct array) — a union of per-band selects would re-execute
+    the whole signature aggregation once per band."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("band"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("p")).select(
+        "doc_id", "p.bi", "p.band"
+    )
     a, c = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -173,9 +181,13 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = SIMHASH_HAMMING_M
     replaces the O(n²) all-pairs hamming scan with per-bucket joins.
     """
     fps = simhash_fingerprints(documents)
-    lo = fps.select("doc_id", "simhash", F.lit(0).alias("bi"), (F.col("simhash") % 256).alias("band"))
-    hi = fps.select("doc_id", "simhash", F.lit(1).alias("bi"), F.floor(F.col("simhash") / 256).alias("band"))
-    bands = lo.unionByName(hi)
+    halves = F.array(
+        F.struct(F.lit(0).alias("bi"), (F.col("simhash") % 256).alias("band")),
+        F.struct(F.lit(1).alias("bi"), F.floor(F.col("simhash") / 256).alias("band")),
+    )
+    bands = fps.select("doc_id", "simhash", F.explode(halves).alias("p")).select(
+        "doc_id", "simhash", "p.bi", "p.band"
+    )
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
     return (

@@ -72,6 +72,20 @@ def _path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Guarded parallelism fix for degenerate inputs: the driver testdata is
+    one single-row-group parquet file per table, which Spark cannot split —
+    every downstream map-side stage (shingle explode, Arrow kernels) would
+    run on ONE core.  If the scan yields far fewer partitions than the
+    cluster has slots, round-robin repartition once.  On a real deployment
+    (files ≫ cores) the guard never fires and the scan keeps its pushdown
+    and locality."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(par // 2, 1):
+        return df.repartition(par)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load ``events`` rebuilding the nanosecond timestamp as a TIMESTAMP.
 
@@ -86,14 +100,22 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Integer division: epoch-ns exceeds 2^53, float division would
         # corrupt the low-order micros.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _spread(spark, df)
+
+
+#: Tables whose downstream work is per-row heavy (explodes, Arrow kernels,
+#: window scans) and therefore worth the one-time spread; the relational
+#: TPC-H tables go straight to hash/sort aggregation where AQE already
+#: balances, and an extra exchange only hurts.
+_SPREAD_TABLES = {"events", "documents", "embeddings"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(_path(sf_dir, name))
+    df = spark.read.parquet(_path(sf_dir, name))
+    return _spread(spark, df) if name in _SPREAD_TABLES else df
 
 
 def _k(col_props=None):
