@@ -265,6 +265,61 @@ def profile_apply_stateful(resolved_stream: DataFrame) -> DataFrame:
     )
 
 
+REENGAGE_MS = 600_000
+_REENGAGE_STATE_SCHEMA = "last_seen_ms bigint, in_reengage boolean"
+
+
+def _reengage(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """W10/G3: the time-triggered segment — membership can change with NO
+    event arriving (`cdp/segments/SegmentEngine.kt:147-151`: now − lastSeen
+    > 10 m strictly).  Pure event-driven evaluation cannot do this (SURVEY
+    §7.3); the streaming answer is an event-time timer: every event re-arms
+    a timer at lastSeen + 10 m + 1 ms; if the watermark passes it with no
+    newer event, the timeout fires and the profile ENTERs reengage.  A new
+    event while in reengage emits EXIT (activity ends the silence)."""
+    (profile_id,) = key
+    rows: list[tuple] = []
+    if state.hasTimedOut:
+        last_seen, _ = state.get
+        rows.append((profile_id, "reengage", "ENTER", last_seen + REENGAGE_MS + 1))
+        state.update((last_seen, True))
+        # No re-arm: the profile stays in reengage until its next event.
+    else:
+        if state.exists:
+            last_seen, in_reengage = state.get
+        else:
+            last_seen, in_reengage = None, False
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_ms", kind="mergesort")
+        new_last = int(batch["ts_ms"].iloc[-1])
+        if last_seen is not None:
+            new_last = max(new_last, last_seen)
+        if in_reengage:
+            rows.append((profile_id, "reengage", "EXIT", int(batch["ts_ms"].iloc[0])))
+        state.update((new_last, False))
+        # strict '>' in the rule → fire only once the watermark is past +10 m
+        state.setTimeoutTimestamp(new_last + REENGAGE_MS + 1)
+    yield pd.DataFrame(rows, columns=["profile_id", "segment", "action", "ts_ms"])
+
+
+def reengage_stateful(profile_events: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """Inactivity-triggered reengage ENTER/EXIT stream.
+
+    Input: profile_id, ts (timestamp), ts_ms.  Event-time timers require a
+    watermark; timer latency = 10 m silence + watermark delay, exactly the
+    session-gap pattern."""
+    return (
+        profile_events.withWatermark("ts", watermark)
+        .groupBy("profile_id")
+        .applyInPandasWithState(
+            _reengage,
+            outputStructType=SEGMENT_EVENT_SCHEMA,
+            stateStructType=_REENGAGE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 SEGMENT_EVENT_SCHEMA = "profile_id string, segment string, action string, ts_ms bigint"
 _SEG_STATE_SCHEMA = "segments array<string>"
 

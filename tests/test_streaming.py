@@ -174,3 +174,48 @@ def test_profile_apply_stateful_matches_batch(spark, sf_dir, tmp_path):
         assert s.plan == b.plan and s.country == b.country, pid
         assert s.last_seen_ms == b.last_seen_ms, pid
         assert s.feature_used_24h == want_cnt.get(pid, 0), pid
+
+
+def test_reengage_event_time_timer(spark, tmp_path):
+    """W10/G3: reengage must ENTER on silence (timer), EXIT on activity."""
+    from pulseboard_spark.streaming.stateful import reengage_stateful
+
+    S = 1000  # ms per second
+    chunks = [
+        [("p1", 0), ("p1", 60 * S), ("p2", 0), ("p2", 300 * S)],
+        [("p2", 360 * S), ("p2", 840 * S)],      # watermark passes p1.last + 10m
+        [("p2", 900 * S)],                        # p1 timer fires -> ENTER
+        [("p1", 960 * S)],                        # p1 activity -> EXIT
+        [("p2", 2400 * S)],                       # watermark passes p1's new timer -> ENTER
+    ]
+    out = str(tmp_path / "reengage_stream")
+    schema = "profile_id string, ts_ms bigint"
+    for i, rows in enumerate(chunks):
+        df = (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        )
+        df.coalesce(1).write.parquet(f"{out}/chunk={i}")
+    full_schema = spark.read.parquet(f"{out}/chunk=0").schema
+    stream = spark.readStream.schema(full_schema).option("maxFilesPerTrigger", "1").parquet(f"{out}/chunk=*")
+    q = (
+        reengage_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("reengage_events")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.profile_id, r.segment, r.action, r.ts_ms)
+        for r in spark.sql("SELECT * FROM reengage_events").collect()
+    }
+    want = {
+        ("p1", "reengage", "ENTER", 60 * S + 600_000 + 1),
+        ("p1", "reengage", "EXIT", 960 * S),
+        ("p1", "reengage", "ENTER", 960 * S + 600_000 + 1),
+    }
+    assert got == want, f"got={sorted(got)}"
