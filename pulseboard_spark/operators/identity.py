@@ -102,7 +102,12 @@ def identity_nodes(cvalid: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 50,
+    seed: DataFrame | None = None,
+) -> DataFrame:
     """(id, component) with component = min id reachable; min-label
     propagation with path halving, to fixpoint.
 
@@ -115,10 +120,23 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50)
     once — the convergence test reuses the checkpointed blocks rather than
     re-running the round's plan — and truncates lineage so the plan doesn't
     grow across iterations.  Driver sees only a 0/1 changed count per round.
+
+    ``seed`` (optional): previous (id, component) labels for *incremental*
+    recomputation — a prior label is the min id of the node's old component,
+    itself a member of the (only grown) new component, so seeding preserves
+    the invariant "label = some reachable id" and the fixpoint is unchanged
+    while convergence starts several rounds ahead (the foreachBatch identity
+    stage uses this; SURVEY §3.2/§4.2 item 3).
     """
     sym = edges.select("a", "b").unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym.cache()
-    comp = nodes.select(F.col("id"), F.col("id").alias("component")).localCheckpoint()
+    init = nodes.select(F.col("id"), F.col("id").alias("component"))
+    if seed is not None:
+        init = (
+            init.join(seed.select(F.col("id"), F.col("component").alias("prev")), "id", "left")
+            .select("id", F.least(F.col("component"), F.coalesce(F.col("prev"), F.col("component"))).alias("component"))
+        )
+    comp = init.localCheckpoint()
     for _ in range(max_iter):
         nbr_min = (
             sym.join(comp, sym["a"] == comp["id"])

@@ -165,6 +165,88 @@ def file_entity_source(spark: SparkSession, path: str, schema, max_files_per_tri
     )
 
 
+class CdpIdentityStage:
+    """§3.2 orchestration: incremental identity resolution as a
+    ``foreachBatch`` stage — "identity edges stream → periodic connected
+    components → join event→canonical" (SURVEY §3.2 Spark shape; §4.2
+    custom item 3).
+
+    Per micro-batch: (1) validate+normalize the raw CDP rows; (2) append
+    the batch's new identifier edges to the persistent edges table;
+    (3) recompute components over all edges, *seeded* with the previous
+    component map so convergence starts near the fixpoint (a handful of
+    label updates for typical incremental batches); (4) write the new map;
+    (5) resolve the batch's events against the map **as of this batch**
+    (apply-time resolution — SURVEY §3.2 pins this semantics; an ALIAS in a
+    later batch does NOT rewrite earlier events' profiles, reproducing the
+    reference's orphaned-profile behavior, `docs/cdp/README.md:85-126`) and
+    append them to the resolved-events table, which feeds the downstream
+    stateful profile/segment stage as a file stream.
+
+    State lives in parquet dirs (a stand-in for Delta tables at
+    production): ``{workdir}/edges``, ``{workdir}/components``,
+    ``{workdir}/resolved``.
+    """
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.edges_dir = f"{workdir}/edges"
+        self.comp_dir = f"{workdir}/components"
+        self.resolved_dir = f"{workdir}/resolved"
+        self._have_state = False
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pulseboard_spark.operators.identity import (
+            connected_components,
+            identity_edges,
+            identity_nodes,
+            resolve_profiles,
+            valid_cdp_events,
+        )
+
+        cvalid = valid_cdp_events(batch_df).localCheckpoint()
+        new_edges = identity_edges(cvalid)
+        new_edges.write.mode("append").parquet(self.edges_dir)
+
+        edges = self.spark.read.parquet(self.edges_dir).distinct()
+        prev = self.spark.read.parquet(self.comp_dir) if self._have_state else None
+        nodes = edges.select(F.col("a").alias("id")).unionByName(
+            edges.select(F.col("b").alias("id"))
+        ).distinct()
+        # single-id events contribute no edges but still need a component
+        nodes = nodes.unionByName(identity_nodes(cvalid)).distinct()
+        if prev is not None:
+            nodes = nodes.unionByName(prev.select("id")).distinct()
+        comp = connected_components(nodes, edges, seed=prev)
+        comp.write.mode("overwrite").parquet(self.comp_dir)
+        self._have_state = True
+
+        resolved = resolve_profiles(cvalid, self.spark.read.parquet(self.comp_dir))
+        resolved.write.mode("append").parquet(self.resolved_dir)
+
+    def components(self) -> DataFrame:
+        return self.spark.read.parquet(self.comp_dir)
+
+    def resolved(self) -> DataFrame:
+        return self.spark.read.parquet(self.resolved_dir)
+
+
+def run_cdp_identity(
+    spark: SparkSession, cdp_stream: DataFrame, workdir: str, checkpoint: str | None = None
+):
+    """Wire the identity stage onto a raw CDP stream.  Downstream, read
+    ``{workdir}/resolved`` as a file stream into ``profile_apply_stateful``
+    (two cooperating queries — the standard foreachBatch + stateful split)."""
+    stage = CdpIdentityStage(spark, workdir)
+    q = (
+        cdp_stream.writeStream.foreachBatch(stage.process_batch)
+        .option("checkpointLocation", checkpoint or f"{workdir}/ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    return stage, q
+
+
 def with_admission(events: DataFrame, grace: str = "120 seconds") -> DataFrame:
     """W2: late-event admission — watermark gives the drop tier; an
     is_late tag (event older than 5 s against the micro-batch clock) feeds

@@ -219,3 +219,41 @@ def test_reengage_event_time_timer(spark, tmp_path):
         ("p1", "reengage", "ENTER", 960 * S + 600_000 + 1),
     }
     assert got == want, f"got={sorted(got)}"
+
+
+def test_incremental_identity_stage(spark, sf_dir, tmp_path):
+    """§3.2 foreachBatch identity stage: after streaming all chunks, the
+    incremental (seeded) component map must equal the batch fixpoint, and
+    resolved events must cover every valid event."""
+    from pulseboard_spark.sources.tables import cdp_events
+    from pulseboard_spark.operators.identity import components_for, valid_cdp_events
+    from pulseboard_spark.streaming.pipeline import CdpIdentityStage
+
+    raw = cdp_events(spark, sf_dir).orderBy("ts_us", "event_id")
+    rows = raw.collect()
+    out = str(tmp_path / "cdp_raw")
+    chunk = (len(rows) + 2) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, raw.schema).coalesce(1).write.parquet(f"{out}/chunk={i}")
+
+    stream = spark.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1").parquet(f"{out}/chunk=*")
+    stage = CdpIdentityStage(spark, str(tmp_path / "idstate"))
+    q = (
+        stream.writeStream.foreachBatch(stage.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.id, r.component) for r in stage.components().collect()}
+    want = {(r.id, r.component) for r in components_for(valid_cdp_events(raw)).collect()}
+    assert got == want
+
+    resolved_ids = {r.event_id for r in stage.resolved().select("event_id").collect()}
+    valid_ids = {r.event_id for r in valid_cdp_events(raw).select("event_id").collect()}
+    assert resolved_ids == valid_ids
