@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 
 def normalize_id(col: Column) -> Column:
     t = F.trim(col)
-    value = F.trim(F.substring_index(t, ":", -1))
+    # Value = everything after the FIRST colon (the reference splits with
+    # limit=2 — `IdentityGraph.kt:127`), so "user:a:b" keeps value "a:b".
+    # substring_index(…, -1) would take after the LAST colon — wrong for
+    # values that themselves contain colons.
+    value = F.trim(F.regexp_replace(t, r"^(user|email|anon):", ""))
     prefixed_user = t.startswith("user:")
     prefixed_email = t.startswith("email:")
     prefixed_anon = t.startswith("anon:")

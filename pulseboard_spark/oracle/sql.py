@@ -502,9 +502,9 @@ raws AS (
 t AS (SELECT raw, trim(raw) AS tr FROM raws)
 SELECT raw,
        CASE
-         WHEN starts_with(tr, 'email:') THEN 'email:' || lower(trim(regexp_extract(tr, '[^:]*$')))
-         WHEN starts_with(tr, 'user:') THEN 'user:' || trim(regexp_extract(tr, '[^:]*$'))
-         WHEN starts_with(tr, 'anon:') THEN 'anon:' || trim(regexp_extract(tr, '[^:]*$'))
+         WHEN starts_with(tr, 'email:') THEN 'email:' || lower(trim(regexp_replace(tr, '^(user|email|anon):', '')))
+         WHEN starts_with(tr, 'user:') THEN 'user:' || trim(regexp_replace(tr, '^(user|email|anon):', ''))
+         WHEN starts_with(tr, 'anon:') THEN 'anon:' || trim(regexp_replace(tr, '^(user|email|anon):', ''))
          WHEN contains(tr, '@') THEN 'email:' || lower(tr)
          WHEN contains(lower(tr), 'anon') THEN 'anon:' || tr
          ELSE 'user:' || tr

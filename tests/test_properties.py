@@ -1,0 +1,168 @@
+"""Randomized model-based tests: operators vs brute-force Python models.
+
+Pattern: generate a few hundred adversarial random inputs per test
+(seeded — deterministic), run them through the Spark operator in ONE job,
+and compare against an independent Python model implementing the
+reference's spec verbatim.  This covers the input space far beyond the
+driver testdata's shapes (colons in identifiers, equal timestamps, bucket
+boundaries, negative values, disconnected graph nodes).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from pulseboard_spark.functions.ids import normalize_id
+from pulseboard_spark.functions.core import severity
+from pulseboard_spark.operators.identity import connected_components
+from pulseboard_spark.operators.rolling_counter import rolling_counter_24h
+from pulseboard_spark.operators.ewma import with_ewma
+
+
+# --- F1 normalize: Python model of IdentityGraph.kt:113-148 ------------------
+
+
+def _normalize_model(s: str) -> str:
+    t = s.strip()
+    for pfx in ("user:", "email:", "anon:"):
+        if t.startswith(pfx):
+            prefix, value = t.split(":", 1)  # limit=2: FIRST colon
+            value = value.strip()
+            return f"{prefix}:{value.lower()}" if prefix == "email" else f"{prefix}:{value}"
+    if "@" in t:
+        return f"email:{t.lower()}"
+    if "anon" in t.lower():
+        return f"anon:{t}"
+    return f"user:{t}"
+
+
+def test_normalize_matches_reference_model(spark):
+    rng = random.Random(1234)
+    pieces = ["user:", "email:", "anon:", "ANON", "Anon-", "@", ":", "  ", "A", "b9",
+              "x@Y.COM", "user", ":a:b", "Banana", "aNoN7"]
+    raws = []
+    for _ in range(400):
+        s = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 5)))
+        raws.append(s)
+    raws = [r for r in set(raws) if r.strip()]
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    got = {r.raw: r.norm for r in df.select("raw", normalize_id(F.col("raw")).alias("norm")).collect()}
+    for r in raws:
+        assert got[r] == _normalize_model(r), repr(r)
+
+
+# --- R5 severity ladder: Rules.kt:220-231 ------------------------------------
+
+
+def test_severity_matches_reference_model(spark):
+    rng = random.Random(99)
+    cases = [(rng.uniform(-50, 200), rng.choice([0.0, rng.uniform(-5, 30)])) for _ in range(300)]
+    cases += [(10.0, 1.0), (5.0, 1.0), (4.999, 1.0), (0.0, 0.0), (1.0, -1.0)]
+    df = spark.createDataFrame(cases, "v double, t double")
+    got = df.select("v", "t", severity(F.col("v"), F.col("t")).alias("s")).collect()
+
+    def model(v, t):
+        if t <= 0:
+            return "HIGH"
+        ratio = v / t
+        return "HIGH" if ratio >= 10 else "MEDIUM" if ratio >= 5 else "LOW"
+
+    for r in got:
+        assert r.s == model(r.v, r.t), (r.v, r.t)
+
+
+# --- A7 rolling counter vs brute force ---------------------------------------
+
+
+def test_rolling_counter_matches_brute_force(spark):
+    rng = random.Random(7)
+    MIN, DAY = 60_000, 86_400_000
+    rows = []
+    for i in range(600):
+        pid = f"user:u{rng.randint(0, 4)}"
+        name = rng.choice(["Feature Used", "Sign In"])
+        # cluster timestamps around bucket and 24h boundaries, include ties
+        ts_ms = rng.choice(
+            [rng.randrange(0, 2 * DAY, 1),
+             rng.randrange(0, 2 * DAY, MIN),           # exactly on bucket edges
+             rng.randrange(DAY - MIN, DAY + MIN)]
+        )
+        rows.append((f"e{i}", ts_ms * 1000, ts_ms, "TRACK", name, pid, None, None))
+    # exact duplicates of ts with different event ids
+    rows += [(f"d{i}", rows[i][1], rows[i][2], "TRACK", rows[i][4], rows[i][5], None, None) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "event_id string, ts_us long, ts_ms long, ctype string, name string, nuser string, nanon string, nemail string"
+    )
+    got = {r.event_id: r.cnt_24h for r in rolling_counter_24h(df).collect()}
+
+    def bucket(x):
+        return x - x % MIN
+
+    for eid, ts_us, ts_ms, _, name, pid, _, _ in rows:
+        cutoff = bucket(ts_ms - DAY)
+        want = sum(
+            1
+            for e2, t2us, t2ms, _, n2, p2, _, _ in rows
+            if p2 == pid and n2 == name and (t2us, e2) <= (ts_us, eid) and bucket(t2ms) >= cutoff
+        )
+        assert got[eid] == want, (eid, got[eid], want)
+
+
+# --- J1-J3 connected components vs union-find --------------------------------
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = random.Random(3)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(35)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict[str, list[str]] = {}
+    for n in nodes:
+        groups.setdefault(find(n), []).append(n)
+    want = {n: min(g) for g in groups.values() for n in g}
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id string")
+    edf = spark.createDataFrame(edges or [("n00", "n01")], "a string, b string")
+    got = {r.id: r.component for r in connected_components(ndf, edf).collect()}
+    if not edges:
+        want["n00"] = want["n01"] = min("n00", "n01")
+    assert got == want
+
+
+# --- A6 EWMA vs sequential recurrence ----------------------------------------
+
+
+def test_ewma_matches_recurrence(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        key = f"k{rng.randint(0, 3)}"
+        rows.append((i, 1_000_000 * rng.randint(0, 80), rng.choice([None, rng.uniform(-100, 100)]), key, "T"))
+    df = spark.createDataFrame(rows, "event_id long, ts_us long, value double, entity_id string, type string")
+    got = {r.event_id: r.ewma for r in with_ewma(df).collect()}
+
+    state: dict = {}
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    for eid, ts, v, k, t in ordered:
+        if v is None:
+            assert got[eid] is None, eid
+            continue
+        prev = state.get((k, t))
+        cur = v if prev is None else 0.1 * v + 0.9 * prev
+        state[(k, t)] = cur
+        assert got[eid] == cur or abs(got[eid] - cur) < 1e-12, (eid, got[eid], cur)
