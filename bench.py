@@ -59,6 +59,9 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
+    stream_eps = _stream_throughput(spark, sf_dir)
+    print(f"# streaming_rules_eps: {stream_eps:.0f} events/sec (baseline target 10000)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -67,11 +70,47 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stream_eps": round(stream_eps),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
     spark.stop()
+
+
+def _stream_throughput(spark, sf_dir: str) -> float:
+    """Sustained throughput of the streaming anomaly path (R1/R2/R4 in keyed
+    state): events/sec through alert_rules_stateful, measured end-to-end on
+    the sf events replayed through a file-source stream.  The reference's
+    design target is 10 000+ events/sec (`cdp/runtime/CdpEventProcessor.kt:37`,
+    BASELINE.md)."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pulseboard_spark.sources.tables import entity_events
+    from pulseboard_spark.streaming.stateful import alert_rules_stateful
+
+    work = tempfile.mkdtemp(prefix="pb_stream_bench_")
+    try:
+        src = f"{work}/events"
+        ev = entity_events(spark, sf_dir)
+        n = ev.count()
+        ev.write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            alert_rules_stateful(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        t0 = _t.monotonic()
+        q.processAllAvailable()
+        wall = _t.monotonic() - t0
+        q.stop()
+        return n / wall
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
