@@ -26,12 +26,25 @@ from pulseboard_spark.operators.windows import with_trailing_aggs
 
 _R = lambda c, n=4: F.round(c, n)  # noqa: E731 — oracle-stable rounding
 
+#: Rule thresholds as CONFIG, not code — defaults are the reference's
+#: (`core/Rules.kt` constants / `application.yml`); every ``*_eval`` takes
+#: them as keyword overrides so rules are tunable without touching the
+#: expression compiler.
+R1_MULTIPLIER = 3.0
+R1_MIN_RATE = 20.0
+R2_MULTIPLIER = 4.0
+R2_MIN_COUNT = 5
+R4_AVG_MULTIPLIER = 10.0
+R4_FLOOR = 1000.0
 
-def r1_velocity_eval(entity: DataFrame) -> DataFrame:
-    """R1 velocity spike: rate_now > 3·avg_5m AND rate_now >= 20/min."""
+
+def r1_velocity_eval(
+    entity: DataFrame, multiplier: float = R1_MULTIPLIER, min_rate: float = R1_MIN_RATE
+) -> DataFrame:
+    """R1 velocity spike: rate_now > multiplier·avg_5m AND rate_now >= min_rate."""
     df = with_trailing_aggs(entity)
-    threshold = F.col("avg_5m") * 3.0
-    fired = (F.col("rate_1m") > threshold) & (F.col("rate_1m") >= 20.0)
+    threshold = F.col("avg_5m") * multiplier
+    fired = (F.col("rate_1m") > threshold) & (F.col("rate_1m") >= min_rate)
     return df.select(
         "event_id",
         "entity_id",
@@ -46,13 +59,15 @@ def r1_velocity_eval(entity: DataFrame) -> DataFrame:
     )
 
 
-def r2_value_eval(entity: DataFrame) -> DataFrame:
-    """R2 value spike: value > 4·ewma_updated AND count_60s >= 5.
+def r2_value_eval(
+    entity: DataFrame, multiplier: float = R2_MULTIPLIER, min_count: int = R2_MIN_COUNT
+) -> DataFrame:
+    """R2 value spike: value > multiplier·ewma_updated AND count_60s >= min_count.
 
     Null-valued events are skipped (`core/Rules.kt:66`)."""
     df = with_ewma(with_trailing_aggs(entity)).filter(F.col("value").isNotNull())
-    threshold = F.col("ewma") * 4.0
-    fired = (F.col("value") > threshold) & (F.col("count_60s") >= 5)
+    threshold = F.col("ewma") * multiplier
+    fired = (F.col("value") > threshold) & (F.col("count_60s") >= min_count)
     return df.select(
         "event_id",
         "entity_id",
@@ -132,7 +147,9 @@ def r3_geo_device_eval(entity: DataFrame) -> DataFrame:
     )
 
 
-def r4_exfil_eval(entity: DataFrame) -> DataFrame:
+def r4_exfil_eval(
+    entity: DataFrame, avg_multiplier: float = R4_AVG_MULTIPLIER, floor: float = R4_FLOOR
+) -> DataFrame:
     """R4 exfil (SASE only): sum_30s > max(floor(10·avg_1h), 1000).
 
     The threshold is the reference's P95 *fallback* (`core/Rules.kt:159-200`);
@@ -142,7 +159,9 @@ def r4_exfil_eval(entity: DataFrame) -> DataFrame:
         with_trailing_aggs(entity)
         .filter((F.col("profile") == "SASE") & F.col("value").isNotNull())
     )
-    p95_threshold = F.greatest(F.floor(F.col("avg_1h") * 10).cast("double"), F.lit(1000.0))
+    p95_threshold = F.greatest(
+        F.floor(F.col("avg_1h") * avg_multiplier).cast("double"), F.lit(floor)
+    )
     fired = F.col("sum_30s") > p95_threshold
     return df.select(
         "event_id",

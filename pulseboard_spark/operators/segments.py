@@ -22,13 +22,28 @@ from pulseboard_spark.operators.profiles import DAY_MS, MINUTE_MS, _bucket_ms
 REENGAGE_MS = 600_000
 POWER_USER_THRESHOLD = 5
 
+#: Segment rules as DATA, not code — the reference hardcodes its three
+#: segments and flags that as a limitation (`SegmentEngine.kt:17-23`,
+#: `docs/TICKETS.md:409-423`).  Here each segment is a boolean Column
+#: expression over the per-profile snapshot metrics (cnt = Feature-Used
+#: 24 h bucketed count, plan = LWW plan trait, last_seen_ms / as_of_ms);
+#: adding a segment is adding a dict entry, and `segment_membership`
+#: accepts custom rule sets.  Defaults reproduce the reference exactly.
+DEFAULT_SEGMENTS: dict = {
+    "power_user": lambda: F.coalesce(F.col("cnt"), F.lit(0)) >= POWER_USER_THRESHOLD,
+    "pro_plan": lambda: F.coalesce(F.col("plan"), F.lit("")) == "pro",
+    "reengage": lambda: F.col("as_of_ms") - F.col("last_seen_ms") > REENGAGE_MS,
+}
 
-def segment_membership(evprof: DataFrame, as_of_ms) -> DataFrame:
+
+def segment_membership(evprof: DataFrame, as_of_ms, segments: dict | None = None) -> DataFrame:
     """Snapshot membership per profile at event-time ``as_of_ms``.
 
     ``as_of_ms`` is a scalar Column (typically an aggregate over the input —
     kept as a broadcast single-row join so nothing is collected).
-    Returns profile_id, power_user, pro_plan, reengage booleans.
+    ``segments`` maps segment name → thunk returning a boolean Column over
+    the snapshot metric columns (default :data:`DEFAULT_SEGMENTS`).
+    Returns profile_id plus one boolean column per segment.
     """
     okey = lww_order_key(F.col("ts_us"), F.col("event_id"))
     as_of = evprof.agg(as_of_ms.alias("as_of_ms"))
@@ -52,34 +67,42 @@ def segment_membership(evprof: DataFrame, as_of_ms) -> DataFrame:
         .groupBy("profile_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    rules = DEFAULT_SEGMENTS if segments is None else segments
     return (
         seen.join(plans, "profile_id", "left")
         .join(counts, "profile_id", "left")
         .select(
             "profile_id",
-            (F.coalesce(F.col("cnt"), F.lit(0)) >= POWER_USER_THRESHOLD).alias("power_user"),
-            (F.coalesce(F.col("plan"), F.lit("")) == "pro").alias("pro_plan"),
-            (F.col("as_of_ms") - F.col("last_seen_ms") > REENGAGE_MS).alias("reengage"),
+            *[expr().alias(name) for name, expr in rules.items()],
         )
     )
 
 
+def _segment_cols(membership: DataFrame) -> list[str]:
+    return [c for c in membership.columns if c != "profile_id"]
+
+
 def with_segments_array(membership: DataFrame) -> DataFrame:
-    """Attach the sorted segments array (alphabetical == build order)."""
+    """Attach the sorted segments array (sorted name order — matches the
+    reference's deterministic build order for its alphabetical defaults)."""
     seg = F.concat(
-        F.when(F.col("power_user"), F.array(F.lit("power_user"))).otherwise(F.array().cast("array<string>")),
-        F.when(F.col("pro_plan"), F.array(F.lit("pro_plan"))).otherwise(F.array().cast("array<string>")),
-        F.when(F.col("reengage"), F.array(F.lit("reengage"))).otherwise(F.array().cast("array<string>")),
+        *[
+            F.when(F.col(name), F.array(F.lit(name))).otherwise(F.array().cast("array<string>"))
+            for name in sorted(_segment_cols(membership))
+        ]
     )
     return membership.withColumn("segments", seg)
 
 
 def _members(membership: DataFrame) -> DataFrame:
-    return (
-        membership.filter("power_user").select("profile_id", F.lit("power_user").alias("segment"))
-        .unionByName(membership.filter("pro_plan").select("profile_id", F.lit("pro_plan").alias("segment")))
-        .unionByName(membership.filter("reengage").select("profile_id", F.lit("reengage").alias("segment")))
-    )
+    parts = [
+        membership.filter(F.col(name)).select("profile_id", F.lit(name).alias("segment"))
+        for name in _segment_cols(membership)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def segment_events(evprof: DataFrame) -> DataFrame:

@@ -166,3 +166,30 @@ def test_ewma_matches_recurrence(spark):
         cur = v if prev is None else 0.1 * v + 0.9 * prev
         state[(k, t)] = cur
         assert got[eid] == cur or abs(got[eid] - cur) < 1e-12, (eid, got[eid], cur)
+
+
+# --- Rules/segments as config ------------------------------------------------
+
+
+def test_custom_rule_config_and_segments(spark, sf_dir):
+    """Rules and segments are data: overriding thresholds changes firing
+    monotonically, and a custom segment is one dict entry away."""
+    from pulseboard_spark.sources.tables import entity_events
+    from pulseboard_spark.operators.rules import r1_velocity_eval
+    from pulseboard_spark.operators.segments import DEFAULT_SEGMENTS, segment_membership
+    from pulseboard_spark.registry import _evprof
+
+    ev = entity_events(spark, sf_dir)
+    fired_default = r1_velocity_eval(ev).filter("fired").count()
+    fired_loose = r1_velocity_eval(ev, multiplier=1.0, min_rate=1.0).filter("fired").count()
+    fired_tight = r1_velocity_eval(ev, multiplier=100.0, min_rate=10_000.0).filter("fired").count()
+    assert fired_tight <= fired_default <= fired_loose
+    assert fired_tight == 0 and fired_loose > fired_default
+
+    evp = _evprof(spark, sf_dir)
+    custom = dict(DEFAULT_SEGMENTS)
+    custom["heavy_user"] = lambda: F.coalesce(F.col("cnt"), F.lit(0)) >= 1
+    m = segment_membership(evp, F.max("ts_ms"), segments=custom)
+    assert set(m.columns) == {"profile_id", "power_user", "pro_plan", "reengage", "heavy_user"}
+    row = m.agg(F.sum(F.col("heavy_user").cast("int")), F.sum(F.col("power_user").cast("int"))).collect()[0]
+    assert row[0] >= row[1]  # >=1 count is a superset of >=5
