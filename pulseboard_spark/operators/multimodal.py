@@ -78,6 +78,53 @@ def extract_features(media: DataFrame, *, real_decode: bool = False) -> DataFram
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, out_width int, out_height int, "
+    "out_n_bytes bigint, payload binary"
+)
+
+
+def resize_media(media: DataFrame, max_dim: int = 224, *, real_decode: bool = False) -> DataFrame:
+    """Resize stage: aspect-preserving downscale to ``max_dim`` on the long
+    side.  The geometry (out_width/out_height) is exact integer arithmetic;
+    the pixel path is the STUBBED decode seam (``real_decode=True`` raises —
+    no codecs in this container).  The fake payload is a deterministic
+    truncation to out_w·out_h bytes, preserving the real operator's batch
+    shape: binary in, binary out, one Arrow batch at a time, memory bounded
+    by batch size × payload size.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if real_decode:
+                raise NotImplementedError(
+                    "media resize requires image codecs not present in this environment"
+                )
+            w = pdf["meta_width"].astype("int64")
+            h = pdf["meta_height"].astype("int64")
+            long_side = w.combine(h, max)
+            # scale = max_dim / long_side, capped at 1 (never upscale);
+            # floor arithmetic in int space: out = max(1, dim * max_dim // long)
+            scale_needed = long_side > max_dim
+            out_w = w.where(~scale_needed, (w * max_dim // long_side).clip(lower=1)).astype("int32")
+            out_h = h.where(~scale_needed, (h * max_dim // long_side).clip(lower=1)).astype("int32")
+            n_out = (out_w.astype("int64") * out_h.astype("int64"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "out_n_bytes": n_out.combine(pdf["payload"].map(len), min).astype("int64"),
+                    "payload": [
+                        bytes(p[: int(n)]) for p, n in zip(pdf["payload"], n_out)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Frame/chunk sampling *plan*: one row per sampled offset, computed
     without touching payload bytes (pure metadata arithmetic) — the shape

@@ -830,3 +830,30 @@ SELECT ts_ms - ts_ms % 300000 AS window_ms,
 FROM ent
 GROUP BY 1
 """
+
+
+ORACLE_SQL["resize_media"] = """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         CAST(n_chars % 1024 + 16 AS BIGINT) AS w,
+         CAST(n_chars % 768 + 16 AS BIGINT) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+geom AS (
+  SELECT doc_id, media_type, w, h, n_bytes,
+         greatest(w, h) AS long_side
+  FROM media
+)
+SELECT doc_id, media_type,
+       CAST(CASE WHEN long_side > 224 THEN greatest(1, w * 224 // long_side) ELSE w END AS INTEGER) AS out_width,
+       CAST(CASE WHEN long_side > 224 THEN greatest(1, h * 224 // long_side) ELSE h END AS INTEGER) AS out_height,
+       CAST(least(
+         CAST(CASE WHEN long_side > 224 THEN greatest(1, w * 224 // long_side) ELSE w END AS BIGINT)
+         * CAST(CASE WHEN long_side > 224 THEN greatest(1, h * 224 // long_side) ELSE h END AS BIGINT),
+         n_bytes) AS BIGINT) AS out_n_bytes
+FROM geom
+"""

@@ -350,6 +350,11 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.synth_media(_docs(spark, sf_dir)))
 
 
+def resize_media_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.resize_media(media).drop("payload")
+
+
 def frame_sample_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(multimodal.synth_media(_docs(spark, sf_dir)))
 
@@ -393,6 +398,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_stats": token_stats_q,
     "doc_fingerprint": doc_fingerprint_q,
     "multimodal_features": multimodal_features_q,  # mapInPandas — rows-only check
+    "resize_media": resize_media_q,
     "frame_sample_plan": frame_sample_plan_q,
 }
 

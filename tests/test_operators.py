@@ -109,3 +109,56 @@ def test_connected_components_order_independent(spark):
     c1 = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
     c2 = {r["id"]: r["component"] for r in connected_components(nodes, edges_rev).collect()}
     assert c1 == c2 == {"b": "b", "c": "b", "d": "b"}
+
+
+def test_salted_agg_matches_direct(spark):
+    """Salted two-phase aggregation must equal direct groupBy on skewed data."""
+    from pulseboard_spark.operators.skew import salted_agg
+    from pyspark.sql import functions as F
+
+    # 1 hot key with 50k rows, 100 cold keys
+    hot = spark.range(50_000).select(F.lit("hot").alias("k"), (F.col("id") % 97).cast("double").alias("v"))
+    cold = spark.range(5_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 100).cast("string")).alias("k"),
+        (F.col("id") % 31).cast("double").alias("v"),
+    )
+    df = hot.unionByName(cold)
+    got = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in salted_agg(
+            df, ["k"], {"n": ("count", "v"), "s": ("sum", "v"), "mn": ("min", "v"), "mx": ("max", "v")}
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][2:] == want[k][2:], k
+        assert abs(got[k][1] - want[k][1]) < 1e-6, k
+
+
+def test_resize_media_geometry(spark, sf_dir):
+    """Resize stage: aspect-preserving integer geometry + truncated payload."""
+    from pulseboard_spark.operators.multimodal import resize_media, synth_media
+    from pulseboard_spark.sources.tables import load_table
+
+    media = synth_media(load_table(spark, sf_dir, "documents"))
+    out = resize_media(media, max_dim=100)
+    rows = out.limit(200).collect()
+    src = {r.doc_id: r for r in media.limit(0).unionByName(media).collect()}
+    assert rows
+    for r in rows:
+        s = src[r.doc_id]
+        long_side = max(s.meta_width, s.meta_height)
+        if long_side > 100:
+            assert max(r.out_width, r.out_height) <= 100
+            expect_w = s.meta_width if long_side <= 100 else max(1, s.meta_width * 100 // long_side)
+            assert r.out_width == expect_w
+        else:
+            assert (r.out_width, r.out_height) == (s.meta_width, s.meta_height)
+        assert r.out_n_bytes == min(r.out_width * r.out_height, s.meta_n_bytes)
+        assert len(r.payload) == min(r.out_width * r.out_height, len(s.payload))
