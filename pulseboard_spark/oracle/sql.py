@@ -857,3 +857,14 @@ SELECT doc_id, media_type,
          n_bytes) AS BIGINT) AS out_n_bytes
 FROM geom
 """
+
+
+ORACLE_SQL["tpch_q6_forecast_revenue"] = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""

@@ -126,6 +126,27 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: the pure filter-agg query — every
+    predicate reaches the parquet scan (PushedFilters), zero joins."""
+    l = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast(dict(l.dtypes)["l_shipdate"])
+    hi = F.lit("1998-01-01 00:00:00").cast(dict(l.dtypes)["l_shipdate"])
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # --- Windowed aggregate layer (A2-A8) ---------------------------------------
 
 
@@ -365,6 +386,7 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q1_pricing_summary": tpch_q1,
     "tpch_q3_shipping_priority": tpch_q3,
     "tpch_q5_region_revenue": tpch_q5,
+    "tpch_q6_forecast_revenue": tpch_q6,
     "win_trailing_aggs": win_trailing_aggs,
     "win_p95_1h": win_p95_1h,
     "events_per_min": events_per_min_q,

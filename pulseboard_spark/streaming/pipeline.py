@@ -165,6 +165,17 @@ def file_entity_source(spark: SparkSession, path: str, schema, max_files_per_tri
     )
 
 
+def entity_alert_stream(events: DataFrame, grace: str = "120 seconds") -> DataFrame:
+    """§3.1 end-to-end streaming shape: admission (W2) → dedup (W1) →
+    per-event stateful rule evaluation (W5) over any entity-event stream
+    (Kafka, file, memory).  Returns the alert stream; attach a sink with
+    ``.writeStream`` (Kafka via :func:`kafka_alert_sink`)."""
+    from pulseboard_spark.streaming.stateful import alert_rules_stateful
+
+    prepared = with_dedup(with_admission(events, grace), ["event_id"]).drop("is_late")
+    return alert_rules_stateful(prepared, set_watermark=False)
+
+
 class CdpIdentityStage:
     """§3.2 orchestration: incremental identity resolution as a
     ``foreachBatch`` stage — "identity edges stream → periodic connected

@@ -133,14 +133,18 @@ def _eval_rules(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> It
     yield pd.DataFrame(out, columns=["rule", "entity_id", "ts_ms", "severity", "event_id"])
 
 
-def alert_rules_stateful(entity_stream: DataFrame) -> DataFrame:
+def alert_rules_stateful(entity_stream: DataFrame, set_watermark: bool = True) -> DataFrame:
     """Streaming R1/R2/R4 alerts over an entity-event stream.
 
     Input needs: entity_id, type, profile, ts (timestamp), ts_us, ts_ms,
     value, event_id.  Watermark bounds state and admits 120 s of lateness
-    (W2's drop tier, `cdp/runtime/CdpEventProcessor.kt:189-204`)."""
+    (W2's drop tier, `cdp/runtime/CdpEventProcessor.kt:189-204`); pass
+    ``set_watermark=False`` when the stream already carries one (Spark
+    disallows redefining it)."""
+    if set_watermark:
+        entity_stream = entity_stream.withWatermark("ts", "120 seconds")
     return (
-        entity_stream.withWatermark("ts", "120 seconds")
+        entity_stream
         .groupBy("entity_id", "type")
         .applyInPandasWithState(
             _eval_rules,

@@ -257,3 +257,34 @@ def test_incremental_identity_stage(spark, sf_dir, tmp_path):
     resolved_ids = {r.event_id for r in stage.resolved().select("event_id").collect()}
     valid_ids = {r.event_id for r in valid_cdp_events(raw).select("event_id").collect()}
     assert resolved_ids == valid_ids
+
+
+def test_entity_alert_stream_facade(spark, sf_dir, entity_chunks_dir):
+    """§3.1 facade (admission -> dedup -> stateful rules) must equal the
+    batch alerts on replayed chunks."""
+    from pulseboard_spark.streaming.pipeline import entity_alert_stream
+
+    out, schema = entity_chunks_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{out}/chunk=*")
+    )
+    q = (
+        entity_alert_stream(stream)
+        .writeStream.format("memory")
+        .queryName("facade_alerts")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT rule, entity_id, ts_ms, severity, event_id FROM facade_alerts").collect()
+    }
+    batch = rules.alerts(entity_events(spark, sf_dir)).filter(F.col("rule") != "R3_GEO_DEVICE_MISMATCH")
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
