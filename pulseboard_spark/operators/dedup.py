@@ -61,12 +61,17 @@ def shingles(documents: DataFrame, n: int = SHINGLE) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """8-hash MinHash signature per doc.
-
-    Hash family: md5 over a seed-prefixed shingle, min taken over the hex
-    string — identical and engine-portable (the oracle uses the same md5
-    strings), collision-free in practice."""
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}") for j in range(N_HASHES)]
+    """8-hash MinHash signature per doc from TWO md5 evaluations per
+    shingle: each seed-prefixed 128-bit digest is sliced into four 8-hex
+    (32-bit) chunks and the min is taken per chunk — 4× fewer digest
+    computations than one md5 per hash, same engine-portability (md5 and
+    ASCII substring compare are identical in Spark and DuckDB).  32-bit
+    chunk collisions are irrelevant at per-doc-min granularity."""
+    aggs = []
+    for seed in range(2):
+        h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("s")))
+        for c in range(4):
+            aggs.append(F.min(F.substring(h, 1 + 8 * c, 8)).alias(f"h{4 * seed + c}"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
