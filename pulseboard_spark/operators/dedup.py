@@ -145,6 +145,28 @@ def ngram_jaccard_dedup(documents: DataFrame, threshold: float = 0.8) -> DataFra
     )
 
 
+def near_dup_clusters(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the verified
+    near-dup pair graph (the dedup decision a training-data pipeline
+    actually applies — keep one canonical per cluster, not per pair;
+    A⇆B and B⇆C collapse into one cluster even when A⇆C is below
+    threshold).  Output: doc_id, cluster_id (min doc id), is_canonical.
+
+    Reuses the identity CC operator — same min-label propagation, same
+    scale posture (SCALE.md); isolated docs are their own cluster."""
+    from pulseboard_spark.operators.identity import connected_components
+
+    pairs = minhash_near_dups(documents).filter(F.col("jaccard") >= threshold)
+    nodes = documents.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """16-bit SimHash per document over its distinct word-trigram shingles.
 

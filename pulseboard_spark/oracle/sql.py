@@ -868,3 +868,54 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
+
+_CLUSTERS_BODY = (
+    _MINHASH_BODY
+    + """,
+dpairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) >= 0.8
+),
+dedges AS (SELECT doc_a AS a, doc_b AS b FROM dpairs UNION SELECT doc_b, doc_a FROM dpairs),
+dnodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+dreach AS (
+  SELECT id, id AS r FROM dnodes
+  UNION
+  SELECT e.b AS id, dreach.r AS r FROM dedges e JOIN dreach ON dreach.id = e.a
+),
+dcomp AS (SELECT id, min(r) AS cluster_id FROM dreach GROUP BY id)
+"""
+)
+
+ORACLE_SQL["dedup_clusters"] = f"""
+WITH RECURSIVE {_CLUSTERS_BODY}
+SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical FROM dcomp
+"""
+
+ORACLE_SQL["corpus_summary"] = f"""
+WITH RECURSIVE {_CLUSTERS_BODY},
+toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         length(text) - length(replace(text, ' ', '')) AS _sp,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}]', '', 'g')) AS BIGINT) AS punct
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         round(least(1.0, n_tokens / 100.0)
+               * (1.0 - least(1.0, CAST(punct AS DOUBLE) / greatest(n_tokens, 1))), 4) AS quality_score
+  FROM toks
+)
+SELECT q.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(q.quality_score), 4) AS avg_quality
+FROM q
+JOIN dcomp ON dcomp.id = q.doc_id AND dcomp.id = dcomp.cluster_id
+WHERE q.quality_score >= 0.5
+GROUP BY q.lang
+"""

@@ -339,6 +339,29 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dups(_embs(spark, sf_dir))
 
 
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.near_dup_clusters(_docs(spark, sf_dir))
+
+
+def corpus_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite LLM-pipeline query: quality-filter -> near-dup-canonical
+    filter -> per-language token accounting.  One query exercising the
+    text, dedup-cluster, and aggregation layers together."""
+    docs = _docs(spark, sf_dir)
+    q = text.text_quality(docs).select("doc_id", "lang", "n_tokens", "quality_score")
+    keep = dedup.near_dup_clusters(docs).filter("is_canonical").select("doc_id")
+    return (
+        q.join(keep, "doc_id")
+        .filter(F.col("quality_score") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+    )
+
+
 def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(_embs(spark, sf_dir), k=5)
 
@@ -412,6 +435,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_embedding": dedup_embedding_q,
+    "dedup_clusters": dedup_clusters_q,
+    "corpus_summary": corpus_summary_q,
     "similarity_topk": similarity_topk_q,
     "knn_label_agreement": knn_label_agreement_q,
     "ann_topk": ann_topk_q,  # approximate — rows-only check, exact twin is similarity_topk
