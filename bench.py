@@ -37,9 +37,12 @@ HEADLINE = [
     "cdp_segments",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_clusters",
     "similarity_topk",
     "text_quality",
     "token_stats",
+    "corpus_summary",
+    "resize_media",
 ]
 
 
