@@ -136,16 +136,26 @@ def minhash_near_dups(documents: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_dedup(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+def ngram_jaccard_dedup(
+    documents: DataFrame, threshold: float = 0.8, pairs: DataFrame | None = None
+) -> DataFrame:
     """Near-dup verdicts: pairs above a Jaccard threshold with the canonical
-    (min) id — the decision layer over minhash_near_dups."""
-    pairs = minhash_near_dups(documents).filter(F.col("jaccard") >= threshold)
+    (min) id — the decision layer over minhash_near_dups.
+
+    ``pairs``: precomputed minhash_near_dups output (the pair graph is the
+    expensive shared stage; callers running several dedup decisions over one
+    corpus materialize it once)."""
+    if pairs is None:
+        pairs = minhash_near_dups(documents)
+    pairs = pairs.filter(F.col("jaccard") >= threshold)
     return pairs.select(
         "doc_a", "doc_b", "jaccard", F.least("doc_a", "doc_b").alias("canonical_doc_id")
     )
 
 
-def near_dup_clusters(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+def near_dup_clusters(
+    documents: DataFrame, threshold: float = 0.8, pairs: DataFrame | None = None
+) -> DataFrame:
     """Transitive near-dup clusters: connected components over the verified
     near-dup pair graph (the dedup decision a training-data pipeline
     actually applies — keep one canonical per cluster, not per pair;
@@ -153,10 +163,15 @@ def near_dup_clusters(documents: DataFrame, threshold: float = 0.8) -> DataFrame
     threshold).  Output: doc_id, cluster_id (min doc id), is_canonical.
 
     Reuses the identity CC operator — same min-label propagation, same
-    scale posture (SCALE.md); isolated docs are their own cluster."""
+    scale posture (SCALE.md); isolated docs are their own cluster.
+
+    ``pairs``: precomputed minhash_near_dups output (see
+    ngram_jaccard_dedup)."""
     from pulseboard_spark.operators.identity import connected_components
 
-    pairs = minhash_near_dups(documents).filter(F.col("jaccard") >= threshold)
+    if pairs is None:
+        pairs = minhash_near_dups(documents)
+    pairs = pairs.filter(F.col("jaccard") >= threshold)
     nodes = documents.select(F.col("doc_id").alias("id"))
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     comp = connected_components(nodes, edges)

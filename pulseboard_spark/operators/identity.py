@@ -127,6 +127,13 @@ def connected_components(
     the invariant "label = some reachable id" and the fixpoint is unchanged
     while convergence starts several rounds ahead (the foreachBatch identity
     stage uses this; SURVEY §3.2/§4.2 item 3).
+
+    Only edge-incident nodes enter the iteration: an isolated node's
+    component can never change (its neighbor-min is always null), so its
+    label is final at init.  In the dominant sparse case (doc near-dup
+    graphs: ~1% of a corpus has a near-dup) this shrinks every round's
+    join/shuffle from |V| to |V_incident| — the piece that matters when V
+    is 10^11 ids at 100 TB and the pair graph is thin.
     """
     sym = edges.select("a", "b").unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym.cache()
@@ -136,7 +143,12 @@ def connected_components(
             init.join(seed.select(F.col("id"), F.col("component").alias("prev")), "id", "left")
             .select("id", F.least(F.col("component"), F.coalesce(F.col("prev"), F.col("component"))).alias("component"))
         )
-    comp = init.localCheckpoint()
+    # Materialized: tiny (distinct edge endpoints), and the isolated branch
+    # of the result is consumed lazily after sym is unpersisted — without
+    # this the anti-join would re-derive the edge union per action.
+    incident = sym.select("a").distinct().withColumnRenamed("a", "id").localCheckpoint()
+    isolated = init.join(incident, "id", "left_anti")
+    comp = init.join(incident, "id", "left_semi").localCheckpoint()
     for _ in range(max_iter):
         nbr_min = (
             sym.join(comp, sym["a"] == comp["id"])
@@ -169,7 +181,7 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
-    return comp
+    return comp.unionByName(isolated)
 
 
 def components_for(cvalid: DataFrame) -> DataFrame:

@@ -262,7 +262,7 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     comp = _COMP_CACHE.get(key)
     if comp is None:
-        comp = components_for(_cvalid(spark, sf_dir))
+        comp = components_for(_cvalid(spark, sf_dir)).localCheckpoint()
         _COMP_CACHE[key] = comp
     return comp
 
@@ -319,16 +319,48 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+#: (applicationId, sf_dir) -> localCheckpointed near-dup artifacts.  The
+#: verified pair graph and its transitive clusters are the shared expensive
+#: stages of every dedup decision (minhash verdicts, Jaccard-threshold
+#: verdicts, cluster canonicals, corpus accounting); a real pipeline
+#: materializes them once per corpus snapshot (silver tables), so the
+#: registry memoizes them per session the same way as _COMP_CACHE.
+_PAIR_CACHE: dict = {}
+_CLUSTER_CACHE: dict = {}
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _PAIR_CACHE.get(key)
+    if pairs is None:
+        pairs = dedup.minhash_near_dups(_docs(spark, sf_dir)).localCheckpoint()
+        _PAIR_CACHE[key] = pairs
+    return pairs
+
+
+def _near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    clusters = _CLUSTER_CACHE.get(key)
+    if clusters is None:
+        clusters = dedup.near_dup_clusters(
+            _docs(spark, sf_dir), pairs=_near_dup_pairs(spark, sf_dir)
+        ).localCheckpoint()
+        _CLUSTER_CACHE[key] = clusters
+    return clusters
+
+
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
 def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_near_dups(_docs(spark, sf_dir))
+    return _near_dup_pairs(spark, sf_dir)
 
 
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_dedup(_docs(spark, sf_dir))
+    return dedup.ngram_jaccard_dedup(
+        _docs(spark, sf_dir), pairs=_near_dup_pairs(spark, sf_dir)
+    )
 
 
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,7 +372,7 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.near_dup_clusters(_docs(spark, sf_dir))
+    return _near_dup_clusters(spark, sf_dir)
 
 
 def corpus_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,7 +381,7 @@ def corpus_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, dedup-cluster, and aggregation layers together."""
     docs = _docs(spark, sf_dir)
     q = text.text_quality(docs).select("doc_id", "lang", "n_tokens", "quality_score")
-    keep = dedup.near_dup_clusters(docs).filter("is_canonical").select("doc_id")
+    keep = _near_dup_clusters(spark, sf_dir).filter("is_canonical").select("doc_id")
     return (
         q.join(keep, "doc_id")
         .filter(F.col("quality_score") >= 0.5)

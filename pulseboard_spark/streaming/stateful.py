@@ -53,13 +53,24 @@ def _severity(value: float, threshold: float) -> str:
     return "LOW"
 
 
+def _sev_vec(value: np.ndarray, thr: np.ndarray) -> np.ndarray:
+    """Vectorized R5 severity ladder; matches _severity element-wise."""
+    safe = np.where(thr > 0, thr, 1.0)
+    ratio = value / safe
+    out = np.where(ratio >= 10.0, "HIGH", np.where(ratio >= 5.0, "MEDIUM", "LOW"))
+    return np.where(thr <= 0, "HIGH", out)
+
+
 def _eval_rules(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     """Per (entity_id, type): replay arriving events in (ts, event_id) order
     against the trailing-window buffer, emitting fired R1/R2/R4 rows.
 
-    Window math is vectorized: the buffer stays sorted, so each trailing
-    range is a searchsorted pair over the timestamp array + prefix-sum
-    lookup — no per-point scan."""
+    Fully vectorized: the merged buffer stays sorted, so every event's
+    trailing range is one batched searchsorted pair + prefix-sum lookup,
+    clipped to the points processed so far (``upto`` — append-before-eval
+    order).  The only sequential piece is the EWMA recurrence, a bare
+    multiply-add per non-null value (kept as a scalar loop for bit-exact
+    parity with the batch twin's scan — operators/ewma.py)."""
     entity_id, etype = key
     if state.exists:
         ts_list, val_list, ewma, has_ewma = state.get
@@ -71,7 +82,7 @@ def _eval_rules(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> It
         ewma, has_ewma = 0.0, False
 
     batch = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts_us", "event_id"], kind="mergesort")
-    out: list[tuple] = []
+    n = len(batch)
 
     n_ts = batch["ts_us"].to_numpy(np.int64)
     n_val = batch["value"].to_numpy(np.float64)
@@ -85,52 +96,76 @@ def _eval_rules(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> It
     all_ts, all_val = all_ts[order], all_val[order]
     csum = np.concatenate([[0.0], np.cumsum(all_val)])
 
-    def window(t: int, dur_us: int, upto: int) -> tuple[int, float]:
-        """count and sum of points with ts in [t-dur, t], restricted to the
-        first ``upto`` points processed so far (processing order ≈ ts order)."""
-        lo = np.searchsorted(all_ts[:upto], t - dur_us, side="left")
-        hi = np.searchsorted(all_ts[:upto], t, side="right")
-        return int(hi - lo), float(csum[hi] - csum[lo])
-
     base = len(buf_ts)
-    for i in range(len(batch)):
-        t = int(n_ts[i])
-        upto = base + i + 1  # current event included (append-before-eval)
-        # A2/A4/A5: trailing aggregates
-        c60, _ = window(t, 60 * US, upto)
-        rate_1m = float(c60)
-        c5m, s5m = window(t, 300 * US, upto)
-        avg_5m = s5m / c5m if c5m else 0.0
-        c1h, s1h = window(t, 3600 * US, upto)
-        avg_1h = s1h / c1h if c1h else 0.0
-        _, s30 = window(t, 30 * US, upto)
+    upto = base + np.arange(1, n + 1)  # points processed so far, current included
 
-        # R1 velocity spike
-        thr1 = avg_5m * 3.0
-        if rate_1m > thr1 and rate_1m >= 20.0:
-            out.append(("R1_VELOCITY_SPIKE", entity_id, int(n_tsms[i]), _severity(rate_1m, thr1), int(n_eid[i])))
+    def win(dur_us: int) -> tuple[np.ndarray, np.ndarray]:
+        lo = np.minimum(np.searchsorted(all_ts, n_ts - dur_us, side="left"), upto)
+        hi = np.minimum(np.searchsorted(all_ts, n_ts, side="right"), upto)
+        return hi - lo, csum[hi] - csum[lo]
 
-        # R2 value spike (EWMA updated with current value first)
-        v = float(n_val[i])
-        if not np.isnan(v):
-            ewma = v if not has_ewma else 0.1 * v + 0.9 * ewma
-            has_ewma = True
-            thr2 = ewma * 4.0
-            if v > thr2 and c60 >= 5:
-                out.append(("R2_VALUE_SPIKE", entity_id, int(n_tsms[i]), _severity(v, thr2), int(n_eid[i])))
+    c60, _ = win(60 * US)
+    c5m, s5m = win(300 * US)
+    c1h, s1h = win(3600 * US)
+    _, s30 = win(30 * US)
+    rate_1m = c60.astype(np.float64)
+    avg_5m = s5m / c5m  # trailing windows include the current event: c ≥ 1
+    avg_1h = s1h / c1h
 
-        # R4 exfil (SASE only)
-        if profile[i] == "SASE" and not np.isnan(v):
-            p95 = max(float(np.floor(avg_1h * 10)), 1000.0)
-            if s30 > p95:
-                out.append(("R4_EXFIL", entity_id, int(n_tsms[i]), "HIGH", int(n_eid[i])))
+    # R1 velocity spike
+    thr1 = avg_5m * 3.0
+    r1 = (rate_1m > thr1) & (rate_1m >= 20.0)
+
+    # R2 value spike: EWMA updated with the current value first.  The
+    # recurrence is the one true sequential dependency; loop over non-null
+    # values only with the same scalar arithmetic as the batch scan.
+    valid = ~np.isnan(n_val)
+    ew = np.full(n, np.nan)
+    if valid.any():
+        vidx = np.flatnonzero(valid)
+        evals = np.empty(len(vidx))
+        e, he = ewma, has_ewma
+        for j, v in enumerate(n_val[vidx].tolist()):
+            e = v if not he else 0.1 * v + 0.9 * e
+            he = True
+            evals[j] = e
+        ew[vidx] = evals
+        ewma, has_ewma = e, he
+    thr2 = ew * 4.0
+    r2 = valid & (n_val > thr2) & (c60 >= 5)  # NaN comparisons are False
+
+    # R4 exfil (SASE only); NaN avg_1h → NaN p95 → never fires (as scalar max)
+    p95 = np.maximum(np.floor(avg_1h * 10), 1000.0)
+    r4 = (profile == "SASE") & valid & (s30 > p95)
+
+    idx = np.concatenate([np.flatnonzero(r1), np.flatnonzero(r2), np.flatnonzero(r4)])
+    rules_a = np.concatenate([
+        np.full(int(r1.sum()), "R1_VELOCITY_SPIKE"),
+        np.full(int(r2.sum()), "R2_VALUE_SPIKE"),
+        np.full(int(r4.sum()), "R4_EXFIL"),
+    ])
+    sev_a = np.concatenate([
+        _sev_vec(rate_1m[r1], thr1[r1]),
+        _sev_vec(n_val[r2], thr2[r2]),
+        np.full(int(r4.sum()), "HIGH"),
+    ])
+    ordr = np.argsort(idx, kind="mergesort")  # event order; stable keeps R1<R2<R4 per event
 
     # prune buffer to the horizon relative to the newest point
     if len(all_ts):
         keep = all_ts >= all_ts[-1] - HORIZON_US
         state.update((all_ts[keep].tolist(), all_val[keep].tolist(), float(ewma), bool(has_ewma)))
 
-    yield pd.DataFrame(out, columns=["rule", "entity_id", "ts_ms", "severity", "event_id"])
+    yield pd.DataFrame(
+        {
+            "rule": rules_a[ordr],
+            "entity_id": entity_id,
+            "ts_ms": n_tsms[idx[ordr]],
+            "severity": sev_a[ordr],
+            "event_id": n_eid[idx[ordr]],
+        },
+        columns=["rule", "entity_id", "ts_ms", "severity", "event_id"],
+    )
 
 
 def alert_rules_stateful(entity_stream: DataFrame, set_watermark: bool = True) -> DataFrame:
