@@ -162,6 +162,165 @@ def label_knn_accuracy(embeddings: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def ivf_index(
+    embeddings: DataFrame, n_cells: int | None = None, iters: int = 2
+) -> tuple[DataFrame, "object"]:
+    """IVF coarse quantizer: deterministic k-means cells over the corpus.
+
+    Returns ``(assigned, centroids_bc)`` — the inverted lists as an
+    (vec_id, embedding, cell) DataFrame, plus the centroid matrix broadcast
+    ((ids, C, norms), same triple shape as the exact kernel's index).
+
+    Construction is Spark-shaped end to end:
+
+    * **init**: the ``n_cells`` vectors with smallest md5(vec_id) — a
+      deterministic hash-sample (no driver RNG), same trick as the LSH
+      planes.  Default cell count ≈ √n, the classic IVF balance point
+      (√n cells × √n vectors/cell).
+    * **Lloyd rounds** (``iters``): assign = broadcast-centroid argmax
+      inside an Arrow-batched kernel (cells are broadcast-class by
+      construction: √n of them); update = per-cell mean via grouped
+      applyInPandas (one shuffle on cell, ~√n groups).  Members are
+      averaged in vec_id order so centroids are bit-deterministic.
+
+    At 100 TB the assign pass stays embarrassingly parallel (centroids
+    broadcast once per round) and the update shuffle moves one d-vector
+    per input row — the train set would be a sample, and the final
+    assignment one extra pass.  Cell ids are argmax indices into the
+    hash-ordered seed list, stable across runs.
+    """
+    n = embeddings.count()
+    if n_cells is None:
+        n_cells = max(int(n**0.5), 1)
+
+    seeds = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    C = np.array([list(r[1]) for r in seeds], dtype=np.float64)
+    sc = embeddings.sparkSession.sparkContext
+    cent_bc = sc.broadcast((np.arange(len(C)), C, np.where(_seq_norms(C) == 0, 1.0, _seq_norms(C))))
+
+    def assign(batches):
+        _ids, CM, cn = cent_bc.value
+        for pdf in batches:
+            A = _batch_matrix(pdf["embedding"])
+            an = np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))
+            S = _seq_gram(A, CM) / (an[:, None] * cn[None, :])
+            pdf["cell"] = np.argmax(S, axis=1).astype(np.int64)  # first max wins: lowest cell id
+            yield pdf[["vec_id", "embedding", "cell"]]
+
+    schema = "vec_id bigint, embedding array<float>, cell bigint"
+    base = embeddings.select("vec_id", "embedding")
+
+    def mean_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        M = _batch_matrix(pdf["embedding"])
+        return pd.DataFrame({"cell": [int(pdf["cell"].iloc[0])], "centroid": [M.mean(axis=0).tolist()]})
+
+    for _ in range(iters):
+        assigned = base.mapInPandas(assign, schema=schema)
+        rows = sorted(
+            assigned.groupBy("cell").applyInPandas(mean_cell, schema="cell bigint, centroid array<double>").collect()
+        )
+        # empty cells keep their previous centroid (rows only cover non-empty)
+        for cell, centroid in rows:
+            C[cell] = centroid
+        cent_bc = sc.broadcast((np.arange(len(C)), C, np.where(_seq_norms(C) == 0, 1.0, _seq_norms(C))))
+
+    return base.mapInPandas(assign, schema=schema), cent_bc
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int | None = None,
+    nprobe: int = 5,
+    iters: int = 2,
+) -> DataFrame:
+    """Approximate top-k cosine via IVF: probe the ``nprobe`` nearest cells,
+    exact-rank inside them.  The scale path that avoids broadcasting the
+    index entirely — candidate generation is a shuffle on cell id.
+
+    Physical shape: queries explode to (query, probe_cell) rows; a
+    **cogrouped** applyInPandas on cell runs the exact numpy block kernel
+    between the cell's probing queries and its member vectors, emitting at
+    most k candidates per (query, cell); a final window keeps the global
+    top-k.  Scoring/rounding/tie-break are identical to :func:`cosine_topk`,
+    so with ``nprobe = n_cells`` the result is exactly the brute-force
+    answer (pinned by test) — recall loss comes only from unprobed cells.
+    """
+    assigned, cent_bc = ivf_index(embeddings, n_cells=n_cells, iters=iters)
+
+    def probe(batches):
+        _ids, CM, cn = cent_bc.value
+        npb = min(nprobe, CM.shape[0])
+        for pdf in batches:
+            A = _batch_matrix(pdf["embedding"])
+            an = np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))
+            S = _seq_gram(A, CM) / (an[:, None] * cn[None, :])
+            # nprobe best cells per query; argsort on (-sim, cell) is
+            # deterministic under ties
+            order = np.argsort(-S, axis=1, kind="stable")[:, :npb]
+            m = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), npb),
+                    "embedding": [pdf["embedding"].iloc[i] for i in np.repeat(np.arange(m), npb)],
+                    "cell": order.ravel().astype(np.int64),
+                }
+            )
+
+    probes = embeddings.select("vec_id", "embedding").mapInPandas(
+        probe, schema="vec_id bigint, embedding array<float>, cell bigint"
+    )
+
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        A = _batch_matrix(left["embedding"])
+        a_ids = left["vec_id"].to_numpy(np.int64)
+        M = _batch_matrix(right["embedding"])
+        m_ids = right["vec_id"].to_numpy(np.int64)
+        C = np.round(
+            _seq_gram(A, M)
+            / (np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))[:, None]
+               * np.where(_seq_norms(M) == 0, 1.0, _seq_norms(M))[None, :]),
+            6,
+        )
+        out_q, out_n, out_c = [], [], []
+        for i in range(A.shape[0]):
+            row = C[i]
+            order = np.lexsort((m_ids, -row))
+            order = order[m_ids[order] != a_ids[i]][:k]
+            out_q.extend([a_ids[i]] * len(order))
+            out_n.extend(m_ids[order])
+            out_c.extend(row[order])
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+                "cosine": pd.Series(out_c, dtype="float64"),
+            }
+        )
+
+    cand = (
+        probes.groupBy("cell")
+        .cogroup(assigned.groupBy("cell"))
+        .applyInPandas(score_cell, schema="vec_id bigint, neighbor_id bigint, cosine double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def simhash_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets.
 

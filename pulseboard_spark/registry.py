@@ -406,6 +406,10 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(_embs(spark, sf_dir), k=5)
 
 
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_embs(spark, sf_dir), k=5)
+
+
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_quality(_docs(spark, sf_dir))
 
@@ -472,6 +476,7 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_topk": similarity_topk_q,
     "knn_label_agreement": knn_label_agreement_q,
     "ann_topk": ann_topk_q,  # approximate — rows-only check, exact twin is similarity_topk
+    "ivf_topk": ivf_topk_q,  # approximate — rows-only check; full-probe==exact pinned by test
     "text_quality": text_quality_q,
     "lang_id": lang_id_q,
     "token_stats": token_stats_q,

@@ -162,3 +162,27 @@ def test_resize_media_geometry(spark, sf_dir):
             assert (r.out_width, r.out_height) == (s.meta_width, s.meta_height)
         assert r.out_n_bytes == min(r.out_width * r.out_height, s.meta_n_bytes)
         assert len(r.payload) == min(r.out_width * r.out_height, len(s.payload))
+
+
+def test_ivf_topk_full_probe_is_exact(spark, sf_dir):
+    """IVF with every cell probed must reproduce the brute-force result
+    bit-for-bit (same kernel, same rounding, same tie-break) — recall loss
+    can come only from unprobed cells."""
+    from pulseboard_spark.operators.similarity import cosine_topk, ivf_topk
+    from pulseboard_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    exact = {tuple(r) for r in cosine_topk(embs, 5).collect()}
+    full = {tuple(r) for r in ivf_topk(embs, 5, nprobe=10**6).collect()}
+    assert full == exact
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """Default nprobe (5 of ~22 cells at sf0.001) keeps useful recall."""
+    from pulseboard_spark.operators.similarity import cosine_topk, ivf_topk
+    from pulseboard_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    exact = {(r[0], r[1]) for r in cosine_topk(embs, 5).collect()}
+    approx = {(r[0], r[1]) for r in ivf_topk(embs, 5).collect()}
+    assert len(approx & exact) / len(exact) >= 0.5
