@@ -185,7 +185,20 @@ def connected_components(
 
 
 def components_for(cvalid: DataFrame) -> DataFrame:
-    return connected_components(identity_nodes(cvalid), identity_edges(cvalid))
+    """Identity component map with a clique-min head start: every event's
+    id set is a clique, so labelling each id with the min over its events
+    is exactly one neighbor-min propagation round — computed as one
+    explode+groupBy (no join against the edge list).  Cuts a round off the
+    fixpoint loop at any scale; correctness is the seed contract
+    (label = an id reachable from the node)."""
+    clique_min = (
+        cvalid.select(_ids_array().alias("__ids"))
+        .filter(F.size("__ids") > 1)
+        .select(F.explode("__ids").alias("id"), F.array_min("__ids").alias("m"))
+        .groupBy("id")
+        .agg(F.min("m").alias("component"))
+    )
+    return connected_components(identity_nodes(cvalid), identity_edges(cvalid), seed=clique_min)
 
 
 def resolve_profiles(cvalid: DataFrame, comp: DataFrame) -> DataFrame:
