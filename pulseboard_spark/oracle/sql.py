@@ -869,6 +869,23 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_quantity < 24
 """
 
+ORACLE_SQL["tpch_q4_priority_returns"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+ORACLE_SQL["orders_without_lineitems"] = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o_orderstatus
+"""
+
 _CLUSTERS_BODY = (
     _MINHASH_BODY
     + """,

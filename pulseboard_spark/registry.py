@@ -147,6 +147,38 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q4_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H q4 shape adapted to the testdata
+    columns: no l_commitdate/l_receiptdate, so the EXISTS predicate is
+    "has a returned lineitem").  Exercises the LEFT SEMI join path —
+    Catalyst plans a broadcast/shuffled semi join with the filter pushed
+    below it; no duplication of the probe side ever materializes."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01 00:00:00").cast(dict(o.dtypes)["o_orderdate"])
+    hi = F.lit("1996-04-01 00:00:00").cast(dict(o.dtypes)["o_orderdate"])
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI twin of the semi join: orders with no lineitem rows at
+    all, counted per status — the referential-integrity audit shape a
+    100 TB pipeline runs after every load."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 # --- Windowed aggregate layer (A2-A8) ---------------------------------------
 
 
@@ -446,6 +478,8 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q3_shipping_priority": tpch_q3,
     "tpch_q5_region_revenue": tpch_q5,
     "tpch_q6_forecast_revenue": tpch_q6,
+    "tpch_q4_priority_returns": tpch_q4_like,
+    "orders_without_lineitems": orders_without_lineitems,
     "win_trailing_aggs": win_trailing_aggs,
     "win_p95_1h": win_p95_1h,
     "events_per_min": events_per_min_q,
