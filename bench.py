@@ -25,6 +25,9 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue",
+    "asof_last_purchase",
+    "user_sessions",
+    "top_parts_per_brand",
     "win_trailing_aggs",
     "ewma",
     "r1_velocity_spike",

@@ -1,0 +1,239 @@
+"""Relational analytics operators beyond the reference surface: as-of join,
+top-N per group, rollup, pivot, per-group statistics.
+
+The reference has no relational layer at all (SURVEY §2.4 note: "Our engine
+gets these free from Spark SQL") — these operators make that claim concrete
+as first-class, oracle-checked query surface.  Each is a pure
+DataFrame→DataFrame function, shuffle-minimal and AQE-friendly.
+
+Scale notes (100 TB posture):
+  * ``asof_join`` is the union/last_value formulation — ONE shuffle on the
+    join key, a single per-key ordered scan, and crucially NO row explosion:
+    the naive range join (left × all-earlier-right, then rank) is quadratic
+    per key and dies on hot keys; this form is linear and skew-tolerant
+    (AQE can split a hot key's sort since last() is computed in one pass
+    over a rows-frame).
+  * top-N per group is rank-over-partial-aggregate: the heavy reduction
+    (groupBy) happens map-side-combined BEFORE the rank window sees data.
+  * rollup/pivot ride Catalyst's Expand + partial aggregation; pivot is
+    given its value list explicitly so no extra distinct pass runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts: str = "ts_ms",
+    right_cols: Sequence[str] | None = None,
+    right_order: str | None = None,
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the most recent right
+    row with ``right.ts <= left.ts`` on the same key (at-or-before match).
+
+    Deterministic by construction: right rows at exactly the left row's ts
+    DO match; among right rows sharing (key, ts), the one with the greatest
+    ``right_order`` wins.  ``tolerance_ms`` nulls out matches older than
+    ``left.ts - tolerance_ms`` (the match row is kept, its payload nulled —
+    left cardinality is always preserved, like a left join).
+
+    Implementation: tag both sides, union, and take ``last(payload,
+    ignorenulls=True)`` over a per-key (ts, side, order) rows-frame — the
+    classic scalable as-of formulation (one shuffle, no pair explosion).
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != ts]
+    payload_fields = [F.col(c).alias(c) for c in right_cols] + [
+        F.col(ts).alias("_asof_matched_ts")
+    ]
+    ord_col = F.col(right_order) if right_order else F.lit(0)
+    r = right.select(
+        *on,
+        F.col(ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        ord_col.alias("_asof_ord"),
+        F.struct(*payload_fields).alias("_asof_payload"),
+    )
+    l = left.withColumn("_asof_ts", F.col(ts)).withColumn(
+        "_asof_side", F.lit(1)
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_asof_ts", "_asof_side", "_asof_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "_asof_m", F.last("_asof_payload", ignorenulls=True).over(w)
+    ).filter(F.col("_asof_side") == 1)
+    if tolerance_ms is not None:
+        matched = matched.withColumn(
+            "_asof_m",
+            F.when(
+                F.col("_asof_m._asof_matched_ts")
+                >= F.col(ts) - F.lit(tolerance_ms),
+                F.col("_asof_m"),
+            ),
+        )
+    out_cols = [c for c in left.columns]
+    out = matched.select(
+        *out_cols,
+        *[F.col(f"_asof_m.{c}").alias(c) for c in right_cols],
+        F.col("_asof_m._asof_matched_ts").alias("matched_ts"),
+    )
+    return out
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group: Sequence[str],
+    rank_by: Column,
+    n: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Top-N rows per group by ``rank_by`` descending, with explicit
+    deterministic tie-break columns (ascending)."""
+    w = Window.partitionBy(*group).orderBy(
+        rank_by.desc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n)
+    )
+
+
+def brand_part_revenue_topn(lineitem: DataFrame, part: DataFrame, n: int = 3) -> DataFrame:
+    """Top-N parts by revenue within each brand.
+
+    Shape: broadcast-join the small dim, partial-agg the fact on
+    (brand, partkey) — the shuffle carries pre-combined rows, not raw
+    lineitems — then rank within brand.  Revenue accumulates in
+    DECIMAL(27,6) so ordering (and therefore the top-N cut) is
+    order-insensitive and engine-exact.
+    """
+    joined = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_part = joined.groupBy("p_brand", "p_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(27,6)"
+            )
+        ).alias("revenue_dec")
+    )
+    ranked = top_n_per_group(
+        per_part, ["p_brand"], F.col("revenue_dec"), n, tiebreak=["p_partkey"]
+    )
+    return ranked.select(
+        "p_brand",
+        "p_partkey",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+def region_revenue_rollup(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Order revenue with subtotals at (region, nation), (region), and grand
+    total — ROLLUP via Catalyst's Expand node (one pass over the fact, the
+    partial aggregation combines all grouping sets map-side).  Grouped-out
+    levels surface as '(all)' so the output is NULL-free and hash-stable."""
+    dims = (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("r_name"),
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("n_name"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def event_type_pivot(ev: DataFrame) -> DataFrame:
+    """Per-entity event-type count matrix (long → wide).
+
+    The pivot value list is explicit, so Spark skips the extra
+    distinct-values job and plans a single partial-aggregated pivot pass.
+    """
+    wide = (
+        ev.groupBy("entity_id")
+        .pivot("type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    total = sum(F.coalesce(F.col(t), F.lit(0)) for t in EVENT_TYPES)
+    return wide.select("entity_id", *cols, total.cast("long").alias("n_total"))
+
+
+def value_stats_per_type(ev: DataFrame) -> DataFrame:
+    """Distribution statistics of ``value`` per event type: count, sum, avg,
+    sample stddev, min/max, exact interpolated median and p90
+    (``percentile`` ≡ DuckDB ``quantile_cont``).  Nulls are skipped by every
+    aggregate on both engines.
+
+    The stddev is computed from DECIMAL-exact moment sums (Σv, Σv²) and a
+    fixed double-precision expression rather than ``stddev_samp``: native
+    one-pass stddev accumulates in partition order, so its low-order bits
+    differ between Spark's parallel reduction and a sequential oracle —
+    exact moments make the value order-insensitive and engine-exact.
+    """
+    r4 = lambda c: F.round(c, 4)  # noqa: E731
+    agged = ev.groupBy("type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("value").alias("n_values"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("s2"),
+        r4(F.avg("value")).alias("avg_value"),
+        r4(F.min("value")).alias("min_value"),
+        r4(F.max("value")).alias("max_value"),
+        r4(F.percentile(F.col("value"), F.lit(0.5))).alias("median_value"),
+        r4(F.percentile(F.col("value"), F.lit(0.9))).alias("p90_value"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_values")) / (
+        F.col("n_values") - 1
+    )
+    return agged.select(
+        "type",
+        "n_events",
+        "n_values",
+        r4(F.col("s1")).alias("sum_value"),
+        "avg_value",
+        r4(F.sqrt(var)).alias("stddev_value"),
+        "min_value",
+        "max_value",
+        "median_value",
+        "p90_value",
+    )

@@ -1,0 +1,141 @@
+"""Behavioral analytics over the event stream: sessionization, funnels,
+retention cohorts.
+
+The reference's only notion of a session is the `reengage` inactivity
+timeout (`cdp/segments/SegmentEngine.kt:147-151` — SURVEY W10); these
+operators generalize that into the standard product-analytics family a CDP
+engine is expected to answer, as oracle-checked batch queries.
+
+Scale notes:
+  * ``sessionize`` is gaps-and-islands: one shuffle on the entity key, one
+    ordered scan (lag + running sum share the same sort), then a partial
+    aggregation on (entity, session_no).  The streaming twin is Spark's
+    built-in ``session_window`` with a watermark — same assignment for the
+    same gap, incremental state eviction for free.
+  * ``funnel`` computes all step timestamps in ONE window pass per step
+    over the same per-entity sort (no self-joins — the naive k-way
+    step-join explodes on hot entities), then reduces to a k-row summary.
+  * ``retention_cohorts`` uses pure integer epoch-week arithmetic, so the
+    bucketing is engine-exact (no calendar/timezone drift between Spark
+    and the oracle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DAY_MS = 86_400_000
+
+
+def sessionize(
+    ev: DataFrame,
+    key: str = "entity_id",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Assign gap-based sessions and aggregate per session.
+
+    A new session starts when the gap to the previous event of the same
+    entity exceeds ``gap_ms`` (strictly greater).  Output one row per
+    session: session_id, entity_id, session_start_ms, session_end_ms,
+    duration_ms, n_events, sum_value.
+    """
+    w = Window.partitionBy(key).orderBy("ts_ms", "event_id")
+    prev_ts = F.lag("ts_ms").over(w)
+    is_new = (
+        prev_ts.isNull() | ((F.col("ts_ms") - prev_ts) > F.lit(gap_ms))
+    ).cast("long")
+    run = Window.partitionBy(key).orderBy("ts_ms", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_sess = ev.withColumn("_new", is_new).withColumn(
+        "session_no", F.sum("_new").over(run)
+    )
+    return (
+        with_sess.groupBy(key, "session_no")
+        .agg(
+            F.min("ts_ms").alias("session_start_ms"),
+            F.max("ts_ms").alias("session_end_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(27,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.concat(F.col(key), F.lit("#"), F.col("session_no").cast("string")).alias(
+                "session_id"
+            ),
+            F.col(key),
+            "session_start_ms",
+            "session_end_ms",
+            (F.col("session_end_ms") - F.col("session_start_ms")).alias("duration_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def funnel(
+    ev: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    key: str = "entity_id",
+) -> DataFrame:
+    """Ordered k-step funnel: an entity reaches step i when an event of
+    ``steps[i]`` occurs strictly after its step-(i-1) time (first such
+    occurrence counts).  Output one row per step: step_no, step,
+    n_entities, conversion (fraction of step-1 entities, 4 dp).
+    """
+    w = Window.partitionBy(key)
+    cur = ev
+    prev_col = None
+    for i, s in enumerate(steps, start=1):
+        cond = F.col("type") == s
+        if prev_col is not None:
+            cond = cond & F.col(prev_col).isNotNull() & (
+                F.col("ts_ms") > F.col(prev_col)
+            )
+        cur = cur.withColumn(f"_t{i}", F.min(F.when(cond, F.col("ts_ms"))).over(w))
+        prev_col = f"_t{i}"
+    per_entity = cur.groupBy(key).agg(
+        *[F.first(f"_t{i}").alias(f"t{i}") for i in range(1, len(steps) + 1)]
+    )
+    counts = per_entity.agg(
+        *[
+            F.sum(F.col(f"t{i}").isNotNull().cast("long")).alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', n{i}" for i, s in enumerate(steps, start=1)
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step_no, step, n_entities)"
+    ).select(
+        F.col("step_no").cast("int").alias("step_no"),
+        "step",
+        F.coalesce(F.col("n_entities"), F.lit(0)).alias("n_entities"),
+        F.round(
+            F.col("n_entities")
+            / F.nullif(F.first("n_entities").over(Window.orderBy("step_no").rowsBetween(Window.unboundedPreceding, Window.currentRow)), F.lit(0)),
+            4,
+        ).alias("conversion"),
+    )
+
+
+def retention_cohorts(ev: DataFrame, key: str = "entity_id") -> DataFrame:
+    """Weekly retention matrix: cohort_week = the entity's first active
+    epoch-week; one output row per (cohort_week, week_offset) counting
+    entities from that cohort active in that later week."""
+    weekly = ev.select(
+        F.col(key), F.expr(f"ts_ms div {7 * DAY_MS}").alias("week")
+    ).distinct()
+    w = Window.partitionBy(key)
+    with_cohort = weekly.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        with_cohort.groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

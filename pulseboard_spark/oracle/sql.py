@@ -936,3 +936,143 @@ JOIN dcomp ON dcomp.id = q.doc_id AND dcomp.id = dcomp.cluster_id
 WHERE q.quality_score >= 0.5
 GROUP BY q.lang
 """
+
+# ---------------------------------------------------------------------------
+# Relational / behavioral analytics (beyond-reference, SURVEY §2.4 note)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL["asof_last_purchase"] = f"""
+WITH {ENT_CTE},
+l AS (SELECT event_id, entity_id, type, ts_ms FROM ent WHERE type IN ('view','click')),
+r AS (SELECT entity_id, ts_ms AS p_ms, event_id AS p_eid, value AS p_value
+      FROM ent WHERE type = 'purchase')
+SELECT l.event_id, l.entity_id, l.type, l.ts_ms,
+       r.p_eid AS purchase_event_id,
+       round(r.p_value, 4) AS purchase_value,
+       r.p_ms AS purchase_ms
+FROM l LEFT JOIN r ON l.entity_id = r.entity_id AND r.p_ms <= l.ts_ms
+QUALIFY row_number() OVER (
+    PARTITION BY l.event_id
+    ORDER BY r.p_ms DESC NULLS LAST, r.p_eid DESC NULLS LAST) = 1
+"""
+
+ORACLE_SQL["user_sessions"] = f"""
+WITH {ENT_CTE},
+ordered AS (
+  SELECT entity_id, event_id, ts_ms, value,
+         lag(ts_ms) OVER (PARTITION BY entity_id ORDER BY ts_ms, event_id) AS prev_ts
+  FROM ent
+),
+numbered AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY entity_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM ordered
+)
+SELECT entity_id || '#' || CAST(session_no AS VARCHAR) AS session_id,
+       entity_id,
+       min(ts_ms) AS session_start_ms,
+       max(ts_ms) AS session_end_ms,
+       max(ts_ms) - min(ts_ms) AS duration_ms,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 4) AS sum_value
+FROM numbered
+GROUP BY entity_id, session_no
+"""
+
+ORACLE_SQL["funnel_view_click_purchase"] = f"""
+WITH {ENT_CTE},
+t1 AS (SELECT entity_id, min(ts_ms) AS t FROM ent WHERE type = 'view' GROUP BY entity_id),
+t2 AS (SELECT e.entity_id, min(e.ts_ms) AS t
+       FROM ent e JOIN t1 ON e.entity_id = t1.entity_id AND e.ts_ms > t1.t
+       WHERE e.type = 'click' GROUP BY e.entity_id),
+t3 AS (SELECT e.entity_id, min(e.ts_ms) AS t
+       FROM ent e JOIN t2 ON e.entity_id = t2.entity_id AND e.ts_ms > t2.t
+       WHERE e.type = 'purchase' GROUP BY e.entity_id),
+n AS (SELECT (SELECT count(*) FROM t1) AS n1,
+             (SELECT count(*) FROM t2) AS n2,
+             (SELECT count(*) FROM t3) AS n3)
+SELECT CAST(1 AS INTEGER) AS step_no, 'view' AS step, n1 AS n_entities,
+       round(n1 / nullif(n1, 0), 4) AS conversion FROM n
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'click', n2, round(n2 / nullif(n1, 0), 4) FROM n
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase', n3, round(n3 / nullif(n1, 0), 4) FROM n
+"""
+
+ORACLE_SQL["retention_cohorts"] = f"""
+WITH {ENT_CTE},
+weekly AS (SELECT DISTINCT entity_id, ts_ms // 604800000 AS week FROM ent),
+numbered AS (
+  SELECT entity_id, week, min(week) OVER (PARTITION BY entity_id) AS cohort_week
+  FROM weekly
+)
+SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_active
+FROM numbered
+GROUP BY cohort_week, week - cohort_week
+"""
+
+ORACLE_SQL["top_parts_per_brand"] = """
+WITH per_part AS (
+  SELECT p_brand, p_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS revenue_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+),
+ranked AS (
+  SELECT p_brand, p_partkey, revenue_dec,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY revenue_dec DESC, p_partkey) AS rnk
+  FROM per_part
+)
+SELECT p_brand, p_partkey, CAST(revenue_dec AS DOUBLE) AS revenue,
+       CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+ORACLE_SQL["revenue_rollup"] = """
+SELECT coalesce(r_name, '(all)') AS r_name,
+       coalesce(n_name, '(all)') AS n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+ORACLE_SQL["event_type_pivot"] = f"""
+WITH {ENT_CTE}
+SELECT entity_id,
+       count(*) FILTER (WHERE type = 'click') AS n_click,
+       count(*) FILTER (WHERE type = 'view') AS n_view,
+       count(*) FILTER (WHERE type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE type = 'error') AS n_error,
+       count(*) AS n_total
+FROM ent GROUP BY entity_id
+"""
+
+ORACLE_SQL["value_stats"] = f"""
+WITH {ENT_CTE},
+per_type AS (
+  SELECT type,
+         count(*) AS n_events,
+         count(value) AS n_values,
+         CAST(sum(CAST(value AS DECIMAL(30,6)) ) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+         round(avg(value), 4) AS avg_value,
+         round(min(value), 4) AS min_value,
+         round(max(value), 4) AS max_value,
+         round(quantile_cont(value, 0.5), 4) AS median_value,
+         round(quantile_cont(value, 0.9), 4) AS p90_value
+  FROM ent GROUP BY type
+)
+SELECT type, n_events, n_values,
+       round(s1, 4) AS sum_value,
+       avg_value,
+       round(sqrt((s2 - s1 * s1 / n_values) / (n_values - 1)), 4) AS stddev_value,
+       min_value, max_value, median_value, p90_value
+FROM per_type
+"""

@@ -18,7 +18,7 @@ from pulseboard_spark.session import tune
 from pulseboard_spark.sources.tables import cdp_events, entity_events, load_table
 from pulseboard_spark.functions.core import duck_round
 from pulseboard_spark.functions.ids import normalize_id
-from pulseboard_spark.operators import dedup, multimodal, rules, similarity, text
+from pulseboard_spark.operators import dedup, multimodal, relational, rules, sessions, similarity, text
 from pulseboard_spark.operators.ewma import with_ewma
 from pulseboard_spark.operators.identity import (
     components_for,
@@ -177,6 +177,72 @@ def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+# --- Relational / behavioral analytics (beyond-reference, SURVEY §2.4 note) --
+
+
+def asof_last_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each view/click event annotated with the entity's most
+    recent purchase at-or-before it (backward as-of, ties to the purchase
+    with the greatest event_id)."""
+    ev = entity_events(spark, sf_dir)
+    left = ev.filter(F.col("type").isin("view", "click")).select(
+        "event_id", "entity_id", "type", "ts_ms"
+    )
+    right = ev.filter(F.col("type") == "purchase").select(
+        "entity_id",
+        "ts_ms",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = relational.asof_join(
+        left, right, on=["entity_id"], ts="ts_ms", right_order="purchase_event_id"
+    )
+    return out.select(
+        "event_id",
+        "entity_id",
+        "type",
+        "ts_ms",
+        "purchase_event_id",
+        _R4(F.col("purchase_value")).alias("purchase_value"),
+        F.col("matched_ts").alias("purchase_ms"),
+    )
+
+
+def user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.sessionize(entity_events(spark, sf_dir))
+
+
+def funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.funnel(entity_events(spark, sf_dir))
+
+
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.retention_cohorts(entity_events(spark, sf_dir))
+
+
+def top_parts_per_brand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.brand_part_revenue_topn(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def revenue_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.region_revenue_rollup(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.event_type_pivot(entity_events(spark, sf_dir))
+
+
+def value_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.value_stats_per_type(entity_events(spark, sf_dir))
 
 
 # --- Windowed aggregate layer (A2-A8) ---------------------------------------
@@ -480,6 +546,14 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q6_forecast_revenue": tpch_q6,
     "tpch_q4_priority_returns": tpch_q4_like,
     "orders_without_lineitems": orders_without_lineitems,
+    "asof_last_purchase": asof_last_purchase_q,
+    "user_sessions": user_sessions_q,
+    "funnel_view_click_purchase": funnel_q,
+    "retention_cohorts": retention_cohorts_q,
+    "top_parts_per_brand": top_parts_per_brand_q,
+    "revenue_rollup": revenue_rollup_q,
+    "event_type_pivot": event_type_pivot_q,
+    "value_stats": value_stats_q,
     "win_trailing_aggs": win_trailing_aggs,
     "win_p95_1h": win_p95_1h,
     "events_per_min": events_per_min_q,

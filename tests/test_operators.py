@@ -186,3 +186,48 @@ def test_ivf_topk_recall(spark, sf_dir):
     exact = {(r[0], r[1]) for r in cosine_topk(embs, 5).collect()}
     approx = {(r[0], r[1]) for r in ivf_topk(embs, 5).collect()}
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: at-or-before match, max-ts wins, ties broken by
+    right_order, tolerance nulls stale matches but keeps left rows."""
+    from pulseboard_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 100, "L1"), ("a", 50, "L2"), ("b", 10, "L3"), ("c", 99, "L4")],
+        "entity_id string, ts_ms long, tag string",
+    )
+    right = spark.createDataFrame(
+        # key a: rows at 50 (two, order 1 & 2), 80;  key b: row after left ts
+        [("a", 50, 1, 10.0), ("a", 50, 2, 20.0), ("a", 80, 3, 30.0), ("b", 20, 4, 40.0)],
+        "entity_id string, ts_ms long, ord long, val double",
+    )
+    out = asof_join(left, right, on=["entity_id"], ts="ts_ms", right_order="ord")
+    rows = {r["tag"]: r for r in out.collect()}
+    assert len(rows) == 4  # left cardinality preserved
+    assert rows["L1"]["ord"] == 3 and rows["L1"]["matched_ts"] == 80
+    # at-or-before includes equal ts; tie on (key, ts) -> greatest right_order
+    assert rows["L2"]["ord"] == 2 and rows["L2"]["val"] == 20.0
+    assert rows["L3"]["ord"] is None  # right row is after the left ts
+    assert rows["L4"]["ord"] is None  # key never appears on the right
+
+    tol = asof_join(
+        left, right, on=["entity_id"], ts="ts_ms", right_order="ord", tolerance_ms=10
+    )
+    trows = {r["tag"]: r for r in tol.collect()}
+    assert trows["L1"]["ord"] is None  # 80 < 100 - 10 -> stale, nulled
+    assert trows["L2"]["ord"] == 2  # exact-ts match survives any tolerance
+
+
+def test_sessionize_gap_boundary(spark):
+    """A gap exactly equal to gap_ms stays in the same session (strictly
+    greater starts a new one)."""
+    from pulseboard_spark.operators.sessions import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, "u", 0, 1.0), (2, "u", 1000, 1.0), (3, "u", 2001, 1.0)],
+        "event_id long, entity_id string, ts_ms long, value double",
+    )
+    out = sessionize(ev, gap_ms=1000).orderBy("session_start_ms").collect()
+    assert [r["n_events"] for r in out] == [2, 1]
+    assert out[0]["session_end_ms"] == 1000 and out[1]["session_start_ms"] == 2001
