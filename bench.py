@@ -25,6 +25,10 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_volume",
     "asof_last_purchase",
     "user_sessions",
     "top_parts_per_brand",

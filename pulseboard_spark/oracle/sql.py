@@ -879,6 +879,138 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY o_orderpriority
 """
 
+ORACLE_SQL["tpch_q7_nation_volume"] = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["tpch_q10_returned_items"] = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLE_SQL["tpch_q13_order_distribution"] = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+ORACLE_SQL["tpch_q14_promo_revenue"] = """
+WITH agged AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
+                  ELSE CAST(0 AS DECIMAL(27,6)) END) AS promo_dec,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS total_dec,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+    AND l_shipdate <  TIMESTAMP '1997-07-01'
+)
+SELECT round(100.0 * (CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)), 4) AS promo_pct,
+       CAST(total_dec AS DOUBLE) AS total_revenue,
+       n_items
+FROM agged
+"""
+
+ORACLE_SQL["tpch_q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS revenue_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(revenue_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE revenue_dec = (SELECT max(revenue_dec) FROM rev)
+"""
+
+ORACLE_SQL["tpch_q17_small_qty_revenue"] = """
+WITH li AS (
+  SELECT l_extendedprice, l_quantity,
+         sum(l_quantity) OVER (PARTITION BY l_partkey) AS sum_qty,
+         count(*) OVER (PARTITION BY l_partkey) AS cnt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM li
+WHERE l_quantity * 5 * cnt < sum_qty
+"""
+
+ORACLE_SQL["tpch_q18_large_volume"] = """
+SELECT c_custkey, c_name, o_orderkey,
+       epoch_ms(o_orderdate) AS o_orderdate_ms,
+       o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey  = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+ORACLE_SQL["tpch_q19_discounted_revenue"] = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLE_SQL["tpch_q22_dormant_customers"] = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+stats AS (
+  SELECT sum(bal_cents) AS sum_cents, CAST(count(*) AS BIGINT) AS n_pos
+  FROM cust WHERE c_acctbal > 0
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       sum(bal_cents) / 100.0 AS totacctbal
+FROM cust, stats
+JOIN nation ON c_nationkey = n_nationkey
+WHERE bal_cents * n_pos > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+"""
+
 ORACLE_SQL["orders_without_lineitems"] = """
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS order_count
 FROM orders o

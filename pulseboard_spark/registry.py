@@ -179,6 +179,272 @@ def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (TPC-H q7 generalized to all nation pairs): revenue
+    flow supplier-nation → customer-nation by ship year.  Two dim joins are
+    broadcast (supplier and the customer→nation map are ≪ fact); the only
+    shuffle is lineitem ⋈ orders on orderkey + the final 625-group agg,
+    which partial-aggregates map-side."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01 00:00:00").cast(dict(l.dtypes)["l_shipdate"])
+    hi = F.lit("1998-01-01 00:00:00").cast(dict(l.dtypes)["l_shipdate"])
+    supp = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cust = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: top 20 customers by revenue lost to returns
+    in a quarter.  Ordering happens on the DECIMAL accumulator (exact, so
+    the top-20 cut is engine-stable) with custkey as tiebreak; TakeOrdered
+    does the top-k without a global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01 00:00:00").cast(dict(o.dtypes)["o_orderdate"])
+    hi = F.lit("1996-04-01 00:00:00").cast(dict(o.dtypes)["o_orderdate"])
+    cdim = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    )
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cdim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+            ).alias("revenue_dec")
+        )
+        .orderBy(F.desc("revenue_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H q13): LEFT join so
+    zero-order customers land in the c_count=0 bucket, then a tiny
+    second-level agg.  The first groupBy carries partial counts map-side;
+    the second is ~dozens of groups."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.select("c_custkey")
+        .join(o.select("o_custkey", "o_orderkey"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H q14): promo revenue share for one ship
+    month.  Both sums accumulate in DECIMAL so the double division at the
+    end is a single deterministic op on engine-identical operands."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-06-01 00:00:00").cast(dict(l.dtypes)["l_shipdate"])
+    hi = F.lit("1997-07-01 00:00:00").cast(dict(l.dtypes)["l_shipdate"])
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+    agged = (
+        l.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(p.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(27,6)"))).alias("promo_dec"),
+            F.sum(disc).alias("total_dec"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return agged.select(
+        F.round(F.lit(100.0) * (F.col("promo_dec").cast("double") / F.col("total_dec").cast("double")), 4).alias("promo_pct"),
+        F.col("total_dec").cast("double").alias("total_revenue"),
+        "n_items",
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H q15).  The per-supplier agg
+    reduces the fact to ≤|supplier| rows BEFORE the global-max window runs,
+    so the single-partition window sees only the reduced set; revenue is
+    DECIMAL-exact so the max (and any ties) is engine-stable."""
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast(dict(l.dtypes)["l_shipdate"])
+    hi = F.lit("1997-04-01 00:00:00").cast(dict(l.dtypes)["l_shipdate"])
+    rev = (
+        l.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+            ).alias("revenue_dec")
+        )
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        rev.withColumn("max_dec", F.max("revenue_dec").over(w))
+        .filter(F.col("revenue_dec") == F.col("max_dec"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("revenue_dec").cast("double").alias("total_revenue"))
+    )
+
+
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H q17 adapted: brand-only filter,
+    no p_container in the testdata).  The correlated per-part avg is a
+    window over the already-filtered brand slice — no second scan, no
+    self-join.  The 0.2·avg predicate is algebraically cleared of division
+    (qty·5·cnt < Σqty): quantities are integral, so both engines compare
+    exact integers in doubles — no float-boundary flakiness."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    li = l.join(
+        F.broadcast(p.filter(F.col("p_brand") == "Brand#23").select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    li = li.withColumn("sum_qty", F.sum("l_quantity").over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(w)
+    )
+    return (
+        li.filter(F.col("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(_dsum(F.col("l_extendedprice")) / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H q18): orders whose total quantity
+    exceeds 300.  The HAVING reduces lineitem to a handful of orderkeys
+    before any wide join; quantity sums are integral doubles (exact at any
+    parallelism)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H q19 adapted to available part columns):
+    OR-of-ANDs predicate over three brand/size/quantity bands.  The
+    disjunction references only join-side columns, so Catalyst keeps the
+    part filter (size ≤ 15 ∪ brands) partially pushable and evaluates the
+    residual post-join in codegen — no UDF, no triple scan."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    joined = l.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(band).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H q22 adapted: nation in place of the
+    absent phone cntrycode): rich customers (balance above the
+    positive-balance mean) with no order since 2000-01-01, counted per
+    nation.  (The classic "no orders at all" is empty on this data — every
+    customer orders — so dormancy is anchored to a recency cutoff.)  Balances
+    go through integer cents (round(bal·100)) so the mean-comparison and
+    the sums are exact integer arithmetic in both engines; the threshold
+    compare is division-free (cents·cnt > Σcents).  The anti join is the
+    NOT EXISTS; the stats row is a broadcast cross join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    cust = c.select("c_custkey", "c_nationkey", "c_acctbal", cents.alias("bal_cents"))
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum("bal_cents").alias("sum_cents"), F.count(F.lit(1)).alias("n_pos")
+    )
+    cutoff = F.lit("2000-01-01 00:00:00").cast(dict(o.dtypes)["o_orderdate"])
+    recent = o.filter(F.col("o_orderdate") >= cutoff).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_cents") / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
 # --- Relational / behavioral analytics (beyond-reference, SURVEY §2.4 note) --
 
 
@@ -545,6 +811,15 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q5_region_revenue": tpch_q5,
     "tpch_q6_forecast_revenue": tpch_q6,
     "tpch_q4_priority_returns": tpch_q4_like,
+    "tpch_q7_nation_volume": tpch_q7_nation_volume,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q13_order_distribution": tpch_q13_order_distribution,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q17_small_qty_revenue": tpch_q17_small_qty_revenue,
+    "tpch_q18_large_volume": tpch_q18_large_volume,
+    "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
+    "tpch_q22_dormant_customers": tpch_q22_dormant_customers,
     "orders_without_lineitems": orders_without_lineitems,
     "asof_last_purchase": asof_last_purchase_q,
     "user_sessions": user_sessions_q,
