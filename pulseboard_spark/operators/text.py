@@ -100,6 +100,52 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def top_terms_per_lang(documents: DataFrame, n: int = 10) -> DataFrame:
+    """Top-N terms per language by occurrence count (ties → lexicographic).
+
+    The 100 TB wordcount shape: explode term tokens, two-level aggregate
+    (the (lang, term) groupBy partial-aggregates map-side so the shuffle
+    carries one row per distinct term per partition, not one per token),
+    then a per-lang rank over the tiny aggregated set.  Term cardinality,
+    not corpus size, bounds the window input."""
+    from pulseboard_spark.operators.relational import top_n_per_group
+
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    counts = (
+        documents.select("lang", F.explode(toks).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    ranked = top_n_per_group(
+        counts, ["lang"], F.col("n_occurrences"), n, tiebreak=["term"]
+    )
+    return ranked.select("lang", "term", "n_occurrences", F.col("rnk").cast("int").alias("rnk"))
+
+
+def term_df_idf(documents: DataFrame) -> DataFrame:
+    """Corpus vocabulary statistics: per term, document frequency (distinct
+    docs containing it), total occurrences, and idf = ln(N/df) rounded to 4
+    decimals.  df comes from an exploded DISTINCT (doc_id, term) pass —
+    partial-distinct runs map-side, so the shuffle is bounded by per-doc
+    vocabulary, and no count-distinct state survives the agg."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    exploded = documents.select("doc_id", F.explode(toks).alias("term"))
+    per_term = exploded.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    total = documents.agg(F.count(F.lit(1)).alias("corpus_docs"))
+    return (
+        per_term.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "doc_freq",
+            "n_occurrences",
+            F.round(F.log(F.col("corpus_docs").cast("double") / F.col("doc_freq")), 4).alias("idf"),
+        )
+    )
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Content fingerprint: exact hash + min-shingle hash (winnowing-lite)
     + distinct-shingle cardinality.  Pairs with operators/dedup.py."""

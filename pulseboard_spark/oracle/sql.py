@@ -879,6 +879,39 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY o_orderpriority
 """
 
+ORACLE_SQL["top_terms_per_lang"] = """
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM toks GROUP BY lang, term
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY lang ORDER BY n_occurrences DESC, term) AS INT) AS rnk
+  FROM counts
+)
+SELECT lang, term, n_occurrences, rnk FROM ranked WHERE rnk <= 10
+"""
+
+ORACLE_SQL["term_df_idf"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+per_term AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM toks GROUP BY term
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS corpus_docs FROM documents)
+SELECT term, doc_freq, n_occurrences,
+       round(ln(CAST(corpus_docs AS DOUBLE) / doc_freq), 4) AS idf
+FROM per_term, total
+"""
+
 ORACLE_SQL["tpch_q7_nation_volume"] = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        year(l_shipdate) AS l_year,

@@ -790,6 +790,14 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(_docs(spark, sf_dir))
 
 
+def top_terms_per_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.top_terms_per_lang(_docs(spark, sf_dir))
+
+
+def term_df_idf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.term_df_idf(_docs(spark, sf_dir))
+
+
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.synth_media(_docs(spark, sf_dir)))
 
@@ -864,6 +872,8 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": lang_id_q,
     "token_stats": token_stats_q,
     "doc_fingerprint": doc_fingerprint_q,
+    "top_terms_per_lang": top_terms_per_lang_q,
+    "term_df_idf": term_df_idf_q,
     "multimodal_features": multimodal_features_q,  # mapInPandas — rows-only check
     "resize_media": resize_media_q,
     "frame_sample_plan": frame_sample_plan_q,
