@@ -879,6 +879,27 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY o_orderpriority
 """
 
+ORACLE_SQL["doc_hash_sample"] = """
+SELECT doc_id, lang, source,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT) AS bucket
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 < 10
+"""
+
+ORACLE_SQL["stratified_doc_sample"] = """
+WITH hashed AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, lang, rnk FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rnk
+  FROM hashed
+)
+WHERE rnk <= 20
+"""
+
 ORACLE_SQL["top_terms_per_lang"] = """
 WITH toks AS (
   SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term

@@ -790,6 +790,24 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(_docs(spark, sf_dir))
 
 
+def doc_hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample — a pure filter, no shuffle."""
+    from pulseboard_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), "doc_id", 10).select(
+        "doc_id", "lang", "source", "bucket"
+    )
+
+
+def stratified_doc_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20-docs-per-language budget via hash-ordered heads."""
+    from pulseboard_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), "lang", "doc_id", 20).select(
+        "doc_id", "lang", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
 def top_terms_per_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.top_terms_per_lang(_docs(spark, sf_dir))
 
@@ -874,6 +892,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": doc_fingerprint_q,
     "top_terms_per_lang": top_terms_per_lang_q,
     "term_df_idf": term_df_idf_q,
+    "doc_hash_sample": doc_hash_sample_q,
+    "stratified_doc_sample": stratified_doc_sample_q,
     "multimodal_features": multimodal_features_q,  # mapInPandas — rows-only check
     "resize_media": resize_media_q,
     "frame_sample_plan": frame_sample_plan_q,
