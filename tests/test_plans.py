@@ -76,3 +76,53 @@ def test_profile_aggs_prune_text(spark, sf_dir):
 def test_top20_is_takeordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "top20_profiles")
     assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
+
+
+def _shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan))
+
+
+def test_q7_one_fact_shuffle(spark, sf_dir):
+    """q7: dims broadcast; at most the fact join + final agg shuffle."""
+    plan = _plan(spark, sf_dir, "tpch_q7_nation_volume")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "shipdate filter must reach the scan"
+    assert _shuffles(plan) <= 2
+    assert not PY_NODES.search(plan)
+
+
+def test_q10_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan, "returnflag filter must reach the scan"
+
+
+def test_q19_disjunction_stays_codegen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q19_discounted_revenue")
+    assert not PY_NODES.search(plan)
+    assert _shuffles(plan) <= 1, "broadcast dim + single final agg"
+
+
+def test_q22_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q22_dormant_customers")
+    assert "LeftAnti" in plan, "NOT EXISTS must plan as an anti join"
+    assert "GreaterThanOrEqual(o_orderdate" in plan, "recency filter must reach the orders scan"
+
+
+def test_hash_sample_no_shuffle(spark, sf_dir):
+    """Deterministic sampling is a pure narrow filter below the
+    parallelism repartition — no hash/range shuffle anywhere."""
+    plan = _plan(spark, sf_dir, "doc_hash_sample")
+    assert _shuffles(plan) == 0
+    assert "Filter" in plan and plan.index("Filter") > plan.index("RoundRobin"), \
+        "filter must sit below the repartition (evaluated before the exchange)"
+
+
+def test_stratified_sample_one_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stratified_doc_sample")
+    assert _shuffles(plan) == 1, "one stratum shuffle feeds the rank window"
+
+
+def test_top_terms_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_terms_per_lang")
+    assert plan.count("HashAggregate") >= 2, "term counts must partial-aggregate map-side"
+    assert not PY_NODES.search(plan)
