@@ -94,18 +94,30 @@ def r3_geo_device_eval(entity: DataFrame) -> DataFrame:
     event within 2 minutes carrying a different geo or device tag
     (`core/Rules.kt:98-154`).  Severity is constant MEDIUM.
 
-    Physical shape: a time-bounded self-join on entity_id.  Both sides
-    shuffle-partition on the key once; the time predicate keeps the join
-    selective.  Returns only fired rows (one per event, aggregated over its
-    conflicting predecessors, keeping the latest conflicting value per
-    dimension).
+    Physical shape: a RANGE-BUCKETED self-join — the standard interval-join
+    decomposition.  A plain equi-join on entity_id alone makes the time
+    predicate a post-join filter, so the engine materializes |events/entity|²
+    pairs per entity before filtering (quadratic in per-key density; fatal
+    for hot entities at 100 TB).  Instead both sides also equi-join on a
+    2-minute bucket: each candidate predecessor is advertised at its own
+    bucket and the next one, so every trailing-2-min pair lands in exactly
+    one (entity_id, bucket) match and fan-out is bounded by per-bucket
+    density, not total per-entity history.  The exact time + tie predicate
+    remains as the residual filter; results are identical to the naive
+    join (pinned by the DuckDB oracle).
     """
-    e1 = entity.alias("e1")
-    e2 = entity.alias("e2")
+    bucket_us = 120 * 1_000_000
+    e1 = entity.withColumn("__bkt", (F.col("ts_us") / bucket_us).cast("long")).alias("e1")
+    b2 = (F.col("ts_us") / bucket_us).cast("long")
+    e2 = (
+        entity.withColumn("__bkt", F.explode(F.array(b2, b2 + 1)))
+        .alias("e2")
+    )
     joined = e1.join(
         e2,
         (F.col("e1.entity_id") == F.col("e2.entity_id"))
-        & (F.col("e2.ts_us") >= F.col("e1.ts_us") - 120 * 1_000_000)
+        & (F.col("e1.__bkt") == F.col("e2.__bkt"))
+        & (F.col("e2.ts_us") >= F.col("e1.ts_us") - bucket_us)
         & (
             (F.col("e2.ts_us") < F.col("e1.ts_us"))
             | (
