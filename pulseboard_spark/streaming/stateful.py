@@ -1,19 +1,22 @@
 """Custom stateful streaming operators: the per-key logic Spark's built-in
 windowed aggregations can't express.
 
-Two operators, both ``applyInPandasWithState`` (Arrow-batched keyed state):
+All operators here are ``applyInPandasWithState`` (Arrow-batched keyed
+state):
 
 * :func:`alert_rules_stateful` — the streaming twin of the reference's
   WindowStore + Rules loop (`ingest/Processor.kt:79-128`): per
   (entity_id, type) it keeps the trailing point buffer + EWMA state and
-  evaluates R1/R2/R4 per arriving event, plus R3 over a 2-minute
-  tag-carrying buffer per entity.  Exactly the batch semantics
+  evaluates R1/R2/R4 per arriving event.  Exactly the batch semantics
   (operators/rules.py) when events arrive in event-time order — the
   equivalence is pinned by tests/test_streaming.py.
 
-* :func:`segment_diff_stateful` — G4: remembered previous membership per
-  profile, emitting ENTER/EXIT rows on change
-  (`cdp/segments/SegmentEngine.kt:79-119`).
+* :func:`r3_stateful` — R3 keyed by entity_id (the rule spans event
+  types): a 2-minute tag-carrying predecessor buffer per entity.
+
+* :func:`profile_apply_stateful` / :func:`segment_diff_stateful` /
+  :func:`reengage_stateful` — the CDP apply loop, G4 membership diff
+  (`cdp/segments/SegmentEngine.kt:79-119`), and the W10 inactivity timer.
 
 State is bounded: point buffers prune to the largest rule window (1 h;
 reference horizon is 5 m — `core/WindowStore.kt:46-49` — we keep 1 h
@@ -185,6 +188,108 @@ def alert_rules_stateful(entity_stream: DataFrame, set_watermark: bool = True) -
             _eval_rules,
             outputStructType=ALERT_SCHEMA,
             stateStructType=_RULE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+R3_SCHEMA = (
+    "event_id bigint, entity_id string, type string, profile string, ts_ms bigint, "
+    "current_geo string, current_device string, geo_conflict boolean, "
+    "device_conflict boolean, prev_geo string, prev_device string, "
+    "n_conflicts bigint, severity string"
+)
+# geo/device may be absent on buffered events; state arrays can't hold nulls
+# portably, so absence is encoded as "" (tags are never empty strings).
+_R3_STATE_SCHEMA = (
+    "ts_us array<long>, event_id array<long>, geo array<string>, device array<string>"
+)
+_R3_WINDOW_US = 120 * US
+
+
+def _eval_r3(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per entity_id: the streaming twin of rules.r3_geo_device_eval — each
+    event checked against its trailing-2-minute predecessors' geo/device
+    tags, including predecessors from earlier micro-batches (kept in keyed
+    state, pruned to the window relative to the newest event).  Same
+    tie-break as batch: among conflicting predecessors the one with the
+    greatest (ts, event_id) supplies prev_geo/prev_device."""
+    (entity_id,) = key
+    if state.exists:
+        ts_l, eid_l, geo_l, dev_l = state.get
+        buf = [
+            (t, e, g or None, d or None)
+            for t, e, g, d in zip(ts_l, eid_l, geo_l, dev_l)
+        ]
+    else:
+        buf = []
+
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_us", "event_id"], kind="mergesort"
+    )
+    rows: list[tuple] = []
+    for r in batch.itertuples(index=False):
+        t, eid = int(r.ts_us), int(r.event_id)
+        geo = r.geo if isinstance(r.geo, str) else None
+        dev = r.device if isinstance(r.device, str) else None
+        lo = t - _R3_WINDOW_US
+        best_geo = best_dev = None  # (ts, eid, value) of latest conflicting pred
+        n_conf = 0
+        for pt, pe, pg, pdv in buf:
+            if pt < lo or pt > t or (pt == t and pe >= eid):
+                continue
+            g_conf = geo is not None and pg is not None and pg != geo
+            d_conf = dev is not None and pdv is not None and pdv != dev
+            if not (g_conf or d_conf):
+                continue
+            n_conf += 1
+            if g_conf and (best_geo is None or (pt, pe) > best_geo[:2]):
+                best_geo = (pt, pe, pg)
+            if d_conf and (best_dev is None or (pt, pe) > best_dev[:2]):
+                best_dev = (pt, pe, pdv)
+        if n_conf:
+            rows.append(
+                (
+                    eid, entity_id, r.type, r.profile, int(r.ts_ms),
+                    geo, dev, best_geo is not None, best_dev is not None,
+                    best_geo[2] if best_geo else None,
+                    best_dev[2] if best_dev else None,
+                    n_conf, "MEDIUM",
+                )
+            )
+        buf.append((t, eid, geo, dev))
+
+    newest = max(t for t, _, _, _ in buf) if buf else 0
+    buf = [b for b in buf if b[0] >= newest - _R3_WINDOW_US]
+    state.update((
+        [b[0] for b in buf],
+        [b[1] for b in buf],
+        [b[2] or "" for b in buf],
+        [b[3] or "" for b in buf],
+    ))
+    cols = [
+        "event_id", "entity_id", "type", "profile", "ts_ms",
+        "current_geo", "current_device", "geo_conflict", "device_conflict",
+        "prev_geo", "prev_device", "n_conflicts", "severity",
+    ]
+    yield pd.DataFrame(rows, columns=cols)
+
+
+def r3_stateful(entity_stream: DataFrame, set_watermark: bool = True) -> DataFrame:
+    """Streaming R3 geo/device-mismatch alerts, keyed by entity_id (R3 spans
+    event types, so it cannot share alert_rules_stateful's (entity_id, type)
+    grouping).  Input needs: entity_id, type, profile, ts (timestamp),
+    ts_us, ts_ms, event_id, geo, device."""
+    if set_watermark:
+        entity_stream = entity_stream.withWatermark("ts", "120 seconds")
+    return (
+        entity_stream
+        .groupBy("entity_id")
+        .applyInPandasWithState(
+            _eval_r3,
+            outputStructType=R3_SCHEMA,
+            stateStructType=_R3_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -288,3 +288,41 @@ def test_entity_alert_stream_facade(spark, sf_dir, entity_chunks_dir):
     batch = rules.alerts(entity_events(spark, sf_dir)).filter(F.col("rule") != "R3_GEO_DEVICE_MISMATCH")
     want = {tuple(r) for r in batch.collect()}
     assert got == want
+
+
+def test_r3_stateful_matches_batch(spark, sf_dir, entity_chunks_dir):
+    """Streaming R3 (per-entity 2-min tag buffer in keyed state) emits
+    exactly the batch r3_geo_device_eval rows on an in-order replay."""
+    from pulseboard_spark.streaming.stateful import r3_stateful
+
+    out, schema = entity_chunks_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{out}/chunk=*")
+    )
+    q = (
+        r3_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stream_r3")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM stream_r3").collect()}
+    want = {
+        tuple(r)
+        for r in rules.r3_geo_device_eval(entity_events(spark, sf_dir))
+        .select(
+            "event_id", "entity_id", "type", "profile", "ts_ms",
+            "current_geo", "current_device", "geo_conflict", "device_conflict",
+            "prev_geo", "prev_device", "n_conflicts",
+        )
+        .withColumn("severity", F.lit("MEDIUM"))
+        .collect()
+    }
+    missing, extra = want - got, got - want
+    assert not missing and not extra, f"missing={list(missing)[:3]} extra={list(extra)[:3]}"
