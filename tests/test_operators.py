@@ -231,3 +231,45 @@ def test_sessionize_gap_boundary(spark):
     out = sessionize(ev, gap_ms=1000).orderBy("session_start_ms").collect()
     assert [r["n_events"] for r in out] == [2, 1]
     assert out[0]["session_end_ms"] == 1000 and out[1]["session_start_ms"] == 2001
+
+
+class TestExtensions:
+    """UDF extension registry (SURVEY §2.8): pandas UDFs are the default
+    path, scalar UDFs the flagged slow path; both usable from DataFrame
+    and SQL after install()."""
+
+    def test_pandas_and_scalar_roundtrip(self, spark):
+        from pulseboard_spark.functions import extensions as X
+
+        @X.register_pandas("px_double", "double")
+        def px_double(s):
+            return s * 2.0
+
+        @X.register_scalar("px_shout", "string")
+        def px_shout(s):
+            return None if s is None else s.upper()
+
+        names = X.install(spark)
+        assert {"px_double", "px_shout"} <= set(names)
+
+        df = spark.createDataFrame([(1.5, "a"), (2.0, "b")], "v double, s string")
+        got = df.select(
+            X.get("px_double")("v").alias("d"), X.get("px_shout")("s").alias("u")
+        ).collect()
+        assert [(r.d, r.u) for r in got] == [(3.0, "A"), (4.0, "B")]
+
+        df.createOrReplaceTempView("px_in")
+        got_sql = spark.sql(
+            "SELECT px_double(v) AS d, px_shout(s) AS u FROM px_in ORDER BY d"
+        ).collect()
+        assert [(r.d, r.u) for r in got_sql] == [(3.0, "A"), (4.0, "B")]
+
+    def test_plans_distinguish_vectorized(self, spark):
+        from pulseboard_spark.functions import extensions as X
+
+        df = spark.range(10).select(F.col("id").cast("double").alias("v"), F.col("id").cast("string").alias("s"))
+        vec_plan = df.select(X.get("px_double")("v"))._jdf.queryExecution().executedPlan().toString()
+        row_plan = df.select(X.get("px_shout")("s"))._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in vec_plan, "pandas UDF must be Arrow-vectorized"
+        assert "BatchEvalPython" in row_plan, "scalar UDF is the row-at-a-time slow path"
+        assert "slow" in X.describe()["px_shout"] or "vectorize" in X.describe()["px_shout"]
