@@ -1262,3 +1262,82 @@ SELECT type, n_events, n_values,
        min_value, max_value, median_value, p90_value
 FROM per_type
 """
+
+ORACLE_SQL["tpch_q8_market_share"] = """
+WITH vols AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_0' THEN volume ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+       CAST(sum(volume) AS DOUBLE) AS total_volume,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM vols GROUP BY o_year
+"""
+
+ORACLE_SQL["tpch_q9_product_profit"] = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
+                - CAST(0.1 * p_retailprice * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_profit,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+ORACLE_SQL["tpch_q12_late_shipments"] = """
+SELECT year(l_shipdate) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+ORACLE_SQL["tpch_q16_supplier_variety"] = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["tpch_q21_fault_attribution"] = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret
+  FROM lineitem GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(has_ret) AS n_ret
+  FROM per GROUP BY 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON per.l_suppkey = s_suppkey
+WHERE per.has_ret = 1 AND per_order.n_supp >= 2 AND per_order.n_ret = 1
+  AND EXISTS (SELECT 1 FROM orders WHERE o_orderkey = per.l_orderkey AND o_orderstatus = 'F')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""

@@ -445,6 +445,165 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H q8): NATION_0's share of STANDARD-part
+    revenue delivered into AMERICA, by order year.  Five dimension joins all
+    broadcast (region→nation→customer collapses to a custkey set ≪ fact;
+    supplier-nation and the filtered part list are tiny), so the only
+    shuffles are lineitem ⋈ orders on orderkey and the 2-group final agg.
+    Share = decimal-exact conditional sum ÷ decimal-exact total, one double
+    division at the end."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    lo = F.lit("1996-01-01 00:00:00").cast(dict(o.dtypes)["o_orderdate"])
+    hi = F.lit("1998-01-01 00:00:00").cast(dict(o.dtypes)["o_orderdate"])
+    amer_cust = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.filter(F.col("r_name") == "AMERICA")), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey")
+    )
+    supp = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+    zero = F.lit(0).cast("decimal(27,6)")
+    return (
+        l.join(
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(amer_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(p.filter(F.col("p_type") == "STANDARD").select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_0", vol).otherwise(zero)).alias("nation_dec"),
+            F.sum(vol).alias("total_dec"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nation_dec").cast("double") / F.col("total_dec").cast("double"), 6).alias("mkt_share"),
+            F.col("total_dec").cast("double").alias("total_volume"),
+            "n_items",
+        )
+    )
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H q9 adapted: no partsupp/ps_supplycost in
+    the testdata, so cost is proxied as 10% of retail price per unit —
+    amount = extprice·(1−disc) − 0.1·retail·qty).  Widget parts only
+    (q9's p_name LIKE filter).  Both product terms go through
+    DECIMAL(27,6) before the subtraction so partition order can't move the
+    result; part is a broadcast filter, supplier-nation a broadcast map."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    supp = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    parts = p.filter(F.col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)") - (
+        F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(27,6)")
+    return (
+        l.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(amount).cast("double").alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority (TPC-H q12 adapted: no l_shipmode /
+    l_commitdate in the testdata, so "late" = shipped more than 90 days
+    after the order date, grouped by ship year).  One shuffle join on
+    orderkey; the priority split is a conditional integer count — exact at
+    any parallelism."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.select("l_orderkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H q16 adapted: lineitem stands in
+    for the absent partsupp; "complaint" suppliers are those with negative
+    balance).  Exercises distinct aggregation after a broadcast anti join —
+    the (brand,type,size,suppkey) distinct happens partially map-side via
+    the two-phase distinct-agg plan."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    parts = p.filter(F.col("p_brand") != "Brand#1").select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def tpch_q21_fault_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H q21 adapted: no
+    receipt/commit dates, so the "at fault" signal is a returned lineitem —
+    suppliers who were the ONLY supplier with returns on a multi-supplier
+    finished order).  The classic EXISTS/NOT-EXISTS pair collapses into one
+    per-(order,supplier) aggregate plus a per-order rollup: both group on
+    l_orderkey, so the second agg and the self-join reuse the first
+    shuffle's partitioning (no extra exchange)."""
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    per = (
+        l.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_ret"))
+    )
+    per_order = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("has_ret").alias("n_ret")
+    )
+    return (
+        per.join(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1)), "l_orderkey")
+        .filter(F.col("has_ret") == 1)
+        .join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
 # --- Relational / behavioral analytics (beyond-reference, SURVEY §2.4 note) --
 
 
@@ -846,6 +1005,11 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q18_large_volume": tpch_q18_large_volume,
     "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
     "tpch_q22_dormant_customers": tpch_q22_dormant_customers,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q9_product_profit": tpch_q9_product_profit,
+    "tpch_q12_late_shipments": tpch_q12_late_shipments,
+    "tpch_q16_supplier_variety": tpch_q16_supplier_variety,
+    "tpch_q21_fault_attribution": tpch_q21_fault_attribution,
     "orders_without_lineitems": orders_without_lineitems,
     "asof_last_purchase": asof_last_purchase_q,
     "user_sessions": user_sessions_q,
