@@ -575,22 +575,27 @@ def tpch_q21_fault_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     receipt/commit dates, so the "at fault" signal is a returned lineitem —
     suppliers who were the ONLY supplier with returns on a multi-supplier
     finished order).  The classic EXISTS/NOT-EXISTS pair collapses into one
-    per-(order,supplier) aggregate plus a per-order rollup: both group on
-    l_orderkey, so the second agg and the self-join reuse the first
-    shuffle's partitioning (no extra exchange)."""
+    per-(order,supplier) aggregate plus an order-level window: an explicit
+    repartition on l_orderkey satisfies BOTH the (orderkey,suppkey) groupBy
+    (clustering on a prefix co-locates the full key) and the per-order
+    window, so the fact is scanned once and shuffled once — the naive
+    agg-then-self-join form scans and shuffles lineitem twice."""
+    from pyspark.sql import Window
+
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     per = (
-        l.groupBy("l_orderkey", "l_suppkey")
+        l.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_ret"))
     )
-    per_order = per.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("has_ret").alias("n_ret")
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        per.join(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1)), "l_orderkey")
-        .filter(F.col("has_ret") == 1)
+        per.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_ret", F.sum("has_ret").over(w))
+        .filter((F.col("has_ret") == 1) & (F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
         .join(
             o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),

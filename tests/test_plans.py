@@ -126,3 +126,37 @@ def test_top_terms_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "top_terms_per_lang")
     assert plan.count("HashAggregate") >= 2, "term counts must partial-aggregate map-side"
     assert not PY_NODES.search(plan)
+
+def test_q8_semi_prune_broadcasts(spark, sf_dir):
+    """q8: region/part prune via broadcast LEFT SEMI (no row widening);
+    only the fact⋈orders join and the final agg shuffle."""
+    plan = _plan(spark, sf_dir, "tpch_q8_market_share")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert _shuffles(plan) <= 2
+    assert not PY_NODES.search(plan)
+
+
+def test_q12_late_predicate_post_join(spark, sf_dir):
+    """q12: the l_shipdate > o_orderdate + 90d predicate spans both sides,
+    so it evaluates post-join in codegen; no Python, ≤2 shuffles."""
+    plan = _plan(spark, sf_dir, "tpch_q12_late_shipments")
+    assert _shuffles(plan) <= 2
+    assert not PY_NODES.search(plan)
+
+
+def test_q16_distinct_after_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q16_supplier_variety")
+    assert "LeftAnti" in plan, "NOT IN must plan as a broadcast anti join"
+    assert "BroadcastHashJoin" in plan
+    assert not PY_NODES.search(plan)
+
+
+def test_q21_reuses_orderkey_exchange(spark, sf_dir):
+    """q21: the per-(order,supplier) agg and the per-order rollup both hash
+    on l_orderkey — the rollup and self-join must ride the first shuffle
+    (ReusedExchange or AQE equivalent), not re-shuffle the fact."""
+    plan = _plan(spark, sf_dir, "tpch_q21_fault_attribution")
+    assert "TakeOrderedAndProject" in plan, "top-100 must not be a global sort"
+    fact_shuffles = len(re.findall(r"Exchange hashpartitioning\(l_orderkey", plan))
+    reused = "ReusedExchange" in plan
+    assert reused or fact_shuffles <= 2, plan[:2000]
