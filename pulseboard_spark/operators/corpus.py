@@ -1,0 +1,137 @@
+"""Corpus-construction operators for LLM training-data pipelines.
+
+Beyond-reference surface (north star): the steps between "raw documents"
+and "training batches" that the dedup/similarity/text modules don't cover:
+
+* :func:`pack_documents` — concat-then-chunk sequence packing: assign each
+  document its position in a stream of fixed-size token windows (what a
+  pretraining loader does when it concatenates docs and slices context
+  windows).  Packing is per-``source`` shard, so the window never sees more
+  than one shard's rows — one shuffle on the shard key, no global order.
+* :func:`scrub_pii` — regex redaction of emails / phones / URLs with
+  per-doc redaction counts.  Patterns are character-class-only (no
+  backrefs/lookahead), so Java regex (Spark) and RE2 (DuckDB) agree.
+* :func:`weighted_sample` — per-row deterministic keep/drop where the keep
+  percentage is a *column* (mixture weights by source/domain/quality tier).
+  Same stable-hash contract as operators/sampling.py: a narrow filter, no
+  shuffle, decisions never change as the corpus grows.
+* :func:`decontaminate` — benchmark-overlap check: flag training docs that
+  share any word n-gram shingle with a held-out evaluation set.  The join
+  is on the shingle string (shuffle bounded by distinct-shingle mass; the
+  eval side is a few % of the corpus and broadcasts at moderate scale).
+
+All JVM-side (no UDFs); every output is mirrored verbatim in the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pulseboard_spark.operators.dedup import shingles
+from pulseboard_spark.operators.sampling import hash_bucket
+
+PACK_BUDGET = 2048
+
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+URL_RE = "https?://[a-z0-9./_-]+"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def _word_count(text_col: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), F.lit(0))).cast("long")
+
+
+def pack_documents(
+    documents: DataFrame, budget: int = PACK_BUDGET, shard: str = "source"
+) -> DataFrame:
+    """Sequence packing: documents are concatenated in doc_id order within
+    each shard and sliced into ``budget``-token windows; each doc reports
+    the window it starts in, its offset there, and the window it ends in
+    (docs longer than the remaining window span chunks — exactly how a
+    concat-and-chunk loader behaves).
+
+    The running sum is a per-shard window frame: hash-partition on the
+    shard key once, ordered scan within — at 100 TB each shard packs
+    independently, so parallelism = shard count and no global sort exists.
+    """
+    n_tok = _word_count(F.col("text"))
+    w = (
+        Window.partitionBy(shard)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return (
+        documents.select("doc_id", shard, n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", cum)
+        .select(
+            "doc_id",
+            shard,
+            "n_tokens",
+            "cum_tokens",
+            F.floor(start / budget).cast("int").alias("pack_id"),
+            (start % budget).cast("int").alias("pack_offset"),
+            F.floor((cum - 1) / budget).cast("int").alias("pack_end"),
+        )
+    )
+
+
+def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails → <EMAIL>, URLs → <URL>, phones → <PHONE> (in that
+    order) and count each kind.  Counting happens before redaction on the
+    original text; all three passes are codegen'd JVM regex — the 100 TB
+    cost is one streaming pass over the text bytes, no shuffle at all."""
+    t = F.col(text_col)
+    n = lambda pat: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")  # noqa: E731
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return documents.select(
+        "doc_id",
+        n(EMAIL_RE).alias("n_emails"),
+        n(URL_RE).alias("n_urls"),
+        n(PHONE_RE).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
+def weighted_sample(df: DataFrame, key: str, pct_col: Column) -> DataFrame:
+    """Deterministic mixture sampling: keep a row iff its stable hash
+    bucket < ``pct_col`` (a per-row expression — e.g. a per-source weight).
+    Narrow filter, zero shuffle; re-running on a grown corpus keeps every
+    previously-kept row (stable sampling)."""
+    return df.withColumn("target_pct", pct_col.cast("int")).filter(
+        hash_bucket(F.col(key)) < F.col("target_pct")
+    )
+
+
+def decontaminate(
+    documents: DataFrame, eval_bucket_min: int = 95, n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: the top (100−eval_bucket_min)% of docs by
+    stable doc_id hash form the held-out eval set; a training doc is
+    contaminated if it shares any word ``n``-gram shingle with any eval
+    doc.  Returns contaminated training docs with their shared-shingle
+    count.
+
+    Shape: shingle both sides (map-side explode), distinct eval shingles,
+    equi-join on the shingle string, count per training doc.  The eval
+    shingle set is a few percent of the corpus — Catalyst broadcasts it at
+    moderate scale; at 100 TB the join shuffles on the shingle hash, which
+    is the minimal-width key possible."""
+    tagged = documents.withColumn("bucket", hash_bucket(F.col("doc_id")))
+    train = tagged.filter(F.col("bucket") < eval_bucket_min)
+    evals = tagged.filter(F.col("bucket") >= eval_bucket_min)
+    train_sh = shingles(train.select("doc_id", "text"), n)
+    eval_sh = shingles(evals.select("doc_id", "text"), n).select("s").distinct()
+    return (
+        train_sh.join(eval_sh, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    )

@@ -1341,3 +1341,91 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+ORACLE_SQL["pack_documents"] = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       CAST(floor((cum_tokens - n_tokens) / 2048.0) AS INT) AS pack_id,
+       CAST((cum_tokens - n_tokens) % 2048 AS INT) AS pack_offset,
+       CAST(floor((cum_tokens - 1) / 2048.0) AS INT) AS pack_end
+FROM packed
+"""
+
+ORACLE_SQL["pii_scrub"] = """
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' see https://site.example.com/d/' || CAST(doc_id AS VARCHAR) ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, 'https?://[a-z0-9./_-]+')) AS BIGINT) AS n_urls,
+         CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             'https?://[a-z0-9./_-]+', '<URL>', 'g'),
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS s
+  FROM injected
+)
+SELECT doc_id, n_emails, n_urls, n_phones,
+       md5(s) AS scrubbed_hash, CAST(length(s) AS BIGINT) AS scrubbed_len
+FROM scrubbed
+"""
+
+ORACLE_SQL["corpus_mixture"] = """
+WITH weighted AS (
+  SELECT doc_id, source,
+         10 + (CAST(substr(source, 4) AS INT) % 3) * 20 AS target_pct,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT) AS bucket
+  FROM documents
+)
+SELECT source, CAST(target_pct AS INT) AS target_pct,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS realized_rate
+FROM weighted GROUP BY source, target_pct
+"""
+
+ORACLE_SQL["decontamination"] = """
+WITH tagged AS (
+  SELECT doc_id, text,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT) AS bucket
+  FROM documents
+),
+tr_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+    FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+          FROM tagged WHERE bucket < 95)
+  )
+),
+ev_sh AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+  FROM (
+    SELECT toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+    FROM (SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+          FROM tagged WHERE bucket >= 95)
+  )
+)
+SELECT tr_sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM tr_sh JOIN ev_sh USING (s)
+GROUP BY tr_sh.doc_id
+"""

@@ -18,7 +18,7 @@ from pulseboard_spark.session import tune
 from pulseboard_spark.sources.tables import cdp_events, entity_events, load_table
 from pulseboard_spark.functions.core import duck_round
 from pulseboard_spark.functions.ids import normalize_id
-from pulseboard_spark.operators import dedup, multimodal, relational, rules, sessions, similarity, text
+from pulseboard_spark.operators import corpus, dedup, multimodal, relational, rules, sessions, similarity, text
 from pulseboard_spark.operators.ewma import with_ewma
 from pulseboard_spark.operators.identity import (
     components_for,
@@ -993,6 +993,56 @@ def frame_sample_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(multimodal.synth_media(_docs(spark, sf_dir)))
 
 
+def pack_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.pack_documents(_docs(spark, sf_dir))
+
+
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus carries no natural PII, so the query injects a
+    deterministic synthetic email/URL/phone tail per doc (mirrored verbatim
+    in the oracle) and scrubs it — the operator under test is the redaction
+    pass, not the injection."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did,
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" see https://site.example.com/d/"), did),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" tel 555-010-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return corpus.scrub_pii(docs.withColumn("text", injected))
+
+
+def corpus_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture: per-source keep-rate 10/30/50% by source index mod
+    3; summary = per-source kept counts vs totals."""
+    docs = _docs(spark, sf_dir)
+    pct = F.lit(10) + (F.substring(F.col("source"), 4, 10).cast("int") % 3) * 20
+    kept = corpus.weighted_sample(docs, "doc_id", pct).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.first("target_pct").alias("target_pct")
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(kept, "source", "left").select(
+        "source",
+        F.coalesce("target_pct", F.lit(10) + (F.substring(F.col("source"), 4, 10).cast("int") % 3) * 20).alias("target_pct"),
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(F.coalesce("n_kept", F.lit(0)) / F.col("n_total"), 4).alias("realized_rate"),
+    )
+
+
+def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.decontaminate(_docs(spark, sf_dir))
+
+
 # --- Registry ----------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -1066,6 +1116,10 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": multimodal_features_q,  # mapInPandas — rows-only check
     "resize_media": resize_media_q,
     "frame_sample_plan": frame_sample_plan_q,
+    "pack_documents": pack_documents_q,
+    "pii_scrub": pii_scrub_q,
+    "corpus_mixture": corpus_mixture_q,
+    "decontamination": decontamination_q,
 }
 
 

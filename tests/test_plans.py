@@ -160,3 +160,16 @@ def test_q21_reuses_orderkey_exchange(spark, sf_dir):
     fact_shuffles = len(re.findall(r"Exchange hashpartitioning\(l_orderkey", plan))
     reused = "ReusedExchange" in plan
     assert reused or fact_shuffles <= 2, plan[:2000]
+
+def test_pack_documents_one_shard_shuffle(spark, sf_dir):
+    """Packing is one hash partition on the shard key; text never reaches
+    the window (pruned to the token count before the shuffle)."""
+    plan = _plan(spark, sf_dir, "pack_documents")
+    assert len(re.findall(r"Exchange hashpartitioning\(source", plan)) == 1
+    assert not PY_NODES.search(plan)
+
+
+def test_pii_scrub_zero_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pii_scrub")
+    assert _shuffles(plan) == 0, "redaction must be a pure narrow map"
+    assert not PY_NODES.search(plan)
