@@ -272,3 +272,39 @@ def with_dedup(events: DataFrame, key_cols: list[str] = ("event_id",)) -> DataFr
     """W1: duplicate eventIds dropped within the watermark TTL
     (`CdpEventProcessor.kt:181-187`; cache TTL ≈ watermark delay)."""
     return events.dropDuplicatesWithinWatermark(list(key_cols))
+
+
+def streaming_minute_counts(events: DataFrame, watermark: str = "120 seconds") -> DataFrame:
+    """A9 streaming twin (`core/StatsService.kt:19-55`): event-time 1-minute
+    tumbling counts — all built-in (windowed agg + watermark state
+    eviction), zero custom state.  Output: minute_ms, n_events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(F.unix_millis(F.col("w.start")).alias("minute_ms"), "n_events")
+    )
+
+
+def streaming_sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "120 seconds"
+) -> DataFrame:
+    """Gap-session streaming twin of ``operators/sessions.sessionize`` via
+    the built-in ``session_window`` — incremental session merge + watermark
+    eviction for free.  Boundary note: the built-in closes a session when
+    the gap is ≥ the threshold (half-open windows) while the batch operator
+    starts a new session only when strictly greater; the two agree on any
+    data without an exact-gap pair.  Output end is the LAST EVENT's window
+    end = last_ts + gap (Spark's convention); subtract the gap to compare
+    with the batch session_end_ms."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("entity_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "entity_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+            "n_events",
+        )
+    )

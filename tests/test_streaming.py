@@ -326,3 +326,68 @@ def test_r3_stateful_matches_batch(spark, sf_dir, entity_chunks_dir):
     }
     missing, extra = want - got, got - want
     assert not missing and not extra, f"missing={list(missing)[:3]} extra={list(extra)[:3]}"
+
+
+def test_streaming_minute_counts_match_batch(spark, sf_dir, entity_chunks_dir):
+    """Built-in windowed-agg twin (A9): complete-mode counts == batch
+    tumbling buckets."""
+    from pulseboard_spark.operators.windows import minute_counts
+    from pulseboard_spark.streaming.pipeline import streaming_minute_counts
+
+    out, schema = entity_chunks_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{out}/chunk=*")
+    )
+    q = (
+        streaming_minute_counts(stream)
+        .writeStream.format("memory")
+        .queryName("stream_minutes")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT minute_ms, n_events FROM stream_minutes").collect()}
+    want = {tuple(r) for r in minute_counts(entity_events(spark, sf_dir)).collect()}
+    assert got == want
+
+
+def test_streaming_sessions_match_batch(spark, sf_dir, entity_chunks_dir):
+    """Built-in session_window twin: same (entity, start, size) sessions as
+    the batch gaps-and-islands operator; built-in end = last_ts + gap."""
+    from pulseboard_spark.operators.sessions import sessionize
+    from pulseboard_spark.streaming.pipeline import streaming_sessions
+
+    out, schema = entity_chunks_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{out}/chunk=*")
+    )
+    q = (
+        streaming_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    gap_ms = 30 * 60 * 1000
+    got = {
+        (r.entity_id, r.session_start_ms, r.window_end_ms - gap_ms, r.n_events)
+        for r in spark.sql(
+            "SELECT entity_id, session_start_ms, window_end_ms, n_events FROM stream_sessions"
+        ).collect()
+    }
+    want = {
+        (r.entity_id, r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in sessionize(entity_events(spark, sf_dir)).collect()
+    }
+    assert got == want
