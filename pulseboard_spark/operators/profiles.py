@@ -36,45 +36,46 @@ def build_profiles(evprof: DataFrame) -> DataFrame:
     """
     okey = lww_order_key(F.col("ts_us"), F.col("event_id"))
 
-    ids = (
-        evprof.select("profile_id", F.col("nuser").alias("id"))
-        .unionByName(evprof.select("profile_id", F.col("nanon").alias("id")))
-        .unionByName(evprof.select("profile_id", F.col("nemail").alias("id")))
-        .filter(F.col("id").isNotNull())
+    # Pass 1 — every per-event concern in ONE grouped aggregation: LWW
+    # traits ride max_by with an ordering key that is null off IDENTIFY
+    # rows (max_by skips null orderings, = the old IDENTIFY-only groupBy),
+    # lastSeen is a plain max, and the 24 h counter is a conditional sum
+    # against the broadcast as-of row.  One shuffle on profile_id instead
+    # of three, and the silver table is scanned once here instead of 3×.
+    as_of = evprof.agg(F.max("ts_ms").alias("as_of_ms"))
+    cutoff = _bucket_ms(F.col("as_of_ms") - DAY_MS)
+    ident_okey = F.when(F.col("ctype") == "IDENTIFY", okey)
+    feat = (
+        (F.col("ctype") == "TRACK")
+        & (F.col("name") == "Feature Used")
+        & (_bucket_ms(F.col("ts_ms")) >= cutoff)
     )
+    per = (
+        evprof.crossJoin(F.broadcast(as_of))
+        .groupBy("profile_id")
+        .agg(
+            F.max_by("plan", ident_okey).alias("plan"),
+            F.max_by("country", ident_okey).alias("country"),
+            F.max("ts_ms").alias("last_seen_ms"),
+            F.sum(feat.cast("long")).cast("long").alias("feature_used_24h"),
+        )
+    )
+
+    # Pass 2 — identifier sets need the exploded (profile, id) grain: one
+    # explode over the three normalized id columns (a single scan, where a
+    # 3-way union re-derives the input three times).
+    ids = evprof.select(
+        "profile_id", F.explode(F.array("nuser", "nanon", "nemail")).alias("id")
+    ).filter(F.col("id").isNotNull())
     id_lists = ids.groupBy("profile_id").agg(
         F.array_sort(F.collect_set(F.when(F.col("id").startswith("user:"), F.col("id")))).alias("user_ids"),
         F.array_sort(F.collect_set(F.when(F.col("id").startswith("email:"), F.col("id")))).alias("emails"),
         F.array_sort(F.collect_set(F.when(F.col("id").startswith("anon:"), F.col("id")))).alias("anonymous_ids"),
     )
 
-    traits = (
-        evprof.filter(F.col("ctype") == "IDENTIFY")
-        .groupBy("profile_id")
-        .agg(
-            F.max_by("plan", okey).alias("plan"),
-            F.max_by("country", okey).alias("country"),
-        )
-    )
-
-    seen = evprof.groupBy("profile_id").agg(F.max("ts_ms").alias("last_seen_ms"))
-
-    as_of = evprof.agg(F.max("ts_ms").alias("as_of_ms"))
-    cutoff = _bucket_ms(F.col("as_of_ms") - DAY_MS)
-    counts = (
-        evprof.filter((F.col("ctype") == "TRACK") & (F.col("name") == "Feature Used"))
-        .crossJoin(F.broadcast(as_of))
-        .filter(_bucket_ms(F.col("ts_ms")) >= cutoff)
-        .groupBy("profile_id")
-        .agg(F.count(F.lit(1)).alias("feature_used_24h"))
-    )
-
-    return (
-        id_lists.join(traits, "profile_id", "left")
-        .join(seen, "profile_id")
-        .join(counts, "profile_id", "left")
-        .withColumn("feature_used_24h", F.coalesce(F.col("feature_used_24h"), F.lit(0)).cast("long"))
-    )
+    # Valid events carry ≥1 identifier (P1), so both sides hold exactly the
+    # profiles with any event — inner join, no null-padding needed.
+    return id_lists.join(per, "profile_id")
 
 
 def top20_summaries(profiles: DataFrame) -> DataFrame:
