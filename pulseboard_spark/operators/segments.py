@@ -49,32 +49,28 @@ def segment_membership(evprof: DataFrame, as_of_ms, segments: dict | None = None
     as_of = evprof.agg(as_of_ms.alias("as_of_ms"))
     e = evprof.crossJoin(F.broadcast(as_of)).filter(F.col("ts_ms") <= F.col("as_of_ms"))
 
-    seen = e.groupBy("profile_id").agg(
-        F.max("ts_ms").alias("last_seen_ms"), F.first("as_of_ms").alias("as_of_ms")
-    )
-    plans = (
-        e.filter(F.col("ctype") == "IDENTIFY")
-        .groupBy("profile_id")
-        .agg(F.max_by("plan", okey).alias("plan"))
-    )
+    # One grouped pass for every snapshot metric (same fusion as
+    # profiles.build_profiles): LWW plan via max_by with an off-IDENTIFY
+    # null ordering key, lastSeen as max, the 24 h Feature-Used counter as
+    # a conditional sum — one shuffle instead of three and one scan of the
+    # silver table per snapshot.
     cutoff = _bucket_ms(F.col("as_of_ms") - DAY_MS)
-    counts = (
-        e.filter(
-            (F.col("ctype") == "TRACK")
-            & (F.col("name") == "Feature Used")
-            & (_bucket_ms(F.col("ts_ms")) >= cutoff)
-        )
-        .groupBy("profile_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    ident_okey = F.when(F.col("ctype") == "IDENTIFY", okey)
+    feat = (
+        (F.col("ctype") == "TRACK")
+        & (F.col("name") == "Feature Used")
+        & (_bucket_ms(F.col("ts_ms")) >= cutoff)
+    )
+    per = e.groupBy("profile_id").agg(
+        F.max("ts_ms").alias("last_seen_ms"),
+        F.first("as_of_ms").alias("as_of_ms"),
+        F.max_by("plan", ident_okey).alias("plan"),
+        F.sum(feat.cast("long")).alias("cnt"),
     )
     rules = DEFAULT_SEGMENTS if segments is None else segments
-    return (
-        seen.join(plans, "profile_id", "left")
-        .join(counts, "profile_id", "left")
-        .select(
-            "profile_id",
-            *[expr().alias(name) for name, expr in rules.items()],
-        )
+    return per.select(
+        "profile_id",
+        *[expr().alias(name) for name, expr in rules.items()],
     )
 
 
