@@ -29,10 +29,13 @@ POWER_USER_THRESHOLD = 5
 #: 24 h bucketed count, plan = LWW plan trait, last_seen_ms / as_of_ms);
 #: adding a segment is adding a dict entry, and `segment_membership`
 #: accepts custom rule sets.  Defaults reproduce the reference exactly.
+#: Each rule takes an optional column resolver (name → Column) so the same
+#: expression evaluates against a plain snapshot (default ``F.col``) or a
+#: suffixed dual-snapshot row (segment_events' single-pass diff).
 DEFAULT_SEGMENTS: dict = {
-    "power_user": lambda: F.coalesce(F.col("cnt"), F.lit(0)) >= POWER_USER_THRESHOLD,
-    "pro_plan": lambda: F.coalesce(F.col("plan"), F.lit("")) == "pro",
-    "reengage": lambda: F.col("as_of_ms") - F.col("last_seen_ms") > REENGAGE_MS,
+    "power_user": lambda c=F.col: F.coalesce(c("cnt"), F.lit(0)) >= POWER_USER_THRESHOLD,
+    "pro_plan": lambda c=F.col: F.coalesce(c("plan"), F.lit("")) == "pro",
+    "reengage": lambda c=F.col: c("as_of_ms") - c("last_seen_ms") > REENGAGE_MS,
 }
 
 
@@ -90,35 +93,54 @@ def with_segments_array(membership: DataFrame) -> DataFrame:
     return membership.withColumn("segments", seg)
 
 
-def _members(membership: DataFrame) -> DataFrame:
-    parts = [
-        membership.filter(F.col(name)).select("profile_id", F.lit(name).alias("segment"))
-        for name in _segment_cols(membership)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-def segment_events(evprof: DataFrame) -> DataFrame:
+def segment_events(evprof: DataFrame, segments: dict | None = None) -> DataFrame:
     """ENTER/EXIT change rows between the mid-timeline snapshot and the
     final snapshot (G4 diff semantics: new − old → ENTER, old − new → EXIT;
     profiles unseen at mid start from the empty set, matching
-    `SegmentEngine.kt:87`)."""
-    mid = segment_membership(
-        evprof, (F.min("ts_ms") + F.floor((F.max("ts_ms") - F.min("ts_ms")) / 2)).cast("long")
+    `SegmentEngine.kt:87`).
+
+    Single-pass form: BOTH snapshots' metrics ride one grouped aggregation
+    (the mid-snapshot variants are the same aggregates gated on
+    ``ts ≤ mid``), each rule evaluates twice against the suffixed columns
+    via its resolver, and the diff is a per-row boolean comparison — no
+    second scan, no snapshot join.  One shuffle on profile_id total."""
+    rules = DEFAULT_SEGMENTS if segments is None else segments
+    okey = lww_order_key(F.col("ts_us"), F.col("event_id"))
+    bounds = evprof.agg(
+        F.max("ts_ms").alias("end_ms"),
+        (F.min("ts_ms") + F.floor((F.max("ts_ms") - F.min("ts_ms")) / 2)).cast("long").alias("mid_ms"),
     )
-    end = segment_membership(evprof, F.max("ts_ms"))
-    m_end = _members(end).alias("e")
-    m_mid = _members(mid).alias("m")
-    j = m_end.join(
-        m_mid,
-        (F.col("e.profile_id") == F.col("m.profile_id")) & (F.col("e.segment") == F.col("m.segment")),
-        "full_outer",
+    e = evprof.crossJoin(F.broadcast(bounds))
+    ident = F.col("ctype") == "IDENTIFY"
+    feat = (F.col("ctype") == "TRACK") & (F.col("name") == "Feature Used")
+    at_mid = F.col("ts_ms") <= F.col("mid_ms")
+    cut_end = _bucket_ms(F.col("end_ms") - DAY_MS)
+    cut_mid = _bucket_ms(F.col("mid_ms") - DAY_MS)
+    per = e.groupBy("profile_id").agg(
+        F.first("end_ms").alias("as_of_ms_end"),
+        F.first("mid_ms").alias("as_of_ms_mid"),
+        F.max("ts_ms").alias("last_seen_ms_end"),
+        F.max(F.when(at_mid, F.col("ts_ms"))).alias("last_seen_ms_mid"),
+        F.max_by("plan", F.when(ident, okey)).alias("plan_end"),
+        F.max_by("plan", F.when(ident & at_mid, okey)).alias("plan_mid"),
+        F.sum((feat & (_bucket_ms(F.col("ts_ms")) >= cut_end)).cast("long")).alias("cnt_end"),
+        F.sum((feat & at_mid & (_bucket_ms(F.col("ts_ms")) >= cut_mid)).cast("long")).alias("cnt_mid"),
     )
-    return j.filter(F.col("e.profile_id").isNull() | F.col("m.profile_id").isNull()).select(
-        F.coalesce(F.col("e.profile_id"), F.col("m.profile_id")).alias("profile_id"),
-        F.coalesce(F.col("e.segment"), F.col("m.segment")).alias("segment"),
-        F.when(F.col("m.profile_id").isNull(), F.lit("ENTER")).otherwise(F.lit("EXIT")).alias("action"),
+    changes = []
+    for name, rule in rules.items():
+        in_end = F.coalesce(rule(lambda n: F.col(f"{n}_end")), F.lit(False))
+        # a profile with no event ≤ mid did not exist in the mid snapshot:
+        # its previous membership is the empty set (SegmentEngine.kt:87)
+        in_mid = F.coalesce(
+            F.col("last_seen_ms_mid").isNotNull() & rule(lambda n: F.col(f"{n}_mid")),
+            F.lit(False),
+        )
+        changes.append(
+            F.when(in_end & ~in_mid, F.struct(F.lit(name).alias("segment"), F.lit("ENTER").alias("action")))
+            .when(~in_end & in_mid, F.struct(F.lit(name).alias("segment"), F.lit("EXIT").alias("action")))
+        )
+    return (
+        per.select("profile_id", F.explode(F.array(*changes)).alias("chg"))
+        .filter(F.col("chg").isNotNull())
+        .select("profile_id", F.col("chg.segment").alias("segment"), F.col("chg.action").alias("action"))
     )
