@@ -174,6 +174,39 @@ def region_revenue_rollup(
     )
 
 
+def region_status_cube(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Order revenue at every (region, order-status) margin — CUBE emits the
+    column-wise margins ROLLUP cannot express (the ``(all, status)`` slices
+    alongside ``(region, all)`` and the grand total).  Same physical shape
+    as :func:`region_revenue_rollup`: one Expand node over a single fact
+    pass, all 4 grouping sets partially aggregated map-side, one shuffle."""
+    dims = (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .cube("r_name", "o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("r_name"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("o_orderstatus"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 

@@ -1228,6 +1228,18 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)
 """
 
+ORACLE_SQL["revenue_cube"] = """
+SELECT coalesce(r_name, '(all)') AS r_name,
+       coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE(r_name, o_orderstatus)
+"""
+
 ORACLE_SQL["event_type_pivot"] = f"""
 WITH {ENT_CTE}
 SELECT entity_id,

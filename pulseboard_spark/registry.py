@@ -667,6 +667,15 @@ def revenue_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.region_status_cube(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
 def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.event_type_pivot(entity_events(spark, sf_dir))
 
@@ -1072,6 +1081,7 @@ QUERIES: dict[str, QueryFn] = {
     "retention_cohorts": retention_cohorts_q,
     "top_parts_per_brand": top_parts_per_brand_q,
     "revenue_rollup": revenue_rollup_q,
+    "revenue_cube": revenue_cube_q,
     "event_type_pivot": event_type_pivot_q,
     "value_stats": value_stats_q,
     "win_trailing_aggs": win_trailing_aggs,
