@@ -1,0 +1,108 @@
+"""Time-series operators beyond the reference surface: inter-event gap
+statistics (lag/lead) and grid resampling with forward-fill.
+
+The reference's windowing layer (`ingest/WindowStore.kt`, SURVEY §2.4) only
+maintains trailing aggregates; it has no way to ask "how long between
+events?" or to produce a regular, gap-free series from an irregular event
+stream — both bread-and-butter needs for training-data pipelines (feature
+grids, activity resampling) and for ops dashboards.
+
+Scale notes (100 TB posture):
+  * ``inter_event_deltas`` is ONE shuffle on (entity, type) for the lag
+    window; the follow-up per-type aggregate is map-side combined over the
+    already-partitioned stream.  No self-join: lag over a sorted per-key
+    frame is linear, the equivalent as-of self-join is quadratic on hot keys.
+  * ``gap_fill_hours`` aggregates the raw stream FIRST (events → per-hour
+    buckets, map-side combined), so the explode/grid/ffill machinery only
+    ever touches the small bucketed table — grid size is bounded by
+    entities × hours-of-span, independent of event volume.  The grid join
+    and the ffill window share the entity_id partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HOUR_MS = 3_600_000
+
+
+def inter_event_deltas(ev: DataFrame) -> DataFrame:
+    """Per-type statistics of the time between consecutive events of the
+    same (entity, type): gap count, exact sum, avg, min/max, and exact
+    interpolated median (``percentile`` ≡ DuckDB ``quantile_cont``).
+
+    Ordering is (ts_ms, event_id) so ties are deterministic.  The sum is an
+    exact long, so avg = sum/count is order-insensitive (same rationale as
+    :func:`relational.value_stats_per_type`'s moment sums).
+    """
+    r4 = lambda c: F.round(c, 4)  # noqa: E731
+    w = Window.partitionBy("entity_id", "type").orderBy("ts_ms", "event_id")
+    gaps = (
+        ev.select("entity_id", "type", "ts_ms", "event_id")
+        .withColumn("gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w))
+        .where(F.col("gap_ms").isNotNull())
+    )
+    return (
+        gaps.groupBy("type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_ms").alias("sum_gap_ms"),
+            F.min("gap_ms").alias("min_gap_ms"),
+            F.max("gap_ms").alias("max_gap_ms"),
+            r4(F.percentile(F.col("gap_ms"), F.lit(0.5))).alias("median_gap_ms"),
+        )
+        .select(
+            "type",
+            "n_gaps",
+            "sum_gap_ms",
+            r4(F.col("sum_gap_ms") / F.col("n_gaps")).alias("avg_gap_ms"),
+            "min_gap_ms",
+            "max_gap_ms",
+            "median_gap_ms",
+        )
+    )
+
+
+def gap_fill_hours(ev: DataFrame) -> DataFrame:
+    """Resample the irregular event stream onto a dense per-entity hourly
+    grid: every hour between an entity's first and last event appears
+    exactly once, with a zero-filled event count and the forward-filled
+    value of the entity's most recent non-null ``value`` at-or-before that
+    hour (NULL before the first one).
+
+    The per-hour representative value is the non-null value with the
+    greatest event_id in that hour (``max_by`` ≡ DuckDB ``arg_max`` with a
+    null-gated ordering key), which makes the fill deterministic.
+    """
+    per_h = ev.groupBy(
+        "entity_id", F.floor(F.col("ts_ms") / F.lit(HOUR_MS)).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by(
+            "value",
+            F.when(F.col("value").isNotNull(), F.col("event_id")),
+        ).alias("last_value"),
+    )
+    spans = per_h.groupBy("entity_id").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    )
+    grid = spans.select(
+        "entity_id", F.explode(F.sequence("mn", "mx")).alias("hour")
+    )
+    w = (
+        Window.partitionBy("entity_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_h, ["entity_id", "hour"], "left")
+        .select(
+            "entity_id",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.round(
+                F.last("last_value", ignorenulls=True).over(w), 4
+            ).alias("ffill_value"),
+        )
+    )

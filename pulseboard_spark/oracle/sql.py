@@ -1240,6 +1240,45 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY CUBE(r_name, o_orderstatus)
 """
 
+ORACLE_SQL["inter_event_deltas"] = f"""
+WITH {ENT_CTE},
+g AS (
+  SELECT type,
+         ts_ms - lag(ts_ms) OVER (
+           PARTITION BY entity_id, type ORDER BY ts_ms, event_id
+         ) AS gap_ms
+  FROM ent
+)
+SELECT type,
+       count(*) AS n_gaps,
+       sum(gap_ms) AS sum_gap_ms,
+       round(CAST(sum(gap_ms) AS DOUBLE) / count(*), 4) AS avg_gap_ms,
+       min(gap_ms) AS min_gap_ms,
+       max(gap_ms) AS max_gap_ms,
+       round(quantile_cont(gap_ms, 0.5), 4) AS median_gap_ms
+FROM g WHERE gap_ms IS NOT NULL
+GROUP BY type
+"""
+
+ORACLE_SQL["gap_fill_hours"] = f"""
+WITH {ENT_CTE},
+b AS (
+  SELECT entity_id,
+         CAST(floor(ts_ms / 3600000.0) AS BIGINT) AS hour,
+         count(*) AS n_events,
+         arg_max(value, CASE WHEN value IS NOT NULL THEN event_id END) AS lv
+  FROM ent GROUP BY 1, 2
+),
+s AS (SELECT entity_id, min(hour) AS mn, max(hour) AS mx FROM b GROUP BY 1),
+g AS (SELECT entity_id, unnest(generate_series(mn, mx)) AS hour FROM s)
+SELECT g.entity_id, g.hour,
+       coalesce(b.n_events, 0) AS n_events,
+       round(last_value(b.lv IGNORE NULLS) OVER (
+         PARTITION BY g.entity_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS ffill_value
+FROM g LEFT JOIN b ON g.entity_id = b.entity_id AND g.hour = b.hour
+"""
+
 ORACLE_SQL["event_type_pivot"] = f"""
 WITH {ENT_CTE}
 SELECT entity_id,

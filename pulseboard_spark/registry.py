@@ -18,7 +18,7 @@ from pulseboard_spark.session import tune
 from pulseboard_spark.sources.tables import cdp_events, entity_events, load_table
 from pulseboard_spark.functions.core import duck_round
 from pulseboard_spark.functions.ids import normalize_id
-from pulseboard_spark.operators import corpus, dedup, multimodal, relational, rules, sessions, similarity, text
+from pulseboard_spark.operators import corpus, dedup, multimodal, relational, rules, sessions, similarity, text, timeseries
 from pulseboard_spark.operators.ewma import with_ewma
 from pulseboard_spark.operators.identity import (
     components_for,
@@ -676,6 +676,14 @@ def revenue_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inter_event_deltas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.inter_event_deltas(entity_events(spark, sf_dir))
+
+
+def gap_fill_hours_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.gap_fill_hours(entity_events(spark, sf_dir))
+
+
 def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.event_type_pivot(entity_events(spark, sf_dir))
 
@@ -1083,6 +1091,8 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_rollup": revenue_rollup_q,
     "revenue_cube": revenue_cube_q,
     "event_type_pivot": event_type_pivot_q,
+    "inter_event_deltas": inter_event_deltas_q,
+    "gap_fill_hours": gap_fill_hours_q,
     "value_stats": value_stats_q,
     "win_trailing_aggs": win_trailing_aggs,
     "win_p95_1h": win_p95_1h,

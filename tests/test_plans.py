@@ -173,3 +173,25 @@ def test_pii_scrub_zero_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pii_scrub")
     assert _shuffles(plan) == 0, "redaction must be a pure narrow map"
     assert not PY_NODES.search(plan)
+
+
+def test_inter_event_deltas_lag_not_self_join(spark, sf_dir):
+    """Gap stats are lag-over-sorted-frame (linear) — never an as-of
+    self-join (quadratic on hot keys).  One (entity,type) shuffle for the
+    lag plus the tiny 5-key final agg."""
+    plan = _plan(spark, sf_dir, "inter_event_deltas")
+    assert "Join" not in plan, "gaps must come from lag, not a self-join"
+    assert len(re.findall(r"Exchange hashpartitioning\(entity_id", plan)) == 1
+    assert not PY_NODES.search(plan)
+
+
+def test_gap_fill_aggregates_before_grid(spark, sf_dir):
+    """The raw stream is bucketed per (entity, hour) FIRST; the grid
+    explode and ffill window only touch the bucketed table, so grid cost is
+    bounded by entities x span-hours, not event volume."""
+    plan = _plan(spark, sf_dir, "gap_fill_hours")
+    assert "Generate explode" in plan, "grid must come from sequence+explode"
+    assert not PY_NODES.search(plan)
+    # explode must consume an aggregated child, not the raw scan
+    gen = plan[plan.index("Generate explode"):]
+    assert "HashAggregate" in gen, "grid spans must be computed from the bucketed aggregate"
