@@ -258,13 +258,52 @@ def run_cdp_identity(
     return stage, q
 
 
-def with_admission(events: DataFrame, grace: str = "120 seconds") -> DataFrame:
+def with_admission(
+    events: DataFrame, grace: str = "120 seconds", observation=None
+) -> DataFrame:
     """W2: late-event admission — watermark gives the drop tier; an
     is_late tag (event older than 5 s against the micro-batch clock) feeds
     the late-vs-ontime metrics the reference tracks
-    (`CdpEventProcessor.kt:177-230`)."""
-    return events.withWatermark("ts", grace).withColumn(
+    (`CdpEventProcessor.kt:177-230`).
+
+    ``observation`` surfaces those metrics without a second pass over the
+    stream: pass a ``pyspark.sql.Observation`` (batch) or a string name
+    (streaming — metrics arrive per micro-batch in
+    ``StreamingQueryProgress.observedMetrics``).  ``observe()`` piggybacks
+    accumulator-style on the existing scan, so the counters are free — no
+    extra aggregation job, no second read (the reference keeps these
+    counters on its single-threaded ingest loop; here they survive
+    distribution)."""
+    out = events.withWatermark("ts", grace).withColumn(
         "is_late", F.col("ts") < F.current_timestamp() - F.expr("INTERVAL 5 SECONDS")
+    )
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.sum(F.col("is_late").cast("long")).alias("n_late"),
+        )
+    return out
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, changelog: bool = True) -> None:
+    """Switch stateful streaming queries to the RocksDB state store
+    (SURVEY §7.1 step 8).  The default HDFS-backed provider keeps every
+    key in executor heap — fine for the reference's single-node scale,
+    fatal at 100 TB where dedup/session/profile state is billions of keys.
+    RocksDB spills state to local SSD, bounds heap to the block cache, and
+    with changelog checkpointing ships per-batch deltas instead of full
+    SST snapshots.  Applies to queries STARTED after this call (provider
+    is pinned per checkpoint at query start)."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true" if changelog else "false",
     )
 
 

@@ -391,3 +391,64 @@ def test_streaming_sessions_match_batch(spark, sf_dir, entity_chunks_dir):
         for r in sessionize(entity_events(spark, sf_dir)).collect()
     }
     assert got == want
+
+
+def test_admission_observed_metrics(spark):
+    """W2 late-vs-ontime counters ride the scan via observe() — no second
+    pass.  Batch form uses Observation; streaming surfaces the same metrics
+    in StreamingQueryProgress.observedMetrics."""
+    from pyspark.sql import Observation
+    from pulseboard_spark.streaming.pipeline import with_admission
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], ["i"]
+    ).select(
+        F.col("i").cast("string").alias("event_id"),
+        # rows 1-3 an hour in the past (late); row 4 an hour ahead (on time)
+        F.when(
+            F.col("i") < 4, F.current_timestamp() - F.expr("INTERVAL 1 HOUR")
+        ).otherwise(F.current_timestamp() + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+    )
+    obs = Observation("admission")
+    out = with_admission(df, observation=obs)
+    assert out.count() == 4
+    got = obs.get
+    assert got["n_admitted"] == 4
+    assert got["n_late"] == 3
+
+
+def test_minute_counts_on_rocksdb_state(spark, sf_dir, entity_chunks_dir):
+    """The stateful windowed agg produces identical results on the RocksDB
+    state store (the 100 TB-state provider) as on the default heap one."""
+    from pulseboard_spark.operators.windows import minute_counts
+    from pulseboard_spark.streaming.pipeline import streaming_minute_counts, use_rocksdb_state, ROCKSDB_PROVIDER
+
+    out, schema = entity_chunks_dir
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    assert spark.conf.get("spark.sql.streaming.stateStore.providerClass") == ROCKSDB_PROVIDER
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{out}/chunk=*")
+        )
+        q = (
+            streaming_minute_counts(stream)
+            .writeStream.format("memory")
+            .queryName("rocksdb_minutes")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = {tuple(r) for r in spark.sql("SELECT minute_ms, n_events FROM rocksdb_minutes").collect()}
+    want = {tuple(r) for r in minute_counts(entity_events(spark, sf_dir)).collect()}
+    assert got == want
