@@ -31,6 +31,9 @@ HEADLINE = [
     "tpch_q18_large_volume",
     "asof_last_purchase",
     "user_sessions",
+    "inter_event_deltas",
+    "gap_fill_hours",
+    "revenue_wow",
     "top_parts_per_brand",
     "win_trailing_aggs",
     "ewma",

@@ -64,6 +64,43 @@ def inter_event_deltas(ev: DataFrame) -> DataFrame:
     )
 
 
+def revenue_wow(orders: DataFrame) -> DataFrame:
+    """Daily order revenue with week-over-week comparison: each day's
+    revenue next to the revenue of exactly 7 days earlier (NULL when that
+    day has no orders) and the WoW delta/pct.
+
+    Alignment uses a RANGE frame pinned at exactly -7 on an integer
+    day-number ordering (``range between 7 preceding and 7 preceding``) —
+    missing days cannot shift the comparison the way ``lag(7)`` over a
+    sparse series would.  Revenue sums are decimal-exact before the cast,
+    so delta/pct are order-insensitive.
+
+    Scale: the window runs on the already-aggregated per-day series
+    (map-side-combined groupBy first), thousands of rows at any corpus
+    size — the unpartitioned ordered frame is deliberate and safe.
+    """
+    r4 = lambda c: F.round(c, 4)  # noqa: E731
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day_num"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("day_num").rangeBetween(-7, -7)
+    prev = F.sum("revenue").over(w)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        r4(F.col("revenue")).alias("revenue"),
+        "n_orders",
+        r4(prev).alias("rev_7d_ago"),
+        r4(F.col("revenue") - prev).alias("wow_delta"),
+        r4((F.col("revenue") - prev) / prev * 100).alias("wow_pct"),
+    )
+
+
 def gap_fill_hours(ev: DataFrame) -> DataFrame:
     """Resample the irregular event stream onto a dense per-entity hourly
     grid: every hour between an entity's first and last event appears

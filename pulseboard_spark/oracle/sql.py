@@ -1279,6 +1279,29 @@ SELECT g.entity_id, g.hour,
 FROM g LEFT JOIN b ON g.entity_id = b.entity_id AND g.hour = b.hour
 """
 
+ORACLE_SQL["revenue_wow"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+), cmp AS (
+  SELECT day, revenue, n_orders,
+         sum(revenue) OVER (
+           ORDER BY day_num RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING
+         ) AS prev
+  FROM daily
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(revenue, 4) AS revenue,
+       n_orders,
+       round(prev, 4) AS rev_7d_ago,
+       round(revenue - prev, 4) AS wow_delta,
+       round((revenue - prev) / prev * 100, 4) AS wow_pct
+FROM cmp
+"""
+
 ORACLE_SQL["event_type_pivot"] = f"""
 WITH {ENT_CTE}
 SELECT entity_id,

@@ -684,6 +684,10 @@ def gap_fill_hours_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.gap_fill_hours(entity_events(spark, sf_dir))
 
 
+def revenue_wow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.revenue_wow(load_table(spark, sf_dir, "orders"))
+
+
 def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.event_type_pivot(entity_events(spark, sf_dir))
 
@@ -1093,6 +1097,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_type_pivot": event_type_pivot_q,
     "inter_event_deltas": inter_event_deltas_q,
     "gap_fill_hours": gap_fill_hours_q,
+    "revenue_wow": revenue_wow_q,
     "value_stats": value_stats_q,
     "win_trailing_aggs": win_trailing_aggs,
     "win_p95_1h": win_p95_1h,
