@@ -1,0 +1,110 @@
+"""Feature-preparation operators for training-data pipelines: per-group
+standardization (z-scores / outlier flags) and equal-frequency binning.
+
+The reference has no feature layer at all — its only per-distribution
+computation is the P95 window in rule R4 (`ingest/WindowStore.kt`,
+SURVEY §2.4 A8).  These operators cover what an ML pipeline does right
+before writing training shards: normalize features against per-group
+statistics and discretize skewed numerics.
+
+Scale notes (100 TB posture):
+  * ``standardize`` is the aggregate-then-broadcast pattern: the stats
+    table is |groups| rows (tiny), so rejoining it to the fact is a
+    broadcast hash join — the fact is scanned once, never shuffled.
+    Moments are DECIMAL-exact sums (same rationale as
+    ``relational.value_stats_per_type``): a parallel ``stddev_samp`` has
+    partition-order-dependent low bits; exact Σv/Σv² make every z-score
+    reproducible across partitionings and engines.
+  * ``quantile_bins`` is ntile over a per-group sort — one shuffle on the
+    group key.  Equal-frequency bin EDGES could be computed from
+    ``percentile`` without the full sort, but per-ROW bin assignment is
+    the point here, and ntile's rank arithmetic is deterministic with the
+    (value, id) tie-break where edge-interpolation binning is not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_moments(df: DataFrame, value: str, by: Sequence[str]) -> DataFrame:
+    """Per-group n / mean / sample-std from decimal-exact moment sums."""
+    s1 = F.sum(F.col(value).cast("decimal(30,6)")).cast("double")
+    s2 = F.sum((F.col(value) * F.col(value)).cast("decimal(30,6)")).cast("double")
+    agged = df.where(F.col(value).isNotNull()).groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"), s1.alias("_s1"), s2.alias("_s2")
+    )
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) / (
+        F.col("_n") - 1
+    )
+    return agged.select(
+        *by,
+        F.col("_n").alias("n"),
+        (F.col("_s1") / F.col("_n")).alias("mean"),
+        F.sqrt(var).alias("std"),
+    )
+
+
+def standardize(
+    df: DataFrame, value: str, by: Sequence[str], z_col: str = "zscore"
+) -> DataFrame:
+    """Attach the per-group z-score of ``value`` to every row (NULL where
+    the value is NULL or the group is degenerate: n < 2 or zero variance).
+    Stats ride a broadcast join back onto the fact — one scan, no fact
+    shuffle."""
+    by = list(by)
+    stats = group_moments(df, value, by)
+    z = F.when(
+        F.col("std") > 0, (F.col(value) - F.col("mean")) / F.col("std")
+    )
+    return (
+        df.join(F.broadcast(stats), by, "left")
+        .withColumn(z_col, z)
+        .drop("n", "mean", "std")
+    )
+
+
+def value_outliers(ev: DataFrame, threshold: float = 3.0) -> DataFrame:
+    """Events whose value is a >N-sigma outlier within its event type —
+    the query-shaped face of :func:`standardize`."""
+    z = standardize(ev, "value", ["type"])
+    return (
+        z.where(F.abs(F.col("zscore")) > threshold)
+        .select(
+            "event_id",
+            "entity_id",
+            "type",
+            F.round("value", 4).alias("value"),
+            F.round("zscore", 4).alias("zscore"),
+        )
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value: str,
+    by: Sequence[str],
+    n_bins: int = 10,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency bin assignment (ntile) of ``value`` within each
+    group; ties broken deterministically by event_id so the binning is
+    reproducible across engines and partitionings."""
+    w = Window.partitionBy(*by).orderBy(F.col(value), F.col("event_id"))
+    return df.where(F.col(value).isNotNull()).withColumn(
+        bin_col, F.ntile(n_bins).over(w)
+    )
+
+
+def value_decile_profile(ev: DataFrame) -> DataFrame:
+    """Per (type, decile) population and value range — the compact,
+    query-shaped face of :func:`quantile_bins`."""
+    binned = quantile_bins(ev, "value", ["type"], 10, "decile")
+    return binned.groupBy("type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )

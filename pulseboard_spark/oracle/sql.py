@@ -1302,6 +1302,45 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
 FROM cmp
 """
 
+ORACLE_SQL["value_outliers"] = f"""
+WITH {ENT_CTE},
+m AS (
+  SELECT type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS s2
+  FROM ent WHERE value IS NOT NULL GROUP BY type
+),
+st AS (
+  SELECT type, s1 / n AS mean,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+  FROM m
+),
+z AS (
+  SELECT e.event_id, e.entity_id, e.type, e.value,
+         CASE WHEN st.std > 0 THEN (e.value - st.mean) / st.std END AS zscore
+  FROM ent e LEFT JOIN st ON e.type = st.type
+)
+SELECT event_id, entity_id, type,
+       round(value, 4) AS value,
+       round(zscore, 4) AS zscore
+FROM z WHERE abs(zscore) > 3.0
+"""
+
+ORACLE_SQL["value_deciles"] = f"""
+WITH {ENT_CTE},
+b AS (
+  SELECT type, value,
+         ntile(10) OVER (PARTITION BY type ORDER BY value, event_id) AS decile
+  FROM ent WHERE value IS NOT NULL
+)
+SELECT type, decile,
+       count(*) AS n,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi
+FROM b GROUP BY type, decile
+"""
+
 ORACLE_SQL["event_type_pivot"] = f"""
 WITH {ENT_CTE}
 SELECT entity_id,

@@ -18,7 +18,7 @@ from pulseboard_spark.session import tune
 from pulseboard_spark.sources.tables import cdp_events, entity_events, load_table
 from pulseboard_spark.functions.core import duck_round
 from pulseboard_spark.functions.ids import normalize_id
-from pulseboard_spark.operators import corpus, dedup, multimodal, relational, rules, sessions, similarity, text, timeseries
+from pulseboard_spark.operators import corpus, dedup, mlprep, multimodal, relational, rules, sessions, similarity, text, timeseries
 from pulseboard_spark.operators.ewma import with_ewma
 from pulseboard_spark.operators.identity import (
     components_for,
@@ -688,6 +688,14 @@ def revenue_wow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.revenue_wow(load_table(spark, sf_dir, "orders"))
 
 
+def value_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mlprep.value_outliers(entity_events(spark, sf_dir))
+
+
+def value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mlprep.value_decile_profile(entity_events(spark, sf_dir))
+
+
 def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.event_type_pivot(entity_events(spark, sf_dir))
 
@@ -1098,6 +1106,8 @@ QUERIES: dict[str, QueryFn] = {
     "inter_event_deltas": inter_event_deltas_q,
     "gap_fill_hours": gap_fill_hours_q,
     "revenue_wow": revenue_wow_q,
+    "value_outliers": value_outliers_q,
+    "value_deciles": value_deciles_q,
     "value_stats": value_stats_q,
     "win_trailing_aggs": win_trailing_aggs,
     "win_p95_1h": win_p95_1h,

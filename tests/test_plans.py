@@ -195,3 +195,13 @@ def test_gap_fill_aggregates_before_grid(spark, sf_dir):
     # explode must consume an aggregated child, not the raw scan
     gen = plan[plan.index("Generate explode"):]
     assert "HashAggregate" in gen, "grid spans must be computed from the bucketed aggregate"
+
+
+def test_standardize_broadcasts_stats(spark, sf_dir):
+    """Z-scoring is aggregate-then-broadcast: the fact is scanned once and
+    never shuffled for the join; the only keyed exchange is the tiny
+    per-type stats aggregation."""
+    plan = _plan(spark, sf_dir, "value_outliers")
+    assert "BroadcastHashJoin" in plan, "stats must rejoin via broadcast"
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert not PY_NODES.search(plan)
