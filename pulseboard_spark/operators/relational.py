@@ -207,6 +207,41 @@ def region_status_cube(
     )
 
 
+def group_mode(
+    df: DataFrame,
+    key: Sequence[str],
+    value: str,
+    top_col: str = "top_value",
+) -> DataFrame:
+    """Most frequent ``value`` per key group, with its count, the group
+    total, and the share.  Ties break deterministically to the smallest
+    value.  Two-phase: the heavy reduction (count per (key, value)) is
+    map-side combined first; the argmax window only ever sees the counts
+    table — |keys × distinct values| rows, not the fact."""
+    key = list(key)
+    counts = df.groupBy(*key, value).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(*key)
+    wo = w.orderBy(F.desc("_n"), F.asc(value))
+    return (
+        counts.withColumn("_rk", F.row_number().over(wo))
+        .withColumn("_tot", F.sum("_n").over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            *key,
+            F.col(value).alias(top_col),
+            F.col("_n").alias("n_top"),
+            F.col("_tot").alias("n_total"),
+            F.round(F.col("_n") / F.col("_tot"), 4).alias("share"),
+        )
+    )
+
+
+def dominant_event_type(ev: DataFrame) -> DataFrame:
+    """Each entity's most common event type and its share of the entity's
+    activity — the query-shaped face of :func:`group_mode`."""
+    return group_mode(ev, ["entity_id"], "type", top_col="top_type")
+
+
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 

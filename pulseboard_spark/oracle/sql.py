@@ -1341,6 +1341,22 @@ SELECT type, decile,
 FROM b GROUP BY type, decile
 """
 
+ORACLE_SQL["dominant_event_type"] = f"""
+WITH {ENT_CTE},
+c AS (
+  SELECT entity_id, type, count(*) AS n FROM ent GROUP BY 1, 2
+),
+r AS (
+  SELECT entity_id, type, n,
+         row_number() OVER (PARTITION BY entity_id ORDER BY n DESC, type ASC) AS rk,
+         sum(n) OVER (PARTITION BY entity_id) AS tot
+  FROM c
+)
+SELECT entity_id, type AS top_type, n AS n_top, tot AS n_total,
+       round(CAST(n AS DOUBLE) / tot, 4) AS share
+FROM r WHERE rk = 1
+"""
+
 ORACLE_SQL["event_type_pivot"] = f"""
 WITH {ENT_CTE}
 SELECT entity_id,

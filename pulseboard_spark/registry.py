@@ -696,6 +696,10 @@ def value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlprep.value_decile_profile(entity_events(spark, sf_dir))
 
 
+def dominant_event_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.dominant_event_type(entity_events(spark, sf_dir))
+
+
 def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.event_type_pivot(entity_events(spark, sf_dir))
 
@@ -1108,6 +1112,7 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_wow": revenue_wow_q,
     "value_outliers": value_outliers_q,
     "value_deciles": value_deciles_q,
+    "dominant_event_type": dominant_event_type_q,
     "value_stats": value_stats_q,
     "win_trailing_aggs": win_trailing_aggs,
     "win_p95_1h": win_p95_1h,
