@@ -193,3 +193,69 @@ def test_custom_rule_config_and_segments(spark, sf_dir):
     assert set(m.columns) == {"profile_id", "power_user", "pro_plan", "reengage", "heavy_user"}
     row = m.agg(F.sum(F.col("heavy_user").cast("int")), F.sum(F.col("power_user").cast("int"))).collect()[0]
     assert row[0] >= row[1]  # >=1 count is a superset of >=5
+
+
+# --- group_mode: argmax with deterministic ties vs Counter model -------------
+
+
+def test_group_mode_matches_counter_model(spark):
+    from collections import Counter
+    from pulseboard_spark.operators.relational import group_mode
+
+    rng = random.Random(77)
+    rows = []
+    for _ in range(600):
+        # few keys + few values => dense tie structure
+        rows.append((f"k{rng.randint(0, 9)}", f"v{rng.randint(0, 3)}"))
+    df = spark.createDataFrame(rows, "entity_id string, type string")
+    got = {
+        (r.entity_id, r.top_type, r.n_top, r.n_total, r.share)
+        for r in group_mode(df, ["entity_id"], "type", top_col="top_type").collect()
+    }
+    want = set()
+    by_key: dict[str, Counter] = {}
+    for k, v in rows:
+        by_key.setdefault(k, Counter())[v] += 1
+    for k, cnt in by_key.items():
+        best = max(cnt)  # any value, for init
+        best_n = -1
+        for v in sorted(cnt):  # smallest value wins ties
+            if cnt[v] > best_n:
+                best, best_n = v, cnt[v]
+        tot = sum(cnt.values())
+        want.add((k, best, best_n, tot, round(best_n / tot, 4)))
+    assert got == want
+
+
+# --- quantile_bins: ntile bucket arithmetic vs index model -------------------
+
+
+def test_quantile_bins_match_ntile_model(spark):
+    from pulseboard_spark.operators.mlprep import quantile_bins
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(500):
+        # duplicate values force the (value, event_id) tie-break
+        rows.append((i, f"t{rng.randint(0, 2)}", float(rng.randint(0, 20))))
+    df = spark.createDataFrame(rows, "event_id long, type string, value double")
+    got = {
+        (r.event_id, r.bin)
+        for r in quantile_bins(df, "value", ["type"], 7).select("event_id", "bin").collect()
+    }
+    want = set()
+    groups: dict[str, list[tuple[float, int]]] = {}
+    for eid, t, v in rows:
+        groups.setdefault(t, []).append((v, eid))
+    for t, vals in groups.items():
+        vals.sort()  # (value, event_id) — the operator's tie-break
+        n, b = len(vals), 7
+        big, rem = n // b + 1, n % b  # first `rem` buckets get one extra
+        idx = 0
+        for bucket in range(1, b + 1):
+            size = big if bucket <= rem else n // b
+            for _ in range(size):
+                if idx < n:
+                    want.add((vals[idx][1], bucket))
+                    idx += 1
+    assert got == want
