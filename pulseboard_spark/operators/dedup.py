@@ -263,3 +263,44 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataF
     """
     pairs = cosine_pairs_above(embeddings, threshold)
     return pairs.withColumn("canonical_vec_id", F.least("vec_a", "vec_b"))
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    key: str,
+    name: str,
+    block: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy string-match pairs (edit distance ≤ ``max_dist``) within a
+    blocking key — the classic entity-resolution primitive the hash-based
+    dedups above can't express (a typo is invisible to exact/MinHash at
+    short-string scale).
+
+    Each pair reported once (``a_key < b_key``) with its distance.
+    `levenshtein` is JVM-side in Spark and built into DuckDB, so the whole
+    operator stays codegen'd — no Python seam.
+
+    Scale: the self-join is quadratic WITHIN a block and linear across
+    blocks — block choice is the knob.  One shuffle on the block key
+    (broadcast when one side is small); n² cost bounded by the largest
+    block, so pick blocks like (nation, name-length, first-char) to keep
+    the hot block's n small, and let AQE split stragglers.
+    """
+    a = df.select(
+        F.col(block).alias("blk"),
+        F.col(key).alias("a_key"),
+        F.col(name).alias("a_name"),
+    )
+    b = df.select(
+        F.col(block).alias("blk"),
+        F.col(key).alias("b_key"),
+        F.col(name).alias("b_name"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("a_key") < F.col("b_key"))
+        .withColumn("dist", F.levenshtein("a_name", "b_name"))
+        .where(F.col("dist") <= max_dist)
+        .select(F.col("blk").alias(block), "a_key", "b_key", "dist")
+    )

@@ -1357,6 +1357,15 @@ SELECT entity_id, type AS top_type, n AS n_top, tot AS n_total,
 FROM r WHERE rk = 1
 """
 
+ORACLE_SQL["fuzzy_customer_pairs"] = """
+SELECT a.c_nationkey, a.c_custkey AS a_key, b.c_custkey AS b_key,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
 ORACLE_SQL["event_type_pivot"] = f"""
 WITH {ENT_CTE}
 SELECT entity_id,

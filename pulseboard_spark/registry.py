@@ -700,6 +700,16 @@ def dominant_event_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.dominant_event_type(entity_events(spark, sf_dir))
 
 
+def fuzzy_customer_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.blocked_fuzzy_pairs(
+        load_table(spark, sf_dir, "customer"),
+        key="c_custkey",
+        name="c_name",
+        block="c_nationkey",
+        max_dist=1,
+    )
+
+
 def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.event_type_pivot(entity_events(spark, sf_dir))
 
@@ -1113,6 +1123,7 @@ QUERIES: dict[str, QueryFn] = {
     "value_outliers": value_outliers_q,
     "value_deciles": value_deciles_q,
     "dominant_event_type": dominant_event_type_q,
+    "fuzzy_customer_pairs": fuzzy_customer_pairs_q,
     "value_stats": value_stats_q,
     "win_trailing_aggs": win_trailing_aggs,
     "win_p95_1h": win_p95_1h,
