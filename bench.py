@@ -34,6 +34,9 @@ HEADLINE = [
     "inter_event_deltas",
     "gap_fill_hours",
     "revenue_wow",
+    "value_outliers",
+    "dominant_event_type",
+    "fuzzy_customer_pairs",
     "top_parts_per_brand",
     "win_trailing_aggs",
     "ewma",

@@ -287,11 +287,17 @@ def blocked_fuzzy_pairs(
     block, so pick blocks like (nation, name-length, first-char) to keep
     the hot block's n small, and let AQE split stragglers.
     """
+    # Spread the probe side: when `df` comes from a few (or one) parquet
+    # file(s) and the block join broadcasts, the n² levenshtein work would
+    # otherwise run on the scan's partition count — a broadcast join puts
+    # no constraint on probe-side partitioning, so this shuffle (tiny: the
+    # pre-explosion rows) buys full-cluster parallelism for the kernel.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     a = df.select(
         F.col(block).alias("blk"),
         F.col(key).alias("a_key"),
         F.col(name).alias("a_name"),
-    )
+    ).repartition(n_parts)
     b = df.select(
         F.col(block).alias("blk"),
         F.col(key).alias("b_key"),
