@@ -87,19 +87,25 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load ``events`` rebuilding the nanosecond timestamp as a TIMESTAMP.
+    """Load ``events`` normalizing ``ts`` to a session-TZ TIMESTAMP.
 
-    The parquet column is TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` we scan it as a long
-    (vectorized) and truncate to micros — exactly what DuckDB does when it
-    reads the same file, so both engines see identical instants.
+    The driver has shipped this column two ways across testdata
+    generations: TIMESTAMP(NANOS) (scanned as a long via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and truncated to micros) and
+    TIMESTAMP(MICROS) without timezone (scanned as TIMESTAMP_NTZ).  Both
+    are naive UTC wall-clocks; with the session timezone pinned to UTC the
+    NTZ→LTZ cast is instant-preserving, and DuckDB reading the same file
+    sees identical values either way.
     """
     tune(spark)
     df = spark.read.parquet(_path(sf_dir, "events"))
-    if dict(df.dtypes)["ts"] == "bigint":
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
         # Integer division: epoch-ns exceeds 2^53, float division would
         # corrupt the low-order micros.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return _spread(spark, df)
 
 
