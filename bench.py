@@ -56,6 +56,9 @@ HEADLINE = [
     "token_stats",
     "corpus_summary",
     "resize_media",
+    "trait_history",
+    "value_histogram",
+    "inverted_index",
 ]
 
 

@@ -108,3 +108,40 @@ def value_decile_profile(ev: DataFrame) -> DataFrame:
         F.round(F.min("value"), 4).alias("lo"),
         F.round(F.max("value"), 4).alias("hi"),
     )
+
+
+def value_histogram(ev: DataFrame, n_bins: int = 20) -> DataFrame:
+    """Per-type equal-width histogram of ``value`` (the feature-profiling
+    pass a training pipeline runs before choosing clips/transforms).
+
+    Two-phase: the per-type min/max is a tiny aggregate broadcast back
+    onto the fact — the fact table itself is shuffled exactly once, for
+    the final (type, bin) count.  Bin index is
+    ``floor((v - min) / ((max - min) / n_bins))`` clamped to the last
+    bin so v == max lands in bin n-1; a degenerate type (min == max)
+    collapses to bin 0.  All arithmetic is double-precision IEEE in a
+    fixed operation order so the DuckDB oracle reproduces it bit-exactly.
+    """
+    vals = ev.filter(F.col("value").isNotNull()).select(
+        "type", F.col("value").cast("double").alias("v")
+    )
+    stats = vals.groupBy("type").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    binned = vals.join(F.broadcast(stats), "type").withColumn(
+        "bin",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("v") - F.col("vmin")) / width),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("int"),
+    )
+    return binned.groupBy("type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(F.col("vmin") + F.col("bin") * width), 4).alias("bin_lo"),
+        F.round(F.min(F.col("vmin") + (F.col("bin") + 1) * width), 4).alias("bin_hi"),
+    )

@@ -157,3 +157,30 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_shingles"),
     )
     return documents.select("doc_id", F.md5(F.col("text")).alias("content_hash")).join(agg, "doc_id")
+
+
+def inverted_index(documents: DataFrame, max_postings: int = 20) -> DataFrame:
+    """Term → (document frequency, capped sorted posting list).
+
+    The retrieval-side twin of :func:`term_df_idf`: per term, how many
+    documents contain it and the first ``max_postings`` doc_ids ascending.
+    The cap is enforced BEFORE collection — a `row_number` over the
+    term-partitioned, doc_id-sorted pairs — so no executor ever
+    materializes the full posting list of a stop-word-grade term; at
+    100 TB an uncapped `collect_list` on "the" is a single-task OOM.  The
+    groupBy reuses the window's hash partitioning on term, so the whole
+    operator is one shuffle after the map-side-distinct pair explosion.
+    """
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    pairs = documents.select("doc_id", F.explode(toks).alias("term")).distinct()
+    ranked = pairs.withColumn(
+        "rnk", F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    )
+    return ranked.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("rnk") <= max_postings, F.col("doc_id")))
+        ).alias("postings"),
+    )

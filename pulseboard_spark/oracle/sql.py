@@ -1567,3 +1567,81 @@ SELECT tr_sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
 FROM tr_sh JOIN ev_sh USING (s)
 GROUP BY tr_sh.doc_id
 """
+
+
+# SCD2 trait history (operators/scd.py): gaps-and-islands over the resolved
+# IDENTIFY stream, (ts_us, event_id) LWW order key, consecutive repeats
+# collapsed.  The open interval (valid_to_ms IS NULL) equals the LWW trait.
+EVPROF_CTE = (
+    COMPONENTS_CTE
+    + """,
+evprof AS (
+  SELECT v.*, c.component AS profile_id,
+         lpad(CAST(v.ts_us AS VARCHAR), 20, '0') || '|' || lpad(v.event_id, 12, '0') AS okey
+  FROM cvalid v
+  JOIN comp c ON c.id = coalesce(v.nuser, v.nanon, v.nemail)
+)
+"""
+)
+
+ORACLE_SQL["trait_history"] = f"""
+WITH RECURSIVE {EVPROF_CTE},
+long AS (
+  SELECT profile_id, ts_ms, okey, 'plan' AS trait, plan AS value
+  FROM evprof WHERE ctype = 'IDENTIFY' AND plan IS NOT NULL
+  UNION ALL
+  SELECT profile_id, ts_ms, okey, 'country' AS trait, country AS value
+  FROM evprof WHERE ctype = 'IDENTIFY' AND country IS NOT NULL
+),
+marked AS (
+  SELECT *, lag(value) OVER (PARTITION BY profile_id, trait ORDER BY okey) AS prev
+  FROM long
+),
+changes AS (SELECT * FROM marked WHERE prev IS NULL OR prev <> value)
+SELECT profile_id, trait, value,
+       ts_ms AS valid_from_ms,
+       lead(ts_ms) OVER (PARTITION BY profile_id, trait ORDER BY okey) AS valid_to_ms,
+       CAST(row_number() OVER (PARTITION BY profile_id, trait ORDER BY okey) AS INTEGER) AS version
+FROM changes
+"""
+
+# Per-type equal-width histogram (operators/mlprep.py::value_histogram).
+# Operation order of the double arithmetic mirrors the Spark expression
+# exactly so floor() lands identically on both engines.
+ORACLE_SQL["value_histogram"] = f"""
+WITH {ENT_CTE},
+vals AS (
+  SELECT type, CAST(value AS DOUBLE) AS v FROM ent WHERE value IS NOT NULL
+),
+stats AS (SELECT type, min(v) AS vmin, max(v) AS vmax FROM vals GROUP BY type),
+binned AS (
+  SELECT vals.type, v, vmin, vmax,
+         CASE WHEN vmax = vmin THEN 0
+              ELSE CAST(least(floor((v - vmin) / ((vmax - vmin) / 20.0)), 19) AS INTEGER)
+         END AS bin
+  FROM vals JOIN stats ON vals.type = stats.type
+)
+SELECT type, bin, count(*) AS n,
+       round(min(vmin + bin * ((vmax - vmin) / 20.0)), 4) AS bin_lo,
+       round(min(vmin + (bin + 1) * ((vmax - vmin) / 20.0)), 4) AS bin_hi
+FROM binned GROUP BY type, bin
+"""
+
+# Inverted index (operators/text.py::inverted_index): doc frequency + the
+# first 20 doc_ids per term; cap applied pre-aggregation on both sides.
+ORACLE_SQL["inverted_index"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+  )
+),
+ranked AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rnk
+  FROM toks
+)
+SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+       list(doc_id ORDER BY doc_id) FILTER (WHERE rnk <= 20) AS postings
+FROM ranked GROUP BY term
+"""

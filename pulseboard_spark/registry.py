@@ -18,7 +18,7 @@ from pulseboard_spark.session import tune
 from pulseboard_spark.sources.tables import cdp_events, entity_events, load_table
 from pulseboard_spark.functions.core import duck_round
 from pulseboard_spark.functions.ids import normalize_id
-from pulseboard_spark.operators import corpus, dedup, mlprep, multimodal, relational, rules, sessions, similarity, text, timeseries
+from pulseboard_spark.operators import corpus, dedup, mlprep, multimodal, relational, rules, scd, sessions, similarity, text, timeseries
 from pulseboard_spark.operators.ewma import with_ewma
 from pulseboard_spark.operators.identity import (
     components_for,
@@ -879,6 +879,14 @@ def top20_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top20_summaries(build_profiles(_evprof(spark, sf_dir)))
 
 
+def trait_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd.trait_history(_evprof(spark, sf_dir))
+
+
+def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mlprep.value_histogram(entity_events(spark, sf_dir))
+
+
 # --- Beyond-reference: documents / embeddings --------------------------------
 
 
@@ -1023,6 +1031,10 @@ def term_df_idf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.term_df_idf(_docs(spark, sf_dir))
 
 
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.inverted_index(_docs(spark, sf_dir))
+
+
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.synth_media(_docs(spark, sf_dir)))
 
@@ -1144,6 +1156,8 @@ QUERIES: dict[str, QueryFn] = {
     "cdp_segments": cdp_segments_q,
     "segment_events": segment_events_q,
     "top20_profiles": top20_profiles_q,
+    "trait_history": trait_history_q,
+    "value_histogram": value_histogram_q,
     # beyond-reference (LLM-data-pipeline) operators
     "dedup_exact": dedup_exact_q,
     "dedup_minhash": dedup_minhash_q,
@@ -1162,6 +1176,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": doc_fingerprint_q,
     "top_terms_per_lang": top_terms_per_lang_q,
     "term_df_idf": term_df_idf_q,
+    "inverted_index": inverted_index_q,
     "doc_hash_sample": doc_hash_sample_q,
     "stratified_doc_sample": stratified_doc_sample_q,
     "multimodal_features": multimodal_features_q,  # mapInPandas — rows-only check

@@ -273,3 +273,84 @@ class TestExtensions:
         assert "ArrowEvalPython" in vec_plan, "pandas UDF must be Arrow-vectorized"
         assert "BatchEvalPython" in row_plan, "scalar UDF is the row-at-a-time slow path"
         assert "slow" in X.describe()["px_shout"] or "vectorize" in X.describe()["px_shout"]
+
+
+class TestScd:
+    def _evprof(self, spark):
+        rows = [
+            # (profile, event_id, ts_us, ctype, plan, country)
+            ("p1", "e1", 1_000_000, "IDENTIFY", "basic", "US"),
+            ("p1", "e2", 2_000_000, "IDENTIFY", "basic", "US"),   # no change
+            ("p1", "e3", 3_000_000, "IDENTIFY", "pro", "US"),     # plan flips
+            ("p1", "e4", 4_000_000, "TRACK", None, None),          # ignored
+            ("p2", "e5", 1_000_000, "IDENTIFY", "pro", None),      # null country
+        ]
+        return spark.createDataFrame(
+            [(p, e, us, us // 1000, ct, pl, co) for p, e, us, ct, pl, co in rows],
+            "profile_id string, event_id string, ts_us long, ts_ms long, "
+            "ctype string, plan string, country string",
+        )
+
+    def test_trait_history_intervals(self, spark):
+        from pulseboard_spark.operators.scd import trait_history
+
+        got = {
+            (r.profile_id, r.trait, r.version): (r.value, r.valid_from_ms, r.valid_to_ms)
+            for r in trait_history(self._evprof(spark)).collect()
+        }
+        assert got == {
+            ("p1", "plan", 1): ("basic", 1000, 3000),
+            ("p1", "plan", 2): ("pro", 3000, None),
+            ("p1", "country", 1): ("US", 1000, None),
+            ("p2", "plan", 1): ("pro", 1000, None),
+        }
+
+    def test_open_interval_is_lww(self, spark, sf_dir):
+        """The open SCD2 interval must equal build_profiles' LWW trait."""
+        from pulseboard_spark.operators.scd import trait_history
+        from pulseboard_spark.registry import _evprof, cdp_profiles_q
+
+        ev = _evprof(spark, sf_dir)
+        open_rows = {
+            (r.profile_id, r.trait): r.value
+            for r in trait_history(ev).where("valid_to_ms IS NULL").collect()
+        }
+        for p in cdp_profiles_q(spark, sf_dir).collect():
+            if p.plan is not None:
+                assert open_rows[(p.profile_id, "plan")] == p.plan
+            if p.country is not None:
+                assert open_rows[(p.profile_id, "country")] == p.country
+
+
+class TestHistogram:
+    def test_bins_partition_the_rows(self, spark, sf_dir):
+        from pulseboard_spark.operators.mlprep import value_histogram
+        from pulseboard_spark.sources.tables import entity_events
+
+        ev = entity_events(spark, sf_dir)
+        hist = value_histogram(ev).collect()
+        assert all(0 <= r.bin < 20 for r in hist)
+        assert sum(r.n for r in hist) == ev.where("value IS NOT NULL").count()
+        for r in hist:
+            assert r.bin_lo <= r.bin_hi
+
+    def test_degenerate_group_single_bin(self, spark):
+        from pulseboard_spark.operators.mlprep import value_histogram
+
+        df = spark.createDataFrame([("a", 7)] * 5, "type string, value long")
+        rows = value_histogram(df).collect()
+        assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 5
+
+
+class TestInvertedIndex:
+    def test_postings_capped_and_consistent(self, spark, sf_dir):
+        from pulseboard_spark.operators.text import inverted_index
+        from pulseboard_spark.sources.tables import load_table
+
+        idx = inverted_index(load_table(spark, sf_dir, "documents"), max_postings=5)
+        rows = idx.collect()
+        assert rows, "empty index"
+        for r in rows:
+            assert len(r.postings) <= 5
+            assert len(r.postings) == min(r.doc_freq, 5)
+            assert r.postings == sorted(r.postings)
