@@ -305,3 +305,32 @@ def value_stats_per_type(ev: DataFrame) -> DataFrame:
         "median_value",
         "p90_value",
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: Sequence[str],
+    value: str,
+    min_share: float = 0.05,
+) -> DataFrame:
+    """Exact frequent items: every ``value`` whose share of its key group
+    is >= ``min_share``, with count and share.
+
+    Same two-phase shape as :func:`group_mode` — the fact is reduced to a
+    (key, value) counts table map-side, and the share window runs over
+    counts only.  Output is bounded by 1/min_share rows per group
+    regardless of data size (at most 20 values can each hold >= 5%), so
+    this is safe to collect or broadcast downstream.  This is the exact
+    twin of sketch-based heavy hitters (Misra-Gries / count-min): at
+    100 TB the same plan holds because the counts table, not the fact,
+    bounds the window input.
+    """
+    key = list(key)
+    counts = df.groupBy(*key, value).agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy(*key))
+    return (
+        counts.withColumn("n_total", tot)
+        .withColumn("share", F.round(F.col("n") / F.col("n_total"), 4))
+        .where(F.col("n") / F.col("n_total") >= F.lit(min_share))
+        .select(*key, value, "n", "n_total", "share")
+    )

@@ -184,3 +184,51 @@ def inverted_index(documents: DataFrame, max_postings: int = 20) -> DataFrame:
             F.collect_list(F.when(F.col("rnk") <= max_postings, F.col("doc_id")))
         ).alias("postings"),
     )
+
+
+def term_cooccurrence(documents: DataFrame, min_pairs: int = 2) -> DataFrame:
+    """Term co-occurrence with pointwise mutual information.
+
+    For every unordered term pair appearing together in >= ``min_pairs``
+    documents: co-document count and PMI = ln(N * c_ab / (c_a * c_b)),
+    rounded to 4 decimals.  The self-join runs WITHIN each document over
+    its distinct-term set, so the pair explosion is bounded by per-doc
+    vocabulary squared — corpus size only scales the (map-side combined)
+    pair counting, never the join fan-out.  Per-term document frequencies
+    ride in via a broadcast of the (tiny) vocabulary table.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    pairs_per_doc = documents.select("doc_id", F.explode(toks).alias("term")).distinct()
+    a, b = pairs_per_doc.alias("a"), pairs_per_doc.alias("b")
+    pair_counts = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("n_docs_both"))
+        .where(F.col("n_docs_both") >= min_pairs)
+    )
+    df_counts = pairs_per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        pair_counts.join(
+            F.broadcast(df_counts.withColumnRenamed("term", "term_a").withColumnRenamed("df", "df_a")),
+            "term_a",
+        )
+        .join(
+            F.broadcast(df_counts.withColumnRenamed("term", "term_b").withColumnRenamed("df", "df_b")),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_docs_both",
+            F.round(
+                F.log(
+                    F.col("n_corpus").cast("double")
+                    * F.col("n_docs_both")
+                    / (F.col("df_a").cast("double") * F.col("df_b")),
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

@@ -1645,3 +1645,41 @@ SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
        list(doc_id ORDER BY doc_id) FILTER (WHERE rnk <= 20) AS postings
 FROM ranked GROUP BY term
 """
+
+
+# Exact heavy hitters (operators/relational.py::heavy_hitters): every event
+# type holding >= 5% of its geo's traffic.  Integer counts divide as
+# doubles on both sides.
+ORACLE_SQL["geo_heavy_hitters"] = f"""
+WITH {ENT_CTE},
+counts AS (SELECT geo, type, count(*) AS n FROM ent GROUP BY geo, type),
+tot AS (SELECT *, sum(n) OVER (PARTITION BY geo) AS n_total FROM counts)
+SELECT geo, type, n, n_total,
+       round(CAST(n AS DOUBLE) / n_total, 4) AS share
+FROM tot WHERE CAST(n AS DOUBLE) / n_total >= 0.05
+"""
+
+# Term co-occurrence PMI (operators/text.py::term_cooccurrence): within-doc
+# distinct-term pair counts, broadcast df joins, ln rounded to 4.
+ORACLE_SQL["term_cooccurrence"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+  )
+),
+pc AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs_both
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+dfc AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+nd AS (SELECT count(*) AS n_corpus FROM documents)
+SELECT term_a, term_b, n_docs_both,
+       round(ln(CAST(n_corpus AS DOUBLE) * n_docs_both
+                / (CAST(da.df AS DOUBLE) * db.df)), 4) AS pmi
+FROM pc
+JOIN dfc da ON pc.term_a = da.term
+JOIN dfc db ON pc.term_b = db.term
+CROSS JOIN nd
+"""

@@ -1035,6 +1035,14 @@ def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.inverted_index(_docs(spark, sf_dir))
 
 
+def term_cooccurrence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.term_cooccurrence(_docs(spark, sf_dir))
+
+
+def geo_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.heavy_hitters(entity_events(spark, sf_dir), ["geo"], "type")
+
+
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.synth_media(_docs(spark, sf_dir)))
 
@@ -1177,6 +1185,8 @@ QUERIES: dict[str, QueryFn] = {
     "top_terms_per_lang": top_terms_per_lang_q,
     "term_df_idf": term_df_idf_q,
     "inverted_index": inverted_index_q,
+    "term_cooccurrence": term_cooccurrence_q,
+    "geo_heavy_hitters": geo_heavy_hitters_q,
     "doc_hash_sample": doc_hash_sample_q,
     "stratified_doc_sample": stratified_doc_sample_q,
     "multimodal_features": multimodal_features_q,  # mapInPandas — rows-only check

@@ -354,3 +354,38 @@ class TestInvertedIndex:
             assert len(r.postings) <= 5
             assert len(r.postings) == min(r.doc_freq, 5)
             assert r.postings == sorted(r.postings)
+
+
+class TestHeavyHitters:
+    def test_threshold_and_bound(self, spark):
+        from pulseboard_spark.operators.relational import heavy_hitters
+
+        # group g: 60/30/10 split at min_share=0.25 keeps only the top two
+        rows = [("g", "a")] * 6 + [("g", "b")] * 3 + [("g", "c")] * 1
+        df = spark.createDataFrame(rows, "k string, v string")
+        got = {r.v: (r.n, r.n_total, r.share) for r in heavy_hitters(df, ["k"], "v", 0.25).collect()}
+        assert got == {"a": (6, 10, 0.6), "b": (3, 10, 0.3)}
+
+    def test_output_bounded_by_inverse_share(self, spark, sf_dir):
+        from pulseboard_spark.operators.relational import heavy_hitters
+        from pulseboard_spark.sources.tables import entity_events
+
+        per_geo = (
+            heavy_hitters(entity_events(spark, sf_dir), ["geo"], "type", 0.05)
+            .groupBy("geo").count().collect()
+        )
+        assert all(r["count"] <= 20 for r in per_geo)
+
+
+class TestTermCooccurrence:
+    def test_pairs_canonical_and_pmi_sane(self, spark, sf_dir):
+        import math
+        from pulseboard_spark.operators.text import term_cooccurrence
+        from pulseboard_spark.sources.tables import load_table
+
+        rows = term_cooccurrence(load_table(spark, sf_dir, "documents")).collect()
+        assert rows
+        for r in rows:
+            assert r.term_a < r.term_b          # unordered pairs, canonical form
+            assert r.n_docs_both >= 2
+            assert math.isfinite(r.pmi)
