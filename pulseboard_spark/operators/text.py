@@ -198,15 +198,28 @@ def term_cooccurrence(documents: DataFrame, min_pairs: int = 2) -> DataFrame:
     ride in via a broadcast of the (tiny) vocabulary table.
     """
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
-    pairs_per_doc = documents.select("doc_id", F.explode(toks).alias("term")).distinct()
-    a, b = pairs_per_doc.alias("a"), pairs_per_doc.alias("b")
+    # Per-doc sorted distinct vocabulary; pair generation is pure array
+    # combinatorics on that row — no self-join, no distinct shuffle.  The
+    # ascending sort makes every emitted pair canonical (term_a < term_b).
+    per_doc = documents.select(F.array_sort(F.array_distinct(toks)).alias("ts"))
+    pair_expr = F.flatten(
+        F.transform(
+            "ts",
+            lambda x, i: F.transform(
+                F.slice("ts", i + F.lit(2), F.size("ts")),
+                lambda y: F.struct(x.alias("term_a"), y.alias("term_b")),
+            ),
+        )
+    )
     pair_counts = (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
-        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        per_doc.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.term_a").alias("term_a"), F.col("p.term_b").alias("term_b"))
         .agg(F.count(F.lit(1)).alias("n_docs_both"))
         .where(F.col("n_docs_both") >= min_pairs)
     )
-    df_counts = pairs_per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_counts = per_doc.select(F.explode("ts").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_corpus"))
     return (
         pair_counts.join(
