@@ -389,3 +389,44 @@ class TestTermCooccurrence:
             assert r.term_a < r.term_b          # unordered pairs, canonical form
             assert r.n_docs_both >= 2
             assert math.isfinite(r.pmi)
+
+
+class TestCatalog:
+    def test_sql_over_registered_views(self, spark, sf_dir):
+        """The SQL face: raw tables + derived views answer plain spark.sql,
+        and a pure-SQL rewrite matches the operator output."""
+        from pulseboard_spark.catalog import register_tables
+        from pulseboard_spark.operators.relational import heavy_hitters
+        from pulseboard_spark.sources.tables import entity_events
+
+        register_tables(spark, sf_dir)
+        n = spark.sql(
+            "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ).collect()[0].n
+        assert n > 0
+        got = {
+            (r.geo, r.type): (r.n, r.share)
+            for r in spark.sql(
+                """
+                WITH counts AS (
+                  SELECT geo, type, count(*) AS n FROM entity GROUP BY geo, type
+                ), tot AS (
+                  SELECT *, sum(n) OVER (PARTITION BY geo) AS n_total FROM counts
+                )
+                SELECT geo, type, n, round(n / n_total, 4) AS share
+                FROM tot WHERE n / n_total >= 0.05
+                """
+            ).collect()
+        }
+        want = {
+            (r.geo, r.type): (r.n, r.share)
+            for r in heavy_hitters(entity_events(spark, sf_dir), ["geo"], "type").collect()
+        }
+        assert got == want
+
+    def test_queries_as_views(self, spark, sf_dir):
+        from pulseboard_spark.catalog import register_queries
+
+        register_queries(spark, sf_dir, ["tpch_q6_forecast_revenue", "value_histogram"])
+        assert spark.sql("SELECT * FROM value_histogram WHERE bin >= 20").count() == 0
+        assert spark.sql("SELECT revenue FROM tpch_q6_forecast_revenue").count() == 1
