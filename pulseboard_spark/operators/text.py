@@ -245,3 +245,44 @@ def term_cooccurrence(documents: DataFrame, min_pairs: int = 2) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+def bigram_stats(documents: DataFrame, min_count: int = 2) -> DataFrame:
+    """Corpus bigram counts with conditional follow probability.
+
+    For every consecutive token pair (w1, w2) occurring >= ``min_count``
+    times corpus-wide: its count, the count of all bigrams starting with
+    w1, and p(w2|w1) rounded to 4 decimals — the raw material of n-gram
+    LM pruning and phrase-mining passes.  Pair generation is per-row
+    array slicing (`zip_with` of the offset slices) — order-preserving,
+    join-free, empty for sub-2-token docs — so the only fact-sized
+    shuffle is the map-side-combined (w1, w2) count; the conditional
+    total is a window over that counts table, bounded by vocabulary².
+    """
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    sz = F.size(toks)
+    n_pairs = F.greatest(sz - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    counts = (
+        documents.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("n").over(Window.partitionBy("w1"))
+    return (
+        counts.withColumn("n_first", tot)
+        .where(F.col("n") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            "n_first",
+            F.round(F.col("n") / F.col("n_first"), 4).alias("p_follow"),
+        )
+    )

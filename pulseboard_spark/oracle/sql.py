@@ -1683,3 +1683,24 @@ JOIN dfc da ON pc.term_a = da.term
 JOIN dfc db ON pc.term_b = db.term
 CROSS JOIN nd
 """
+
+
+# Bigram LM stats (operators/text.py::bigram_stats): consecutive-pair
+# counts + conditional follow probability; the w1 total is over ALL
+# bigrams (pre-threshold), matching the window-then-filter order.
+ORACLE_SQL["bigram_stats"] = """
+WITH arr AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS a FROM documents
+),
+pairs AS (
+  SELECT unnest(list_zip(a[:length(a)-1], a[2:])) AS p FROM arr
+),
+counts AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS n FROM pairs GROUP BY 1, 2
+),
+tot AS (
+  SELECT *, sum(n) OVER (PARTITION BY w1) AS n_first FROM counts
+)
+SELECT w1, w2, n, n_first, round(CAST(n AS DOUBLE) / n_first, 4) AS p_follow
+FROM tot WHERE n >= 2
+"""

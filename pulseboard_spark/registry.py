@@ -1039,6 +1039,10 @@ def term_cooccurrence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.term_cooccurrence(_docs(spark, sf_dir))
 
 
+def bigram_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_stats(_docs(spark, sf_dir))
+
+
 def geo_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.heavy_hitters(entity_events(spark, sf_dir), ["geo"], "type")
 
@@ -1186,6 +1190,7 @@ QUERIES: dict[str, QueryFn] = {
     "term_df_idf": term_df_idf_q,
     "inverted_index": inverted_index_q,
     "term_cooccurrence": term_cooccurrence_q,
+    "bigram_stats": bigram_stats_q,
     "geo_heavy_hitters": geo_heavy_hitters_q,
     "doc_hash_sample": doc_hash_sample_q,
     "stratified_doc_sample": stratified_doc_sample_q,

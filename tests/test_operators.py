@@ -430,3 +430,29 @@ class TestCatalog:
         register_queries(spark, sf_dir, ["tpch_q6_forecast_revenue", "value_histogram"])
         assert spark.sql("SELECT * FROM value_histogram WHERE bin >= 20").count() == 0
         assert spark.sql("SELECT revenue FROM tpch_q6_forecast_revenue").count() == 1
+
+
+class TestBigrams:
+    def test_bigram_counts_and_probability(self, spark):
+        from pulseboard_spark.operators.text import bigram_stats
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the cat ran"), (3, "x")],
+            "doc_id long, text string",
+        )
+        got = {(r.w1, r.w2): (r.n, r.n_first, r.p_follow) for r in bigram_stats(df).collect()}
+        # 'the cat' twice; 'cat sat'/'cat ran' once each (below min_count);
+        # single-token doc contributes nothing
+        assert got == {("the", "cat"): (2, 2, 1.0)}
+
+    def test_follow_probabilities_sum_to_one(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pulseboard_spark.operators.text import bigram_stats
+        from pulseboard_spark.sources.tables import load_table
+
+        rows = (
+            bigram_stats(load_table(spark, sf_dir, "documents"), min_count=1)
+            .groupBy("w1").agg(F.round(F.sum("n") / F.first("n_first"), 6).alias("s"))
+            .collect()
+        )
+        assert rows and all(abs(r.s - 1.0) < 1e-6 for r in rows)
