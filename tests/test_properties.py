@@ -259,3 +259,69 @@ def test_quantile_bins_match_ntile_model(spark):
                     want.add((vals[idx][1], bucket))
                     idx += 1
     assert got == want
+
+
+# --- SCD2 intervals vs a sequential Python model ----------------------------
+
+
+def test_scd2_intervals_match_sequential_model(spark):
+    """trait-history islands on random (key, ts, value) streams — including
+    same-ts ties broken by event_id and long runs of repeats — must match a
+    per-key sequential scan."""
+    from pulseboard_spark.operators.scd import changes_to_intervals
+
+    rng = random.Random(77)
+    rows = []
+    for i in range(600):
+        key = f"k{rng.randrange(8)}"
+        ts = rng.randrange(20) * 1000
+        rows.append((key, ts, f"{ts:06d}|{i:04d}", f"v{rng.randrange(3)}"))
+    df = spark.createDataFrame(rows, "key string, ts_ms long, okey string, value string")
+
+    got = {
+        (r.key, r.version): (r.value, r.valid_from_ms, r.valid_to_ms)
+        for r in changes_to_intervals(df, ["key"]).collect()
+    }
+
+    want = {}
+    by_key: dict[str, list] = {}
+    for key, ts, okey, value in rows:
+        by_key.setdefault(key, []).append((okey, ts, value))
+    for key, items in by_key.items():
+        items.sort()
+        islands = []
+        prev = None
+        for okey, ts, value in items:
+            if prev is None or value != prev:
+                islands.append([value, ts, None])
+            prev = value
+        for i, isl in enumerate(islands):
+            if i + 1 < len(islands):
+                isl[2] = islands[i + 1][1]
+            want[(key, i + 1)] = tuple(isl)
+    assert got == want
+
+
+# --- heavy hitters vs Counter model ------------------------------------------
+
+
+def test_heavy_hitters_matches_counter_model(spark):
+    from collections import Counter
+
+    from pulseboard_spark.operators.relational import heavy_hitters
+
+    rng = random.Random(99)
+    rows = [(f"g{rng.randrange(5)}", f"v{rng.randrange(12)}") for _ in range(3000)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = {(r.k, r.v): (r.n, r.n_total) for r in heavy_hitters(df, ["k"], "v", 0.1).collect()}
+
+    want = {}
+    groups: dict[str, Counter] = {}
+    for k, v in rows:
+        groups.setdefault(k, Counter())[v] += 1
+    for k, cnt in groups.items():
+        tot = sum(cnt.values())
+        for v, n in cnt.items():
+            if n / tot >= 0.1:
+                want[(k, v)] = (n, tot)
+    assert got == want
