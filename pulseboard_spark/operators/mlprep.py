@@ -145,3 +145,39 @@ def value_histogram(ev: DataFrame, n_bins: int = 20) -> DataFrame:
         F.round(F.min(F.col("vmin") + F.col("bin") * width), 4).alias("bin_lo"),
         F.round(F.min(F.col("vmin") + (F.col("bin") + 1) * width), 4).alias("bin_hi"),
     )
+
+
+def mad_outliers(ev: DataFrame, k: float = 3.0) -> DataFrame:
+    """Robust per-type outlier stats via median absolute deviation.
+
+    Unlike the z-score path (:func:`standardize`), MAD is immune to the
+    outliers it hunts.  Two broadcast-stats passes over the fact: exact
+    median per type (``F.percentile`` ≡ DuckDB ``quantile_cont``), then
+    median of |v − med|; a value is an outlier when
+    |v − med| > k · 1.4826 · MAD (1.4826 scales MAD to σ under
+    normality).  The fact is never shuffled — both stats tables are tiny
+    per-type aggregates broadcast back, and the final reduction is a
+    per-type count.  Degenerate types (MAD = 0) flag every v ≠ median.
+    """
+    vals = ev.filter(F.col("value").isNotNull()).select(
+        "type", F.col("value").cast("double").alias("v")
+    )
+    med = vals.groupBy("type").agg(F.percentile(F.col("v"), F.lit(0.5)).alias("med"))
+    dev = vals.join(F.broadcast(med), "type").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("type").agg(
+        F.min("med").alias("med"),
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad"),
+    )
+    flagged = vals.join(F.broadcast(mad), "type").withColumn(
+        "is_out",
+        F.abs(F.col("v") - F.col("med")) > F.lit(k) * F.lit(1.4826) * F.col("mad"),
+    )
+    return flagged.groupBy("type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.min("med"), 4).alias("median_value"),
+        F.round(F.min("mad"), 4).alias("mad_value"),
+        F.sum(F.col("is_out").cast("long")).alias("n_outliers"),
+        F.round(F.sum(F.col("is_out").cast("long")) / F.count(F.lit(1)), 4).alias("outlier_frac"),
+    )

@@ -286,3 +286,73 @@ def bigram_stats(documents: DataFrame, min_count: int = 2) -> DataFrame:
             F.round(F.col("n") / F.col("n_first"), 4).alias("p_follow"),
         )
     )
+
+
+def gopher_quality(
+    documents: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_word_len: float = 2.0,
+    max_word_len: float = 12.0,
+    max_top_word_share: float = 0.30,
+    max_dup_shingle_frac: float = 0.50,
+) -> DataFrame:
+    """Gopher/Dolma-style document quality rules (public heuristics from
+    the Gopher corpus-filtering recipe: word-count bounds, mean-word-length
+    band, most-frequent-word share, duplicate n-gram fraction).
+
+    Everything except the top-word share is per-row array arithmetic —
+    zero shuffles; the top-word share is a two-level (doc, word) aggregate
+    whose shuffle carries per-doc distinct words, not tokens.  The
+    duplicate-shingle fraction reuses the dedup layer's word-5-gram
+    definition (`operators/dedup.py::shingles`) computed inline as
+    ``1 − distinct/total`` over the per-row shingle array.
+    """
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    n_words = F.size(words).cast("long")
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast("long")
+    mean_wl = alpha_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    frac_alpha = alpha_chars.cast("double") / F.greatest(F.length("text"), F.lit(1)).cast("double")
+
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    n_sh = F.greatest(F.size(toks) - 4, F.lit(1))
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(sh_arr)).cast("double") / F.size(sh_arr).cast("double")
+
+    base = documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha"),
+        dup_frac.alias("dup_shingle_frac"),
+    )
+    wc = (
+        documents.select("doc_id", F.explode(words).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = wc.groupBy("doc_id").agg(
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias("top_word_share")
+    )
+    joined = base.join(top, "doc_id", "left").withColumn(
+        "top_word_share", F.coalesce(F.col("top_word_share"), F.lit(0.0))
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_word_len, max_word_len)
+        & (F.col("top_word_share") <= max_top_word_share)
+        & (F.col("dup_shingle_frac") <= max_dup_shingle_frac)
+    )
+    r4 = lambda c: F.round(c, 4)  # noqa: E731
+    return joined.select(
+        "doc_id",
+        "n_words",
+        r4(F.col("mean_word_len")).alias("mean_word_len"),
+        r4(F.col("frac_alpha")).alias("frac_alpha"),
+        r4(F.col("top_word_share")).alias("top_word_share"),
+        r4(F.col("dup_shingle_frac")).alias("dup_shingle_frac"),
+        passes.alias("passes"),
+    )

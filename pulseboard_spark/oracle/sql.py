@@ -1704,3 +1704,64 @@ tot AS (
 SELECT w1, w2, n, n_first, round(CAST(n AS DOUBLE) / n_first, 4) AS p_follow
 FROM tot WHERE n >= 2
 """
+
+
+# Gopher-style quality rules (operators/text.py::gopher_quality).
+ORACLE_SQL["gopher_quality"] = """
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z]+') AS words,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(length(words) AS BIGINT) AS n_words,
+         CAST(alpha_chars AS DOUBLE) / greatest(length(words), 1) AS mean_word_len,
+         CAST(alpha_chars AS DOUBLE) / greatest(length(text), 1) AS frac_alpha,
+         1.0 - CAST(length(list_distinct(sh)) AS DOUBLE) / length(sh) AS dup_shingle_frac
+  FROM (
+    SELECT *,
+           list_transform(generate_series(1, greatest(length(toks) - 4, 1)),
+                          i -> array_to_string(toks[i:i+4], ' ')) AS sh
+    FROM base
+  )
+),
+wc AS (
+  SELECT doc_id, w, count(*) AS n FROM (
+    SELECT doc_id, unnest(words) AS w FROM base
+  ) GROUP BY doc_id, w
+),
+top AS (
+  SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n) AS top_word_share FROM wc GROUP BY doc_id
+)
+SELECT f.doc_id, f.n_words,
+       round(f.mean_word_len, 4) AS mean_word_len,
+       round(f.frac_alpha, 4) AS frac_alpha,
+       round(coalesce(t.top_word_share, 0.0), 4) AS top_word_share,
+       round(f.dup_shingle_frac, 4) AS dup_shingle_frac,
+       (f.n_words BETWEEN 20 AND 100000
+        AND f.mean_word_len BETWEEN 2.0 AND 12.0
+        AND coalesce(t.top_word_share, 0.0) <= 0.30
+        AND f.dup_shingle_frac <= 0.50) AS passes
+FROM feats f LEFT JOIN top t USING (doc_id)
+"""
+
+# MAD robust outliers (operators/mlprep.py::mad_outliers): exact medians
+# (quantile_cont ≡ F.percentile), threshold k·1.4826·MAD with k = 3.
+ORACLE_SQL["value_mad_outliers"] = f"""
+WITH {ENT_CTE},
+vals AS (SELECT type, CAST(value AS DOUBLE) AS v FROM ent WHERE value IS NOT NULL),
+med AS (SELECT type, quantile_cont(v, 0.5) AS med FROM vals GROUP BY type),
+dev AS (SELECT vals.type, v, med, abs(v - med) AS adev FROM vals JOIN med USING (type)),
+mad AS (SELECT type, min(med) AS med, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY type)
+SELECT vals.type,
+       count(*) AS n_values,
+       round(min(m.med), 4) AS median_value,
+       round(min(m.mad), 4) AS mad_value,
+       CAST(sum(CASE WHEN abs(v - m.med) > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CAST(sum(CASE WHEN abs(v - m.med) > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS outlier_frac
+FROM vals JOIN mad m USING (type)
+GROUP BY vals.type
+"""

@@ -1043,6 +1043,14 @@ def bigram_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_stats(_docs(spark, sf_dir))
 
 
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.gopher_quality(_docs(spark, sf_dir))
+
+
+def value_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mlprep.mad_outliers(entity_events(spark, sf_dir))
+
+
 def geo_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.heavy_hitters(entity_events(spark, sf_dir), ["geo"], "type")
 
@@ -1191,7 +1199,9 @@ QUERIES: dict[str, QueryFn] = {
     "inverted_index": inverted_index_q,
     "term_cooccurrence": term_cooccurrence_q,
     "bigram_stats": bigram_stats_q,
+    "gopher_quality": gopher_quality_q,
     "geo_heavy_hitters": geo_heavy_hitters_q,
+    "value_mad_outliers": value_mad_outliers_q,
     "doc_hash_sample": doc_hash_sample_q,
     "stratified_doc_sample": stratified_doc_sample_q,
     "multimodal_features": multimodal_features_q,  # mapInPandas — rows-only check

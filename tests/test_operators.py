@@ -456,3 +456,54 @@ class TestBigrams:
             .collect()
         )
         assert rows and all(abs(r.s - 1.0) < 1e-6 for r in rows)
+
+
+class TestGopherQuality:
+    def test_rules_fire_both_ways(self, spark, sf_dir):
+        from pulseboard_spark.operators.text import gopher_quality
+        from pulseboard_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = gopher_quality(docs).collect()
+        assert len(rows) == docs.count()
+        for r in rows:
+            assert 0.0 <= r.top_word_share <= 1.0
+            assert 0.0 <= r.dup_shingle_frac <= 1.0
+
+    def test_repetitive_doc_flagged(self, spark):
+        from pulseboard_spark.operators.text import gopher_quality
+
+        rows = [
+            (1, "spam " * 200),                       # one word repeated: top share 1
+            # digits are stripped by the [a-z]+ tokenizer, so distinct words
+            # must differ in their LETTERS
+            (2, " ".join(
+                "w" + "".join("abcdefghij"[int(c)] for c in str(i)) for i in range(60)
+            )),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in gopher_quality(df).collect()}
+        assert not got[1].passes and got[1].top_word_share == 1.0
+        assert got[1].dup_shingle_frac > 0.9
+        assert got[2].passes
+
+
+class TestMadOutliers:
+    def test_outliers_flagged_robustly(self, spark):
+        from pulseboard_spark.operators.mlprep import mad_outliers
+
+        rows = [("a", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 1000]]
+        df = spark.createDataFrame(rows, "type string, value double")
+        r = mad_outliers(df).collect()[0]
+        # interpolated median of the 8 values is 10.5; only 1000 exceeds
+        # the 3·1.4826·MAD band — the robust stat ignores its own outlier
+        assert r.n_values == 8 and r.median_value == 10.5 and r.n_outliers == 1
+
+    def test_zero_mad_degenerate(self, spark):
+        from pulseboard_spark.operators.mlprep import mad_outliers
+
+        df = spark.createDataFrame(
+            [("a", 5.0)] * 10 + [("a", 6.0)], "type string, value double"
+        )
+        r = mad_outliers(df).collect()[0]
+        assert r.mad_value == 0.0 and r.n_outliers == 1   # any v != median flags
