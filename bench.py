@@ -59,6 +59,11 @@ HEADLINE = [
     "trait_history",
     "value_histogram",
     "inverted_index",
+    "term_cooccurrence",
+    "bigram_stats",
+    "gopher_quality",
+    "geo_heavy_hitters",
+    "value_mad_outliers",
 ]
 
 

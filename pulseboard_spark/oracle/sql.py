@@ -1765,3 +1765,16 @@ SELECT vals.type,
 FROM vals JOIN mad m USING (type)
 GROUP BY vals.type
 """
+
+
+# Identity-graph component size/kind distribution (registry
+# component_sizes_q): merge-health analytics over the CC result.
+ORACLE_SQL["component_sizes"] = f"""
+WITH RECURSIVE {COMPONENTS_CTE}
+SELECT component AS profile_id,
+       count(*) AS n_ids,
+       CAST(sum(CASE WHEN starts_with(id, 'user:') THEN 1 ELSE 0 END) AS BIGINT) AS n_user_ids,
+       CAST(sum(CASE WHEN starts_with(id, 'email:') THEN 1 ELSE 0 END) AS BIGINT) AS n_emails,
+       CAST(sum(CASE WHEN starts_with(id, 'anon:') THEN 1 ELSE 0 END) AS BIGINT) AS n_anon_ids
+FROM comp GROUP BY component
+"""

@@ -883,6 +883,20 @@ def trait_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd.trait_history(_evprof(spark, sf_dir))
 
 
+def component_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-graph analytics: per-component identifier counts by kind —
+    the fragmentation/merge-health view an identity team watches
+    (big components = over-merging, many singletons = under-merging)."""
+    comp = _components(spark, sf_dir)
+    kind = lambda p: F.sum(F.col("id").startswith(p).cast("long"))  # noqa: E731
+    return comp.groupBy(F.col("component").alias("profile_id")).agg(
+        F.count(F.lit(1)).alias("n_ids"),
+        kind("user:").alias("n_user_ids"),
+        kind("email:").alias("n_emails"),
+        kind("anon:").alias("n_anon_ids"),
+    )
+
+
 def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlprep.value_histogram(entity_events(spark, sf_dir))
 
@@ -1177,6 +1191,7 @@ QUERIES: dict[str, QueryFn] = {
     "segment_events": segment_events_q,
     "top20_profiles": top20_profiles_q,
     "trait_history": trait_history_q,
+    "component_sizes": component_sizes_q,
     "value_histogram": value_histogram_q,
     # beyond-reference (LLM-data-pipeline) operators
     "dedup_exact": dedup_exact_q,

@@ -205,3 +205,50 @@ def test_standardize_broadcasts_stats(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "stats must rejoin via broadcast"
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert not PY_NODES.search(plan)
+
+
+def test_trait_history_windows_share_one_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "trait_history")
+    # both window passes (lag collapse, lead/row_number close) must reuse
+    # ONE (profile_id, trait) hash partitioning
+    hashparts = re.findall(r"hashpartitioning\(profile_id[^)]*trait", plan)
+    assert len(hashparts) == 1, f"expected one history shuffle, got {len(hashparts)}"
+    assert not PY_NODES.search(plan), "SCD2 pass must stay JVM-side"
+
+
+def test_value_histogram_broadcasts_stats(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "value_histogram")
+    assert "BroadcastHashJoin" in plan, "per-type stats must broadcast, never shuffle the fact"
+    assert "SortMergeJoin" not in plan
+    assert not PY_NODES.search(plan)
+
+
+def test_inverted_index_groupby_reuses_window_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "inverted_index")
+    # (doc_id, term) distinct + term window; the final groupBy(term) must
+    # NOT add a third hash exchange
+    hashparts = re.findall(r"hashpartitioning\(", plan)
+    assert len(hashparts) <= 2, f"expected <=2 hash exchanges, got {len(hashparts)}"
+    assert "Join" not in plan
+
+
+def test_heavy_hitters_window_over_counts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "geo_heavy_hitters")
+    # window runs over the aggregated counts table; the share filter must
+    # not trigger a join or a Python seam
+    assert "Join" not in plan
+    assert not PY_NODES.search(plan)
+    assert plan.count("Window") == 1
+
+
+def test_bigram_and_cooccurrence_join_free_pair_gen(spark, sf_dir):
+    for name in ["bigram_stats", "term_cooccurrence"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "SortMergeJoin" not in plan, f"{name}: pair generation must not self-join"
+        assert not PY_NODES.search(plan), name
+
+
+def test_mad_outliers_fact_never_shuffles(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "value_mad_outliers")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert not PY_NODES.search(plan)
