@@ -85,8 +85,8 @@ def r2_value_eval(
     )
 
 
-def r3_geo_device_eval(entity: DataFrame) -> DataFrame:
-    """R3 geo/device mismatch — implemented for real.
+def _r3_conflicts(entity: DataFrame):
+    """R3 geo/device mismatch join stage — implemented for real.
 
     The reference declares the rule (`docs/TICKETS.md:146`) but stubs the
     recent-event lookup to an empty list (`core/Rules.kt:207-215`), so it
@@ -134,6 +134,31 @@ def r3_geo_device_eval(entity: DataFrame) -> DataFrame:
         F.col("e1.device") != F.col("e2.device")
     )
     conflicts = joined.filter(geo_conf | dev_conf)
+    return conflicts, geo_conf, dev_conf
+
+
+def r3_conflict_pairs(entity: DataFrame) -> DataFrame:
+    """Pair-level R3 surface: one row per (event, conflicting predecessor
+    within 2 min).  This is the stage the native stream-stream join twin
+    reproduces (`streaming/pipeline.py::r3_stream_stream_join`);
+    :func:`r3_geo_device_eval` aggregates it into per-event alerts."""
+    conflicts, geo_conf, dev_conf = _r3_conflicts(entity)
+    return conflicts.select(
+        F.col("e1.event_id").alias("event_id"),
+        F.col("e1.entity_id").alias("entity_id"),
+        F.col("e1.ts_ms").alias("ts_ms"),
+        F.col("e2.event_id").alias("prev_event_id"),
+        geo_conf.alias("geo_conflict"),
+        dev_conf.alias("device_conflict"),
+    )
+
+
+def r3_geo_device_eval(entity: DataFrame) -> DataFrame:
+    """Per-event R3 alerts: the conflict pairs of :func:`_r3_conflicts`
+    aggregated per triggering event with latest-conflict evidence
+    (deterministic (ts, event_id) pick).  Severity constant MEDIUM
+    (`core/Rules.kt:98-154`)."""
+    conflicts, geo_conf, dev_conf = _r3_conflicts(entity)
     order_key = F.concat(
         F.lpad(F.col("e2.ts_us").cast("string"), 20, "0"),
         F.lpad(F.col("e2.event_id").cast("string"), 12, "0"),

@@ -347,3 +347,51 @@ def streaming_sessions(
             "n_events",
         )
     )
+
+
+def r3_stream_stream_join(later: DataFrame, earlier: DataFrame) -> DataFrame:
+    """R3 conflict pairs via Spark's NATIVE watermarked stream-stream join
+    (the batch twin is `operators/rules.py::r3_conflict_pairs`; the
+    keyed-state twin is `stateful.py::r3_stateful`).
+
+    Both inputs are streaming DataFrames of the entity view.  The join
+    condition carries an event-time range (`e2.ts` within 2 minutes before
+    `e1.ts`), which is what lets the engine bound join state: the probe
+    side keeps 120 s of history per watermark advance, the build side
+    240 s (its rows must outlive the latest probe row that can reach
+    back to them).  No custom state, no applyInPandasWithState — this is
+    the join the reference's stubbed recent-event lookup would have been
+    (`core/Rules.kt:207-215`), expressed as the engine primitive.
+    """
+    e1 = later.withWatermark("ts", "120 seconds").alias("e1")
+    e2 = earlier.withWatermark("ts", "240 seconds").alias("e2")
+    geo_conf = (
+        F.col("e1.geo").isNotNull()
+        & F.col("e2.geo").isNotNull()
+        & (F.col("e1.geo") != F.col("e2.geo"))
+    )
+    dev_conf = (
+        F.col("e1.device").isNotNull()
+        & F.col("e2.device").isNotNull()
+        & (F.col("e1.device") != F.col("e2.device"))
+    )
+    cond = (
+        (F.col("e1.entity_id") == F.col("e2.entity_id"))
+        & (F.col("e2.ts") >= F.col("e1.ts") - F.expr("INTERVAL 2 MINUTES"))
+        & (
+            (F.col("e2.ts_us") < F.col("e1.ts_us"))
+            | (
+                (F.col("e2.ts_us") == F.col("e1.ts_us"))
+                & (F.col("e2.event_id") < F.col("e1.event_id"))
+            )
+        )
+        & (geo_conf | dev_conf)
+    )
+    return e1.join(e2, cond, "inner").select(
+        F.col("e1.event_id").alias("event_id"),
+        F.col("e1.entity_id").alias("entity_id"),
+        F.col("e1.ts_ms").alias("ts_ms"),
+        F.col("e2.event_id").alias("prev_event_id"),
+        geo_conf.alias("geo_conflict"),
+        dev_conf.alias("device_conflict"),
+    )

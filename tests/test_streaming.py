@@ -504,3 +504,40 @@ def test_checkpoint_restart_recovery(spark, sf_dir, entity_chunks_dir, tmp_path)
     assert got, "no windows finalized"
     for r in got:
         assert want[r.minute_ms] == r.n_events
+
+
+def test_r3_stream_stream_join_matches_batch(spark, sf_dir, entity_chunks_dir):
+    """Native watermarked stream-stream interval join == batch conflict
+    pairs (the third R3 twin, after the bucketed batch join and the
+    keyed-state buffer)."""
+    from pulseboard_spark.operators.rules import r3_conflict_pairs
+    from pulseboard_spark.streaming.pipeline import r3_stream_stream_join
+
+    out, schema = entity_chunks_dir
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{out}/chunk=*")
+        )
+
+    q = (
+        r3_stream_stream_join(src(), src())
+        .writeStream.format("memory")
+        .queryName("ss_r3")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT event_id, entity_id, ts_ms, prev_event_id, geo_conflict, device_conflict FROM ss_r3"
+        ).collect()
+    }
+    want = {tuple(r) for r in r3_conflict_pairs(entity_events(spark, sf_dir)).collect()}
+    assert got == want and got
