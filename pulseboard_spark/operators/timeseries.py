@@ -143,3 +143,29 @@ def gap_fill_hours(ev: DataFrame) -> DataFrame:
             ).alias("ffill_value"),
         )
     )
+
+
+def hourly_trending(ev: DataFrame, n: int = 3) -> DataFrame:
+    """Top-N event types per hour bucket — the "trending" leaderboard shape.
+
+    Two-phase like every leaderboard here: the fact reduces map-side to
+    (hour, type) counts; the rank window only sees the counts table.
+    Deterministic ties: higher count first, then lexicographic type.
+    Streaming twin: the same agg under a 1-hour tumbling window with
+    watermark, rank applied in ``foreachBatch`` on the (tiny) per-window
+    counts.
+    """
+    from pyspark.sql import Window
+
+    hour_ms = F.col("ts_ms") - (F.col("ts_ms") % 3_600_000)
+    counts = (
+        ev.select(hour_ms.alias("hour_ms"), "type")
+        .groupBy("hour_ms", "type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("hour_ms").orderBy(F.desc("n"), F.asc("type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= n)
+        .select("hour_ms", "type", "n", "rnk")
+    )

@@ -1778,3 +1778,17 @@ SELECT component AS profile_id,
        CAST(sum(CASE WHEN starts_with(id, 'anon:') THEN 1 ELSE 0 END) AS BIGINT) AS n_anon_ids
 FROM comp GROUP BY component
 """
+
+
+# Hourly trending top-N (operators/timeseries.py::hourly_trending).
+ORACLE_SQL["hourly_trending"] = f"""
+WITH {ENT_CTE},
+counts AS (
+  SELECT ts_ms - (ts_ms % 3600000) AS hour_ms, type, count(*) AS n
+  FROM ent GROUP BY 1, 2
+)
+SELECT hour_ms, type, n, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY hour_ms ORDER BY n DESC, type) AS rnk
+  FROM counts
+) WHERE rnk <= 3
+"""

@@ -1065,6 +1065,23 @@ def value_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlprep.mad_outliers(entity_events(spark, sf_dir))
 
 
+def hourly_trending_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.hourly_trending(entity_events(spark, sf_dir))
+
+
+def approx_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct users per event type: HLL++ partial sketches
+    merge associatively across partitions — the only way COUNT DISTINCT
+    scales to 100 TB without a global shuffle of raw keys.  Approximate by
+    design → rows-only driver check; the error bound vs the exact twin is
+    pinned by ``test_operators.py::TestApproxDistinct`` (rsd 2.5%)."""
+    ev = entity_events(spark, sf_dir)
+    return ev.groupBy("type").agg(
+        F.approx_count_distinct("entity_id", rsd=0.025).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def geo_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.heavy_hitters(entity_events(spark, sf_dir), ["geo"], "type")
 
@@ -1217,6 +1234,8 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_quality": gopher_quality_q,
     "geo_heavy_hitters": geo_heavy_hitters_q,
     "value_mad_outliers": value_mad_outliers_q,
+    "hourly_trending": hourly_trending_q,
+    "approx_user_counts": approx_user_counts_q,  # HLL sketch — rows-only check, error bound pinned by test
     "doc_hash_sample": doc_hash_sample_q,
     "stratified_doc_sample": stratified_doc_sample_q,
     "multimodal_features": multimodal_features_q,  # mapInPandas — rows-only check

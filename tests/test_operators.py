@@ -507,3 +507,25 @@ class TestMadOutliers:
         )
         r = mad_outliers(df).collect()[0]
         assert r.mad_value == 0.0 and r.n_outliers == 1   # any v != median flags
+
+
+class TestApproxDistinct:
+    def test_sketch_within_rsd_of_exact(self, spark, sf_dir):
+        """HLL++ distinct-user counts must land within ~3× the configured
+        rsd of the exact answer (rows-only driver check makes this test
+        the correctness gate for the sketch path)."""
+        from pyspark.sql import functions as F
+        from pulseboard_spark.registry import approx_user_counts_q
+        from pulseboard_spark.sources.tables import entity_events
+
+        approx = {r.type: r.approx_users for r in approx_user_counts_q(spark, sf_dir).collect()}
+        exact = {
+            r.type: r.n
+            for r in entity_events(spark, sf_dir)
+            .groupBy("type")
+            .agg(F.countDistinct("entity_id").alias("n"))
+            .collect()
+        }
+        assert set(approx) == set(exact)
+        for t, n in exact.items():
+            assert abs(approx[t] - n) <= max(3, 0.075 * n), (t, approx[t], n)
