@@ -52,3 +52,29 @@ def stratified_sample(
         df.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= n_per_stratum)
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic corpus split assignment: the first ``test_pct`` hash
+    buckets are 'test', the next ``val_pct`` 'val', the rest 'train'.
+
+    Same stable-hash contract as :func:`hash_sample`: a document's split
+    never changes as the corpus grows or repartitions, membership is
+    re-derivable bit-for-bit by any engine, and the three sets are
+    disjoint and exhaustive by construction — the property that actually
+    prevents test-set leakage across pipeline re-runs.  Pure narrow
+    projection, zero shuffle.
+    """
+    b = hash_bucket(F.col(key), buckets)
+    split = (
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("bucket", b).withColumn("split", split)

@@ -356,3 +356,40 @@ def gopher_quality(
         r4(F.col("dup_shingle_frac")).alias("dup_shingle_frac"),
         passes.alias("passes"),
     )
+
+
+def bpe_merge_candidates(documents: DataFrame, top_n: int = 50) -> DataFrame:
+    """First-round BPE merge statistics: corpus-wide adjacent character
+    pair counts inside word tokens, ranked — exactly the quantity a BPE
+    vocabulary trainer maximizes at each merge step, distributed.
+
+    Char pairs are generated per word with the same slice-zip used by
+    :func:`bigram_stats` (join-free, per-row); the corpus-sized shuffle is
+    the map-side-combined (c1, c2) count, bounded by alphabet² output.
+    Iterating the trainer = re-tokenize with the chosen merge and re-run —
+    each round is one such pass, which is how distributed BPE scales to a
+    100 TB corpus (the sequential trainer is O(corpus) per merge anyway;
+    this makes each round a Spark job instead of a single-node scan).
+    """
+    from pyspark.sql import Window
+
+    words = documents.select(
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))).alias("w")
+    )
+    chars = F.regexp_extract_all(F.col("w"), F.lit("."), F.lit(0))
+    n_pairs = F.greatest(F.size(chars) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(chars, 1, n_pairs),
+        F.slice(chars, 2, n_pairs),
+        lambda x, y: F.struct(x.alias("c1"), y.alias("c2")),
+    )
+    counts = (
+        words.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.c1").alias("c1"), F.col("p.c2").alias("c2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("c1"), F.asc("c2"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= top_n)
+    )

@@ -1792,3 +1792,33 @@ SELECT hour_ms, type, n, CAST(rnk AS INTEGER) AS rnk FROM (
   FROM counts
 ) WHERE rnk <= 3
 """
+
+
+# Deterministic train/val/test split (operators/sampling.py::train_val_test_split).
+ORACLE_SQL["doc_split_assign"] = """
+WITH hashed AS (
+  SELECT doc_id, lang, source,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source, bucket,
+       CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'val'
+            ELSE 'train' END AS split
+FROM hashed
+"""
+
+# First-round BPE merge candidates (operators/text.py::bpe_merge_candidates).
+ORACLE_SQL["bpe_merge_candidates"] = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+),
+chars AS (SELECT regexp_extract_all(w, '.') AS cs FROM words),
+pairs AS (
+  SELECT unnest(list_zip(cs[:length(cs)-1], cs[2:])) AS p FROM chars
+),
+counts AS (SELECT p[1] AS c1, p[2] AS c2, count(*) AS n FROM pairs GROUP BY 1, 2)
+SELECT c1, c2, n, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, c1, c2) AS rnk FROM counts
+) WHERE rnk <= 50
+"""

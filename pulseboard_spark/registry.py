@@ -1061,6 +1061,18 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_quality(_docs(spark, sf_dir))
 
 
+def doc_split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.operators.sampling import train_val_test_split
+
+    return train_val_test_split(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source"), "doc_id"
+    )
+
+
+def bpe_merge_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_merge_candidates(_docs(spark, sf_dir))
+
+
 def value_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlprep.mad_outliers(entity_events(spark, sf_dir))
 
@@ -1232,6 +1244,8 @@ QUERIES: dict[str, QueryFn] = {
     "term_cooccurrence": term_cooccurrence_q,
     "bigram_stats": bigram_stats_q,
     "gopher_quality": gopher_quality_q,
+    "doc_split_assign": doc_split_assign_q,
+    "bpe_merge_candidates": bpe_merge_candidates_q,
     "geo_heavy_hitters": geo_heavy_hitters_q,
     "value_mad_outliers": value_mad_outliers_q,
     "hourly_trending": hourly_trending_q,

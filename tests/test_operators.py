@@ -529,3 +529,40 @@ class TestApproxDistinct:
         assert set(approx) == set(exact)
         for t, n in exact.items():
             assert abs(approx[t] - n) <= max(3, 0.075 * n), (t, approx[t], n)
+
+
+class TestSplits:
+    def test_partition_disjoint_exhaustive_stable(self, spark, sf_dir):
+        from pulseboard_spark.operators.sampling import train_val_test_split
+        from pulseboard_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        full = train_val_test_split(docs, "doc_id")
+        counts = {r.split: r.n for r in full.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert sum(counts.values()) == docs.count()
+        assert set(counts) == {"train", "val", "test"}
+        # growth stability: the split of a doc must not depend on which
+        # other docs are present
+        half = train_val_test_split(docs.limit(200), "doc_id")
+        sub = {r.doc_id: r.split for r in half.collect()}
+        whole = {r.doc_id: r.split for r in full.collect()}
+        assert all(whole[d] == s for d, s in sub.items())
+
+
+class TestBpeMerges:
+    def test_top_pair_matches_counter(self, spark):
+        from collections import Counter
+
+        from pulseboard_spark.operators.text import bpe_merge_candidates
+
+        texts = ["banana band bandana", "an ant and an anvil"]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        got = [(r.c1, r.c2, r.n) for r in bpe_merge_candidates(df, top_n=3).orderBy("rnk").collect()]
+        cnt = Counter()
+        import re as _re
+        for t in texts:
+            for w in _re.findall("[a-z]+", t.lower()):
+                for a, b in zip(w, w[1:]):
+                    cnt[(a, b)] += 1
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert got == [(a, b, n) for (a, b), n in want]
