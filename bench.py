@@ -29,6 +29,9 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q13_order_distribution",
     "tpch_q18_large_volume",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_share_of_total",
+    "tpch_q20_half_volume_suppliers",
     "asof_last_purchase",
     "user_sessions",
     "inter_event_deltas",

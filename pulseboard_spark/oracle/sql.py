@@ -1822,3 +1822,66 @@ SELECT c1, c2, n, CAST(rnk AS INTEGER) AS rnk FROM (
   SELECT *, row_number() OVER (ORDER BY n DESC, c1, c2) AS rnk FROM counts
 ) WHERE rnk <= 50
 """
+
+
+# TPC-H q2/q11/q20 SHAPES on the lineitem-derived supply silver table
+# (testdata ships no partsupp; the derivation is deterministic in both
+# engines, so the shapes are fully oracle-checked).
+
+ORACLE_SQL["tpch_q2_min_cost_supplier"] = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+           / sum(CAST(l_quantity AS DECIMAL(27,6))) AS unit_cost_dec
+  FROM lineitem GROUP BY 1, 2
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                 ORDER BY unit_cost_dec, l_suppkey) AS rk
+    FROM supply
+  ) WHERE rk = 1
+)
+SELECT p_partkey, p_brand, s_name, n_name AS supp_nation,
+       round(CAST(unit_cost_dec AS DOUBLE), 4) AS min_unit_cost
+FROM best
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN part     ON l_partkey = p_partkey
+WHERE p_size >= 30
+"""
+
+ORACLE_SQL["tpch_q11_share_of_total"] = """
+WITH de_supp AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+vals AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * l_quantity AS DECIMAL(27,6))) AS value_dec
+  FROM lineitem JOIN de_supp ON l_suppkey = s_suppkey
+  GROUP BY 1
+),
+total AS (SELECT sum(value_dec) AS total_dec FROM vals)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS supplied_value
+FROM vals CROSS JOIN total
+WHERE value_dec * 10000 > total_dec
+"""
+
+ORACLE_SQL["tpch_q20_half_volume_suppliers"] = """
+WITH qty AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(27,6))) AS q_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+dominant AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT *, sum(q_dec) OVER (PARTITION BY l_partkey) AS tot_dec FROM qty
+  ) WHERE q_dec * 2 > tot_dec
+)
+SELECT s_suppkey, s_name, n_name AS supp_nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+"""

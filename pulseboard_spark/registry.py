@@ -320,6 +320,106 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost-supplier shape (TPC-H q2 adapted: the testdata ships no
+    partsupp, so per-(part, supplier) supply cost is derived from lineitem
+    as avg effective unit price — a deterministic silver table both engines
+    compute identically).  Exercises the min-subquery join: per-part
+    minimum over the derived supply costs, kept via rank-1 with a suppkey
+    tie-break, then dim joins for the output.  The heavy reduction is the
+    (partkey, suppkey) agg; everything after runs on supplier-cardinality
+    rows with broadcast dims."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    cost_dec = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+    ) / F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+    supply = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(cost_dec.alias("unit_cost_dec"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("unit_cost_dec"), F.asc("l_suppkey"))
+    best = supply.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(p.filter(F.col("p_size") >= 30)), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            F.round(F.col("unit_cost_dec").cast("double"), 4).alias("min_unit_cost"),
+        )
+    )
+
+
+def tpch_q11_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock shape (TPC-H q11 adapted to the lineitem-derived
+    supply table): per-part supplied value restricted to one supplier
+    nation, kept when it exceeds a fraction of that nation's total —
+    HAVING-over-share-of-total with the total as a broadcast scalar.
+    Value stays DECIMAL through the sums and the threshold compare is
+    division-free (value · 10000 > total · 1), so the cut is exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    de_supp = (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    vals = (
+        l.join(F.broadcast(de_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(27,6)")).alias("value_dec")
+        )
+    )
+    total = vals.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") * 10000 > F.col("total_dec"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("supplied_value"))
+    )
+
+
+def tpch_q20_half_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-supplier shape (TPC-H q20 adapted): suppliers who shipped
+    more than half of some part's total 1997 volume — nested aggregate
+    (per-(part, supplier) over per-part total via window) feeding a semi
+    join back to the supplier dim.  The window runs over the aggregated
+    (part, supplier) table, and quantities are integral doubles so the
+    half-compare (2·q > total) is exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    lo = F.lit("1997-01-01 00:00:00").cast(dict(l.dtypes)["l_shipdate"])
+    hi = F.lit("1998-01-01 00:00:00").cast(dict(l.dtypes)["l_shipdate"])
+    qty = (
+        l.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("q_dec"))
+    )
+    tot = F.sum("q_dec").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        qty.withColumn("tot_dec", tot)
+        .filter(F.col("q_dec") * 2 > F.col("tot_dec"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    )
+
+
 def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue (TPC-H q17 adapted: brand-only filter,
     no p_container in the testdata).  The correlated per-part avg is a
@@ -1176,6 +1276,9 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q15_top_supplier": tpch_q15_top_supplier,
     "tpch_q17_small_qty_revenue": tpch_q17_small_qty_revenue,
     "tpch_q18_large_volume": tpch_q18_large_volume,
+    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "tpch_q11_share_of_total": tpch_q11_share_of_total,
+    "tpch_q20_half_volume_suppliers": tpch_q20_half_volume_suppliers,
     "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
     "tpch_q22_dormant_customers": tpch_q22_dormant_customers,
     "tpch_q8_market_share": tpch_q8_market_share,
