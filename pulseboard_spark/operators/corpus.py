@@ -135,3 +135,71 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
     )
+
+
+def build_corpus(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    seq_budget: int = 256,
+) -> dict:
+    """End-to-end corpus construction: the one-call pipeline a training
+    team runs per snapshot, chaining the engine's stages in production
+    order:
+
+      1. Gopher-style quality gate (`text.gopher_quality`)
+      2. Near-dup removal — keep cluster canonicals (`dedup.near_dup_clusters`)
+      3. Benchmark decontamination (`decontaminate`: drop training docs
+         sharing shingles with the held-out hash bucket)
+      4. Deterministic train/val/test assignment (`sampling.train_val_test_split`)
+      5. Sequence packing per split (`pack_documents`)
+      6. Split-partitioned, sorted parquet write (`layout.write_partitioned`)
+
+    Returns a manifest dict (per-stage survivor counts + per-split packed
+    sequence counts) — the numbers a pipeline run is audited by.  Every
+    stage is an already-oracle-checked operator; this function only
+    sequences them, so the composite inherits their correctness and their
+    physical plans (broadcast stats, capped explosions, zero-shuffle
+    splits).
+    """
+    from pulseboard_spark.operators.dedup import near_dup_clusters
+    from pulseboard_spark.operators.sampling import train_val_test_split
+    from pulseboard_spark.operators.text import gopher_quality
+    from pulseboard_spark.sources.layout import write_partitioned
+    from pulseboard_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    passing = gopher_quality(docs).filter("passes").select("doc_id")
+    docs_q = docs.join(passing, "doc_id")
+    n_quality = docs_q.count()
+
+    canonical = near_dup_clusters(docs).filter("is_canonical").select("doc_id")
+    docs_d = docs_q.join(canonical, "doc_id")
+    n_deduped = docs_d.count()
+
+    contaminated = decontaminate(docs_d).select("doc_id")
+    docs_c = docs_d.join(contaminated, "doc_id", "left_anti")
+    n_clean = docs_c.count()
+
+    assigned = train_val_test_split(docs_c, "doc_id", val_pct=val_pct, test_pct=test_pct)
+    packed = pack_documents(assigned, budget=seq_budget, shard="split")
+    write_partitioned(packed, out_dir, ["split"], sort_cols=["doc_id"])
+
+    out = spark.read.parquet(out_dir)
+    per_split = {
+        r.split: r.n_seqs
+        for r in out.groupBy("split")
+        .agg((F.max("pack_end") + 1).alias("n_seqs"))
+        .collect()
+    }
+    return {
+        "n_raw": n_raw,
+        "n_quality": n_quality,
+        "n_deduped": n_deduped,
+        "n_clean": n_clean,
+        "packed_sequences": per_split,
+    }

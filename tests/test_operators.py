@@ -566,3 +566,18 @@ class TestBpeMerges:
                     cnt[(a, b)] += 1
         want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         assert got == [(a, b, n) for (a, b), n in want]
+
+
+class TestBuildCorpus:
+    def test_pipeline_manifest_invariants(self, spark, sf_dir, tmp_path):
+        from pulseboard_spark.operators.corpus import build_corpus
+
+        m = build_corpus(spark, sf_dir, str(tmp_path / "corpus"))
+        # monotone survivor funnel
+        assert m["n_raw"] >= m["n_quality"] >= m["n_deduped"] >= m["n_clean"] > 0
+        assert set(m["packed_sequences"]) <= {"train", "val", "test"}
+        assert m["packed_sequences"]["train"] >= 1
+        # written dataset: splits disjoint on doc_id, partition pruning works
+        out = spark.read.parquet(str(tmp_path / "corpus"))
+        assert out.count() == m["n_clean"]
+        assert out.select("doc_id").distinct().count() == m["n_clean"]
