@@ -395,3 +395,15 @@ def r3_stream_stream_join(later: DataFrame, earlier: DataFrame) -> DataFrame:
         geo_conf.alias("geo_conflict"),
         dev_conf.alias("device_conflict"),
     )
+
+
+def with_dim_enrichment(events: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: attach a slowly-changing dimension
+    (geo metadata, entity allow-lists, model routing tables) to a stream.
+
+    The static side re-resolves per micro-batch — refreshing the dim table
+    on disk updates the stream's enrichment without a restart — and
+    broadcasts, so the stream side never shuffles and no join state
+    accumulates (unlike stream-stream joins, stream-static needs no
+    watermark bookkeeping on the static side)."""
+    return events.join(F.broadcast(dim), on, how)

@@ -541,3 +541,43 @@ def test_r3_stream_stream_join_matches_batch(spark, sf_dir, entity_chunks_dir):
     }
     want = {tuple(r) for r in r3_conflict_pairs(entity_events(spark, sf_dir)).collect()}
     assert got == want and got
+
+
+def test_stream_static_enrichment(spark, sf_dir, entity_chunks_dir):
+    """Stream-static broadcast join: streaming events enriched with a
+    static geo dim must match the batch join exactly, with no state."""
+    from pulseboard_spark.streaming.pipeline import with_dim_enrichment
+
+    out, schema = entity_chunks_dir
+    dim = spark.createDataFrame(
+        [("US", "amer"), ("CA", "amer"), ("UK", "emea"), ("DE", "emea"), ("FR", "emea")],
+        "geo string, region string",
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{out}/chunk=*")
+    )
+    q = (
+        with_dim_enrichment(stream, dim, "geo")
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.region: r.n for r in spark.sql("SELECT * FROM enriched").collect()}
+    want = {
+        r.region: r.n
+        for r in entity_events(spark, sf_dir)
+        .join(dim, "geo", "left")
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and set(got) == {"amer", "emea"}
