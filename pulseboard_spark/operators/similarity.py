@@ -372,3 +372,34 @@ def ann_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label mean embedding (centroid) — the prototype/k-means-step
+    primitive of embedding-space analysis, distributed.
+
+    Shape at scale: `posexplode` turns the vectors into (label, dim, value)
+    triples whose per-(label, dim) mean partial-aggregates map-side, so
+    the shuffle carries |labels|·dim rows, never the fleet of vectors; the
+    centroid is reassembled with an ordered collect over exactly `dim`
+    rows per label.  Component values are rounded to 6 decimals and summed
+    through DECIMAL so partition order cannot perturb the mean — the
+    DuckDB oracle reproduces the centroid bit-for-bit.
+    """
+    triples = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double"), 6).cast("decimal(27,10)").alias("v6"),
+    )
+    per_dim = triples.groupBy("label", "pos").agg(
+        F.round(F.sum("v6").cast("double") / F.count(F.lit(1)), 6).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_dim.groupBy("label").agg(
+        F.min("n").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x.m
+        ).alias("centroid"),
+    )

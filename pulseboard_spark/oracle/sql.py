@@ -1885,3 +1885,22 @@ FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
 """
+
+
+# Per-label embedding centroids (operators/similarity.py::label_centroids):
+# component-wise mean with round-then-DECIMAL summation.
+ORACLE_SQL["label_centroids"] = """
+WITH triples AS (
+  SELECT label, i - 1 AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(27,10)) AS v6
+  FROM embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
+),
+per_dim AS (
+  SELECT label, pos,
+         round(CAST(sum(v6) AS DOUBLE) / count(*), 6) AS m,
+         count(*) AS n
+  FROM triples GROUP BY label, pos
+)
+SELECT label, min(n) AS n_vecs, list(m ORDER BY pos) AS centroid
+FROM per_dim GROUP BY label
+"""

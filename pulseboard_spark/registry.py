@@ -1099,6 +1099,23 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(_embs(spark, sf_dir), k=5)
 
 
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(_embs(spark, sf_dir))
+
+
+def approx_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based per-type quantiles (`percentile_approx` = the
+    mergeable KLL/GK-style sketch path COUNT/SORT-free at 100 TB).
+    Approximate by design → rows-only driver check; the error bound vs
+    the exact interpolated percentile is pinned by
+    ``TestApproxQuantiles``."""
+    ev = entity_events(spark, sf_dir)
+    return ev.filter(F.col("value").isNotNull()).groupBy("type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_q"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+
+
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_embs(spark, sf_dir), k=5)
 
@@ -1336,6 +1353,8 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_topk": similarity_topk_q,
     "knn_label_agreement": knn_label_agreement_q,
     "ann_topk": ann_topk_q,  # approximate — rows-only check, exact twin is similarity_topk
+    "label_centroids": label_centroids_q,
+    "approx_value_quantiles": approx_value_quantiles_q,  # sketch — rows-only check, bound pinned by test
     "ivf_topk": ivf_topk_q,  # approximate — rows-only check; full-probe==exact pinned by test
     "text_quality": text_quality_q,
     "lang_id": lang_id_q,

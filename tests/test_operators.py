@@ -581,3 +581,52 @@ class TestBuildCorpus:
         out = spark.read.parquet(str(tmp_path / "corpus"))
         assert out.count() == m["n_clean"]
         assert out.select("doc_id").distinct().count() == m["n_clean"]
+
+
+class TestApproxQuantiles:
+    def test_sketch_quantiles_near_exact(self, spark, sf_dir):
+        from pulseboard_spark.registry import approx_value_quantiles_q
+        from pulseboard_spark.sources.tables import entity_events
+
+        approx = {r.type: r.approx_q for r in approx_value_quantiles_q(spark, sf_dir).collect()}
+        # the sketch returns an actual data value with bounded RANK error
+        # (accuracy=10000 → ~n/10000), not the interpolated value — so the
+        # correct check is: the returned value's rank sits within a small
+        # neighborhood of the target quantile
+        vals = {
+            t: sorted(
+                r.value
+                for r in entity_events(spark, sf_dir)
+                .filter(F.col("value").isNotNull() & (F.col("type") == t))
+                .select("value")
+                .collect()
+            )
+            for t in approx
+        }
+        import bisect
+
+        for t, qs in approx.items():
+            n = len(vals[t])
+            for got, target in zip(qs, (0.5, 0.9, 0.99)):
+                rank = bisect.bisect_right(vals[t], got) / n
+                assert abs(rank - target) <= 0.01 + 1.0 / n, (t, got, rank, target)
+
+
+class TestLabelCentroids:
+    def test_centroid_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from pulseboard_spark.operators.similarity import label_centroids
+        from pulseboard_spark.sources.tables import load_table
+
+        embs = load_table(spark, sf_dir, "embeddings")
+        got = {r.label: (r.n_vecs, r.centroid) for r in label_centroids(embs).collect()}
+        rows = embs.collect()
+        by_label = {}
+        for r in rows:
+            by_label.setdefault(r.label, []).append(np.round(np.array(r.embedding, dtype=np.float64), 6))
+        for label, vecs in by_label.items():
+            n, centroid = got[label]
+            assert n == len(vecs)
+            want = np.sum(vecs, axis=0) / len(vecs)
+            assert np.allclose(np.array(centroid), np.round(want, 6), atol=1e-6), label
