@@ -403,3 +403,36 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x.m
         ).alias("centroid"),
     )
+
+
+def label_noise_suspects(embeddings: DataFrame, top_n: int = 10) -> DataFrame:
+    """Mislabel candidates: per label, the ``top_n`` vectors FURTHEST
+    (squared euclidean) from their own label's centroid — the standard
+    first-pass label-noise audit over an embedded training set.
+
+    The centroid table (|labels|·dim) broadcasts back onto the vectors, so
+    the fleet of embeddings is never shuffled for the distance — each row
+    computes its distance in one ordered array fold (deterministic both
+    engines: same element order, same op order) — and the suspect rank
+    window runs per label over scalar distances.  Distances round to 6
+    decimals with a (distance desc, vec_id) tie-break for a stable top-N.
+    """
+    cents = label_centroids(embeddings).select("label", "centroid")
+    dist = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (F.round(x.cast("double"), 6) - y)
+            * (F.round(x.cast("double"), 6) - y),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = embeddings.join(F.broadcast(cents), "label").select(
+        "label", "vec_id", F.round(dist, 6).alias("sq_dist")
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("sq_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= top_n)
+    )

@@ -1904,3 +1904,33 @@ per_dim AS (
 SELECT label, min(n) AS n_vecs, list(m ORDER BY pos) AS centroid
 FROM per_dim GROUP BY label
 """
+
+
+# Label-noise suspects (operators/similarity.py::label_noise_suspects):
+# top-10 furthest vectors from their own label centroid; ordered per-row
+# fold, deterministic on both engines.
+ORACLE_SQL["label_noise_suspects"] = """
+WITH triples AS (
+  SELECT label, i - 1 AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(27,10)) AS v6
+  FROM embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
+),
+per_dim AS (
+  SELECT label, pos, round(CAST(sum(v6) AS DOUBLE) / count(*), 6) AS m
+  FROM triples GROUP BY label, pos
+),
+cents AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM per_dim GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         round(list_sum(list_transform(generate_series(1, array_length(e.embedding)),
+           i -> (round(CAST(e.embedding[i] AS DOUBLE), 6) - c.centroid[i])
+              * (round(CAST(e.embedding[i] AS DOUBLE), 6) - c.centroid[i]))), 6) AS sq_dist
+  FROM embeddings e JOIN cents c USING (label)
+)
+SELECT label, vec_id, sq_dist, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY sq_dist DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""

@@ -630,3 +630,16 @@ class TestLabelCentroids:
             assert n == len(vecs)
             want = np.sum(vecs, axis=0) / len(vecs)
             assert np.allclose(np.array(centroid), np.round(want, 6), atol=1e-6), label
+
+
+class TestLabelNoise:
+    def test_planted_outlier_is_top_suspect(self, spark):
+        from pulseboard_spark.operators.similarity import label_noise_suspects
+
+        # 20 tight vectors around [1,0] + one planted far point
+        rows = [(i, [1.0 + 0.001 * i, 0.0], 7) for i in range(20)]
+        rows.append((99, [-5.0, 9.0], 7))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        top = label_noise_suspects(df, top_n=3).orderBy("rnk").collect()
+        assert top[0].vec_id == 99 and top[0].rnk == 1
+        assert top[0].sq_dist > 10 * top[1].sq_dist

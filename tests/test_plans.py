@@ -252,3 +252,24 @@ def test_mad_outliers_fact_never_shuffles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "value_mad_outliers")
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert not PY_NODES.search(plan)
+
+
+def test_doc_split_assign_zero_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_split_assign")
+    # split assignment is a pure narrow projection — no exchange beyond the
+    # loader's one-time spread repartition
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 0
+    assert not PY_NODES.search(plan)
+
+
+def test_label_centroids_shuffles_only_label_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "label_centroids")
+    # triples reduce to (label, dim) map-side; ≤2 hash exchanges total
+    assert len(re.findall(r"hashpartitioning\(", plan)) <= 2, plan[:2000]
+    assert not PY_NODES.search(plan)
+
+
+def test_label_noise_broadcasts_centroids(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "label_noise_suspects")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert not PY_NODES.search(plan)
