@@ -181,3 +181,45 @@ def mad_outliers(ev: DataFrame, k: float = 3.0) -> DataFrame:
         F.sum(F.col("is_out").cast("long")).alias("n_outliers"),
         F.round(F.sum(F.col("is_out").cast("long")) / F.count(F.lit(1)), 4).alias("outlier_frac"),
     )
+
+
+def rfm_scores(ev: DataFrame, n_tiles: int = 5) -> DataFrame:
+    """RFM behavioral features: per entity, recency (last event), frequency
+    (event count), monetary (decimal-exact value sum), each quantile-scored
+    into ``n_tiles`` buckets, plus the concatenated RFM segment label —
+    the classic CDP-to-ML feature block.
+
+    One fact shuffle (the per-entity aggregate); the three ntile windows
+    run over entity-cardinality rows.  Every ntile carries an entity_id
+    tie-break so equal metrics score identically on any engine or
+    partitioning.
+    """
+    from pyspark.sql import Window
+
+    agg = ev.groupBy("entity_id").agg(
+        F.max("ts_ms").alias("last_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double"), 4
+        ).alias("total_value"),
+    ).withColumn("total_value", F.coalesce(F.col("total_value"), F.lit(0.0)))
+    t = lambda col: F.ntile(n_tiles).over(  # noqa: E731
+        Window.orderBy(F.asc(col), F.asc("entity_id"))
+    ).cast("int")
+    scored = agg.select(
+        "entity_id",
+        "last_ms",
+        "n_events",
+        "total_value",
+        t("last_ms").alias("r_score"),
+        t("n_events").alias("f_score"),
+        t("total_value").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

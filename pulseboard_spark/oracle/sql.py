@@ -1934,3 +1934,24 @@ SELECT label, vec_id, sq_dist, CAST(rnk AS INTEGER) AS rnk FROM (
   FROM scored
 ) WHERE rnk <= 10
 """
+
+
+# RFM behavioral scores (operators/mlprep.py::rfm_scores).
+ORACLE_SQL["rfm_scores"] = f"""
+WITH {ENT_CTE},
+agg AS (
+  SELECT entity_id,
+         max(ts_ms) AS last_ms,
+         count(*) AS n_events,
+         coalesce(round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 4), 0.0) AS total_value
+  FROM ent GROUP BY entity_id
+)
+SELECT entity_id, last_ms, n_events, total_value,
+       CAST(ntile(5) OVER (ORDER BY last_ms, entity_id) AS INTEGER) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY n_events, entity_id) AS INTEGER) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY total_value, entity_id) AS INTEGER) AS m_score,
+       CAST(ntile(5) OVER (ORDER BY last_ms, entity_id) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY n_events, entity_id) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY total_value, entity_id) AS VARCHAR) AS rfm
+FROM agg
+"""

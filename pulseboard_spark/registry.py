@@ -1202,6 +1202,10 @@ def hourly_trending_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.hourly_trending(entity_events(spark, sf_dir))
 
 
+def rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mlprep.rfm_scores(entity_events(spark, sf_dir))
+
+
 def approx_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct users per event type: HLL++ partial sketches
     merge associatively across partitions — the only way COUNT DISTINCT
@@ -1376,6 +1380,7 @@ QUERIES: dict[str, QueryFn] = {
     "geo_heavy_hitters": geo_heavy_hitters_q,
     "value_mad_outliers": value_mad_outliers_q,
     "hourly_trending": hourly_trending_q,
+    "rfm_scores": rfm_scores_q,
     "approx_user_counts": approx_user_counts_q,  # HLL sketch — rows-only check, error bound pinned by test
     "doc_hash_sample": doc_hash_sample_q,
     "stratified_doc_sample": stratified_doc_sample_q,

@@ -643,3 +643,25 @@ class TestLabelNoise:
         top = label_noise_suspects(df, top_n=3).orderBy("rnk").collect()
         assert top[0].vec_id == 99 and top[0].rnk == 1
         assert top[0].sq_dist > 10 * top[1].sq_dist
+
+
+class TestRfm:
+    def test_tiles_balanced_and_monotone(self, spark, sf_dir):
+        from pulseboard_spark.operators.mlprep import rfm_scores
+        from pulseboard_spark.sources.tables import entity_events
+
+        rows = rfm_scores(entity_events(spark, sf_dir)).collect()
+        n = len(rows)
+        for attr, score in [("last_ms", "r_score"), ("n_events", "f_score"), ("total_value", "m_score")]:
+            by_score = {}
+            for r in rows:
+                by_score.setdefault(getattr(r, score), []).append(getattr(r, attr))
+            assert set(by_score) <= {1, 2, 3, 4, 5}
+            # ntile balance: bucket sizes differ by at most 1
+            sizes = [len(v) for v in by_score.values()]
+            assert max(sizes) - min(sizes) <= 1
+            # monotone: every value in bucket k <= every value in bucket k+1
+            for k in range(1, 5):
+                if k in by_score and k + 1 in by_score:
+                    assert max(by_score[k]) <= min(by_score[k + 1]), (attr, k)
+        assert all(r.rfm == f"{r.r_score}{r.f_score}{r.m_score}" for r in rows)
