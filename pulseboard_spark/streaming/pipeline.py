@@ -407,3 +407,28 @@ def with_dim_enrichment(events: DataFrame, dim: DataFrame, on: str, how: str = "
     accumulates (unlike stream-stream joins, stream-static needs no
     watermark bookkeeping on the static side)."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def idempotent_parquet_writer(base_path: str):
+    """Exactly-once ``foreachBatch`` file writer: each micro-batch lands in
+    its own ``batch_id=N`` directory, and a batch id that already finished
+    (marked by Spark's own _SUCCESS file) is skipped on replay.
+
+    `foreachBatch` is at-least-once — after a crash between the write and
+    the checkpoint commit, the SAME batch id is redelivered on restart.
+    Keying the output by batch id makes the retry overwrite/skip instead
+    of duplicate, which is the canonical route to exactly-once file output
+    when the built-in file sink's layout (flat dir + its own log) doesn't
+    fit — e.g. when each batch must also MERGE into a downstream table.
+
+    Use: ``df.writeStream.foreachBatch(idempotent_parquet_writer(path))``.
+    """
+    import os
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        out = f"{base_path}/batch_id={batch_id}"
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            return  # replayed batch — already durable, skip
+        batch_df.write.mode("overwrite").parquet(out)
+
+    return write
