@@ -338,12 +338,21 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost_dec = F.sum(
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
     ) / F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+    # per-part minima are independent across parts, so the p_size filter
+    # commutes below the aggregate: semi-join lineitem to qualifying parts
+    # FIRST and the heavy (partkey, suppkey) reduction only sees their rows
+    big_parts = p.filter(F.col("p_size") >= 30).select("p_partkey")
     supply = (
-        l.groupBy("l_partkey", "l_suppkey")
+        l.join(F.broadcast(big_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
         .agg(cost_dec.alias("unit_cost_dec"))
     )
-    w = Window.partitionBy("l_partkey").orderBy(F.asc("unit_cost_dec"), F.asc("l_suppkey"))
-    best = supply.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    # argmin via min(struct): struct comparison is lexicographic on
+    # (cost, suppkey) — the same order the rank-1 window would use, but as
+    # a hash aggregate with map-side partials instead of a per-part sort
+    best = supply.groupBy("l_partkey").agg(
+        F.min(F.struct("unit_cost_dec", "l_suppkey")).alias("b")
+    ).select("l_partkey", F.col("b.unit_cost_dec").alias("unit_cost_dec"), F.col("b.l_suppkey").alias("l_suppkey"))
     return (
         best.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
