@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pulseboard_spark.functions.core import duck_round
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -391,10 +393,13 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     ).select(
         "label",
         "pos",
-        F.round(F.col("v").cast("double"), 6).cast("decimal(27,10)").alias("v6"),
+        # duck_round everywhere a double is rounded: Spark's F.round and
+        # DuckDB's round() split half-way doubles differently, and at sf0.1
+        # scale some component means land exactly on the boundary
+        duck_round(F.col("v").cast("double"), 6).cast("decimal(27,10)").alias("v6"),
     )
     per_dim = triples.groupBy("label", "pos").agg(
-        F.round(F.sum("v6").cast("double") / F.count(F.lit(1)), 6).alias("m"),
+        duck_round(F.sum("v6").cast("double") / F.count(F.lit(1)), 6).alias("m"),
         F.count(F.lit(1)).alias("n"),
     )
     return per_dim.groupBy("label").agg(
@@ -422,14 +427,14 @@ def label_noise_suspects(embeddings: DataFrame, top_n: int = 10) -> DataFrame:
         F.zip_with(
             "embedding",
             "centroid",
-            lambda x, y: (F.round(x.cast("double"), 6) - y)
-            * (F.round(x.cast("double"), 6) - y),
+            lambda x, y: (duck_round(x.cast("double"), 6) - y)
+            * (duck_round(x.cast("double"), 6) - y),
         ),
         F.lit(0.0),
         lambda acc, d: acc + d,
     )
     scored = embeddings.join(F.broadcast(cents), "label").select(
-        "label", "vec_id", F.round(dist, 6).alias("sq_dist")
+        "label", "vec_id", duck_round(dist, 6).alias("sq_dist")
     )
     w = Window.partitionBy("label").orderBy(F.desc("sq_dist"), F.asc("vec_id"))
     return (

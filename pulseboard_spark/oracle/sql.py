@@ -1831,8 +1831,8 @@ SELECT c1, c2, n, CAST(rnk AS INTEGER) AS rnk FROM (
 ORACLE_SQL["tpch_q2_min_cost_supplier"] = """
 WITH supply AS (
   SELECT l_partkey, l_suppkey,
-         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
-           / sum(CAST(l_quantity AS DECIMAL(27,6))) AS unit_cost_dec
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+           / CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS unit_cost_dec
   FROM lineitem GROUP BY 1, 2
 ),
 best AS (

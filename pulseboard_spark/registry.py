@@ -335,9 +335,12 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     p = load_table(spark, sf_dir, "part")
+    # both sums are DECIMAL-exact; the division happens in DOUBLE on both
+    # engines (Spark's exact decimal division and DuckDB's double division
+    # disagree in the last digit otherwise)
     cost_dec = F.sum(
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
-    ) / F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+    ).cast("double") / F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double")
     # per-part minima are independent across parts, so the p_size filter
     # commutes below the aggregate: semi-join lineitem to qualifying parts
     # FIRST and the heavy (partkey, suppkey) reduction only sees their rows
@@ -362,7 +365,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "s_name",
             F.col("n_name").alias("supp_nation"),
-            F.round(F.col("unit_cost_dec").cast("double"), 4).alias("min_unit_cost"),
+            duck_round(F.col("unit_cost_dec").cast("double"), 4).alias("min_unit_cost"),
         )
     )
 
