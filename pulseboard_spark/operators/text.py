@@ -393,3 +393,75 @@ def bpe_merge_candidates(documents: DataFrame, top_n: int = 50) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= top_n)
     )
+
+
+def _apply_merge(sym_col, a: str, b: str):
+    """Leftmost-first BPE merge applied to a symbol array in one ordered
+    fold: adjacent (a, b) becomes the fused symbol; overlaps resolve
+    left-to-right exactly like the sequential reference algorithm."""
+    merged = a + b
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == a) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 5) -> list[tuple[str, str, int]]:
+    """Distributed BPE vocabulary training: ``n_merges`` rounds of
+    (count adjacent symbol pairs → take the argmax → fuse it everywhere).
+
+    Each round is one Spark job over the corpus: the pair count is the
+    map-side-combined aggregate of :func:`bpe_merge_candidates`, the
+    argmax collect is at most |symbols|² rows (tiny), and the merge is
+    applied per-row with an ordered fold — no shuffle beyond the count.
+    The driver loop carries only the merge table (the standard structure
+    of iterative algorithms on Spark: per-iteration jobs over cached
+    data, scalar state on the driver).  Ties break (count desc, pair asc)
+    so the learned merge sequence is deterministic on any cluster.
+
+    Returns [(left, right, count), ...] in merge order.
+    """
+    words = documents.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w")
+    )
+    syms = words.select(
+        F.regexp_extract_all(F.col("w"), F.lit("."), F.lit(0)).alias("s")
+    )
+    syms.cache()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            n_pairs = F.greatest(F.size("s") - 1, F.lit(0))
+            pairs = F.zip_with(
+                F.slice("s", 1, n_pairs),
+                F.slice("s", 2, n_pairs),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+            top = (
+                syms.select(F.explode(pairs).alias("p"))
+                .groupBy("p.a", "p.b")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0].n < 2:
+                break
+            a, b, n = top[0].a, top[0].b, top[0].n
+            merges.append((a, b, n))
+            new_syms = syms.select(_apply_merge(F.col("s"), a, b).alias("s"))
+            new_syms.cache()
+            new_syms.count()  # materialize before dropping the parent
+            syms.unpersist()
+            syms = new_syms
+    finally:
+        syms.unpersist()
+    return merges

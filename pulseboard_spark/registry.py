@@ -1206,6 +1206,18 @@ def bpe_merge_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merge_candidates(_docs(spark, sf_dir))
 
 
+def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE training (5 merge rounds, driver-loop + per-round
+    Spark jobs) — inherently sequential across rounds, so no single SQL
+    oracle exists; the learned sequence is pinned against a verbatim
+    sequential BPE reference in ``TestBpeTrain``."""
+    merges = text.bpe_train(_docs(spark, sf_dir), n_merges=5)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_round int, left string, right string, n bigint",
+    )
+
+
 def value_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlprep.mad_outliers(entity_events(spark, sf_dir))
 
@@ -1389,6 +1401,7 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_quality": gopher_quality_q,
     "doc_split_assign": doc_split_assign_q,
     "bpe_merge_candidates": bpe_merge_candidates_q,
+    "bpe_learned_merges": bpe_learned_merges_q,  # iterative (driver loop) — rows-only check, pinned vs sequential reference by test
     "geo_heavy_hitters": geo_heavy_hitters_q,
     "value_mad_outliers": value_mad_outliers_q,
     "hourly_trending": hourly_trending_q,

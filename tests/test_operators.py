@@ -665,3 +665,43 @@ class TestRfm:
                 if k in by_score and k + 1 in by_score:
                     assert max(by_score[k]) <= min(by_score[k + 1]), (attr, k)
         assert all(r.rfm == f"{r.r_score}{r.f_score}{r.m_score}" for r in rows)
+
+
+class TestBpeTrain:
+    def test_matches_sequential_reference(self, spark):
+        """5 learned merges must equal a verbatim sequential BPE trainer."""
+        import re as _re
+        from collections import Counter
+
+        from pulseboard_spark.operators.text import bpe_train
+
+        texts = ["the cat chased the other thermos", "then the cats gathered", "banana bandana"]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        got = bpe_train(df, n_merges=5)
+
+        words = [list(w) for t in texts for w in _re.findall("[a-z]+", t.lower())]
+        want = []
+        for _ in range(5):
+            cnt = Counter()
+            for w in words:
+                for x, y in zip(w, w[1:]):
+                    cnt[(x, y)] += 1
+            if not cnt:
+                break
+            (a, b), n = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if n < 2:
+                break
+            want.append((a, b, n))
+            out_words = []
+            for w in words:
+                out, i = [], 0
+                while i < len(w):
+                    if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(w[i])
+                        i += 1
+                out_words.append(out)
+            words = out_words
+        assert got == want and len(got) >= 3
