@@ -223,3 +223,58 @@ def rfm_scores(ev: DataFrame, n_tiles: int = 5) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+def value_drift_psi(ev: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Population stability index per event type: how far the value
+    distribution drifted between the first and second half of the time
+    range — the standard feature-drift monitor a training pipeline runs
+    between corpus snapshots.
+
+    Periods split at the integer midpoint of the global [min_ts, max_ts];
+    both halves share fixed equal-width bins from per-type global
+    min/max (broadcast stats — the fact shuffles once, for the final
+    (type, period, bin) count).  Laplace-smoothed shares avoid ln(0);
+    each bin's PSI term is rounded then summed through DECIMAL so the
+    ≤ n_bins additions are order-insensitive and engine-exact.
+    """
+    bounds = ev.agg(
+        ((F.min("ts_ms") + F.max("ts_ms")) / F.lit(2)).cast("long").alias("mid_ms")
+    )
+    vals = (
+        ev.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "type",
+            F.col("value").cast("double").alias("v"),
+            F.when(F.col("ts_ms") < F.col("mid_ms"), F.lit("a")).otherwise(F.lit("b")).alias("period"),
+        )
+    )
+    stats = vals.groupBy("type").agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    binned = vals.join(F.broadcast(stats), "type").withColumn(
+        "bin",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(F.least(F.floor((F.col("v") - F.col("vmin")) / width), F.lit(n_bins - 1)))
+        .cast("int"),
+    )
+    counts = binned.groupBy("type", "period", "bin").agg(F.count(F.lit(1)).alias("n"))
+    wide = (
+        counts.groupBy("type", "bin")
+        .pivot("period", ["a", "b"])
+        .agg(F.first("n"))
+        .na.fill(0, ["a", "b"])
+    )
+    totals = vals.groupBy("type").agg(
+        F.sum((F.col("period") == "a").cast("long")).alias("n_a"),
+        F.sum((F.col("period") == "b").cast("long")).alias("n_b"),
+    )
+    j = wide.join(F.broadcast(totals), "type")
+    p = (F.col("a") + F.lit(0.5)) / (F.col("n_a") + F.lit(0.5) * n_bins)
+    q = (F.col("b") + F.lit(0.5)) / (F.col("n_b") + F.lit(0.5) * n_bins)
+    term = F.round((p - q) * F.log(p / q), 10).cast("decimal(27,12)")
+    return j.groupBy("type").agg(
+        F.min("n_a").alias("n_a"),
+        F.min("n_b").alias("n_b"),
+        F.round(F.sum(term).cast("double"), 4).alias("psi"),
+    )

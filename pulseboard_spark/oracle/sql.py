@@ -1955,3 +1955,43 @@ SELECT entity_id, last_ms, n_events, total_value,
          || CAST(ntile(5) OVER (ORDER BY total_value, entity_id) AS VARCHAR) AS rfm
 FROM agg
 """
+
+
+# Value-distribution drift PSI (operators/mlprep.py::value_drift_psi).
+ORACLE_SQL["value_drift_psi"] = f"""
+WITH {ENT_CTE},
+bounds AS (SELECT CAST((min(ts_ms) + max(ts_ms)) / 2 AS BIGINT) AS mid_ms FROM ent),
+vals AS (
+  SELECT type, CAST(value AS DOUBLE) AS v,
+         CASE WHEN ts_ms < mid_ms THEN 'a' ELSE 'b' END AS period
+  FROM ent CROSS JOIN bounds WHERE value IS NOT NULL
+),
+stats AS (SELECT type, min(v) AS vmin, max(v) AS vmax FROM vals GROUP BY type),
+binned AS (
+  SELECT vals.type, period,
+         CASE WHEN vmax = vmin THEN 0
+              ELSE CAST(least(floor((v - vmin) / ((vmax - vmin) / 10.0)), 9) AS INTEGER)
+         END AS bin
+  FROM vals JOIN stats ON vals.type = stats.type
+),
+counts AS (SELECT type, period, bin, count(*) AS n FROM binned GROUP BY 1, 2, 3),
+wide AS (
+  SELECT type, bin,
+         coalesce(sum(n) FILTER (WHERE period = 'a'), 0) AS a,
+         coalesce(sum(n) FILTER (WHERE period = 'b'), 0) AS b
+  FROM counts GROUP BY type, bin
+),
+totals AS (
+  SELECT type,
+         CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM vals GROUP BY type
+)
+SELECT w.type, min(n_a) AS n_a, min(n_b) AS n_b,
+       round(CAST(sum(CAST(round(
+         ((a + 0.5) / (n_a + 0.5 * 10) - (b + 0.5) / (n_b + 0.5 * 10))
+         * ln(((a + 0.5) / (n_a + 0.5 * 10)) / ((b + 0.5) / (n_b + 0.5 * 10))), 10)
+         AS DECIMAL(27,12))) AS DOUBLE), 4) AS psi
+FROM wide w JOIN totals t ON w.type = t.type
+GROUP BY w.type
+"""

@@ -1230,6 +1230,10 @@ def rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlprep.rfm_scores(entity_events(spark, sf_dir))
 
 
+def value_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mlprep.value_drift_psi(entity_events(spark, sf_dir))
+
+
 def approx_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct users per event type: HLL++ partial sketches
     merge associatively across partitions — the only way COUNT DISTINCT
@@ -1406,6 +1410,7 @@ QUERIES: dict[str, QueryFn] = {
     "value_mad_outliers": value_mad_outliers_q,
     "hourly_trending": hourly_trending_q,
     "rfm_scores": rfm_scores_q,
+    "value_drift_psi": value_drift_psi_q,
     "approx_user_counts": approx_user_counts_q,  # HLL sketch — rows-only check, error bound pinned by test
     "doc_hash_sample": doc_hash_sample_q,
     "stratified_doc_sample": stratified_doc_sample_q,

@@ -705,3 +705,22 @@ class TestBpeTrain:
                 out_words.append(out)
             words = out_words
         assert got == want and len(got) >= 3
+
+
+class TestDriftPsi:
+    def test_identical_halves_zero_drift_and_shift_detected(self, spark):
+        from pulseboard_spark.operators.mlprep import value_drift_psi
+
+        # type 's': same distribution in both halves → PSI exactly 0
+        # type 'd': values shift 10 → 1000 between halves → large PSI
+        rows = []
+        for i in range(200):
+            rows.append(("s", i * 1000, float(i % 7)))
+            rows.append(("s", 200_000 + i * 1000, float(i % 7)))
+            rows.append(("d", i * 1000, 10.0 + (i % 5)))
+            rows.append(("d", 200_000 + i * 1000, 1000.0 + (i % 5)))
+        df = spark.createDataFrame(rows, "type string, ts_ms long, value double")
+        got = {r.type: r for r in value_drift_psi(df).collect()}
+        assert got["s"].psi == 0.0
+        assert got["d"].psi > 1.0
+        assert got["s"].n_a == got["s"].n_b == 200
