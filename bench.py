@@ -67,6 +67,13 @@ HEADLINE = [
     "gopher_quality",
     "geo_heavy_hitters",
     "value_mad_outliers",
+    "hourly_trending",
+    "rfm_scores",
+    "value_drift_psi",
+    "label_centroids",
+    "label_noise_suspects",
+    "bpe_merge_candidates",
+    "doc_split_assign",
 ]
 
 
