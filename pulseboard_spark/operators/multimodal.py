@@ -135,3 +135,34 @@ def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         "media_type",
         F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))).alias("chunk_index"),
     ).withColumn("byte_offset", (F.col("chunk_index") * every_n_bytes).cast("bigint"))
+
+
+def media_text_pairs(documents: DataFrame, caption_chars: int = 100) -> DataFrame:
+    """Multimodal training-pair manifest: one row per (media payload,
+    caption) pair with the quality gate and split assignment a
+    vision/audio-text training job consumes.
+
+    Chains the multimodal metadata (:func:`synth_media`), the Gopher
+    quality gate (`text.gopher_quality`) and the deterministic split
+    (`sampling.train_val_test_split`) — captions are the leading
+    ``caption_chars`` characters of the paired text.  Everything is
+    metadata + narrow joins on doc_id; payload bytes never shuffle for
+    the manifest (column pruning drops them at the scan).
+    """
+    from pulseboard_spark.operators.sampling import train_val_test_split
+    from pulseboard_spark.operators.text import gopher_quality
+
+    media = synth_media(documents).select("doc_id", "media_type", "meta_n_bytes")
+    quality = gopher_quality(documents).select("doc_id", "passes")
+    split = train_val_test_split(documents.select("doc_id"), "doc_id").select(
+        "doc_id", "split"
+    )
+    captions = documents.select(
+        "doc_id", F.substring(F.col("text"), 1, caption_chars).alias("caption")
+    )
+    return (
+        media.join(captions, "doc_id")
+        .join(quality, "doc_id")
+        .join(split, "doc_id")
+        .select("doc_id", "media_type", "meta_n_bytes", "caption", "passes", "split")
+    )

@@ -1995,3 +1995,67 @@ SELECT w.type, min(n_a) AS n_a, min(n_b) AS n_b,
 FROM wide w JOIN totals t ON w.type = t.type
 GROUP BY w.type
 """
+
+
+# Multimodal pair manifest (operators/multimodal.py::media_text_pairs):
+# media metadata + caption + quality gate + split, all doc_id joins.
+ORACLE_SQL["media_text_pairs"] = """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS meta_n_bytes
+  FROM documents
+),
+base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z]+') AS words,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(length(words) AS BIGINT) AS n_words,
+         CAST(alpha_chars AS DOUBLE) / greatest(length(words), 1) AS mean_word_len,
+         1.0 - CAST(length(list_distinct(sh)) AS DOUBLE) / length(sh) AS dup_shingle_frac
+  FROM (
+    SELECT *,
+           list_transform(generate_series(1, greatest(length(toks) - 4, 1)),
+                          i -> array_to_string(toks[i:i+4], ' ')) AS sh
+    FROM base
+  )
+),
+wc AS (
+  SELECT doc_id, w, count(*) AS n FROM (
+    SELECT doc_id, unnest(words) AS w FROM base
+  ) GROUP BY doc_id, w
+),
+top AS (
+  SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n) AS top_word_share FROM wc GROUP BY doc_id
+),
+quality AS (
+  SELECT f.doc_id,
+         (f.n_words BETWEEN 20 AND 100000
+          AND f.mean_word_len BETWEEN 2.0 AND 12.0
+          AND coalesce(t.top_word_share, 0.0) <= 0.30
+          AND f.dup_shingle_frac <= 0.50) AS passes
+  FROM feats f LEFT JOIN top t USING (doc_id)
+),
+split AS (
+  SELECT doc_id,
+         CASE WHEN b < 10 THEN 'test' WHEN b < 20 THEN 'val' ELSE 'train' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT) AS b
+    FROM documents
+  )
+)
+SELECT m.doc_id, m.media_type, m.meta_n_bytes,
+       substr(d.text, 1, 100) AS caption, q.passes, s.split
+FROM media m
+JOIN documents d USING (doc_id)
+JOIN quality q USING (doc_id)
+JOIN split s USING (doc_id)
+"""

@@ -1206,6 +1206,10 @@ def bpe_merge_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merge_candidates(_docs(spark, sf_dir))
 
 
+def media_text_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_text_pairs(_docs(spark, sf_dir))
+
+
 def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE training (5 merge rounds, driver-loop + per-round
     Spark jobs) — inherently sequential across rounds, so no single SQL
@@ -1406,6 +1410,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_split_assign": doc_split_assign_q,
     "bpe_merge_candidates": bpe_merge_candidates_q,
     "bpe_learned_merges": bpe_learned_merges_q,  # iterative (driver loop) — rows-only check, pinned vs sequential reference by test
+    "media_text_pairs": media_text_pairs_q,  # iterative (driver loop) — rows-only check, pinned vs sequential reference by test
     "geo_heavy_hitters": geo_heavy_hitters_q,
     "value_mad_outliers": value_mad_outliers_q,
     "hourly_trending": hourly_trending_q,
