@@ -441,3 +441,55 @@ def label_noise_suspects(embeddings: DataFrame, top_n: int = 10) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= top_n)
     )
+
+
+def hard_negatives(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """Hard-negative mining: per vector, the ``k`` most-similar vectors
+    with a DIFFERENT label — the contrastive-training primitive (the
+    negatives that actually teach the model something sit right at the
+    decision boundary).
+
+    Same broadcast block kernel as :func:`cosine_topk` with a label mask
+    inside the batch: similarity never leaves the kernel for same-label
+    pairs, so the output is exactly k rows per query vector.  Selection is
+    deterministic on (cosine rounded to 6 desc, neighbor_id).
+    """
+    rows = embeddings.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    labels = np.array([r[2] for r in rows], dtype=np.int64)
+    b = embeddings.sparkSession.sparkContext.broadcast((ids, M, _seq_norms(M), labels))
+
+    def block(batches):
+        ids_, M_, norms, labels_ = b.value
+        for pdf in batches:
+            A = _batch_matrix(pdf["embedding"])
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_labels = pdf["label"].to_numpy(dtype=np.int64)
+            C = np.round(_seq_gram(A, M_) / (_seq_norms(A)[:, None] * norms[None, :]), 6)
+            out = {c: [] for c in ("vec_id", "label", "neighbor_id", "neighbor_label", "cosine", "rank")}
+            for i in range(A.shape[0]):
+                row = C[i]
+                order = np.lexsort((ids_, -row))
+                order = order[(labels_[order] != a_labels[i]) & (ids_[order] != a_ids[i])][:k]
+                out["vec_id"].extend([a_ids[i]] * len(order))
+                out["label"].extend([a_labels[i]] * len(order))
+                out["neighbor_id"].extend(ids_[order])
+                out["neighbor_label"].extend(labels_[order])
+                out["cosine"].extend(row[order])
+                out["rank"].extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(out["vec_id"], dtype="int64"),
+                    "label": pd.Series(out["label"], dtype="int64"),
+                    "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+                    "neighbor_label": pd.Series(out["neighbor_label"], dtype="int64"),
+                    "cosine": pd.Series(out["cosine"], dtype="float64"),
+                    "rank": pd.Series(out["rank"], dtype="int64"),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding", "label").mapInPandas(
+        block,
+        schema="vec_id bigint, label bigint, neighbor_id bigint, neighbor_label bigint, cosine double, rank bigint",
+    )

@@ -2059,3 +2059,25 @@ JOIN documents d USING (doc_id)
 JOIN quality q USING (doc_id)
 JOIN split s USING (doc_id)
 """
+
+
+# Hard-negative mining (operators/similarity.py::hard_negatives): top-3
+# most-similar different-label neighbors per vector.
+ORACLE_SQL["hard_negatives"] = """
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+pairs AS (
+  SELECT a.vec_id AS vec_id, a.label AS label,
+         b.vec_id AS neighbor_id, b.label AS neighbor_label,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+  FROM n a, n b WHERE a.vec_id <> b.vec_id AND a.label <> b.label
+)
+SELECT vec_id, label, neighbor_id, neighbor_label, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= 3
+"""

@@ -1119,6 +1119,10 @@ def label_noise_suspects_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_noise_suspects(_embs(spark, sf_dir))
 
 
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hard_negatives(_embs(spark, sf_dir))
+
+
 def approx_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based per-type quantiles (`percentile_approx` = the
     mergeable KLL/GK-style sketch path COUNT/SORT-free at 100 TB).
@@ -1395,6 +1399,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk": ann_topk_q,  # approximate — rows-only check, exact twin is similarity_topk
     "label_centroids": label_centroids_q,
     "label_noise_suspects": label_noise_suspects_q,
+    "hard_negatives": hard_negatives_q,
     "approx_value_quantiles": approx_value_quantiles_q,  # sketch — rows-only check, bound pinned by test
     "ivf_topk": ivf_topk_q,  # approximate — rows-only check; full-probe==exact pinned by test
     "text_quality": text_quality_q,

@@ -724,3 +724,20 @@ class TestDriftPsi:
         assert got["s"].psi == 0.0
         assert got["d"].psi > 1.0
         assert got["s"].n_a == got["s"].n_b == 200
+
+
+class TestHardNegatives:
+    def test_negatives_cross_label_and_exhaustive(self, spark, sf_dir):
+        from pulseboard_spark.operators.similarity import hard_negatives
+        from pulseboard_spark.sources.tables import load_table
+
+        embs = load_table(spark, sf_dir, "embeddings")
+        rows = hard_negatives(embs, k=3).collect()
+        assert rows
+        n_labels = embs.select("label").distinct().count()
+        assert n_labels > 1
+        for r in rows:
+            assert r.label != r.neighbor_label
+            assert 1 <= r.rank <= 3
+        # every vector gets its negatives (other labels exist for all)
+        assert len({r.vec_id for r in rows}) == embs.count()
