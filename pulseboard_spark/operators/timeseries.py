@@ -169,3 +169,62 @@ def hourly_trending(ev: DataFrame, n: int = 3) -> DataFrame:
         .where(F.col("rnk") <= n)
         .select("hour_ms", "type", "n", "rnk")
     )
+
+
+def seasonal_deviation(ev: DataFrame, z_threshold: float = 3.0) -> DataFrame:
+    """Seasonality-aware volume anomalies: each (type, hour) bucket scored
+    against the baseline for its HOUR-OF-DAY — a Monday-9am spike is
+    judged against other 9am hours, not against 3am.
+
+    Two-level reduction: hourly counts first (the only fact-sized
+    shuffle), then per-(type, hour-of-day) baseline moments over the tiny
+    hourly table, broadcast back.  Variance comes from DECIMAL-exact
+    (Σn, Σn²) so the baseline is engine-exact; z-scores round to 4.
+    Degenerate baselines (std = 0) flag any deviation from the mean.
+    """
+    hour_ms = (F.col("ts_ms") - (F.col("ts_ms") % 3_600_000)).alias("hour_ms")
+    hourly = ev.select("type", hour_ms).groupBy("type", "hour_ms").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hod = ((F.col("hour_ms") / 3_600_000).cast("long") % 24).cast("int")
+    with_hod = hourly.withColumn("hod", hod)
+    base = with_hod.groupBy("type", "hod").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("n").cast("decimal(27,6)")).cast("double").alias("s1"),
+        F.sum((F.col("n") * F.col("n")).cast("decimal(27,6)")).cast("double").alias("s2"),
+    )
+    scored = with_hod.join(F.broadcast(base), ["type", "hod"])
+    # LEAVE-ONE-OUT baseline: the scored hour is excluded from its own
+    # mean/std (otherwise a big spike inflates the baseline enough to mask
+    # itself) — pure arithmetic on the already-aggregated moments, no
+    # second pass over the data
+    m = F.col("n_obs") - 1
+    loo_s1 = F.col("s1") - F.col("n")
+    loo_s2 = F.col("s2") - F.col("n") * F.col("n")
+    mu = loo_s1 / m
+    var = F.greatest(
+        (loo_s2 - loo_s1 * loo_s1 / m) / F.greatest(m - 1, F.lit(1)), F.lit(0.0)
+    )
+    scored = scored.withColumn("mu", mu).withColumn("sd", F.sqrt(var))
+    # degenerate baseline (sd = 0, n != mean): z is undefined — NULL, but
+    # still anomalous (a perfectly flat history makes ANY deviation an
+    # anomaly); inf would poison downstream hashing/aggregation
+    z = F.when(F.col("n_obs") <= 1, F.lit(0.0)).otherwise(
+        F.when(F.col("sd") > 0, (F.col("n") - F.col("mu")) / F.col("sd")).otherwise(
+            F.when(F.col("n") == F.col("mu"), F.lit(0.0)).otherwise(F.lit(None).cast("double"))
+        )
+    )
+    anomaly = F.when(F.col("n_obs") <= 1, F.lit(False)).otherwise(
+        F.when(F.col("sd") > 0, (F.col("n") - F.col("mu")) / F.col("sd") > z_threshold)
+        .otherwise(F.col("n") != F.col("mu"))
+    )
+    return scored.select(
+        "type",
+        "hour_ms",
+        "hod",
+        "n",
+        F.round(F.col("mu"), 4).alias("baseline_mean"),
+        F.round(F.col("sd"), 4).alias("baseline_sd"),
+        F.round(z, 4).alias("z"),
+        anomaly.alias("is_anomaly"),
+    )

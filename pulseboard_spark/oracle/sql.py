@@ -2081,3 +2081,39 @@ SELECT vec_id, label, neighbor_id, neighbor_label, cosine, rank FROM (
   FROM pairs
 ) WHERE rank <= 3
 """
+
+
+# Seasonal volume anomalies (operators/timeseries.py::seasonal_deviation).
+ORACLE_SQL["seasonal_deviation"] = f"""
+WITH {ENT_CTE},
+hourly AS (
+  SELECT type, ts_ms - (ts_ms % 3600000) AS hour_ms, count(*) AS n
+  FROM ent GROUP BY 1, 2
+),
+with_hod AS (
+  SELECT *, CAST(CAST(hour_ms / 3600000 AS BIGINT) % 24 AS INTEGER) AS hod FROM hourly
+),
+base AS (
+  SELECT type, hod, count(*) AS n_obs,
+         CAST(sum(CAST(n AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(n * n AS DECIMAL(27,6))) AS DOUBLE) AS s2
+  FROM with_hod GROUP BY 1, 2
+),
+loo AS (
+  SELECT h.type, hour_ms, hod, n, n_obs,
+         (s1 - n) / (n_obs - 1) AS mu,
+         sqrt(greatest(((s2 - n * n) - (s1 - n) * (s1 - n) / (n_obs - 1))
+                       / greatest(n_obs - 2, 1), 0.0)) AS sd
+  FROM with_hod h JOIN base b USING (type, hod)
+)
+SELECT type, hour_ms, hod, n,
+       round(mu, 4) AS baseline_mean,
+       round(sd, 4) AS baseline_sd,
+       round(CASE WHEN n_obs <= 1 THEN 0.0
+                  WHEN sd > 0 THEN (n - mu) / sd
+                  WHEN n = mu THEN 0.0 ELSE NULL END, 4) AS z,
+       CASE WHEN n_obs <= 1 THEN FALSE
+            WHEN sd > 0 THEN (n - mu) / sd > 3.0
+            ELSE n <> mu END AS is_anomaly
+FROM loo
+"""

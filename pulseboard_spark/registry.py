@@ -1242,6 +1242,10 @@ def value_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlprep.value_drift_psi(entity_events(spark, sf_dir))
 
 
+def seasonal_deviation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.seasonal_deviation(entity_events(spark, sf_dir))
+
+
 def approx_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct users per event type: HLL++ partial sketches
     merge associatively across partitions — the only way COUNT DISTINCT
@@ -1421,6 +1425,7 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_trending": hourly_trending_q,
     "rfm_scores": rfm_scores_q,
     "value_drift_psi": value_drift_psi_q,
+    "seasonal_deviation": seasonal_deviation_q,
     "approx_user_counts": approx_user_counts_q,  # HLL sketch — rows-only check, error bound pinned by test
     "doc_hash_sample": doc_hash_sample_q,
     "stratified_doc_sample": stratified_doc_sample_q,

@@ -741,3 +741,23 @@ class TestHardNegatives:
             assert 1 <= r.rank <= 3
         # every vector gets its negatives (other labels exist for all)
         assert len({r.vec_id for r in rows}) == embs.count()
+
+
+class TestSeasonal:
+    def test_planted_spike_flagged_against_hod_baseline(self, spark):
+        from pulseboard_spark.operators.timeseries import seasonal_deviation
+
+        # 10 days, hourly: steady 5 events at every hour; one planted
+        # 100-event spike at day 7, 09:00 — must be anomalous vs the 9am
+        # baseline while every other hour stays unflagged
+        rows = []
+        for day in range(10):
+            for hour in range(24):
+                base_ms = (day * 24 + hour) * 3_600_000
+                n = 100 if (day == 7 and hour == 9) else 5
+                rows += [("login", base_ms + i) for i in range(n)]
+        df = spark.createDataFrame(rows, "type string, ts_ms long")
+        out = seasonal_deviation(df).collect()
+        flagged = [(r.hour_ms, r.hod) for r in out if r.is_anomaly]
+        assert flagged == [((7 * 24 + 9) * 3_600_000, 9)]
+        assert all(r.z == 0.0 for r in out if r.hod != 9)
