@@ -2117,3 +2117,30 @@ SELECT type, hour_ms, hod, n,
             ELSE n <> mu END AS is_anomaly
 FROM loo
 """
+
+
+# Single-pass table profile (operators/profiling.py::profile_table) on
+# lineitem; the oracle spells the naive N-scan form.
+ORACLE_SQL["lineitem_profile"] = """
+SELECT 'l_orderkey' AS column_name, count(*) AS n_rows, count(l_orderkey) AS n_nonnull, count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'l_partkey' AS column_name, count(*) AS n_rows, count(l_partkey) AS n_nonnull, count(DISTINCT l_partkey) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'l_suppkey' AS column_name, count(*) AS n_rows, count(l_suppkey) AS n_nonnull, count(DISTINCT l_suppkey) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'l_linenumber' AS column_name, count(*) AS n_rows, count(l_linenumber) AS n_nonnull, count(DISTINCT l_linenumber) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'l_quantity' AS column_name, count(*) AS n_rows, count(l_quantity) AS n_nonnull, count(DISTINCT l_quantity) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice' AS column_name, count(*) AS n_rows, count(l_extendedprice) AS n_nonnull, count(DISTINCT l_extendedprice) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'l_discount' AS column_name, count(*) AS n_rows, count(l_discount) AS n_nonnull, count(DISTINCT l_discount) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'l_tax' AS column_name, count(*) AS n_rows, count(l_tax) AS n_nonnull, count(DISTINCT l_tax) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'l_returnflag' AS column_name, count(*) AS n_rows, count(l_returnflag) AS n_nonnull, count(DISTINCT l_returnflag) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'l_linestatus' AS column_name, count(*) AS n_rows, count(l_linestatus) AS n_nonnull, count(DISTINCT l_linestatus) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'l_shipdate' AS column_name, count(*) AS n_rows, count(l_shipdate) AS n_nonnull, count(DISTINCT l_shipdate) AS n_distinct FROM lineitem
+"""

@@ -1246,6 +1246,12 @@ def seasonal_deviation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.seasonal_deviation(entity_events(spark, sf_dir))
 
 
+def lineitem_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.operators.profiling import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "lineitem"))
+
+
 def approx_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct users per event type: HLL++ partial sketches
     merge associatively across partitions — the only way COUNT DISTINCT
@@ -1426,6 +1432,7 @@ QUERIES: dict[str, QueryFn] = {
     "rfm_scores": rfm_scores_q,
     "value_drift_psi": value_drift_psi_q,
     "seasonal_deviation": seasonal_deviation_q,
+    "lineitem_profile": lineitem_profile_q,
     "approx_user_counts": approx_user_counts_q,  # HLL sketch — rows-only check, error bound pinned by test
     "doc_hash_sample": doc_hash_sample_q,
     "stratified_doc_sample": stratified_doc_sample_q,

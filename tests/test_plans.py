@@ -273,3 +273,11 @@ def test_label_noise_broadcasts_centroids(spark, sf_dir):
     plan = _plan(spark, sf_dir, "label_noise_suspects")
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert not PY_NODES.search(plan)
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """profile_table computes every column's census in ONE scan — the
+    whole point vs the oracle's N UNION branches."""
+    plan = _plan(spark, sf_dir, "lineitem_profile")
+    assert plan.count("FileScan parquet") == 1, "profiling must not rescan per column"
+    assert not PY_NODES.search(plan)
