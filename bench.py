@@ -74,6 +74,10 @@ HEADLINE = [
     "label_noise_suspects",
     "bpe_merge_candidates",
     "doc_split_assign",
+    "seasonal_deviation",
+    "hard_negatives",
+    "media_text_pairs",
+    "lineitem_profile",
 ]
 
 
