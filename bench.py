@@ -112,17 +112,21 @@ def main() -> None:
     print(f"# streaming_rules_eps: {stream_eps:.0f} events/sec (baseline target 10000)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # cold timings go to STDERR: the recorder keeps only a bounded tail of
+    # stdout, and round 1 proved a >2 KB JSON line gets truncated into an
+    # unparseable record — the stdout line must stay compact
+    print("# cold: " + json.dumps(cold), file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "stream_eps": round(stream_eps),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -9,7 +9,11 @@ becomes a named view a BI tool or notebook can select from.
 
 Views are lazy — registration plans nothing and executes nothing (the one
 exception is the identity-component cache that CDP-family queries share,
-which is checkpointed on first use, not at registration).
+which is checkpointed on first use, not at registration).  Queries whose
+*plan construction* itself runs Spark jobs (iterative trainers, IVF index
+builds) would break that contract, so they are excluded from the default
+registration set (:data:`EAGER_QUERIES`) — pass their names explicitly to
+opt in.
 """
 
 from __future__ import annotations
@@ -45,16 +49,28 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     cdp_events(spark, sf_dir).createOrReplaceTempView("cdp")
 
 
+#: Queries that execute Spark jobs while BUILDING their plan (iterative
+#: trainers and IVF index construction — driver-looped by nature).  They
+#: violate the "registration plans nothing" contract, so the default
+#: registration sweep skips them; registering one by name opts in.
+EAGER_QUERIES = frozenset(
+    {"bpe_learned_merges", "hard_negatives", "ivf_topk", "similarity_topk", "knn_label_agreement", "dedup_embedding"}
+)
+
+
 def register_queries(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> list[str]:
     """Register declared queries as temp views named after their registry
     key (``spark.sql("SELECT * FROM r1_velocity_spike")``).  Returns the
-    registered names."""
+    registered names.  With ``names=None`` the sweep skips
+    :data:`EAGER_QUERIES` so registration stays plan-only."""
     from pulseboard_spark.registry import QUERIES
 
     tune(spark)
-    picked = list(QUERIES) if names is None else names
+    picked = (
+        [n for n in QUERIES if n not in EAGER_QUERIES] if names is None else names
+    )
     for name in picked:
         QUERIES[name](spark, sf_dir).createOrReplaceTempView(name)
     return picked

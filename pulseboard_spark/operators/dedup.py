@@ -110,7 +110,10 @@ def minhash_near_dups(documents: DataFrame) -> DataFrame:
     """Candidate near-dup pairs with exact Jaccard over shingle sets.
 
     |A∩B| via a shingle equi-join restricted to candidates; |A∪B| = |A|+|B|−∩.
-    Output: doc_a, doc_b, jaccard (round 6)."""
+    Output: doc_a, doc_b, n_common, n_union, jaccard_ppm — the Jaccard
+    surfaces as integer parts-per-million (``∩·10⁶ div ∪``) because a
+    rounded double of an exact rational is the cross-engine hash-drift
+    class that failed round 1."""
     sh = shingles(documents)
     sh.cache()
     cand = minhash_candidates(minhash_signatures(sh))
@@ -131,30 +134,38 @@ def minhash_near_dups(documents: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
+            F.col("i").alias("n_common"),
+            (F.col("na") + F.col("nb") - F.col("i")).alias("n_union"),
+            F.expr("(i * 1000000) div (na + nb - i)").alias("jaccard_ppm"),
         )
     )
 
 
+def _jaccard_at_least(threshold_bp: int):
+    """∩/∪ ≥ bp/10⁴ as an exact integer cross-multiplication — the
+    threshold decision must not ride on float division."""
+    return F.col("n_common") * 10000 >= F.lit(int(threshold_bp)) * F.col("n_union")
+
+
 def ngram_jaccard_dedup(
-    documents: DataFrame, threshold: float = 0.8, pairs: DataFrame | None = None
+    documents: DataFrame, threshold_bp: int = 8000, pairs: DataFrame | None = None
 ) -> DataFrame:
-    """Near-dup verdicts: pairs above a Jaccard threshold with the canonical
-    (min) id — the decision layer over minhash_near_dups.
+    """Near-dup verdicts: pairs at/above a Jaccard threshold (basis points)
+    with the canonical (min) id — the decision layer over minhash_near_dups.
 
     ``pairs``: precomputed minhash_near_dups output (the pair graph is the
     expensive shared stage; callers running several dedup decisions over one
     corpus materialize it once)."""
     if pairs is None:
         pairs = minhash_near_dups(documents)
-    pairs = pairs.filter(F.col("jaccard") >= threshold)
+    pairs = pairs.filter(_jaccard_at_least(threshold_bp))
     return pairs.select(
-        "doc_a", "doc_b", "jaccard", F.least("doc_a", "doc_b").alias("canonical_doc_id")
+        "doc_a", "doc_b", "jaccard_ppm", F.least("doc_a", "doc_b").alias("canonical_doc_id")
     )
 
 
 def near_dup_clusters(
-    documents: DataFrame, threshold: float = 0.8, pairs: DataFrame | None = None
+    documents: DataFrame, threshold_bp: int = 8000, pairs: DataFrame | None = None
 ) -> DataFrame:
     """Transitive near-dup clusters: connected components over the verified
     near-dup pair graph (the dedup decision a training-data pipeline
@@ -171,7 +182,7 @@ def near_dup_clusters(
 
     if pairs is None:
         pairs = minhash_near_dups(documents)
-    pairs = pairs.filter(F.col("jaccard") >= threshold)
+    pairs = pairs.filter(_jaccard_at_least(threshold_bp))
     nodes = documents.select(F.col("doc_id").alias("id"))
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     comp = connected_components(nodes, edges)

@@ -174,12 +174,24 @@ def mad_outliers(ev: DataFrame, k: float = 3.0) -> DataFrame:
         "is_out",
         F.abs(F.col("v") - F.col("med")) > F.lit(k) * F.lit(1.4826) * F.col("mad"),
     )
-    return flagged.groupBy("type").agg(
-        F.count(F.lit(1)).alias("n_values"),
-        F.round(F.min("med"), 4).alias("median_value"),
-        F.round(F.min("mad"), 4).alias("mad_value"),
-        F.sum(F.col("is_out").cast("long")).alias("n_outliers"),
-        F.round(F.sum(F.col("is_out").cast("long")) / F.count(F.lit(1)), 4).alias("outlier_frac"),
+    return (
+        flagged.groupBy("type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.min("med"), 4).alias("median_value"),
+            F.round(F.min("mad"), 4).alias("mad_value"),
+            F.sum(F.col("is_out").cast("long")).alias("n_outliers"),
+        )
+        # integer bp — the exact-rational count ratio must not round as a
+        # double at the hash boundary
+        .select(
+            "type",
+            "n_values",
+            "median_value",
+            "mad_value",
+            "n_outliers",
+            F.expr("(n_outliers * 10000) div n_values").alias("outlier_frac_bp"),
+        )
     )
 
 
@@ -199,9 +211,10 @@ def rfm_scores(ev: DataFrame, n_tiles: int = 5) -> DataFrame:
     agg = ev.groupBy("entity_id").agg(
         F.max("ts_ms").alias("last_ms"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(27,6)")).cast("double"), 4
-        ).alias("total_value"),
+        # decimal-exact sum cast straight to double — unrounded, since both
+        # engines cast the identical decimal identically; a round() here is
+        # the cross-engine half-case drift class that failed round 1
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
     ).withColumn("total_value", F.coalesce(F.col("total_value"), F.lit(0.0)))
     t = lambda col: F.ntile(n_tiles).over(  # noqa: E731
         Window.orderBy(F.asc(col), F.asc("entity_id"))
@@ -238,8 +251,11 @@ def value_drift_psi(ev: DataFrame, n_bins: int = 10) -> DataFrame:
     each bin's PSI term is rounded then summed through DECIMAL so the
     ≤ n_bins additions are order-insensitive and engine-exact.
     """
-    bounds = ev.agg(
-        ((F.min("ts_ms") + F.max("ts_ms")) / F.lit(2)).cast("long").alias("mid_ms")
+    # integer midpoint: `div` truncates identically on both engines; the
+    # double-divide-then-cast it replaces truncated in Spark but rounded in
+    # DuckDB, flipping the period of boundary events when min+max is odd
+    bounds = ev.agg(F.min("ts_ms").alias("_mn"), F.max("ts_ms").alias("_mx")).select(
+        F.expr("(_mn + _mx) div 2").alias("mid_ms")
     )
     vals = (
         ev.filter(F.col("value").isNotNull())

@@ -214,10 +214,16 @@ def group_mode(
     top_col: str = "top_value",
 ) -> DataFrame:
     """Most frequent ``value`` per key group, with its count, the group
-    total, and the share.  Ties break deterministically to the smallest
-    value.  Two-phase: the heavy reduction (count per (key, value)) is
-    map-side combined first; the argmax window only ever sees the counts
-    table — |keys × distinct values| rows, not the fact."""
+    total, and the share in integer basis points.  Ties break
+    deterministically to the smallest value.  Two-phase: the heavy
+    reduction (count per (key, value)) is map-side combined first; the
+    argmax window only ever sees the counts table — |keys × distinct
+    values| rows, not the fact.
+
+    ``share_bp = (n_top * 10000) div n_total`` is computed in integer
+    arithmetic so the value hashes identically on any engine — a rounded
+    double here is exactly the kind of low-order-bit drift that broke
+    cross-engine hash parity in round 1."""
     key = list(key)
     counts = df.groupBy(*key, value).agg(F.count(F.lit(1)).alias("_n"))
     w = Window.partitionBy(*key)
@@ -231,7 +237,7 @@ def group_mode(
             F.col(value).alias(top_col),
             F.col("_n").alias("n_top"),
             F.col("_tot").alias("n_total"),
-            F.round(F.col("_n") / F.col("_tot"), 4).alias("share"),
+            F.expr("(_n * 10000) div _tot").alias("share_bp"),
         )
     )
 
@@ -311,10 +317,13 @@ def heavy_hitters(
     df: DataFrame,
     key: Sequence[str],
     value: str,
-    min_share: float = 0.05,
+    min_share_bp: int = 500,
 ) -> DataFrame:
     """Exact frequent items: every ``value`` whose share of its key group
-    is >= ``min_share``, with count and share.
+    is >= ``min_share_bp`` basis points, with count and integer-bp share.
+    Threshold and share are pure integer arithmetic (``n * 10000`` vs
+    ``min_share_bp * n_total``) so the emitted values and the boundary
+    predicate are engine-exact — no float rounding at the hash boundary.
 
     Same two-phase shape as :func:`group_mode` — the fact is reduced to a
     (key, value) counts table map-side, and the share window runs over
@@ -330,7 +339,7 @@ def heavy_hitters(
     tot = F.sum("n").over(Window.partitionBy(*key))
     return (
         counts.withColumn("n_total", tot)
-        .withColumn("share", F.round(F.col("n") / F.col("n_total"), 4))
-        .where(F.col("n") / F.col("n_total") >= F.lit(min_share))
-        .select(*key, value, "n", "n_total", "share")
+        .withColumn("share_bp", F.expr("(n * 10000) div n_total"))
+        .where(F.col("n") * 10000 >= F.lit(int(min_share_bp)) * F.col("n_total"))
+        .select(*key, value, "n", "n_total", "share_bp")
     )

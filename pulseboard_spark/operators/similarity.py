@@ -64,9 +64,24 @@ def _seq_norms(M: np.ndarray) -> np.ndarray:
     return np.sqrt(n)
 
 
+#: Ceiling for driver-collected broadcast indexes: ~200k × (64-dim f64 +
+#: id + norm) ≈ 110 MB — the same order as Spark's own broadcast-join
+#: comfort zone.  Above it the exact kernels route to the distributed
+#: IVF path instead of OOMing the driver at 100× scale.
+MAX_BROADCAST_INDEX_ROWS = 200_000
+
+
+def _index_too_big(embeddings: DataFrame, max_rows: int | None) -> bool:
+    limit = MAX_BROADCAST_INDEX_ROWS if max_rows is None else max_rows
+    # LIMIT-probe instead of full count: one cheap job, stops early
+    return len(embeddings.select("vec_id").limit(limit + 1).collect()) > limit
+
+
 def _broadcast_index(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
     """Collect the index side (small, broadcast-class — same memory contract
-    as ``F.broadcast``) and ship it to executors once."""
+    as ``F.broadcast``) and ship it to executors once.  Callers are
+    size-guarded (:func:`_index_too_big`) — this must never see an
+    unbounded table."""
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([list(r[1]) for r in rows], dtype=np.float64)
@@ -77,7 +92,9 @@ def _batch_matrix(series: pd.Series) -> np.ndarray:
     return np.array([list(v) for v in series], dtype=np.float64)
 
 
-def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
+def cosine_topk(
+    embeddings: DataFrame, k: int = 5, max_broadcast_rows: int | None = None
+) -> DataFrame:
     """Exact top-k cosine neighbors per vector (self-pairs excluded).
 
     Deterministic selection: rank on (cosine rounded to 6, neighbor id) —
@@ -88,7 +105,15 @@ def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
     through a numpy block kernel (see module docstring) — no cross join,
     no per-pair expression evaluation, top-k selected inside the batch so
     only k rows per query ever leave the kernel.
+
+    Size-guarded: above ``max_broadcast_rows`` (default
+    :data:`MAX_BROADCAST_INDEX_ROWS`) the driver-collected index would be
+    a scale-killer, so the call routes to the distributed full-probe IVF
+    kernel — same exact answer (identical scoring/rounding/tie-break),
+    no driver materialization.
     """
+    if _index_too_big(embeddings, max_broadcast_rows):
+        return _ivf_knn(embeddings, k=k, nprobe=None)
     b = _broadcast_index(embeddings)
 
     def block(batches):
@@ -120,10 +145,75 @@ def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-def cosine_pairs_above(embeddings: DataFrame, threshold: float) -> DataFrame:
+def _ivf_pairs_above(
+    embeddings: DataFrame, threshold: float, n_cells: int | None = None, iters: int = 2
+) -> DataFrame:
+    """Distributed twin of :func:`cosine_pairs_above`: full-probe IVF
+    cogroup, pairs emitted inside the cell kernel with the a<b canonical
+    filter (each unordered pair scored exactly once: when a probes b's
+    home cell).  No driver collect; exact ≡ the broadcast kernel."""
+    assigned, cent_bc = ivf_index(embeddings, n_cells=n_cells, iters=iters)
+
+    def probe(batches):
+        _ids, CM, _cn = cent_bc.value
+        npb = CM.shape[0]
+        for pdf in batches:
+            m = len(pdf)
+            rep = np.repeat(np.arange(m), npb)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), npb),
+                    "embedding": [pdf["embedding"].iloc[i] for i in rep],
+                    "cell": np.tile(np.arange(npb, dtype=np.int64), m),
+                }
+            )
+
+    probes = embeddings.select("vec_id", "embedding").mapInPandas(
+        probe, schema="vec_id bigint, embedding array<float>, cell bigint"
+    )
+
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        A = _batch_matrix(left["embedding"])
+        a_ids = left["vec_id"].to_numpy(np.int64)
+        M = _batch_matrix(right["embedding"])
+        m_ids = right["vec_id"].to_numpy(np.int64)
+        C = np.round(
+            _seq_gram(A, M)
+            / (np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))[:, None]
+               * np.where(_seq_norms(M) == 0, 1.0, _seq_norms(M))[None, :]),
+            6,
+        )
+        ii, jj = np.nonzero((C >= threshold) & (a_ids[:, None] < m_ids[None, :]))
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(a_ids[ii], dtype="int64"),
+                "vec_b": pd.Series(m_ids[jj], dtype="int64"),
+                "cosine": pd.Series(C[ii, jj], dtype="float64"),
+            }
+        )
+
+    return (
+        probes.groupBy("cell")
+        .cogroup(assigned.groupBy("cell"))
+        .applyInPandas(score_cell, schema="vec_a bigint, vec_b bigint, cosine double")
+    )
+
+
+def cosine_pairs_above(
+    embeddings: DataFrame, threshold: float, max_broadcast_rows: int | None = None
+) -> DataFrame:
     """All pairs (vec_a < vec_b) with rounded cosine ≥ threshold — the
     exact kernel behind embedding-cosine near-dup.  Same broadcast block
-    shape as :func:`cosine_topk`."""
+    shape as :func:`cosine_topk`; same size guard — above the broadcast
+    ceiling the call routes to the distributed full-probe IVF twin
+    (:func:`_ivf_pairs_above`) instead of collecting to the driver."""
+    if _index_too_big(embeddings, max_broadcast_rows):
+        return _ivf_pairs_above(embeddings, threshold)
     b = _broadcast_index(embeddings)
 
     def block(batches):
@@ -159,8 +249,11 @@ def label_knn_accuracy(embeddings: DataFrame, k: int = 5) -> DataFrame:
         j.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("pairs"),
-            F.round(F.avg((F.col("label") == F.col("n_label")).cast("double")), 6).alias("same_label_rate"),
+            F.sum((F.col("label") == F.col("n_label")).cast("long")).alias("n_same"),
         )
+        # integer ppm — rounded doubles of exact rationals drift across
+        # engines at hash time (round-1 failure class)
+        .select("label", "pairs", "n_same", F.expr("(n_same * 1000000) div pairs").alias("same_label_rate_ppm"))
     )
 
 
@@ -235,6 +328,118 @@ def ivf_index(
     return base.mapInPandas(assign, schema=schema), cent_bc
 
 
+def _ivf_knn(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int | None = None,
+    nprobe: int | None = 5,
+    iters: int = 2,
+    cross_label: bool = False,
+) -> DataFrame:
+    """Distributed kNN over IVF cells — the no-driver-collect kernel behind
+    both :func:`ivf_topk` and :func:`hard_negatives`.
+
+    Physical shape: queries explode to (query, probe_cell) rows; a
+    **cogrouped** applyInPandas on cell runs the exact numpy block kernel
+    between the cell's probing queries and its member vectors, emitting at
+    most k candidates per (query, cell); a final window keeps the global
+    top-k.  Scoring/rounding/tie-break are identical to :func:`cosine_topk`,
+    so with ``nprobe = None`` (full probe) the result is exactly the
+    brute-force answer (pinned by test) — recall loss comes only from
+    unprobed cells.  ``cross_label`` keeps only different-label neighbors
+    (hard-negative mining) with the mask applied INSIDE the cell kernel.
+    """
+    assigned, cent_bc = ivf_index(embeddings, n_cells=n_cells, iters=iters)
+    qcols = ["vec_id", "embedding"] + (["label"] if cross_label else [])
+    if cross_label:
+        assigned = assigned.join(embeddings.select("vec_id", "label"), "vec_id")
+
+    lbl_field = ", label bigint" if cross_label else ""
+
+    def probe(batches):
+        _ids, CM, cn = cent_bc.value
+        npb = CM.shape[0] if nprobe is None else min(nprobe, CM.shape[0])
+        for pdf in batches:
+            A = _batch_matrix(pdf["embedding"])
+            an = np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))
+            S = _seq_gram(A, CM) / (an[:, None] * cn[None, :])
+            # nprobe best cells per query; stable argsort is deterministic
+            # under ties
+            order = np.argsort(-S, axis=1, kind="stable")[:, :npb]
+            m = len(pdf)
+            rep = np.repeat(np.arange(m), npb)
+            out = {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), npb),
+                "embedding": [pdf["embedding"].iloc[i] for i in rep],
+                "cell": order.ravel().astype(np.int64),
+            }
+            if cross_label:
+                out["label"] = np.repeat(pdf["label"].to_numpy(np.int64), npb)
+            yield pd.DataFrame(out)
+
+    probes = embeddings.select(*qcols).mapInPandas(
+        probe, schema=f"vec_id bigint, embedding array<float>, cell bigint{lbl_field}"
+    )
+
+    empty_cols = ["vec_id", "neighbor_id", "cosine"] + (
+        ["label", "neighbor_label"] if cross_label else []
+    )
+
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="float64" if c == "cosine" else "int64") for c in empty_cols}
+            )
+        A = _batch_matrix(left["embedding"])
+        a_ids = left["vec_id"].to_numpy(np.int64)
+        M = _batch_matrix(right["embedding"])
+        m_ids = right["vec_id"].to_numpy(np.int64)
+        if cross_label:
+            a_lbl = left["label"].to_numpy(np.int64)
+            m_lbl = right["label"].to_numpy(np.int64)
+        C = np.round(
+            _seq_gram(A, M)
+            / (np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))[:, None]
+               * np.where(_seq_norms(M) == 0, 1.0, _seq_norms(M))[None, :]),
+            6,
+        )
+        out = {c: [] for c in empty_cols}
+        for i in range(A.shape[0]):
+            row = C[i]
+            order = np.lexsort((m_ids, -row))
+            keep = m_ids[order] != a_ids[i]
+            if cross_label:
+                keep &= m_lbl[order] != a_lbl[i]
+            order = order[keep][:k]
+            out["vec_id"].extend([a_ids[i]] * len(order))
+            out["neighbor_id"].extend(m_ids[order])
+            out["cosine"].extend(row[order])
+            if cross_label:
+                out["label"].extend([a_lbl[i]] * len(order))
+                out["neighbor_label"].extend(m_lbl[order])
+        return pd.DataFrame(
+            {c: pd.Series(out[c], dtype="float64" if c == "cosine" else "int64") for c in empty_cols}
+        )
+
+    lbl_out = ", label bigint, neighbor_label bigint" if cross_label else ""
+    cand = (
+        probes.groupBy("cell")
+        .cogroup(assigned.groupBy("cell"))
+        .applyInPandas(score_cell, schema=f"vec_id bigint, neighbor_id bigint, cosine double{lbl_out}")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out_cols = (
+        ["vec_id", "label", "neighbor_id", "neighbor_label"]
+        if cross_label
+        else ["vec_id", "neighbor_id"]
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*out_cols, "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -244,83 +449,10 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k cosine via IVF: probe the ``nprobe`` nearest cells,
     exact-rank inside them.  The scale path that avoids broadcasting the
-    index entirely — candidate generation is a shuffle on cell id.
-
-    Physical shape: queries explode to (query, probe_cell) rows; a
-    **cogrouped** applyInPandas on cell runs the exact numpy block kernel
-    between the cell's probing queries and its member vectors, emitting at
-    most k candidates per (query, cell); a final window keeps the global
-    top-k.  Scoring/rounding/tie-break are identical to :func:`cosine_topk`,
-    so with ``nprobe = n_cells`` the result is exactly the brute-force
-    answer (pinned by test) — recall loss comes only from unprobed cells.
+    index entirely — candidate generation is a shuffle on cell id.  See
+    :func:`_ivf_knn` for the physical shape and exactness contract.
     """
-    assigned, cent_bc = ivf_index(embeddings, n_cells=n_cells, iters=iters)
-
-    def probe(batches):
-        _ids, CM, cn = cent_bc.value
-        npb = min(nprobe, CM.shape[0])
-        for pdf in batches:
-            A = _batch_matrix(pdf["embedding"])
-            an = np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))
-            S = _seq_gram(A, CM) / (an[:, None] * cn[None, :])
-            # nprobe best cells per query; argsort on (-sim, cell) is
-            # deterministic under ties
-            order = np.argsort(-S, axis=1, kind="stable")[:, :npb]
-            m = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), npb),
-                    "embedding": [pdf["embedding"].iloc[i] for i in np.repeat(np.arange(m), npb)],
-                    "cell": order.ravel().astype(np.int64),
-                }
-            )
-
-    probes = embeddings.select("vec_id", "embedding").mapInPandas(
-        probe, schema="vec_id bigint, embedding array<float>, cell bigint"
-    )
-
-    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
-                                 "neighbor_id": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
-        A = _batch_matrix(left["embedding"])
-        a_ids = left["vec_id"].to_numpy(np.int64)
-        M = _batch_matrix(right["embedding"])
-        m_ids = right["vec_id"].to_numpy(np.int64)
-        C = np.round(
-            _seq_gram(A, M)
-            / (np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))[:, None]
-               * np.where(_seq_norms(M) == 0, 1.0, _seq_norms(M))[None, :]),
-            6,
-        )
-        out_q, out_n, out_c = [], [], []
-        for i in range(A.shape[0]):
-            row = C[i]
-            order = np.lexsort((m_ids, -row))
-            order = order[m_ids[order] != a_ids[i]][:k]
-            out_q.extend([a_ids[i]] * len(order))
-            out_n.extend(m_ids[order])
-            out_c.extend(row[order])
-        return pd.DataFrame(
-            {
-                "vec_id": pd.Series(out_q, dtype="int64"),
-                "neighbor_id": pd.Series(out_n, dtype="int64"),
-                "cosine": pd.Series(out_c, dtype="float64"),
-            }
-        )
-
-    cand = (
-        probes.groupBy("cell")
-        .cogroup(assigned.groupBy("cell"))
-        .applyInPandas(score_cell, schema="vec_id bigint, neighbor_id bigint, cosine double")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    return _ivf_knn(embeddings, k=k, n_cells=n_cells, nprobe=nprobe, iters=iters)
 
 
 def simhash_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
@@ -384,29 +516,31 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     triples whose per-(label, dim) mean partial-aggregates map-side, so
     the shuffle carries |labels|·dim rows, never the fleet of vectors; the
     centroid is reassembled with an ordered collect over exactly `dim`
-    rows per label.  Component values are rounded to 6 decimals and summed
-    through DECIMAL so partition order cannot perturb the mean — the
-    DuckDB oracle reproduces the centroid bit-for-bit.
+    rows per label.  Component values are quantized to integer micro-units
+    (``round(v·10⁶)`` as BIGINT) at ingestion, so the sum, the mean
+    (truncating integer division — Spark ``div`` ≡ DuckDB ``//`` on
+    negatives too) and therefore the hash are exact on any engine — no
+    float rounding survives to the surface (round-1 drift class).
     """
     triples = embeddings.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     ).select(
         "label",
         "pos",
-        # duck_round everywhere a double is rounded: Spark's F.round and
-        # DuckDB's round() split half-way doubles differently, and at sf0.1
-        # scale some component means land exactly on the boundary
-        duck_round(F.col("v").cast("double"), 6).cast("decimal(27,10)").alias("v6"),
+        # duck_round(x, 0): half-away-from-zero, matching DuckDB round();
+        # an exact .5 after f32→double·10⁶ is a measure-zero event but the
+        # two engines must still agree on it
+        duck_round(F.col("v").cast("double") * F.lit(1000000.0), 0).cast("long").alias("vu"),
     )
     per_dim = triples.groupBy("label", "pos").agg(
-        duck_round(F.sum("v6").cast("double") / F.count(F.lit(1)), 6).alias("m"),
+        F.sum("vu").alias("s"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).select("label", "pos", F.expr("s div n").alias("m"), "n")
     return per_dim.groupBy("label").agg(
         F.min("n").alias("n_vecs"),
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x.m
-        ).alias("centroid"),
+        ).alias("centroid_micro"),
     )
 
 
@@ -417,42 +551,66 @@ def label_noise_suspects(embeddings: DataFrame, top_n: int = 10) -> DataFrame:
 
     The centroid table (|labels|·dim) broadcasts back onto the vectors, so
     the fleet of embeddings is never shuffled for the distance — each row
-    computes its distance in one ordered array fold (deterministic both
-    engines: same element order, same op order) — and the suspect rank
-    window runs per label over scalar distances.  Distances round to 6
-    decimals with a (distance desc, vec_id) tie-break for a stable top-N.
+    computes its distance in one ordered array fold.  Vector components
+    and centroids live in integer micro-units (see :func:`label_centroids`),
+    so the squared distance is an exact BIGINT in micro² — engine-exact
+    hash and a deterministic (distance desc, vec_id) top-N.
     """
-    cents = label_centroids(embeddings).select("label", "centroid")
+    cents = label_centroids(embeddings).select("label", "centroid_micro")
+    qx = lambda x: duck_round(x.cast("double") * F.lit(1000000.0), 0).cast("long")  # noqa: E731
     dist = F.aggregate(
         F.zip_with(
             "embedding",
-            "centroid",
-            lambda x, y: (duck_round(x.cast("double"), 6) - y)
-            * (duck_round(x.cast("double"), 6) - y),
+            "centroid_micro",
+            lambda x, y: (qx(x) - y) * (qx(x) - y),
         ),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, d: acc + d,
     )
     scored = embeddings.join(F.broadcast(cents), "label").select(
-        "label", "vec_id", duck_round(dist, 6).alias("sq_dist")
+        "label", "vec_id", dist.alias("sq_dist_micro2")
     )
-    w = Window.partitionBy("label").orderBy(F.desc("sq_dist"), F.asc("vec_id"))
+    w = Window.partitionBy("label").orderBy(F.desc("sq_dist_micro2"), F.asc("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= top_n)
     )
 
 
-def hard_negatives(embeddings: DataFrame, k: int = 3) -> DataFrame:
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    iters: int = 2,
+) -> DataFrame:
     """Hard-negative mining: per vector, the ``k`` most-similar vectors
     with a DIFFERENT label — the contrastive-training primitive (the
     negatives that actually teach the model something sit right at the
     decision boundary).
 
-    Same broadcast block kernel as :func:`cosine_topk` with a label mask
-    inside the batch: similarity never leaves the kernel for same-label
-    pairs, so the output is exactly k rows per query vector.  Selection is
-    deterministic on (cosine rounded to 6 desc, neighbor_id).
+    Runs on the cogrouped IVF-cell kernel (:func:`_ivf_knn`) with the
+    label mask inside the cell kernel — NO driver-side collect of the
+    embeddings table, unlike the broadcast twin
+    (:func:`hard_negatives_broadcast`), which dies at 100× scale.  The
+    default ``nprobe=None`` probes every cell, making the result exactly
+    the broadcast answer (pinned by test and by the DuckDB oracle); at
+    true scale set ``nprobe`` ≪ n_cells for the approximate fast path.
+    """
+    return _ivf_knn(
+        embeddings, k=k, n_cells=n_cells, nprobe=nprobe, iters=iters, cross_label=True
+    )
+
+
+def hard_negatives_broadcast(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """Broadcast-kernel twin of :func:`hard_negatives` — exact and fast for
+    broadcast-class inputs, but collects the whole table to the driver:
+    kept as the small-input path and the equivalence oracle for the IVF
+    kernel, NOT the declared query path.
+
+    Same block kernel as :func:`cosine_topk` with a label mask inside the
+    batch: similarity never leaves the kernel for same-label pairs.
+    Selection is deterministic on (cosine rounded to 6 desc, neighbor_id).
     """
     rows = embeddings.select("vec_id", "embedding", "label").collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)

@@ -35,27 +35,45 @@ def _count_in(tokens, words: list[str]):
 
 
 def text_quality(documents: DataFrame) -> DataFrame:
-    """Per-doc quality features + a composite score.
+    """Per-doc quality features + a composite score, all in integer
+    parts-per-million so the surface is engine-exact (ratios of counts are
+    exact rationals — rounding them to doubles is the cross-engine
+    hash-drift class that failed round 1).
 
-    n_tokens (whitespace), avg_token_len, punct_count, stopword_ratio,
-    quality_score = min(1, n_tokens/100) · (1 − min(1, punct/n_tokens)).
+    n_tokens (whitespace), avg_token_len_ppm, punct_count,
+    stopword_ratio_ppm, and
+    quality_score_ppm = 1e6 · min(1, n_tokens/100) · (1 − min(1, punct/n_tokens)).
     """
     toks = _tokens(F.col("text"))
     n_tokens = F.size(toks).cast("long")
-    nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    nonspace = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
     punct = (F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), _PUNCT, ""))).cast("long")
     stop = _count_in(toks, STOPWORDS)
-    score = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (
-        F.lit(1.0) - F.least(F.lit(1.0), punct.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"))
+    nt = F.greatest(n_tokens, F.lit(1))
+    # 1e6·score = min(n_tokens,100)·10000·(nt − min(punct,nt)) div nt
+    score_ppm = (
+        F.least(n_tokens, F.lit(100)) * F.lit(10000) * (nt - F.least(punct, nt))
     )
-    return documents.select(
-        "doc_id",
-        "lang",
-        n_tokens.alias("n_tokens"),
-        F.round(nonspace.cast("double") / F.greatest(n_tokens, F.lit(1)), 4).alias("avg_token_len"),
-        punct.alias("punct_count"),
-        F.round(stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            (nonspace * 1000000).alias("_ns"),
+            punct.alias("punct_count"),
+            (stop * 1000000).alias("_st"),
+            score_ppm.alias("_sc"),
+            nt.alias("_nt"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("_ns div _nt").alias("avg_token_len_ppm"),
+            "punct_count",
+            F.expr("_st div _nt").alias("stopword_ratio_ppm"),
+            F.expr("_sc div _nt").alias("quality_score_ppm"),
+        )
     )
 
 
@@ -283,7 +301,9 @@ def bigram_stats(documents: DataFrame, min_count: int = 2) -> DataFrame:
             "w2",
             "n",
             "n_first",
-            F.round(F.col("n") / F.col("n_first"), 4).alias("p_follow"),
+            # integer ppm — exact-rational count ratios must not round as
+            # doubles at the hash boundary (round-1 drift class)
+            F.expr("(n * 1000000) div n_first").alias("p_follow_ppm"),
         )
     )
 
@@ -292,10 +312,10 @@ def gopher_quality(
     documents: DataFrame,
     min_words: int = 20,
     max_words: int = 100_000,
-    min_word_len: float = 2.0,
-    max_word_len: float = 12.0,
-    max_top_word_share: float = 0.30,
-    max_dup_shingle_frac: float = 0.50,
+    min_word_len: int = 2,
+    max_word_len: int = 12,
+    top_word_share_max_bp: int = 3000,
+    dup_shingle_frac_max_bp: int = 5000,
 ) -> DataFrame:
     """Gopher/Dolma-style document quality rules (public heuristics from
     the Gopher corpus-filtering recipe: word-count bounds, mean-word-length
@@ -307,12 +327,15 @@ def gopher_quality(
     duplicate-shingle fraction reuses the dedup layer's word-5-gram
     definition (`operators/dedup.py::shingles`) computed inline as
     ``1 − distinct/total`` over the per-row shingle array.
+
+    All ratio features surface as integer ppm and every threshold
+    predicate is cross-multiplied into pure integer comparisons
+    (``2·n ≤ alpha`` instead of ``alpha/n ≥ 2.0``), so the rule outcomes
+    and the hashed values are exact on any engine.
     """
     words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     n_words = F.size(words).cast("long")
     alpha_chars = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast("long")
-    mean_wl = alpha_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
-    frac_alpha = alpha_chars.cast("double") / F.greatest(F.length("text"), F.lit(1)).cast("double")
 
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     n_sh = F.greatest(F.size(toks) - 4, F.lit(1))
@@ -320,14 +343,16 @@ def gopher_quality(
         F.sequence(F.lit(1), n_sh),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
     )
-    dup_frac = F.lit(1.0) - F.size(F.array_distinct(sh_arr)).cast("double") / F.size(sh_arr).cast("double")
+    n_shingles = F.size(sh_arr).cast("long")
+    n_dup_shingles = (n_shingles - F.size(F.array_distinct(sh_arr)).cast("long"))
 
     base = documents.select(
         "doc_id",
         n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        frac_alpha.alias("frac_alpha"),
-        dup_frac.alias("dup_shingle_frac"),
+        alpha_chars.alias("_alpha"),
+        F.greatest(F.length("text"), F.lit(1)).cast("long").alias("_len"),
+        n_shingles.alias("_nsh"),
+        n_dup_shingles.alias("_ndup"),
     )
     wc = (
         documents.select("doc_id", F.explode(words).alias("w"))
@@ -335,25 +360,28 @@ def gopher_quality(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     top = wc.groupBy("doc_id").agg(
-        (F.max("n").cast("double") / F.sum("n").cast("double")).alias("top_word_share")
+        F.max("n").alias("_topn"), F.sum("n").alias("_totn")
     )
-    joined = base.join(top, "doc_id", "left").withColumn(
-        "top_word_share", F.coalesce(F.col("top_word_share"), F.lit(0.0))
+    joined = (
+        base.join(top, "doc_id", "left")
+        .withColumn("_topn", F.coalesce(F.col("_topn"), F.lit(0)))
+        .withColumn("_totn", F.coalesce(F.col("_totn"), F.lit(1)))
+        .withColumn("_nw1", F.greatest(F.col("n_words"), F.lit(1)))
     )
     passes = (
         F.col("n_words").between(min_words, max_words)
-        & F.col("mean_word_len").between(min_word_len, max_word_len)
-        & (F.col("top_word_share") <= max_top_word_share)
-        & (F.col("dup_shingle_frac") <= max_dup_shingle_frac)
+        & (F.lit(int(min_word_len)) * F.col("_nw1") <= F.col("_alpha"))
+        & (F.col("_alpha") <= F.lit(int(max_word_len)) * F.col("_nw1"))
+        & (F.col("_topn") * 10000 <= F.lit(int(top_word_share_max_bp)) * F.col("_totn"))
+        & (F.col("_ndup") * 10000 <= F.lit(int(dup_shingle_frac_max_bp)) * F.col("_nsh"))
     )
-    r4 = lambda c: F.round(c, 4)  # noqa: E731
     return joined.select(
         "doc_id",
         "n_words",
-        r4(F.col("mean_word_len")).alias("mean_word_len"),
-        r4(F.col("frac_alpha")).alias("frac_alpha"),
-        r4(F.col("top_word_share")).alias("top_word_share"),
-        r4(F.col("dup_shingle_frac")).alias("dup_shingle_frac"),
+        F.expr("(_alpha * 1000000) div _nw1").alias("mean_word_len_ppm"),
+        F.expr("(_alpha * 1000000) div _len").alias("frac_alpha_ppm"),
+        F.expr("(_topn * 1000000) div _totn").alias("top_word_share_ppm"),
+        F.expr("(_ndup * 1000000) div _nsh").alias("dup_shingle_frac_ppm"),
         passes.alias("passes"),
     )
 

@@ -29,38 +29,46 @@ HOUR_MS = 3_600_000
 
 def inter_event_deltas(ev: DataFrame) -> DataFrame:
     """Per-type statistics of the time between consecutive events of the
-    same (entity, type): gap count, exact sum, avg, min/max, and exact
-    interpolated median (``percentile`` ≡ DuckDB ``quantile_cont``).
+    same (entity, type): gap count, exact sum (avg = sum/count is left to
+    the reader — emitting a rounded double broke cross-engine hash parity
+    in round 1), min/max, and the exact *lower discrete median* — the
+    smallest gap value whose cumulative count reaches ceil(n/2).  Every
+    output column is an integer, so the result hashes identically on any
+    engine regardless of float rounding or quantile-interpolation
+    conventions.
 
-    Ordering is (ts_ms, event_id) so ties are deterministic.  The sum is an
-    exact long, so avg = sum/count is order-insensitive (same rationale as
-    :func:`relational.value_stats_per_type`'s moment sums).
+    Ordering is (ts_ms, event_id) so tie gaps are deterministic.
+
+    Scale: the lag window is ONE shuffle on (entity, type); the median is
+    computed on the (type, gap_ms) *distinct-value counts* table (map-side
+    combined), so the per-type ordered cumulative sum only ever sorts
+    distinct gap values — bounded by value cardinality, not event volume.
     """
-    r4 = lambda c: F.round(c, 4)  # noqa: E731
     w = Window.partitionBy("entity_id", "type").orderBy("ts_ms", "event_id")
     gaps = (
         ev.select("entity_id", "type", "ts_ms", "event_id")
         .withColumn("gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w))
         .where(F.col("gap_ms").isNotNull())
     )
-    return (
-        gaps.groupBy("type")
-        .agg(
-            F.count(F.lit(1)).alias("n_gaps"),
-            F.sum("gap_ms").alias("sum_gap_ms"),
-            F.min("gap_ms").alias("min_gap_ms"),
-            F.max("gap_ms").alias("max_gap_ms"),
-            r4(F.percentile(F.col("gap_ms"), F.lit(0.5))).alias("median_gap_ms"),
-        )
-        .select(
-            "type",
-            "n_gaps",
-            "sum_gap_ms",
-            r4(F.col("sum_gap_ms") / F.col("n_gaps")).alias("avg_gap_ms"),
-            "min_gap_ms",
-            "max_gap_ms",
-            "median_gap_ms",
-        )
+    # (type, gap_ms) histogram — the fact is reduced ONCE (map-side
+    # combined); stats AND median come from a single pass over the counts
+    # table: cumulative count per type, then one aggregate where the
+    # median is min(gap | cum ≥ ceil(n/2)).  One linear pipeline — the
+    # fact is shuffled exactly once, for the lag.
+    hist = gaps.groupBy("type", "gap_ms").agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("type")
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(wt.orderBy("gap_ms")))
+        .withColumn("tot", F.sum("c").over(wt))
+    )
+    return cum.groupBy("type").agg(
+        F.max("tot").alias("n_gaps"),
+        F.sum(F.col("gap_ms") * F.col("c")).alias("sum_gap_ms"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(tot + 1) div 2"), F.col("gap_ms"))
+        ).alias("median_gap_ms"),
     )
 
 
@@ -179,7 +187,10 @@ def seasonal_deviation(ev: DataFrame, z_threshold: float = 3.0) -> DataFrame:
     Two-level reduction: hourly counts first (the only fact-sized
     shuffle), then per-(type, hour-of-day) baseline moments over the tiny
     hourly table, broadcast back.  Variance comes from DECIMAL-exact
-    (Σn, Σn²) so the baseline is engine-exact; z-scores round to 4.
+    (Σn, Σn²) so the baseline is engine-exact.  mu/sd/z surface as RAW
+    doubles: both engines evaluate the identical IEEE expression shape on
+    identical inputs, so the bits match — while a round() at the boundary
+    is exactly the half-case drift class that failed round 1.
     Degenerate baselines (std = 0) flag any deviation from the mean.
     """
     hour_ms = (F.col("ts_ms") - (F.col("ts_ms") % 3_600_000)).alias("hour_ms")
@@ -223,8 +234,8 @@ def seasonal_deviation(ev: DataFrame, z_threshold: float = 3.0) -> DataFrame:
         "hour_ms",
         "hod",
         "n",
-        F.round(F.col("mu"), 4).alias("baseline_mean"),
-        F.round(F.col("sd"), 4).alias("baseline_sd"),
-        F.round(z, 4).alias("z"),
+        F.col("mu").alias("baseline_mean"),
+        F.col("sd").alias("baseline_sd"),
+        z.alias("z"),
         anomaly.alias("is_anomaly"),
     )

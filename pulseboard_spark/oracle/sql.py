@@ -471,6 +471,20 @@ ORACLE_SQL["r3_geo_device_mismatch"] = _r3_sql()
 ORACLE_SQL["r4_exfil"] = _r4_sql()
 ORACLE_SQL["alerts"] = _alerts_sql()
 
+# Any-typed trait fidelity (registry::cdp_trait_fidelity_q): Spark parses
+# int/bool traits out of the traits_json column with from_json; the oracle
+# reproduces the parsed VALUES arithmetically from k (the JSON text never
+# reaches the hash boundary, so JSON formatting differences are moot).
+ORACLE_SQL["cdp_trait_fidelity"] = f"""
+WITH {CDP_CTE}
+SELECT plan, country,
+       count(*) AS n_events,
+       sum(CAST(18 + k % 60 AS BIGINT)) AS sum_age,
+       CAST(sum(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vip
+FROM cdp WHERE ctype = 'IDENTIFY'
+GROUP BY plan, country
+"""
+
 ORACLE_SQL["cdp_validation"] = f"""
 WITH {CDP_CTE}
 SELECT event_id, ctype, ts_ms,
@@ -635,7 +649,9 @@ inter AS (
 ORACLE_SQL["dedup_minhash"] = f"""
 WITH {_MINHASH_BODY}
 SELECT i.doc_a, i.doc_b,
-       round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard
+       i.i AS n_common,
+       na.n + nb.n - i.i AS n_union,
+       (i.i * 1000000) // (na.n + nb.n - i.i) AS jaccard_ppm
 FROM inter i
 JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
@@ -644,12 +660,12 @@ JOIN sizes nb ON nb.doc_id = i.doc_b
 ORACLE_SQL["dedup_ngram_jaccard"] = f"""
 WITH {_MINHASH_BODY}
 SELECT i.doc_a, i.doc_b,
-       round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard,
+       (i.i * 1000000) // (na.n + nb.n - i.i) AS jaccard_ppm,
        least(i.doc_a, i.doc_b) AS canonical_doc_id
 FROM inter i
 JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
-WHERE round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) >= 0.8
+WHERE i.i * 10000 >= 8000 * (na.n + nb.n - i.i)
 """
 
 # 16-bit SimHash: bit j votes by the high bit of hex nibble j of md5(shingle);
@@ -716,7 +732,8 @@ SELECT vec_id, neighbor_id, cosine, rank FROM topk WHERE rank <= 5
 ORACLE_SQL["knn_label_agreement"] = f"""
 WITH {_TOPK_CTE}
 SELECT l.label, CAST(count(*) AS BIGINT) AS pairs,
-       round(avg(CASE WHEN l.label = nl.label THEN 1.0 ELSE 0.0 END), 6) AS same_label_rate
+       CAST(sum(CASE WHEN l.label = nl.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       (CAST(sum(CASE WHEN l.label = nl.label THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS same_label_rate_ppm
 FROM (SELECT * FROM topk WHERE rank <= 5) t
 JOIN embeddings l ON l.vec_id = t.vec_id
 JOIN embeddings nl ON nl.vec_id = t.neighbor_id
@@ -733,11 +750,11 @@ WITH q AS (
   FROM documents
 )
 SELECT doc_id, lang, n_tokens,
-       round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(n_tokens, 1), 4) AS avg_token_len,
+       (CAST(length(replace(text, ' ', '')) AS BIGINT) * 1000000) // greatest(n_tokens, 1) AS avg_token_len_ppm,
        punct_count,
-       round(CAST(stop_count AS DOUBLE) / greatest(n_tokens, 1), 4) AS stopword_ratio,
-       round(least(1.0, n_tokens / 100.0)
-             * (1.0 - least(1.0, CAST(punct_count AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE))), 4) AS quality_score
+       (stop_count * 1000000) // greatest(n_tokens, 1) AS stopword_ratio_ppm,
+       (least(n_tokens, 100) * 10000 * (greatest(n_tokens, 1) - least(punct_count, greatest(n_tokens, 1))))
+         // greatest(n_tokens, 1) AS quality_score_ppm
 FROM q
 """
 
@@ -1080,7 +1097,7 @@ dpairs AS (
   FROM inter i
   JOIN sizes na ON na.doc_id = i.doc_a
   JOIN sizes nb ON nb.doc_id = i.doc_b
-  WHERE round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) >= 0.8
+  WHERE i.i * 10000 >= 8000 * (na.n + nb.n - i.i)
 ),
 dedges AS (SELECT doc_a AS a, doc_b AS b FROM dpairs UNION SELECT doc_b, doc_a FROM dpairs),
 dnodes AS (SELECT DISTINCT doc_id AS id FROM documents),
@@ -1109,17 +1126,18 @@ toks AS (
 ),
 q AS (
   SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-         round(least(1.0, n_tokens / 100.0)
-               * (1.0 - least(1.0, CAST(punct AS DOUBLE) / greatest(n_tokens, 1))), 4) AS quality_score
+         (least(CAST(n_tokens AS BIGINT), 100) * 10000
+            * (greatest(CAST(n_tokens AS BIGINT), 1) - least(punct, greatest(CAST(n_tokens AS BIGINT), 1))))
+           // greatest(CAST(n_tokens AS BIGINT), 1) AS quality_score_ppm
   FROM toks
 )
 SELECT q.lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
-       round(avg(q.quality_score), 4) AS avg_quality
+       CAST(sum(q.quality_score_ppm) AS BIGINT) AS sum_quality_ppm
 FROM q
 JOIN dcomp ON dcomp.id = q.doc_id AND dcomp.id = dcomp.cluster_id
-WHERE q.quality_score >= 0.5
+WHERE q.quality_score_ppm >= 500000
 GROUP BY q.lang
 """
 
@@ -1240,6 +1258,9 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY CUBE(r_name, o_orderstatus)
 """
 
+# integer-exact surface: lower discrete median (smallest value whose
+# cumulative count reaches ceil(n/2)), no rounded doubles at the hash
+# boundary (round-1 hash_match failure was interpolation/round drift).
 ORACLE_SQL["inter_event_deltas"] = f"""
 WITH {ENT_CTE},
 g AS (
@@ -1248,16 +1269,22 @@ g AS (
            PARTITION BY entity_id, type ORDER BY ts_ms, event_id
          ) AS gap_ms
   FROM ent
+),
+gg AS (SELECT type, gap_ms FROM g WHERE gap_ms IS NOT NULL),
+h AS (SELECT type, gap_ms, count(*) AS c FROM gg GROUP BY 1, 2),
+cu AS (
+  SELECT type, gap_ms, c,
+         sum(c) OVER (PARTITION BY type ORDER BY gap_ms) AS cum,
+         sum(c) OVER (PARTITION BY type) AS tot
+  FROM h
 )
 SELECT type,
-       count(*) AS n_gaps,
-       sum(gap_ms) AS sum_gap_ms,
-       round(CAST(sum(gap_ms) AS DOUBLE) / count(*), 4) AS avg_gap_ms,
+       max(tot) AS n_gaps,
+       sum(gap_ms * c) AS sum_gap_ms,
        min(gap_ms) AS min_gap_ms,
        max(gap_ms) AS max_gap_ms,
-       round(quantile_cont(gap_ms, 0.5), 4) AS median_gap_ms
-FROM g WHERE gap_ms IS NOT NULL
-GROUP BY type
+       min(CASE WHEN cum >= (tot + 1) // 2 THEN gap_ms END) AS median_gap_ms
+FROM cu GROUP BY type
 """
 
 ORACLE_SQL["gap_fill_hours"] = f"""
@@ -1353,7 +1380,7 @@ r AS (
   FROM c
 )
 SELECT entity_id, type AS top_type, n AS n_top, tot AS n_total,
-       round(CAST(n AS DOUBLE) / tot, 4) AS share
+       (n * 10000) // tot AS share_bp
 FROM r WHERE rk = 1
 """
 
@@ -1537,7 +1564,7 @@ WITH weighted AS (
 SELECT source, CAST(target_pct AS INT) AS target_pct,
        CAST(count(*) AS BIGINT) AS n_total,
        CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       round(CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS realized_rate
+       (CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*) AS realized_rate_bp
 FROM weighted GROUP BY source, target_pct
 """
 
@@ -1648,15 +1675,15 @@ FROM ranked GROUP BY term
 
 
 # Exact heavy hitters (operators/relational.py::heavy_hitters): every event
-# type holding >= 5% of its geo's traffic.  Integer counts divide as
-# doubles on both sides.
+# type holding >= 500 bp (5%) of its geo's traffic.  Share and threshold in
+# pure integer arithmetic so both engines hash identically.
 ORACLE_SQL["geo_heavy_hitters"] = f"""
 WITH {ENT_CTE},
 counts AS (SELECT geo, type, count(*) AS n FROM ent GROUP BY geo, type),
 tot AS (SELECT *, sum(n) OVER (PARTITION BY geo) AS n_total FROM counts)
 SELECT geo, type, n, n_total,
-       round(CAST(n AS DOUBLE) / n_total, 4) AS share
-FROM tot WHERE CAST(n AS DOUBLE) / n_total >= 0.05
+       (n * 10000) // n_total AS share_bp
+FROM tot WHERE n * 10000 >= 500 * n_total
 """
 
 # Term co-occurrence PMI (operators/text.py::term_cooccurrence): within-doc
@@ -1701,7 +1728,7 @@ counts AS (
 tot AS (
   SELECT *, sum(n) OVER (PARTITION BY w1) AS n_first FROM counts
 )
-SELECT w1, w2, n, n_first, round(CAST(n AS DOUBLE) / n_first, 4) AS p_follow
+SELECT w1, w2, n, n_first, (n * 1000000) // n_first AS p_follow_ppm
 FROM tot WHERE n >= 2
 """
 
@@ -1718,9 +1745,11 @@ WITH base AS (
 feats AS (
   SELECT doc_id,
          CAST(length(words) AS BIGINT) AS n_words,
-         CAST(alpha_chars AS DOUBLE) / greatest(length(words), 1) AS mean_word_len,
-         CAST(alpha_chars AS DOUBLE) / greatest(length(text), 1) AS frac_alpha,
-         1.0 - CAST(length(list_distinct(sh)) AS DOUBLE) / length(sh) AS dup_shingle_frac
+         greatest(CAST(length(words) AS BIGINT), 1) AS nw1,
+         CAST(alpha_chars AS BIGINT) AS alpha,
+         greatest(CAST(length(text) AS BIGINT), 1) AS len1,
+         CAST(length(sh) AS BIGINT) AS nsh,
+         CAST(length(sh) - length(list_distinct(sh)) AS BIGINT) AS ndup
   FROM (
     SELECT *,
            list_transform(generate_series(1, greatest(length(toks) - 4, 1)),
@@ -1734,17 +1763,17 @@ wc AS (
   ) GROUP BY doc_id, w
 ),
 top AS (
-  SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n) AS top_word_share FROM wc GROUP BY doc_id
+  SELECT doc_id, max(n) AS topn, sum(n) AS totn FROM wc GROUP BY doc_id
 )
 SELECT f.doc_id, f.n_words,
-       round(f.mean_word_len, 4) AS mean_word_len,
-       round(f.frac_alpha, 4) AS frac_alpha,
-       round(coalesce(t.top_word_share, 0.0), 4) AS top_word_share,
-       round(f.dup_shingle_frac, 4) AS dup_shingle_frac,
+       (f.alpha * 1000000) // f.nw1 AS mean_word_len_ppm,
+       (f.alpha * 1000000) // f.len1 AS frac_alpha_ppm,
+       (coalesce(t.topn, 0) * 1000000) // coalesce(t.totn, 1) AS top_word_share_ppm,
+       (f.ndup * 1000000) // f.nsh AS dup_shingle_frac_ppm,
        (f.n_words BETWEEN 20 AND 100000
-        AND f.mean_word_len BETWEEN 2.0 AND 12.0
-        AND coalesce(t.top_word_share, 0.0) <= 0.30
-        AND f.dup_shingle_frac <= 0.50) AS passes
+        AND 2 * f.nw1 <= f.alpha AND f.alpha <= 12 * f.nw1
+        AND coalesce(t.topn, 0) * 10000 <= 3000 * coalesce(t.totn, 1)
+        AND f.ndup * 10000 <= 5000 * f.nsh) AS passes
 FROM feats f LEFT JOIN top t USING (doc_id)
 """
 
@@ -1761,7 +1790,7 @@ SELECT vals.type,
        round(min(m.med), 4) AS median_value,
        round(min(m.mad), 4) AS mad_value,
        CAST(sum(CASE WHEN abs(v - m.med) > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-       round(CAST(sum(CASE WHEN abs(v - m.med) > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS outlier_frac
+       (CAST(sum(CASE WHEN abs(v - m.med) > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*) AS outlier_frac_bp
 FROM vals JOIN mad m USING (type)
 GROUP BY vals.type
 """
@@ -1892,16 +1921,16 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
 ORACLE_SQL["label_centroids"] = """
 WITH triples AS (
   SELECT label, i - 1 AS pos,
-         CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(27,10)) AS v6
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vu
   FROM embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
 ),
 per_dim AS (
   SELECT label, pos,
-         round(CAST(sum(v6) AS DOUBLE) / count(*), 6) AS m,
+         sum(vu) // count(*) AS m,
          count(*) AS n
   FROM triples GROUP BY label, pos
 )
-SELECT label, min(n) AS n_vecs, list(m ORDER BY pos) AS centroid
+SELECT label, min(n) AS n_vecs, list(m ORDER BY pos) AS centroid_micro
 FROM per_dim GROUP BY label
 """
 
@@ -1912,11 +1941,11 @@ FROM per_dim GROUP BY label
 ORACLE_SQL["label_noise_suspects"] = """
 WITH triples AS (
   SELECT label, i - 1 AS pos,
-         CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(27,10)) AS v6
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vu
   FROM embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
 ),
 per_dim AS (
-  SELECT label, pos, round(CAST(sum(v6) AS DOUBLE) / count(*), 6) AS m
+  SELECT label, pos, sum(vu) // count(*) AS m
   FROM triples GROUP BY label, pos
 ),
 cents AS (
@@ -1924,13 +1953,13 @@ cents AS (
 ),
 scored AS (
   SELECT e.label, e.vec_id,
-         round(list_sum(list_transform(generate_series(1, array_length(e.embedding)),
-           i -> (round(CAST(e.embedding[i] AS DOUBLE), 6) - c.centroid[i])
-              * (round(CAST(e.embedding[i] AS DOUBLE), 6) - c.centroid[i]))), 6) AS sq_dist
+         CAST(list_sum(list_transform(generate_series(1, array_length(e.embedding)),
+           i -> (CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) - c.centroid[i])
+              * (CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) - c.centroid[i]))) AS BIGINT) AS sq_dist_micro2
   FROM embeddings e JOIN cents c USING (label)
 )
-SELECT label, vec_id, sq_dist, CAST(rnk AS INTEGER) AS rnk FROM (
-  SELECT *, row_number() OVER (PARTITION BY label ORDER BY sq_dist DESC, vec_id) AS rnk
+SELECT label, vec_id, sq_dist_micro2, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY sq_dist_micro2 DESC, vec_id) AS rnk
   FROM scored
 ) WHERE rnk <= 10
 """
@@ -1943,7 +1972,7 @@ agg AS (
   SELECT entity_id,
          max(ts_ms) AS last_ms,
          count(*) AS n_events,
-         coalesce(round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 4), 0.0) AS total_value
+         coalesce(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 0.0) AS total_value
   FROM ent GROUP BY entity_id
 )
 SELECT entity_id, last_ms, n_events, total_value,
@@ -1960,7 +1989,7 @@ FROM agg
 # Value-distribution drift PSI (operators/mlprep.py::value_drift_psi).
 ORACLE_SQL["value_drift_psi"] = f"""
 WITH {ENT_CTE},
-bounds AS (SELECT CAST((min(ts_ms) + max(ts_ms)) / 2 AS BIGINT) AS mid_ms FROM ent),
+bounds AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid_ms FROM ent),
 vals AS (
   SELECT type, CAST(value AS DOUBLE) AS v,
          CASE WHEN ts_ms < mid_ms THEN 'a' ELSE 'b' END AS period
@@ -2107,11 +2136,11 @@ loo AS (
   FROM with_hod h JOIN base b USING (type, hod)
 )
 SELECT type, hour_ms, hod, n,
-       round(mu, 4) AS baseline_mean,
-       round(sd, 4) AS baseline_sd,
-       round(CASE WHEN n_obs <= 1 THEN 0.0
-                  WHEN sd > 0 THEN (n - mu) / sd
-                  WHEN n = mu THEN 0.0 ELSE NULL END, 4) AS z,
+       mu AS baseline_mean,
+       sd AS baseline_sd,
+       CASE WHEN n_obs <= 1 THEN 0.0
+            WHEN sd > 0 THEN (n - mu) / sd
+            WHEN n = mu THEN 0.0 ELSE NULL END AS z,
        CASE WHEN n_obs <= 1 THEN FALSE
             WHEN sd > 0 THEN (n - mu) / sd > 3.0
             ELSE n <> mu END AS is_anomaly

@@ -924,6 +924,30 @@ def identity_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raws.select("raw", normalize_id(F.col("raw")).alias("normalized"))
 
 
+def cdp_trait_fidelity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-typed trait fidelity (SURVEY §1.2; `cdp/model/CdpEvent.kt:10-18`):
+    read heterogeneous traits — int age, bool vip, string plan/country —
+    THROUGH the JSON-fidelity column with a typed `from_json` parse, and
+    aggregate on the parsed values.  Proves a user with traits beyond the
+    projected string columns loses nothing.  One map-side-combined
+    aggregate; the JSON parse is a JVM expression (JsonToStructs), not a
+    Python UDF."""
+    cdp = cdp_events(spark, sf_dir)
+    t = F.from_json(
+        F.col("traits_json"), "plan STRING, country STRING, age INT, vip BOOLEAN"
+    )
+    return (
+        cdp.filter(F.col("ctype") == "IDENTIFY")
+        .select(t.alias("t"))
+        .groupBy(F.col("t.plan").alias("plan"), F.col("t.country").alias("country"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("t.age").cast("long")).alias("sum_age"),
+            F.sum(F.col("t.vip").cast("long")).alias("n_vip"),
+        )
+    )
+
+
 def _cvalid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validated+normalized+deduped CDP events, cached: every CDP query scans
     this 3-8x (identity nodes/edges, resolve, per-concern profile aggs), and
@@ -1085,16 +1109,19 @@ def corpus_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter -> per-language token accounting.  One query exercising the
     text, dedup-cluster, and aggregation layers together."""
     docs = _docs(spark, sf_dir)
-    q = text.text_quality(docs).select("doc_id", "lang", "n_tokens", "quality_score")
+    q = text.text_quality(docs).select("doc_id", "lang", "n_tokens", "quality_score_ppm")
     keep = _near_dup_clusters(spark, sf_dir).filter("is_canonical").select("doc_id")
     return (
         q.join(keep, "doc_id")
-        .filter(F.col("quality_score") >= 0.5)
+        .filter(F.col("quality_score_ppm") >= 500000)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            # integer-exact quality accounting: sum of per-doc ppm scores
+            # (avg = sum/n is left to the reader — rounded doubles at the
+            # hash boundary are the round-1 drift class)
+            F.sum("quality_score_ppm").alias("sum_quality_ppm"),
         )
     )
 
@@ -1324,7 +1351,13 @@ def corpus_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("target_pct", F.lit(10) + (F.substring(F.col("source"), 4, 10).cast("int") % 3) * 20).alias("target_pct"),
         "n_total",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.round(F.coalesce("n_kept", F.lit(0)) / F.col("n_total"), 4).alias("realized_rate"),
+    ).select(
+        "source",
+        "target_pct",
+        "n_total",
+        "n_kept",
+        # integer bp — exact-rational rate must not round as a double
+        F.expr("(n_kept * 10000) div n_total").alias("realized_rate_bp"),
     )
 
 
@@ -1334,7 +1367,79 @@ def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Registry ----------------------------------------------------------------
 
+# Ordering policy: the correctness driver hash-checks the FIRST 50 entries
+# of this dict per round.  Round 1 checked the (then-leading) TPC-H/window/
+# rule wave — all green except the two float-rounding queries.  Round 2
+# therefore leads with (a) the two repaired queries, then (b) the CDP core
+# and the LLM-pipeline wave, none of which have a driver row yet.  Queries
+# already carrying a green driver row rotate to the back; rows-only
+# (non-SQL-expressible) queries sit behind the oracle-checked ones.
 QUERIES: dict[str, QueryFn] = {
+    # — repaired in round 2 (integer-exact hash surfaces) —
+    "inter_event_deltas": inter_event_deltas_q,
+    "dominant_event_type": dominant_event_type_q,
+    # — CDP core (reference parity; never driver-checked) —
+    "cdp_validation": cdp_validation_q,
+    "identity_normalize": identity_normalize_q,
+    "identity_components": identity_components_q,
+    "cdp_profiles": cdp_profiles_q,
+    "rolling_counter_24h": rolling_counter_q,
+    "cdp_segments": cdp_segments_q,
+    "segment_events": segment_events_q,
+    "top20_profiles": top20_profiles_q,
+    "trait_history": trait_history_q,
+    "cdp_trait_fidelity": cdp_trait_fidelity_q,
+    # — LLM-data-pipeline wave (never driver-checked) —
+    "dedup_exact": dedup_exact_q,
+    "dedup_minhash": dedup_minhash_q,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "dedup_simhash": dedup_simhash_q,
+    "dedup_embedding": dedup_embedding_q,
+    "dedup_clusters": dedup_clusters_q,
+    "corpus_summary": corpus_summary_q,
+    "similarity_topk": similarity_topk_q,
+    "knn_label_agreement": knn_label_agreement_q,
+    "label_centroids": label_centroids_q,
+    "label_noise_suspects": label_noise_suspects_q,
+    "hard_negatives": hard_negatives_q,
+    "text_quality": text_quality_q,
+    "lang_id": lang_id_q,
+    "token_stats": token_stats_q,
+    "doc_fingerprint": doc_fingerprint_q,
+    "top_terms_per_lang": top_terms_per_lang_q,
+    "term_df_idf": term_df_idf_q,
+    "inverted_index": inverted_index_q,
+    "term_cooccurrence": term_cooccurrence_q,
+    "bigram_stats": bigram_stats_q,
+    "gopher_quality": gopher_quality_q,
+    "doc_split_assign": doc_split_assign_q,
+    "bpe_merge_candidates": bpe_merge_candidates_q,
+    "media_text_pairs": media_text_pairs_q,
+    "geo_heavy_hitters": geo_heavy_hitters_q,
+    "value_mad_outliers": value_mad_outliers_q,
+    "hourly_trending": hourly_trending_q,
+    "rfm_scores": rfm_scores_q,
+    "value_drift_psi": value_drift_psi_q,
+    "seasonal_deviation": seasonal_deviation_q,
+    "lineitem_profile": lineitem_profile_q,
+    "stratified_doc_sample": stratified_doc_sample_q,
+    "multimodal_features": multimodal_features_q,  # mapInPandas
+    "resize_media": resize_media_q,
+    "pack_documents": pack_documents_q,
+    "pii_scrub": pii_scrub_q,
+    "decontamination": decontamination_q,
+    # ---- driver window boundary (~50) ----
+    "component_sizes": component_sizes_q,
+    "value_histogram": value_histogram_q,
+    "doc_hash_sample": doc_hash_sample_q,
+    "frame_sample_plan": frame_sample_plan_q,
+    "corpus_mixture": corpus_mixture_q,
+    "ann_topk": ann_topk_q,  # approximate — rows-only check, exact twin is similarity_topk
+    "ivf_topk": ivf_topk_q,  # approximate — rows-only check; full-probe==exact pinned by test
+    "approx_value_quantiles": approx_value_quantiles_q,  # sketch — rows-only check, bound pinned by test
+    "approx_user_counts": approx_user_counts_q,  # HLL sketch — rows-only check, error bound pinned by test
+    "bpe_learned_merges": bpe_learned_merges_q,  # iterative (driver loop) — rows-only check, pinned vs sequential reference by test
+    # — green driver rows from round 1 —
     "tpch_q1_pricing_summary": tpch_q1,
     "tpch_q3_shipping_priority": tpch_q3,
     "tpch_q5_region_revenue": tpch_q5,
@@ -1366,12 +1471,10 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_rollup": revenue_rollup_q,
     "revenue_cube": revenue_cube_q,
     "event_type_pivot": event_type_pivot_q,
-    "inter_event_deltas": inter_event_deltas_q,
     "gap_fill_hours": gap_fill_hours_q,
     "revenue_wow": revenue_wow_q,
     "value_outliers": value_outliers_q,
     "value_deciles": value_deciles_q,
-    "dominant_event_type": dominant_event_type_q,
     "fuzzy_customer_pairs": fuzzy_customer_pairs_q,
     "value_stats": value_stats_q,
     "win_trailing_aggs": win_trailing_aggs,
@@ -1385,64 +1488,6 @@ QUERIES: dict[str, QueryFn] = {
     "r3_geo_device_mismatch": r3_q,
     "r4_exfil": r4_q,
     "alerts": alerts_q,
-    "cdp_validation": cdp_validation_q,
-    "identity_normalize": identity_normalize_q,
-    "identity_components": identity_components_q,
-    "cdp_profiles": cdp_profiles_q,
-    "rolling_counter_24h": rolling_counter_q,
-    "cdp_segments": cdp_segments_q,
-    "segment_events": segment_events_q,
-    "top20_profiles": top20_profiles_q,
-    "trait_history": trait_history_q,
-    "component_sizes": component_sizes_q,
-    "value_histogram": value_histogram_q,
-    # beyond-reference (LLM-data-pipeline) operators
-    "dedup_exact": dedup_exact_q,
-    "dedup_minhash": dedup_minhash_q,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-    "dedup_simhash": dedup_simhash_q,
-    "dedup_embedding": dedup_embedding_q,
-    "dedup_clusters": dedup_clusters_q,
-    "corpus_summary": corpus_summary_q,
-    "similarity_topk": similarity_topk_q,
-    "knn_label_agreement": knn_label_agreement_q,
-    "ann_topk": ann_topk_q,  # approximate — rows-only check, exact twin is similarity_topk
-    "label_centroids": label_centroids_q,
-    "label_noise_suspects": label_noise_suspects_q,
-    "hard_negatives": hard_negatives_q,
-    "approx_value_quantiles": approx_value_quantiles_q,  # sketch — rows-only check, bound pinned by test
-    "ivf_topk": ivf_topk_q,  # approximate — rows-only check; full-probe==exact pinned by test
-    "text_quality": text_quality_q,
-    "lang_id": lang_id_q,
-    "token_stats": token_stats_q,
-    "doc_fingerprint": doc_fingerprint_q,
-    "top_terms_per_lang": top_terms_per_lang_q,
-    "term_df_idf": term_df_idf_q,
-    "inverted_index": inverted_index_q,
-    "term_cooccurrence": term_cooccurrence_q,
-    "bigram_stats": bigram_stats_q,
-    "gopher_quality": gopher_quality_q,
-    "doc_split_assign": doc_split_assign_q,
-    "bpe_merge_candidates": bpe_merge_candidates_q,
-    "bpe_learned_merges": bpe_learned_merges_q,  # iterative (driver loop) — rows-only check, pinned vs sequential reference by test
-    "media_text_pairs": media_text_pairs_q,  # iterative (driver loop) — rows-only check, pinned vs sequential reference by test
-    "geo_heavy_hitters": geo_heavy_hitters_q,
-    "value_mad_outliers": value_mad_outliers_q,
-    "hourly_trending": hourly_trending_q,
-    "rfm_scores": rfm_scores_q,
-    "value_drift_psi": value_drift_psi_q,
-    "seasonal_deviation": seasonal_deviation_q,
-    "lineitem_profile": lineitem_profile_q,
-    "approx_user_counts": approx_user_counts_q,  # HLL sketch — rows-only check, error bound pinned by test
-    "doc_hash_sample": doc_hash_sample_q,
-    "stratified_doc_sample": stratified_doc_sample_q,
-    "multimodal_features": multimodal_features_q,  # mapInPandas — rows-only check
-    "resize_media": resize_media_q,
-    "frame_sample_plan": frame_sample_plan_q,
-    "pack_documents": pack_documents_q,
-    "pii_scrub": pii_scrub_q,
-    "corpus_mixture": corpus_mixture_q,
-    "decontamination": decontamination_q,
 }
 
 

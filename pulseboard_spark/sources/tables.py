@@ -158,7 +158,9 @@ def cdp_events(spark: SparkSession, sf_dir: str, with_duplicates: bool = True) -
     """CdpEvent view: the CDP pipeline input stream (raw, pre-validation).
 
     Columns: event_id (string), ts, ts_us, ts_ms, ctype, user_id_raw,
-    anon_id_raw, email_raw, name, plan, country.
+    anon_id_raw, email_raw, name, plan, country, traits_json,
+    properties_json (JSON strings holding the Any-typed trait/property
+    maps at full fidelity — the typed columns are the projection).
     """
     ev = load_events(spark, sf_dir)
     k = _k()
@@ -208,6 +210,35 @@ def cdp_events(spark: SparkSession, sf_dir: str, with_duplicates: bool = True) -
             F.col("ctype") == "IDENTIFY",
             F.element_at(F.array(*[F.lit(c) for c in COUNTRIES]), (F.col("k") % 7 + 1).cast("int")),
         ).alias("country"),
+        # Full-fidelity Any-typed traits/properties (SURVEY §1.2 commitment,
+        # mirroring the reference's Map<String,Any?> on CdpEvent): the typed
+        # columns above carry only the string traits; these JSON columns
+        # carry heterogeneous types (string/int/bool) that a user's custom
+        # traits would have.  Values derive from k so the DuckDB oracle can
+        # reproduce the PARSED values arithmetically — the JSON text itself
+        # never reaches a hash boundary.
+        F.when(
+            F.col("ctype") == "IDENTIFY",
+            F.to_json(
+                F.struct(
+                    F.when(F.col("k") % 2 == 0, F.lit("pro")).otherwise(F.lit("basic")).alias("plan"),
+                    F.element_at(
+                        F.array(*[F.lit(c) for c in COUNTRIES]), (F.col("k") % 7 + 1).cast("int")
+                    ).alias("country"),
+                    (F.lit(18) + F.col("k") % 60).cast("int").alias("age"),
+                    (F.col("k") % 5 == 0).alias("vip"),
+                )
+            ),
+        ).alias("traits_json"),
+        F.when(
+            F.col("ctype") == "TRACK",
+            F.to_json(
+                F.struct(
+                    (F.col("k") % 10).cast("int").alias("step"),
+                    (F.col("k") % 3 == 0).alias("replay"),
+                )
+            ),
+        ).alias("properties_json"),
         F.col("k"),
     )
     if with_duplicates:

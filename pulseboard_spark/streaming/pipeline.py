@@ -378,6 +378,11 @@ def r3_stream_stream_join(later: DataFrame, earlier: DataFrame) -> DataFrame:
     cond = (
         (F.col("e1.entity_id") == F.col("e2.entity_id"))
         & (F.col("e2.ts") >= F.col("e1.ts") - F.expr("INTERVAL 2 MINUTES"))
+        # upper bound ON THE WATERMARKED ts COLUMN: without it the engine
+        # has no event-time ceiling for e1's state and the e1 side grows
+        # unboundedly — ts_us/event_id below only refine strict ordering
+        # inside the same millisecond, they are not watermarked columns
+        & (F.col("e2.ts") <= F.col("e1.ts"))
         & (
             (F.col("e2.ts_us") < F.col("e1.ts_us"))
             | (
@@ -422,12 +427,20 @@ def idempotent_parquet_writer(base_path: str):
     fit — e.g. when each batch must also MERGE into a downstream table.
 
     Use: ``df.writeStream.foreachBatch(idempotent_parquet_writer(path))``.
+
+    The already-durable probe resolves the path through the Hadoop
+    FileSystem API, so the skip works on HDFS/S3/anything Spark can write
+    to — a plain ``os.path.exists`` would silently never fire off the
+    local FS and every replayed batch would be fully rewritten.
     """
-    import os
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         out = f"{base_path}/batch_id={batch_id}"
-        if os.path.exists(os.path.join(out, "_SUCCESS")):
+        jvm = batch_df.sparkSession._jvm
+        jsc = batch_df.sparkSession._jsc
+        marker = jvm.org.apache.hadoop.fs.Path(f"{out}/_SUCCESS")
+        fs = marker.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(marker):
             return  # replayed batch — already durable, skip
         batch_df.write.mode("overwrite").parquet(out)
 

@@ -360,18 +360,18 @@ class TestHeavyHitters:
     def test_threshold_and_bound(self, spark):
         from pulseboard_spark.operators.relational import heavy_hitters
 
-        # group g: 60/30/10 split at min_share=0.25 keeps only the top two
+        # group g: 60/30/10 split at 2500 bp keeps only the top two
         rows = [("g", "a")] * 6 + [("g", "b")] * 3 + [("g", "c")] * 1
         df = spark.createDataFrame(rows, "k string, v string")
-        got = {r.v: (r.n, r.n_total, r.share) for r in heavy_hitters(df, ["k"], "v", 0.25).collect()}
-        assert got == {"a": (6, 10, 0.6), "b": (3, 10, 0.3)}
+        got = {r.v: (r.n, r.n_total, r.share_bp) for r in heavy_hitters(df, ["k"], "v", 2500).collect()}
+        assert got == {"a": (6, 10, 6000), "b": (3, 10, 3000)}
 
     def test_output_bounded_by_inverse_share(self, spark, sf_dir):
         from pulseboard_spark.operators.relational import heavy_hitters
         from pulseboard_spark.sources.tables import entity_events
 
         per_geo = (
-            heavy_hitters(entity_events(spark, sf_dir), ["geo"], "type", 0.05)
+            heavy_hitters(entity_events(spark, sf_dir), ["geo"], "type", 500)
             .groupBy("geo").count().collect()
         )
         assert all(r["count"] <= 20 for r in per_geo)
@@ -405,7 +405,7 @@ class TestCatalog:
         ).collect()[0].n
         assert n > 0
         got = {
-            (r.geo, r.type): (r.n, r.share)
+            (r.geo, r.type): (r.n, r.share_bp)
             for r in spark.sql(
                 """
                 WITH counts AS (
@@ -413,13 +413,13 @@ class TestCatalog:
                 ), tot AS (
                   SELECT *, sum(n) OVER (PARTITION BY geo) AS n_total FROM counts
                 )
-                SELECT geo, type, n, round(n / n_total, 4) AS share
-                FROM tot WHERE n / n_total >= 0.05
+                SELECT geo, type, n, (n * 10000) div n_total AS share_bp
+                FROM tot WHERE n * 10000 >= 500 * n_total
                 """
             ).collect()
         }
         want = {
-            (r.geo, r.type): (r.n, r.share)
+            (r.geo, r.type): (r.n, r.share_bp)
             for r in heavy_hitters(entity_events(spark, sf_dir), ["geo"], "type").collect()
         }
         assert got == want
@@ -440,10 +440,10 @@ class TestBigrams:
             [(1, "the cat sat"), (2, "the cat ran"), (3, "x")],
             "doc_id long, text string",
         )
-        got = {(r.w1, r.w2): (r.n, r.n_first, r.p_follow) for r in bigram_stats(df).collect()}
+        got = {(r.w1, r.w2): (r.n, r.n_first, r.p_follow_ppm) for r in bigram_stats(df).collect()}
         # 'the cat' twice; 'cat sat'/'cat ran' once each (below min_count);
         # single-token doc contributes nothing
-        assert got == {("the", "cat"): (2, 2, 1.0)}
+        assert got == {("the", "cat"): (2, 2, 1000000)}
 
     def test_follow_probabilities_sum_to_one(self, spark, sf_dir):
         from pyspark.sql import functions as F
@@ -467,8 +467,8 @@ class TestGopherQuality:
         rows = gopher_quality(docs).collect()
         assert len(rows) == docs.count()
         for r in rows:
-            assert 0.0 <= r.top_word_share <= 1.0
-            assert 0.0 <= r.dup_shingle_frac <= 1.0
+            assert 0 <= r.top_word_share_ppm <= 1000000
+            assert 0 <= r.dup_shingle_frac_ppm <= 1000000
 
     def test_repetitive_doc_flagged(self, spark):
         from pulseboard_spark.operators.text import gopher_quality
@@ -483,8 +483,8 @@ class TestGopherQuality:
         ]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {r.doc_id: r for r in gopher_quality(df).collect()}
-        assert not got[1].passes and got[1].top_word_share == 1.0
-        assert got[1].dup_shingle_frac > 0.9
+        assert not got[1].passes and got[1].top_word_share_ppm == 1000000
+        assert got[1].dup_shingle_frac_ppm > 900000
         assert got[2].passes
 
 
@@ -620,16 +620,20 @@ class TestLabelCentroids:
         from pulseboard_spark.sources.tables import load_table
 
         embs = load_table(spark, sf_dir, "embeddings")
-        got = {r.label: (r.n_vecs, r.centroid) for r in label_centroids(embs).collect()}
+        got = {r.label: (r.n_vecs, r.centroid_micro) for r in label_centroids(embs).collect()}
         rows = embs.collect()
         by_label = {}
         for r in rows:
-            by_label.setdefault(r.label, []).append(np.round(np.array(r.embedding, dtype=np.float64), 6))
+            # mirror the operator's quantization: micro-units, half away from zero
+            q = np.array(r.embedding, dtype=np.float64) * 1e6
+            by_label.setdefault(r.label, []).append(np.sign(q) * np.floor(np.abs(q) + 0.5))
         for label, vecs in by_label.items():
             n, centroid = got[label]
             assert n == len(vecs)
-            want = np.sum(vecs, axis=0) / len(vecs)
-            assert np.allclose(np.array(centroid), np.round(want, 6), atol=1e-6), label
+            want = np.trunc(np.sum(vecs, axis=0) / len(vecs))  # truncating int div
+            # truncation vs exact-integer div can differ by at most 1 ulp of
+            # the double sum; the operator is exact, the model is close
+            assert np.max(np.abs(np.array(centroid, dtype=np.float64) - want)) <= 1.0, label
 
 
 class TestLabelNoise:
@@ -642,7 +646,7 @@ class TestLabelNoise:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
         top = label_noise_suspects(df, top_n=3).orderBy("rnk").collect()
         assert top[0].vec_id == 99 and top[0].rnk == 1
-        assert top[0].sq_dist > 10 * top[1].sq_dist
+        assert top[0].sq_dist_micro2 > 10 * top[1].sq_dist_micro2
 
 
 class TestRfm:
@@ -741,6 +745,43 @@ class TestHardNegatives:
             assert 1 <= r.rank <= 3
         # every vector gets its negatives (other labels exist for all)
         assert len({r.vec_id for r in rows}) == embs.count()
+
+    def test_ivf_kernel_matches_broadcast_twin(self, spark, sf_dir):
+        """The declared (distributed, no-driver-collect) hard_negatives must
+        equal the broadcast-kernel twin exactly at full probe."""
+        from pulseboard_spark.operators.similarity import (
+            hard_negatives,
+            hard_negatives_broadcast,
+        )
+        from pulseboard_spark.sources.tables import load_table
+
+        embs = load_table(spark, sf_dir, "embeddings")
+        got = {tuple(r) for r in hard_negatives(embs, k=3).collect()}
+        want = {tuple(r) for r in hard_negatives_broadcast(embs, k=3).collect()}
+        assert got == want
+
+
+class TestBroadcastSizeGuard:
+    def test_exact_kernels_route_to_ivf_above_ceiling(self, spark, sf_dir, monkeypatch):
+        """Above the broadcast ceiling the exact kernels must never collect
+        the index to the driver — they route to the distributed IVF twin
+        and still return the exact answer."""
+        from pulseboard_spark.operators import similarity
+        from pulseboard_spark.sources.tables import load_table
+
+        embs = load_table(spark, sf_dir, "embeddings")
+        want_topk = {tuple(r) for r in similarity.cosine_topk(embs, 5).collect()}
+        want_pairs = {tuple(r) for r in similarity.cosine_pairs_above(embs, 0.35).collect()}
+
+        def boom(*a, **kw):  # the guard must keep this path unreachable
+            raise AssertionError("broadcast index collected above the ceiling")
+
+        monkeypatch.setattr(similarity, "MAX_BROADCAST_INDEX_ROWS", 10)
+        monkeypatch.setattr(similarity, "_broadcast_index", boom)
+        got_topk = {tuple(r) for r in similarity.cosine_topk(embs, 5).collect()}
+        got_pairs = {tuple(r) for r in similarity.cosine_pairs_above(embs, 0.35).collect()}
+        assert got_topk == want_topk
+        assert got_pairs == want_pairs
 
 
 class TestSeasonal:

@@ -178,7 +178,8 @@ def test_pii_scrub_zero_shuffle(spark, sf_dir):
 def test_inter_event_deltas_lag_not_self_join(spark, sf_dir):
     """Gap stats are lag-over-sorted-frame (linear) — never an as-of
     self-join (quadratic on hot keys).  One (entity,type) shuffle for the
-    lag plus the tiny 5-key final agg."""
+    lag; stats and median both come from one pass over the (type, gap_ms)
+    histogram, so the fact is shuffled exactly once."""
     plan = _plan(spark, sf_dir, "inter_event_deltas")
     assert "Join" not in plan, "gaps must come from lag, not a self-join"
     assert len(re.findall(r"Exchange hashpartitioning\(entity_id", plan)) == 1

@@ -209,7 +209,7 @@ def test_group_mode_matches_counter_model(spark):
         rows.append((f"k{rng.randint(0, 9)}", f"v{rng.randint(0, 3)}"))
     df = spark.createDataFrame(rows, "entity_id string, type string")
     got = {
-        (r.entity_id, r.top_type, r.n_top, r.n_total, r.share)
+        (r.entity_id, r.top_type, r.n_top, r.n_total, r.share_bp)
         for r in group_mode(df, ["entity_id"], "type", top_col="top_type").collect()
     }
     want = set()
@@ -223,7 +223,7 @@ def test_group_mode_matches_counter_model(spark):
             if cnt[v] > best_n:
                 best, best_n = v, cnt[v]
         tot = sum(cnt.values())
-        want.add((k, best, best_n, tot, round(best_n / tot, 4)))
+        want.add((k, best, best_n, tot, best_n * 10000 // tot))
     assert got == want
 
 
@@ -313,7 +313,7 @@ def test_heavy_hitters_matches_counter_model(spark):
     rng = random.Random(99)
     rows = [(f"g{rng.randrange(5)}", f"v{rng.randrange(12)}") for _ in range(3000)]
     df = spark.createDataFrame(rows, "k string, v string")
-    got = {(r.k, r.v): (r.n, r.n_total) for r in heavy_hitters(df, ["k"], "v", 0.1).collect()}
+    got = {(r.k, r.v): (r.n, r.n_total) for r in heavy_hitters(df, ["k"], "v", 1000).collect()}
 
     want = {}
     groups: dict[str, Counter] = {}
@@ -322,6 +322,6 @@ def test_heavy_hitters_matches_counter_model(spark):
     for k, cnt in groups.items():
         tot = sum(cnt.values())
         for v, n in cnt.items():
-            if n / tot >= 0.1:
+            if n * 10000 >= 1000 * tot:  # integer-bp predicate, like the operator
                 want[(k, v)] = (n, tot)
     assert got == want
