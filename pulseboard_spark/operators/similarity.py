@@ -146,7 +146,7 @@ def cosine_topk(
 
 
 def _ivf_pairs_above(
-    embeddings: DataFrame, threshold: float, n_cells: int | None = None, iters: int = 2
+    embeddings: DataFrame, threshold: float, n_cells: int | None = None, iters: int = 0
 ) -> DataFrame:
     """Distributed twin of :func:`cosine_pairs_above`: full-probe IVF
     cogroup, pairs emitted inside the cell kernel with the a<b canonical
@@ -335,6 +335,7 @@ def _ivf_knn(
     nprobe: int | None = 5,
     iters: int = 2,
     cross_label: bool = False,
+    index: tuple | None = None,
 ) -> DataFrame:
     """Distributed kNN over IVF cells — the no-driver-collect kernel behind
     both :func:`ivf_topk` and :func:`hard_negatives`.
@@ -348,8 +349,18 @@ def _ivf_knn(
     brute-force answer (pinned by test) — recall loss comes only from
     unprobed cells.  ``cross_label`` keeps only different-label neighbors
     (hard-negative mining) with the mask applied INSIDE the cell kernel.
+
+    ``index``: a precomputed :func:`ivf_index` result — the index is the
+    expensive shared stage, so callers running several kNN queries over
+    one corpus snapshot build it once (registry memoizes per session).
+    At full probe cell QUALITY is irrelevant to exactness (every cell is
+    scored), so the default index skips Lloyd refinement entirely.
     """
-    assigned, cent_bc = ivf_index(embeddings, n_cells=n_cells, iters=iters)
+    if index is None:
+        if nprobe is None:
+            iters = 0  # full probe: partition quality cannot change the answer
+        index = ivf_index(embeddings, n_cells=n_cells, iters=iters)
+    assigned, cent_bc = index
     qcols = ["vec_id", "embedding"] + (["label"] if cross_label else [])
     if cross_label:
         assigned = assigned.join(embeddings.select("vec_id", "label"), "vec_id")
@@ -583,6 +594,7 @@ def hard_negatives(
     n_cells: int | None = None,
     nprobe: int | None = None,
     iters: int = 2,
+    index: tuple | None = None,
 ) -> DataFrame:
     """Hard-negative mining: per vector, the ``k`` most-similar vectors
     with a DIFFERENT label — the contrastive-training primitive (the
@@ -598,7 +610,8 @@ def hard_negatives(
     true scale set ``nprobe`` ≪ n_cells for the approximate fast path.
     """
     return _ivf_knn(
-        embeddings, k=k, n_cells=n_cells, nprobe=nprobe, iters=iters, cross_label=True
+        embeddings, k=k, n_cells=n_cells, nprobe=nprobe, iters=iters,
+        cross_label=True, index=index,
     )
 
 

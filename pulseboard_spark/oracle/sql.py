@@ -849,6 +849,34 @@ GROUP BY 1
 """
 
 
+# Real-decode feature extraction (operators/multimodal.py::decoded_features
+# over synth_images): Spark round-trips genuine PNG/PPM bytes through the
+# stdlib codec; the oracle reproduces the decoded statistics from the
+# closed-form pixel model p_i = (doc_id + i) % 256, w = 8+id%16, h = 8+id%12.
+ORACLE_SQL["multimodal_features"] = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/ppm' END AS media_type,
+         CAST(8 + doc_id % 16 AS BIGINT) AS w,
+         CAST(8 + doc_id % 12 AS BIGINT) AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, media_type, w, h, i, (doc_id + i) % 256 AS p
+  FROM m, UNNEST(generate_series(0, w * h * 3 - 1)) AS t(i)
+)
+SELECT doc_id, media_type,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       w * h AS n_pixels,
+       CAST(sum(CASE WHEN i % 3 = 0 THEN p ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN i % 3 = 1 THEN p ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN i % 3 = 2 THEN p ELSE 0 END) AS BIGINT) AS sum_b,
+       TRUE AS decoded
+FROM px
+GROUP BY doc_id, media_type, w, h
+"""
+
 ORACLE_SQL["resize_media"] = """
 WITH media AS (
   SELECT doc_id,

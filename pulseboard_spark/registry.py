@@ -1146,8 +1146,25 @@ def label_noise_suspects_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_noise_suspects(_embs(spark, sf_dir))
 
 
+#: (applicationId, sf_dir) -> precomputed flat (Lloyd-free) IVF index.  The
+#: index is the shared expensive stage of the distributed kNN queries, and
+#: at full probe cell quality is irrelevant — memoize it per session like
+#: the component/pair caches (the 100 TB twin is a persisted index table).
+_IVF_CACHE: dict = {}
+
+
+def _ivf(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        assigned, cent_bc = similarity.ivf_index(_embs(spark, sf_dir), iters=0)
+        idx = (assigned.localCheckpoint(), cent_bc)
+        _IVF_CACHE[key] = idx
+    return idx
+
+
 def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.hard_negatives(_embs(spark, sf_dir))
+    return similarity.hard_negatives(_embs(spark, sf_dir), index=_ivf(spark, sf_dir))
 
 
 def approx_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,7 +1314,10 @@ def geo_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.extract_features(multimodal.synth_media(_docs(spark, sf_dir)))
+    """REAL pixel decode: synthesize genuine PNG/PPM payloads, decode them
+    with the in-module stdlib codec, and emit integer channel statistics —
+    oracle-checked against the closed-form pixel model."""
+    return multimodal.decoded_features(multimodal.synth_images(_docs(spark, sf_dir)))
 
 
 def resize_media_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1423,7 +1443,7 @@ QUERIES: dict[str, QueryFn] = {
     "seasonal_deviation": seasonal_deviation_q,
     "lineitem_profile": lineitem_profile_q,
     "stratified_doc_sample": stratified_doc_sample_q,
-    "multimodal_features": multimodal_features_q,  # mapInPandas
+    "multimodal_features": multimodal_features_q,
     "resize_media": resize_media_q,
     "pack_documents": pack_documents_q,
     "pii_scrub": pii_scrub_q,

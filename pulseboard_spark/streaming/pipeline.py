@@ -66,7 +66,12 @@ CDP_EVENT_SCHEMA = T.StructType(
 )
 
 
-def kafka_entity_source(spark: SparkSession, brokers: str, topic: str = "entity-events") -> DataFrame:
+def kafka_entity_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str = "entity-events",
+    starting_offsets: str = "latest",
+) -> DataFrame:
     """S1: JSON entity events from Kafka, flattened to the engine's entity
     view columns.  Kafka partitioning by entityId is preserved at the scan;
     the first shuffle happens only at the keyed stateful op."""
@@ -74,7 +79,7 @@ def kafka_entity_source(spark: SparkSession, brokers: str, topic: str = "entity-
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
-        .option("startingOffsets", "latest")
+        .option("startingOffsets", starting_offsets)
         .load()
     )
     parsed = raw.select(F.from_json(F.col("value").cast("string"), ENTITY_EVENT_SCHEMA).alias("e"))
@@ -91,13 +96,19 @@ def kafka_entity_source(spark: SparkSession, brokers: str, topic: str = "entity-
     )
 
 
-def kafka_alert_sink(alerts: DataFrame, brokers: str, topic: str = "alerts", checkpoint: str = "/tmp/pb_ckpt_alerts"):
-    """S3: alerts as JSON keyed by entity_id (reference keying —
-    `KafkaEntityEventTransport.kt:37`)."""
-    payload = alerts.select(
+def alert_kafka_payload(alerts: DataFrame) -> DataFrame:
+    """S3 keying contract, exposed for broker-free tests: alerts as JSON
+    keyed by entity_id (reference keying — `KafkaEntityEventTransport.kt:37`)
+    so one entity's alerts preserve partition order."""
+    return alerts.select(
         F.col("entity_id").alias("key"),
         F.to_json(F.struct(*alerts.columns)).alias("value"),
     )
+
+
+def kafka_alert_sink(alerts: DataFrame, brokers: str, topic: str = "alerts", checkpoint: str = "/tmp/pb_ckpt_alerts"):
+    """S3: alerts to Kafka with :func:`alert_kafka_payload` keying."""
+    payload = alert_kafka_payload(alerts)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
@@ -108,7 +119,12 @@ def kafka_alert_sink(alerts: DataFrame, brokers: str, topic: str = "alerts", che
     )
 
 
-def kafka_cdp_source(spark: SparkSession, brokers: str, topic: str = "cdp-events") -> DataFrame:
+def kafka_cdp_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str = "cdp-events",
+    starting_offsets: str = "latest",
+) -> DataFrame:
     """S2: JSON CDP events from Kafka, flattened to the engine's raw CDP view
     (`transport/KafkaCdpEventTransport.kt:60-84`).  Identifier normalization
     and validation happen downstream (operators/identity.py) so the source
@@ -117,7 +133,7 @@ def kafka_cdp_source(spark: SparkSession, brokers: str, topic: str = "cdp-events
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
-        .option("startingOffsets", "latest")
+        .option("startingOffsets", starting_offsets)
         .load()
     )
     parsed = raw.select(F.from_json(F.col("value").cast("string"), CDP_EVENT_SCHEMA).alias("e"))
@@ -136,15 +152,22 @@ def kafka_cdp_source(spark: SparkSession, brokers: str, topic: str = "cdp-events
     )
 
 
-def kafka_cdp_sink(events: DataFrame, brokers: str, topic: str = "cdp-events", checkpoint: str = "/tmp/pb_ckpt_cdp"):
-    """S3 (CDP side): JSON keyed by the reference's partition key
+def cdp_kafka_payload(events: DataFrame) -> DataFrame:
+    """S3 (CDP side) keying contract, exposed for broker-free tests: JSON
+    keyed by the reference's partition key
     ``coalesce(userId, anonymousId, eventId)`` (`cdp/model/CdpEvent.kt:28-30`)
     — same-key events land on one Kafka partition, preserving per-profile
     arrival order into the consumer."""
-    payload = events.select(
+    return events.select(
         F.coalesce(F.col("user_id_raw"), F.col("anon_id_raw"), F.col("event_id")).alias("key"),
         F.to_json(F.struct(*events.columns)).alias("value"),
     )
+
+
+def kafka_cdp_sink(events: DataFrame, brokers: str, topic: str = "cdp-events", checkpoint: str = "/tmp/pb_ckpt_cdp"):
+    """S3 (CDP side): CDP events to Kafka with :func:`cdp_kafka_payload`
+    keying."""
+    payload = cdp_kafka_payload(events)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

@@ -111,6 +111,32 @@ def test_connected_components_order_independent(spark):
     assert c1 == c2 == {"b": "b", "c": "b", "d": "b"}
 
 
+def test_star_contraction_matches_propagation(spark):
+    """large-star/small-star CC (the high-diameter scale path) must equal
+    the min-label propagation twin, and converge logarithmically on a
+    chain — the exact shape propagation-without-halving handles worst."""
+    import random
+
+    from pulseboard_spark.operators.identity import connected_components_star
+
+    # chain fixture: 0-1-2-…-63 (diameter 63) plus a random component mix
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(63)]
+    rng = random.Random(11)
+    extra = [(f"m{rng.randrange(40)}", f"m{rng.randrange(40)}") for _ in range(60)]
+    edges = spark.createDataFrame(chain + extra, "a string, b string")
+    ids = sorted({x for e in chain + extra for x in e} | {"iso"})
+    nodes = spark.createDataFrame([(i,) for i in ids], "id string")
+
+    stats: dict = {}
+    got = {r.id: r.component for r in connected_components_star(nodes, edges, stats=stats).collect()}
+    want = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == want
+    assert got["iso"] == "iso"
+    # star contraction halves star-height per paired round: a 64-node chain
+    # must close in O(log n) rounds, nowhere near the diameter
+    assert stats["rounds"] <= 10, stats
+
+
 def test_salted_agg_matches_direct(spark):
     """Salted two-phase aggregation must equal direct groupBy on skewed data."""
     from pulseboard_spark.operators.skew import salted_agg
@@ -162,6 +188,54 @@ def test_resize_media_geometry(spark, sf_dir):
             assert (r.out_width, r.out_height) == (s.meta_width, s.meta_height)
         assert r.out_n_bytes == min(r.out_width * r.out_height, s.meta_n_bytes)
         assert len(r.payload) == min(r.out_width * r.out_height, len(s.payload))
+
+
+class TestImageCodecs:
+    def test_png_and_ppm_round_trip(self):
+        import numpy as np
+
+        from pulseboard_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+            encode_ppm,
+        )
+
+        w, h = 13, 7
+        rgb = ((5 + np.arange(w * h * 3)) % 256).astype(np.uint8).tobytes()
+        for enc in (encode_png, encode_ppm):
+            payload = enc(w, h, rgb)
+            assert payload != rgb  # really encoded (header/compression)
+            got_w, got_h, got_rgb = decode_image(payload)
+            assert (got_w, got_h, got_rgb) == (w, h, rgb)
+
+    def test_unknown_codec_still_raises(self):
+        import pytest as _pytest
+
+        from pulseboard_spark.operators.multimodal import decode_image
+
+        with _pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff jpeg-ish bytes")
+
+    def test_decoded_features_match_pixel_model(self, spark, sf_dir):
+        """End-to-end: synth PNG/PPM payloads, decode through the stdlib
+        codec, and check channel sums against the closed-form model."""
+        from pulseboard_spark.operators.multimodal import (
+            decoded_features,
+            synth_images,
+        )
+        from pulseboard_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = decoded_features(synth_images(docs)).collect()
+        assert len(rows) == docs.count()
+        for r in rows[:50]:
+            w, h = 8 + r.doc_id % 16, 8 + r.doc_id % 12
+            assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+            ps = [(r.doc_id + i) % 256 for i in range(w * h * 3)]
+            assert r.sum_r == sum(ps[0::3])
+            assert r.sum_g == sum(ps[1::3])
+            assert r.sum_b == sum(ps[2::3])
+            assert r.decoded
 
 
 def test_ivf_topk_full_probe_is_exact(spark, sf_dir):
