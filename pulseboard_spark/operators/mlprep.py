@@ -147,13 +147,40 @@ def value_histogram(ev: DataFrame, n_bins: int = 20) -> DataFrame:
     )
 
 
+def _discrete_median(df: DataFrame, key: str, valcol: str, out: str) -> DataFrame:
+    """Per-key LOWER DISCRETE median: the smallest value whose cumulative
+    count reaches ceil(n/2) — an actual element of the data, so the result
+    is bit-identical on any engine (interpolated quantiles are a proven
+    cross-engine hash-drift source: implementations disagree on the
+    interpolation convention).  Computed over the (key, value) distinct
+    histogram (map-side combined), so the ordered cumulative window sorts
+    distinct values — a big win for discrete-valued columns.  For
+    continuous doubles distinct ≈ rows, so the per-key window degrades to
+    a per-key sort — the same per-group gather ``F.percentile`` does
+    internally; an exact median fundamentally costs a per-group selection.
+    At 100 TB route continuous columns to ``percentile_approx`` (the
+    sketch twin, `approx_value_quantiles`) unless exactness is required."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(key, valcol).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(key)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w.orderBy(valcol))).withColumn(
+        "_tot", F.sum("_c").over(w)
+    )
+    return (
+        cum.where(F.col("_cum") >= F.expr("(_tot + 1) div 2"))
+        .groupBy(key)
+        .agg(F.min(valcol).alias(out))
+    )
+
+
 def mad_outliers(ev: DataFrame, k: float = 3.0) -> DataFrame:
     """Robust per-type outlier stats via median absolute deviation.
 
     Unlike the z-score path (:func:`standardize`), MAD is immune to the
-    outliers it hunts.  Two broadcast-stats passes over the fact: exact
-    median per type (``F.percentile`` ≡ DuckDB ``quantile_cont``), then
-    median of |v − med|; a value is an outlier when
+    outliers it hunts.  Medians are LOWER DISCRETE (:func:`_discrete_median`)
+    — actual data elements, engine-exact with no rounding at the surface —
+    then median of |v − med|; a value is an outlier when
     |v − med| > k · 1.4826 · MAD (1.4826 scales MAD to σ under
     normality).  The fact is never shuffled — both stats tables are tiny
     per-type aggregates broadcast back, and the final reduction is a
@@ -162,14 +189,11 @@ def mad_outliers(ev: DataFrame, k: float = 3.0) -> DataFrame:
     vals = ev.filter(F.col("value").isNotNull()).select(
         "type", F.col("value").cast("double").alias("v")
     )
-    med = vals.groupBy("type").agg(F.percentile(F.col("v"), F.lit(0.5)).alias("med"))
+    med = _discrete_median(vals, "type", "v", "med")
     dev = vals.join(F.broadcast(med), "type").withColumn(
         "adev", F.abs(F.col("v") - F.col("med"))
     )
-    mad = dev.groupBy("type").agg(
-        F.min("med").alias("med"),
-        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad"),
-    )
+    mad = _discrete_median(dev, "type", "adev", "mad").join(med, "type")
     flagged = vals.join(F.broadcast(mad), "type").withColumn(
         "is_out",
         F.abs(F.col("v") - F.col("med")) > F.lit(k) * F.lit(1.4826) * F.col("mad"),
@@ -178,8 +202,10 @@ def mad_outliers(ev: DataFrame, k: float = 3.0) -> DataFrame:
         flagged.groupBy("type")
         .agg(
             F.count(F.lit(1)).alias("n_values"),
-            F.round(F.min("med"), 4).alias("median_value"),
-            F.round(F.min("mad"), 4).alias("mad_value"),
+            # raw doubles: discrete medians are data elements, identical
+            # bits on any engine — rounding would REINTRODUCE drift
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad_value"),
             F.sum(F.col("is_out").cast("long")).alias("n_outliers"),
         )
         # integer bp — the exact-rational count ratio must not round as a

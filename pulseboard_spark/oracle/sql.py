@@ -1810,13 +1810,22 @@ FROM feats f LEFT JOIN top t USING (doc_id)
 ORACLE_SQL["value_mad_outliers"] = f"""
 WITH {ENT_CTE},
 vals AS (SELECT type, CAST(value AS DOUBLE) AS v FROM ent WHERE value IS NOT NULL),
-med AS (SELECT type, quantile_cont(v, 0.5) AS med FROM vals GROUP BY type),
+vh AS (SELECT type, v, count(*) AS c FROM vals GROUP BY 1, 2),
+vc AS (SELECT type, v, sum(c) OVER (PARTITION BY type ORDER BY v) AS cum,
+              sum(c) OVER (PARTITION BY type) AS tot FROM vh),
+med AS (SELECT type, min(v) AS med FROM vc WHERE cum >= (tot + 1) // 2 GROUP BY type),
 dev AS (SELECT vals.type, v, med, abs(v - med) AS adev FROM vals JOIN med USING (type)),
-mad AS (SELECT type, min(med) AS med, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY type)
+ah AS (SELECT type, adev, count(*) AS c FROM dev GROUP BY 1, 2),
+ac AS (SELECT type, adev, sum(c) OVER (PARTITION BY type ORDER BY adev) AS cum,
+              sum(c) OVER (PARTITION BY type) AS tot FROM ah),
+mad AS (
+  SELECT a.type, min(m.med) AS med, min(a.adev) AS mad
+  FROM ac a JOIN med m USING (type) WHERE cum >= (tot + 1) // 2 GROUP BY a.type
+)
 SELECT vals.type,
        count(*) AS n_values,
-       round(min(m.med), 4) AS median_value,
-       round(min(m.mad), 4) AS mad_value,
+       min(m.med) AS median_value,
+       min(m.mad) AS mad_value,
        CAST(sum(CASE WHEN abs(v - m.med) > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        (CAST(sum(CASE WHEN abs(v - m.med) > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*) AS outlier_frac_bp
 FROM vals JOIN mad m USING (type)

@@ -437,6 +437,33 @@ def with_dim_enrichment(events: DataFrame, dim: DataFrame, on: str, how: str = "
     return events.join(F.broadcast(dim), on, how)
 
 
+def shed_oldest(batch_df: DataFrame, cap: int) -> tuple[DataFrame, int]:
+    """W9 twin (opt-in): DROP_OLDEST load shedding at micro-batch
+    granularity — when a batch exceeds ``cap`` rows, keep the NEWEST
+    ``cap`` by (ts_ms, event_id) and report the shed count, mirroring the
+    reference's bounded in-memory bus that evicts oldest under pressure.
+
+    The default posture stays LOSSLESS (`maxOffsetsPerTrigger` pacing —
+    strictly better when the source is replayable); this exists for the
+    reference-parity case where the pipeline must bound latency by
+    shedding instead of lagging.  Selection is `orderBy desc → limit`,
+    which plans as TakeOrdered (per-partition heaps + merge, no global
+    sort) — scale-safe for any cap that fits one executor's heap of
+    ``cap`` rows.
+
+    Use inside ``foreachBatch``::
+
+        def sink(batch_df, batch_id):
+            kept, dropped = shed_oldest(batch_df, cap=100_000)
+            ...  # process kept; export `dropped` as a metric
+    """
+    n = batch_df.count()
+    if n <= cap:
+        return batch_df, 0
+    kept = batch_df.orderBy(F.desc("ts_ms"), F.desc("event_id")).limit(cap)
+    return kept, n - cap
+
+
 def idempotent_parquet_writer(base_path: str):
     """Exactly-once ``foreachBatch`` file writer: each micro-batch lands in
     its own ``batch_id=N`` directory, and a batch id that already finished

@@ -569,9 +569,11 @@ class TestMadOutliers:
         rows = [("a", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 1000]]
         df = spark.createDataFrame(rows, "type string, value double")
         r = mad_outliers(df).collect()[0]
-        # interpolated median of the 8 values is 10.5; only 1000 exceeds
-        # the 3·1.4826·MAD band — the robust stat ignores its own outlier
-        assert r.n_values == 8 and r.median_value == 10.5 and r.n_outliers == 1
+        # lower discrete median of the 8 values is 10 (4th of the sorted
+        # run), MAD = 1; only 1000 exceeds the 3·1.4826·MAD band — the
+        # robust stat ignores its own outlier
+        assert r.n_values == 8 and r.median_value == 10.0 and r.mad_value == 1.0
+        assert r.n_outliers == 1
 
     def test_zero_mad_degenerate(self, spark):
         from pulseboard_spark.operators.mlprep import mad_outliers

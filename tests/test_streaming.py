@@ -613,3 +613,17 @@ def test_idempotent_foreach_batch_writer(spark, sf_dir, entity_chunks_dir, tmp_p
     for bid in batch_ids:
         writer(spark.read.parquet(f"{sink}/batch_id={bid}"), bid)
     assert spark.read.parquet(sink).count() == n1
+
+
+def test_shed_oldest_keeps_newest(spark):
+    """W9 twin: above the cap a batch sheds its OLDEST rows (by ts_ms,
+    event_id) and reports the drop count; below it nothing changes."""
+    from pulseboard_spark.streaming.pipeline import shed_oldest
+
+    rows = [(i, 1000 + i) for i in range(20)]  # event_id, ts_ms
+    df = spark.createDataFrame(rows, "event_id long, ts_ms long")
+    kept, dropped = shed_oldest(df, cap=5)
+    assert dropped == 15
+    assert sorted(r.event_id for r in kept.collect()) == [15, 16, 17, 18, 19]
+    kept_all, dropped0 = shed_oldest(df, cap=100)
+    assert dropped0 == 0 and kept_all.count() == 20
