@@ -308,6 +308,81 @@ def bigram_stats(documents: DataFrame, min_count: int = 2) -> DataFrame:
     )
 
 
+def doc_lm_score(documents: DataFrame) -> DataFrame:
+    """Per-document bigram-LM log-likelihood — the classic perplexity
+    quality filter: train a Laplace-smoothed bigram model ON the corpus,
+    score every doc by Σ m·(ln(n+1) − ln(n_first+V)) over its bigrams
+    (m = in-doc pair count, n = corpus pair count, V = vocabulary size).
+    Anomalously low average log-probability = gibberish / boilerplate.
+
+    Physical shape: the per-doc pair table and the corpus LM both come
+    from the SAME join-free array pair generation as :func:`bigram_stats`;
+    the LM is a second-level aggregate of the per-doc counts (map-side
+    combined), so the fact is reduced once and the scoring join runs on
+    (w1, w2) keys between two already-aggregated tables.  V rides along
+    via a broadcast 1-row cross join — no driver action at plan time.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    sz = F.size(toks)
+    n_pairs = F.greatest(sz - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    doc_pairs = (
+        documents.select("doc_id", F.explode(pairs).alias("p"))
+        .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    lm_pair = doc_pairs.groupBy("w1", "w2").agg(F.sum("m").alias("n"))
+    lm_first = lm_pair.groupBy("w1").agg(F.sum("n").alias("n_first"))
+    vocab = (
+        documents.select(F.explode(F.array_distinct(toks)).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    # each term is rounded then summed through DECIMAL (the repo's PSI
+    # convention) so partition order cannot perturb the float sum
+    term = (
+        F.col("m") * (
+            F.log(F.col("n") + F.lit(1.0)) - F.log(F.col("n_first") + F.col("v"))
+        )
+    )
+    term_dec = F.round(term, 10).cast("decimal(27,12)")
+    return (
+        doc_pairs.join(lm_pair, ["w1", "w2"])
+        .join(lm_first, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            # unrounded cast: the decimal sum is identical on both engines,
+            # so its double image is bit-identical — a final round() would
+            # reintroduce the half-case drift the decimal routing removed
+            F.sum(term_dec).cast("double").alias("lm_logprob_sum"),
+        )
+    )
+
+
+def token_length_histogram(documents: DataFrame, bucket: int = 64) -> DataFrame:
+    """Per-source token-length distribution in fixed buckets — the
+    mixture-planning census (which sources skew short/long before
+    packing/sampling).  All-integer surface; one map-side-combined
+    aggregate over (source, bucket)."""
+    n_tokens = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+    ).cast("long")
+    return (
+        documents.select("source", n_tokens.alias("nt"))
+        .groupBy("source", F.expr(f"nt div {int(bucket)}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("nt").alias("min_tokens"),
+            F.max("nt").alias("max_tokens"),
+        )
+    )
+
+
 def gopher_quality(
     documents: DataFrame,
     min_words: int = 20,

@@ -1743,6 +1743,41 @@ CROSS JOIN nd
 # Bigram LM stats (operators/text.py::bigram_stats): consecutive-pair
 # counts + conditional follow probability; the w1 total is over ALL
 # bigrams (pre-threshold), matching the window-then-filter order.
+# Bigram-LM document scoring (operators/text.py::doc_lm_score): Laplace-
+# smoothed per-doc log-likelihood; each ln-term rounds to 10 then sums
+# through DECIMAL (order-insensitive), surfaced as the unrounded double
+# image of the exact decimal sum.
+ORACLE_SQL["doc_lm_score"] = """
+WITH arr AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS a FROM documents),
+dp AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2, count(*) AS m
+  FROM (SELECT doc_id, unnest(list_zip(a[:length(a)-1], a[2:])) AS p FROM arr)
+  GROUP BY 1, 2, 3
+),
+lmp AS (SELECT w1, w2, sum(m) AS n FROM dp GROUP BY 1, 2),
+lmf AS (SELECT w1, sum(n) AS n_first FROM lmp GROUP BY 1),
+voc AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(a) AS w FROM arr))
+SELECT dp.doc_id,
+       CAST(sum(m) AS BIGINT) AS n_bigrams,
+       CAST(sum(CAST(round(m * (ln(n + 1.0) - ln(n_first + v)), 10) AS DECIMAL(27,12))) AS DOUBLE) AS lm_logprob_sum
+FROM dp JOIN lmp USING (w1, w2) JOIN lmf USING (w1) CROSS JOIN voc
+GROUP BY dp.doc_id
+"""
+
+# Per-source token-length census (operators/text.py::token_length_histogram).
+ORACLE_SQL["token_length_histogram"] = """
+WITH t AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT source, nt // 64 AS bucket,
+       count(*) AS n_docs,
+       min(nt) AS min_tokens,
+       max(nt) AS max_tokens
+FROM t GROUP BY source, nt // 64
+"""
+
 ORACLE_SQL["bigram_stats"] = """
 WITH arr AS (
   SELECT regexp_extract_all(lower(text), '[a-z]+') AS a FROM documents

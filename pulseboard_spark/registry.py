@@ -1238,6 +1238,14 @@ def bigram_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_stats(_docs(spark, sf_dir))
 
 
+def doc_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_lm_score(_docs(spark, sf_dir))
+
+
+def token_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_length_histogram(_docs(spark, sf_dir))
+
+
 def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_quality(_docs(spark, sf_dir))
 
@@ -1449,6 +1457,8 @@ QUERIES: dict[str, QueryFn] = {
     "pii_scrub": pii_scrub_q,
     "decontamination": decontamination_q,
     # ---- driver window boundary (~50) ----
+    "doc_lm_score": doc_lm_score_q,
+    "token_length_histogram": token_length_histogram_q,
     "component_sizes": component_sizes_q,
     "value_histogram": value_histogram_q,
     "doc_hash_sample": doc_hash_sample_q,

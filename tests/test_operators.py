@@ -878,3 +878,31 @@ class TestSeasonal:
         flagged = [(r.hour_ms, r.hod) for r in out if r.is_anomaly]
         assert flagged == [((7 * 24 + 9) * 3_600_000, 9)]
         assert all(r.z == 0.0 for r in out if r.hod != 9)
+
+
+class TestDocLmScore:
+    def test_repeated_text_scores_higher(self, spark):
+        """A doc whose bigrams dominate the corpus LM must out-score a doc
+        made of hapax bigrams; log-probs are <= 0-ish and finite."""
+        import math
+
+        from pulseboard_spark.operators.text import doc_lm_score
+
+        common = "the cat sat on the mat"
+        rows = [(i, common) for i in range(9)] + [(9, "zq xv qj wk pf")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in doc_lm_score(df).collect()}
+        assert all(math.isfinite(r.lm_logprob_sum) for r in got.values())
+        per_bigram_common = got[0].lm_logprob_sum / got[0].n_bigrams
+        per_bigram_rare = got[9].lm_logprob_sum / got[9].n_bigrams
+        assert per_bigram_common > per_bigram_rare
+
+    def test_token_length_histogram_partitions_corpus(self, spark, sf_dir):
+        from pulseboard_spark.operators.text import token_length_histogram
+        from pulseboard_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = token_length_histogram(docs).collect()
+        assert sum(r.n_docs for r in rows) == docs.count()
+        for r in rows:
+            assert r.bucket * 64 <= r.min_tokens <= r.max_tokens < (r.bucket + 1) * 64
