@@ -102,14 +102,61 @@ def identity_nodes(cvalid: DataFrame) -> DataFrame:
     )
 
 
+#: Broadcast-class ceiling for the local union-find fast path: ~500k edges
+#: of short string ids ≈ tens of MB on the driver — the same memory class
+#: Spark itself accepts for a broadcast join side.  Identity/near-dup
+#: graphs are AGGREGATES (distinct ids/pairs), typically orders of
+#: magnitude smaller than the event stream, so most real corpora take the
+#: local path; the distributed fixpoint below is the ≥ threshold path.
+MAX_LOCAL_CC_EDGES = 500_000
+
+
+def _local_components(node_rows, edge_rows):
+    """Driver-side union-find with path compression; labels = min id per
+    set — exactly the distributed fixpoint's contract."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    members: dict = {}
+    for (n,) in node_rows:
+        members.setdefault(find(n), []).append(n)
+    out = []
+    for group in members.values():
+        label = min(group)
+        out.extend((n, label) for n in group)
+    return out
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     max_iter: int = 50,
     seed: DataFrame | None = None,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """(id, component) with component = min id reachable; min-label
     propagation with path halving, to fixpoint.
+
+    Size-guarded fast path: below ``max_local_edges`` (default
+    :data:`MAX_LOCAL_CC_EDGES`) the edge list is broadcast-class, so the
+    components are solved with a driver-side union-find in one pass —
+    a handful of Spark jobs instead of ~2 jobs per fixpoint round, which
+    dominates wall time on small graphs (the identity graph is an
+    aggregate: |distinct ids| ≪ |events|).  Above the guard the
+    distributed fixpoint below runs unchanged; both paths share the
+    min-label contract and are pinned equal by test.  Pass
+    ``max_local_edges=0`` to force the distributed path.
 
     Each round: (1) component[id] ← min(component[id], min of neighbors'
     components) — one join + partial-aggregated groupBy; (2) path halving:
@@ -135,6 +182,17 @@ def connected_components(
     join/shuffle from |V| to |V_incident| — the piece that matters when V
     is 10^11 ids at 100 TB and the pair graph is thin.
     """
+    limit = MAX_LOCAL_CC_EDGES if max_local_edges is None else max_local_edges
+    if limit > 0:
+        probe = edges.select("a", "b").limit(limit + 1).collect()
+        if len(probe) <= limit:
+            rows = _local_components(
+                nodes.select("id").collect(), [(r[0], r[1]) for r in probe]
+            )
+            return nodes.sparkSession.createDataFrame(
+                rows, schema=nodes.select("id", F.col("id").alias("component")).schema
+            )
+
     sym = edges.select("a", "b").unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym.cache()
     init = nodes.select(F.col("id"), F.col("id").alias("component"))

@@ -90,12 +90,16 @@ def test_trailing_window_boundaries(spark):
 # --- Connected components (`IdentityGraphTest.kt:105-214`) ------------------
 
 
-def test_connected_components_diamond(spark):
+@pytest.mark.parametrize("max_local_edges", [None, 0], ids=["local", "distributed"])
+def test_connected_components_diamond(spark, max_local_edges):
     edges = spark.createDataFrame(
         [("b", "c"), ("c", "d"), ("b", "d"), ("x", "y")], "a string, b string"
     )
     nodes = spark.createDataFrame([("b",), ("c",), ("d",), ("x",), ("y",), ("solo",)], "id string")
-    comp = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges, max_local_edges=max_local_edges).collect()
+    }
     assert comp["b"] == comp["c"] == comp["d"] == "b"  # canonical = lexicographic min
     assert comp["x"] == comp["y"] == "x"
     assert comp["solo"] == "solo"

@@ -138,10 +138,13 @@ def test_connected_components_matches_union_find(spark):
 
     ndf = spark.createDataFrame([(n,) for n in nodes], "id string")
     edf = spark.createDataFrame(edges or [("n00", "n01")], "a string, b string")
-    got = {r.id: r.component for r in connected_components(ndf, edf).collect()}
     if not edges:
         want["n00"] = want["n01"] = min("n00", "n01")
-    assert got == want
+    # both physical paths must match the model: the size-guarded local
+    # union-find AND the distributed min-label fixpoint
+    for mle in (None, 0):
+        got = {r.id: r.component for r in connected_components(ndf, edf, max_local_edges=mle).collect()}
+        assert got == want, f"max_local_edges={mle}"
 
 
 # --- A6 EWMA vs sequential recurrence ----------------------------------------
