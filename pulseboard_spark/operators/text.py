@@ -315,12 +315,13 @@ def doc_lm_score(documents: DataFrame) -> DataFrame:
     (m = in-doc pair count, n = corpus pair count, V = vocabulary size).
     Anomalously low average log-probability = gibberish / boilerplate.
 
-    Physical shape: the per-doc pair table and the corpus LM both come
-    from the SAME join-free array pair generation as :func:`bigram_stats`;
-    the LM is a second-level aggregate of the per-doc counts (map-side
-    combined), so the fact is reduced once and the scoring join runs on
-    (w1, w2) keys between two already-aggregated tables.  V rides along
-    via a broadcast 1-row cross join — no driver action at plan time.
+    Physical shape: ONE corpus scan builds the per-doc pair table (the
+    same join-free array pair generation as :func:`bigram_stats`), cached;
+    the LM pair/first counts AND the vocabulary (V = distinct words
+    appearing in any bigram) all derive from that already-aggregated
+    table, so the corpus is never re-scanned and the scoring join runs on
+    (w1, w2) keys between tiny aggregates.  V rides along via a broadcast
+    1-row cross join — no driver action at plan time.
     """
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     sz = F.size(toks)
@@ -335,10 +336,11 @@ def doc_lm_score(documents: DataFrame) -> DataFrame:
         .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("m"))
     )
+    doc_pairs.cache()
     lm_pair = doc_pairs.groupBy("w1", "w2").agg(F.sum("m").alias("n"))
     lm_first = lm_pair.groupBy("w1").agg(F.sum("n").alias("n_first"))
     vocab = (
-        documents.select(F.explode(F.array_distinct(toks)).alias("w"))
+        lm_pair.select(F.explode(F.array("w1", "w2")).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
     )
     # each term is rounded then summed through DECIMAL (the repo's PSI

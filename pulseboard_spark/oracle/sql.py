@@ -1756,7 +1756,10 @@ dp AS (
 ),
 lmp AS (SELECT w1, w2, sum(m) AS n FROM dp GROUP BY 1, 2),
 lmf AS (SELECT w1, sum(n) AS n_first FROM lmp GROUP BY 1),
-voc AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(a) AS w FROM arr))
+voc AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT w1 AS w FROM lmp UNION SELECT w2 FROM lmp)
+)
 SELECT dp.doc_id,
        CAST(sum(m) AS BIGINT) AS n_bigrams,
        CAST(sum(CAST(round(m * (ln(n + 1.0) - ln(n_first + v)), 10) AS DECIMAL(27,12))) AS DOUBLE) AS lm_logprob_sum

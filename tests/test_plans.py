@@ -282,3 +282,17 @@ def test_profile_single_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "lineitem_profile")
     assert plan.count("FileScan parquet") == 1, "profiling must not rescan per column"
     assert not PY_NODES.search(plan)
+
+
+def test_token_length_histogram_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "token_length_histogram")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert not PY_NODES.search(plan)
+
+
+def test_doc_lm_score_reads_corpus_once(spark, sf_dir):
+    """LM counts, firsts, and vocab must all derive from the cached pair
+    table — the corpus must not be re-scanned per LM component."""
+    plan = _plan(spark, sf_dir, "doc_lm_score")
+    assert plan.count("InMemoryTableScan") >= 3, "pair table not reused"
+    assert not PY_NODES.search(plan)
