@@ -21,7 +21,7 @@ between are source-agnostic DataFrame ops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -435,6 +435,59 @@ def with_dim_enrichment(events: DataFrame, dim: DataFrame, on: str, how: str = "
     accumulates (unlike stream-stream joins, stream-static needs no
     watermark bookkeeping on the static side)."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def profile_upsert_writer(
+    base_path: str,
+    key: str = "profile_id",
+    order: tuple = ("ts_ms",),
+    n_buckets: int = 16,
+):
+    """``foreachBatch`` UPSERT into a hash-bucketed parquet profile store —
+    the MERGE-into-table pattern (SURVEY §7.1 step 6) without a table
+    format: profiles hash into ``n_buckets`` directory partitions, and
+    each micro-batch rewrites ONLY the buckets it touches (dynamic
+    partition overwrite), merging old ∪ new and keeping the latest row
+    per key by the ``order`` columns (descending, e.g. event time).
+
+    Scale shape: per batch, work is proportional to touched buckets, not
+    store size — a batch touching k profiles reads/rewrites at most
+    min(k, n_buckets) buckets.  Size ``n_buckets`` so one bucket ≈ one
+    comfortable task (store_rows / n_buckets rows).  The merged result is
+    localCheckpointed before the overwrite so Spark never overwrites a
+    path it is still reading.
+
+    Use: ``profiles.writeStream.foreachBatch(profile_upsert_writer(path))``.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        bucket = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
+        batch = batch_df.withColumn("_bucket", bucket)
+        try:
+            existing = spark.read.parquet(base_path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            touched = [r[0] for r in batch.select("_bucket").distinct().collect()]
+            merged = batch.unionByName(
+                existing.filter(F.col("_bucket").isin(touched))
+            )
+        else:
+            merged = batch
+        w = Window.partitionBy(key).orderBy(
+            *[F.desc(c) for c in order], F.desc("_bucket")
+        )
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint()  # sever the read-from-base lineage pre-overwrite
+        )
+        latest.write.mode("overwrite").partitionBy("_bucket").parquet(base_path)
+
+    return write
 
 
 def shed_oldest(batch_df: DataFrame, cap: int) -> tuple[DataFrame, int]:

@@ -627,3 +627,39 @@ def test_shed_oldest_keeps_newest(spark):
     assert sorted(r.event_id for r in kept.collect()) == [15, 16, 17, 18, 19]
     kept_all, dropped0 = shed_oldest(df, cap=100)
     assert dropped0 == 0 and kept_all.count() == 20
+
+
+def test_profile_upsert_writer_merges_latest(spark, tmp_path):
+    """Bucketed parquet UPSERT: later batches overwrite only touched
+    buckets; the store converges to the latest row per profile."""
+    from pulseboard_spark.streaming.pipeline import profile_upsert_writer
+
+    store = str(tmp_path / "profiles")
+    writer = profile_upsert_writer(store, key="profile_id", order=("ts_ms",), n_buckets=4)
+    b1 = spark.createDataFrame(
+        [("p1", 100, "basic"), ("p2", 100, "basic"), ("p3", 100, "pro")],
+        "profile_id string, ts_ms long, plan string",
+    )
+    writer(b1, 0)
+    b2 = spark.createDataFrame(
+        [("p1", 200, "pro"), ("p4", 150, "basic")],
+        "profile_id string, ts_ms long, plan string",
+    )
+    writer(b2, 1)
+    got = {
+        r.profile_id: (r.ts_ms, r.plan)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == {
+        "p1": (200, "pro"),     # upserted by batch 2
+        "p2": (100, "basic"),   # untouched bucket survives
+        "p3": (100, "pro"),
+        "p4": (150, "basic"),   # inserted by batch 2
+    }
+    # replaying batch 2 (at-least-once redelivery) changes nothing
+    writer(b2, 1)
+    again = {
+        r.profile_id: (r.ts_ms, r.plan)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert again == got
