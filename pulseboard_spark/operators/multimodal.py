@@ -105,13 +105,48 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Sniff-and-decode: PPM or PNG → (width, height, raw RGB).  Other
-    media types (JPEG, audio, video) raise — that seam stays honestly
-    stubbed until real codecs exist in the environment."""
+    media types (JPEG, video) raise — that seam stays honestly stubbed
+    until real codecs exist in the environment."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(_PNG_MAGIC):
         return decode_png(payload)
     raise NotImplementedError("no codec for this payload in this environment")
+
+
+def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
+    """Minimal real WAV: 16-bit mono PCM (RIFF/fmt/data chunks)."""
+    pcm = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """WAV → (sample_rate, int16 samples).  16-bit mono PCM only — the
+    shape this engine's synth table emits."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            if (audio_fmt, channels) != (1, 1):
+                raise NotImplementedError("only 16-bit mono PCM WAVs are decoded here")
+        elif tag == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + length + (length & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data
 
 MEDIA_SCHEMA = (
     "doc_id bigint, media_type string, payload binary, "
@@ -166,6 +201,62 @@ def synth_images(documents: DataFrame) -> DataFrame:
         batches,
         schema="doc_id bigint, media_type string, payload binary, meta_width int, meta_height int",
     )
+
+
+def synth_audio(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL audio table: every doc gets a short 16-bit mono
+    PCM WAV whose sample i is ``(doc_id·7 + i·13) % 2001 − 1000`` — n
+    samples = 64 + doc_id % 192, rate 8000 — closed-form so the DuckDB
+    oracle reproduces every decoded statistic arithmetically."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": pdf["doc_id"], "media_type": [], "payload": [], "meta_n_samples": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 192
+                samples = (d * 7 + np.arange(n) * 13) % 2001 - 1000
+                out["media_type"].append("audio/wav")
+                out["payload"].append(encode_wav(8000, samples))
+                out["meta_n_samples"].append(n)
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id").mapInPandas(
+        batches,
+        schema="doc_id bigint, media_type string, payload binary, meta_n_samples int",
+    )
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, "
+    "sum_abs bigint, max_abs bigint, n_zero_crossings bigint, decoded boolean"
+)
+
+
+def decoded_audio_features(media: DataFrame) -> DataFrame:
+    """REAL WAV decode + integer signal statistics (abs-sum, peak, zero
+    crossings) — the audio twin of :func:`decoded_features`; all-integer
+    surface, engine-exact against the closed-form sample model."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in ("doc_id", "sample_rate", "n_samples",
+                                   "sum_abs", "max_abs", "n_zero_crossings", "decoded")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s64))
+                out["sum_abs"].append(int(np.abs(s64).sum()))
+                out["max_abs"].append(int(np.abs(s64).max()) if len(s64) else 0)
+                # sign flips between consecutive samples (zeros break runs)
+                sgn = np.sign(s64)
+                out["n_zero_crossings"].append(int(np.sum(sgn[1:] * sgn[:-1] < 0)))
+                out["decoded"].append(True)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
 DECODED_SCHEMA = (

@@ -849,6 +849,28 @@ GROUP BY 1
 """
 
 
+# Real WAV decode (operators/multimodal.py::decoded_audio_features over
+# synth_audio): Spark round-trips genuine 16-bit PCM WAV bytes through the
+# stdlib parser; the oracle reproduces the statistics from the closed-form
+# sample model s_i = (doc_id*7 + i*13) % 2001 - 1000, n = 64 + doc_id % 192.
+ORACLE_SQL["audio_features"] = """
+WITH m AS (SELECT doc_id, CAST(64 + doc_id % 192 AS BIGINT) AS n FROM documents),
+s AS (
+  SELECT doc_id, n, i,
+         (doc_id * 7 + i * 13) % 2001 - 1000 AS v,
+         CASE WHEN i + 1 < n THEN (doc_id * 7 + (i + 1) * 13) % 2001 - 1000 END AS vn
+  FROM m, UNNEST(generate_series(0, n - 1)) AS t(i)
+)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       max(n) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(v)) AS BIGINT) AS max_abs,
+       CAST(sum(CASE WHEN vn IS NOT NULL AND sign(v) * sign(vn) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_crossings,
+       TRUE AS decoded
+FROM s GROUP BY doc_id
+"""
+
 # Real-decode feature extraction (operators/multimodal.py::decoded_features
 # over synth_images): Spark round-trips genuine PNG/PPM bytes through the
 # stdlib codec; the oracle reproduces the decoded statistics from the

@@ -1321,6 +1321,13 @@ def geo_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.heavy_hitters(entity_events(spark, sf_dir), ["geo"], "type")
 
 
+def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode: synthesize 16-bit mono PCM payloads, decode with
+    the in-module stdlib parser, emit integer signal stats — oracle-checked
+    against the closed-form sample model."""
+    return multimodal.decoded_audio_features(multimodal.synth_audio(_docs(spark, sf_dir)))
+
+
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode: synthesize genuine PNG/PPM payloads, decode them
     with the in-module stdlib codec, and emit integer channel statistics —
@@ -1459,6 +1466,7 @@ QUERIES: dict[str, QueryFn] = {
     # ---- driver window boundary (~50) ----
     "doc_lm_score": doc_lm_score_q,
     "token_length_histogram": token_length_histogram_q,
+    "audio_features": audio_features_q,
     "component_sizes": component_sizes_q,
     "value_histogram": value_histogram_q,
     "doc_hash_sample": doc_hash_sample_q,

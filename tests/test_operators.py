@@ -212,6 +212,16 @@ class TestImageCodecs:
             got_w, got_h, got_rgb = decode_image(payload)
             assert (got_w, got_h, got_rgb) == (w, h, rgb)
 
+    def test_wav_round_trip(self):
+        import numpy as np
+
+        from pulseboard_spark.operators.multimodal import decode_wav, encode_wav
+
+        samples = ((np.arange(300) * 13) % 2001 - 1000).astype(np.int16)
+        rate, got = decode_wav(encode_wav(8000, samples))
+        assert rate == 8000
+        assert np.array_equal(got, samples)
+
     def test_unknown_codec_still_raises(self):
         import pytest as _pytest
 
