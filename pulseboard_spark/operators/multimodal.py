@@ -203,6 +203,93 @@ def synth_images(documents: DataFrame) -> DataFrame:
     )
 
 
+def encode_ppm_video(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Minimal real video container: ``PBV1`` magic + frame count + w/h
+    header, then concatenated raw RGB frames — the moving-picture twin of
+    the PPM still (uncompressed, but a genuine multi-frame container with
+    a header to parse and per-frame offsets to seek)."""
+    assert all(len(f) == width * height * 3 for f in frames)
+    return (
+        b"PBV1"
+        + struct.pack(">III", len(frames), width, height)
+        + b"".join(frames)
+    )
+
+
+def decode_ppm_video_frame(payload: bytes, frame_index: int) -> tuple[int, int, int, bytes]:
+    """Seek-decode ONE frame: (n_frames, width, height, rgb).  Seeking is
+    O(1) via the fixed frame stride — the property a real frame sampler
+    relies on (decode only the sampled frames, never the whole clip)."""
+    if payload[:4] != b"PBV1":
+        raise ValueError("not a PBV1 video payload")
+    n_frames, width, height = struct.unpack(">III", payload[4:16])
+    if not 0 <= frame_index < n_frames:
+        raise IndexError(f"frame {frame_index} of {n_frames}")
+    stride = width * height * 3
+    off = 16 + frame_index * stride
+    return n_frames, width, height, payload[off : off + stride]
+
+
+def synth_video(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL video table: 4 + doc_id % 5 frames of an
+    8+id%8 × 8+id%4 clip; frame f's pixel i is ``(doc_id + 31·f + i) % 256``
+    — closed-form for the oracle, genuinely containerized for the parser."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": pdf["doc_id"], "media_type": [], "payload": [], "meta_n_frames": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, nf = 8 + d % 8, 8 + d % 4, 4 + d % 5
+                frames = [
+                    ((d + 31 * f + np.arange(w * h * 3)) % 256).astype(np.uint8).tobytes()
+                    for f in range(nf)
+                ]
+                out["media_type"].append("video/pbv")
+                out["payload"].append(encode_ppm_video(w, h, frames))
+                out["meta_n_frames"].append(nf)
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id").mapInPandas(
+        batches,
+        schema="doc_id bigint, media_type string, payload binary, meta_n_frames int",
+    )
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_index int, n_frames int, width int, height int, "
+    "sum_px bigint, decoded boolean"
+)
+
+
+def sampled_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: decode every ``every_n``-th frame via the O(1)
+    container seek and emit integer pixel sums per sampled frame — the
+    video twin of :func:`decoded_features`.  Unsampled frames are never
+    materialized (the point of a sampler)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in ("doc_id", "frame_index", "n_frames",
+                                   "width", "height", "sum_px", "decoded")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                n_frames = struct.unpack(">I", payload[4:8])[0]
+                for f in range(0, n_frames, every_n):
+                    nf, w, h, rgb = decode_ppm_video_frame(payload, f)
+                    px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_index"].append(f)
+                    out["n_frames"].append(nf)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_px"].append(int(px.sum()))
+                    out["decoded"].append(True)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def synth_audio(documents: DataFrame) -> DataFrame:
     """Deterministic REAL audio table: every doc gets a short 16-bit mono
     PCM WAV whose sample i is ``(doc_id·7 + i·13) % 2001 − 1000`` — n

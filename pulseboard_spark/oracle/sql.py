@@ -849,6 +849,38 @@ GROUP BY 1
 """
 
 
+# Real frame sampling (operators/multimodal.py::sampled_frame_features over
+# synth_video): Spark seeks and decodes every 2nd frame of a genuine
+# multi-frame container; the oracle reproduces per-frame pixel sums from
+# the closed-form model p = (doc_id + 31f + i) % 256, w = 8+id%8,
+# h = 8+id%4, n_frames = 4+id%5.
+ORACLE_SQL["video_frame_features"] = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 8 AS BIGINT) AS w,
+         CAST(8 + doc_id % 4 AS BIGINT) AS h,
+         CAST(4 + doc_id % 5 AS BIGINT) AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, w, h, nf, f
+  FROM m, UNNEST(generate_series(0, nf - 1)) AS t(f)
+  WHERE f % 2 = 0
+),
+px AS (
+  SELECT doc_id, w, h, nf, f, (doc_id + 31 * f + i) % 256 AS p
+  FROM fr, UNNEST(generate_series(0, w * h * 3 - 1)) AS u(i)
+)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_index,
+       CAST(nf AS INT) AS n_frames,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(sum(p) AS BIGINT) AS sum_px,
+       TRUE AS decoded
+FROM px GROUP BY doc_id, f, nf, w, h
+"""
+
 # Real WAV decode (operators/multimodal.py::decoded_audio_features over
 # synth_audio): Spark round-trips genuine 16-bit PCM WAV bytes through the
 # stdlib parser; the oracle reproduces the statistics from the closed-form

@@ -1321,6 +1321,13 @@ def geo_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.heavy_hitters(entity_events(spark, sf_dir), ["geo"], "type")
 
 
+def video_frame_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling: containerized multi-frame clips, O(1) seek
+    decode of every 2nd frame, integer pixel sums — oracle-checked
+    against the closed-form frame model."""
+    return multimodal.sampled_frame_features(multimodal.synth_video(_docs(spark, sf_dir)))
+
+
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV decode: synthesize 16-bit mono PCM payloads, decode with
     the in-module stdlib parser, emit integer signal stats — oracle-checked
@@ -1467,6 +1474,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_lm_score": doc_lm_score_q,
     "token_length_histogram": token_length_histogram_q,
     "audio_features": audio_features_q,
+    "video_frame_features": video_frame_features_q,
     "component_sizes": component_sizes_q,
     "value_histogram": value_histogram_q,
     "doc_hash_sample": doc_hash_sample_q,

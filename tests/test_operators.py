@@ -222,6 +222,25 @@ class TestImageCodecs:
         assert rate == 8000
         assert np.array_equal(got, samples)
 
+    def test_video_container_seek_decode(self):
+        import numpy as np
+
+        from pulseboard_spark.operators.multimodal import (
+            decode_ppm_video_frame,
+            encode_ppm_video,
+        )
+
+        w, h = 6, 4
+        frames = [
+            ((f * 31 + np.arange(w * h * 3)) % 256).astype(np.uint8).tobytes()
+            for f in range(5)
+        ]
+        clip = encode_ppm_video(w, h, frames)
+        for f in (0, 2, 4):
+            nf, gw, gh, rgb = decode_ppm_video_frame(clip, f)
+            assert (nf, gw, gh) == (5, w, h)
+            assert rgb == frames[f]
+
     def test_unknown_codec_still_raises(self):
         import pytest as _pytest
 
