@@ -19,14 +19,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_table(df: DataFrame) -> DataFrame:
-    """One row per column: total rows, non-null count, exact distinct
-    count — computed in a single pass over the table."""
+def profile_table(df: DataFrame, approx: bool = False, rsd: float = 0.05) -> DataFrame:
+    """One row per column: total rows, non-null count, distinct count —
+    computed in a single pass over the table.  ``approx=True`` swaps the
+    exact per-column distinct state for HLL++ sketches
+    (``approx_count_distinct``, relative error ``rsd``) — the fact-scale
+    setting: identical plan shape, constant-size merge state per column
+    instead of distinct sets."""
     cols = df.columns
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+        nd = (
+            F.approx_count_distinct(F.col(c), rsd)
+            if approx
+            else F.countDistinct(F.col(c))
+        )
+        aggs.append(nd.alias(f"__nd_{c}"))
     wide = df.agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', __nn_{c}, __nd_{c}" for c in cols

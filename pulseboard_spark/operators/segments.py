@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pulseboard_spark.functions.core import lww_order_key
-from pulseboard_spark.operators.profiles import DAY_MS, MINUTE_MS, _bucket_ms
+from pulseboard_spark.operators.profiles import DAY_MS, _bucket_ms
 
 REENGAGE_MS = 600_000
 POWER_USER_THRESHOLD = 5

@@ -939,3 +939,21 @@ class TestDocLmScore:
         assert sum(r.n_docs for r in rows) == docs.count()
         for r in rows:
             assert r.bucket * 64 <= r.min_tokens <= r.max_tokens < (r.bucket + 1) * 64
+
+
+class TestProfileApprox:
+    def test_sketch_census_tracks_exact(self, spark, sf_dir):
+        """approx=True must keep the same output shape and land within the
+        sketch's error bound of the exact census — the fact-scale setting."""
+        from pulseboard_spark.operators.profiling import profile_table
+        from pulseboard_spark.sources.tables import load_table
+
+        df = load_table(spark, sf_dir, "orders")
+        exact = {r.column_name: r for r in profile_table(df).collect()}
+        approx = {r.column_name: r for r in profile_table(df, approx=True).collect()}
+        assert set(exact) == set(approx)
+        for c in exact:
+            assert approx[c].n_rows == exact[c].n_rows
+            assert approx[c].n_nonnull == exact[c].n_nonnull
+            nd, nda = exact[c].n_distinct, approx[c].n_distinct
+            assert abs(nda - nd) <= max(3, 0.2 * nd), (c, nd, nda)
