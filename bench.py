@@ -78,6 +78,11 @@ HEADLINE = [
     "hard_negatives",
     "media_text_pairs",
     "lineitem_profile",
+    "multimodal_features",
+    "audio_features",
+    "video_frame_features",
+    "doc_lm_score",
+    "cdp_trait_fidelity",
 ]
 
 
