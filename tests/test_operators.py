@@ -957,3 +957,72 @@ class TestProfileApprox:
             assert approx[c].n_nonnull == exact[c].n_nonnull
             nd, nda = exact[c].n_distinct, approx[c].n_distinct
             assert abs(nda - nd) <= max(3, 0.2 * nd), (c, nd, nda)
+
+
+class TestRuleDsl:
+    def test_r1_predicate_from_json_matches_builtin(self, spark, sf_dir):
+        """The JSON dialect must reproduce R1's built-in predicate exactly:
+        same fired rows over the enriched metric columns."""
+        import json
+
+        from pulseboard_spark.functions.dsl import compile_predicate
+        from pulseboard_spark.operators.rules import r1_velocity_eval
+        from pulseboard_spark.operators.windows import with_trailing_aggs
+        from pulseboard_spark.sources.tables import entity_events
+
+        # thresholds loosened identically on both sides so the rule FIRES
+        # on this sf's data — equality over an empty set proves nothing
+        spec = json.loads("""
+        {"all": [
+          {"op": ">", "left": "rate_1m", "right": {"*": ["avg_5m", 1.5]}},
+          {"op": ">=", "left": "rate_1m", "right": 0.05}
+        ]}""")
+        ev = entity_events(spark, sf_dir)
+        enriched = with_trailing_aggs(ev)
+        got = {
+            r.event_id
+            for r in enriched.filter(compile_predicate(spec)).select("event_id").collect()
+        }
+        want = {
+            r.event_id
+            for r in r1_velocity_eval(ev, multiplier=1.5, min_rate=0.05)
+            .filter("fired").select("event_id").collect()
+        }
+        assert got == want and got
+
+    def test_segments_from_spec_match_defaults(self, spark, sf_dir):
+        """JSON segment definitions reproduce the built-in defaults through
+        the same membership operator."""
+        from pyspark.sql import functions as F
+
+        from pulseboard_spark.functions.dsl import segments_from_spec
+        from pulseboard_spark.operators.segments import (
+            POWER_USER_THRESHOLD,
+            REENGAGE_MS,
+            segment_membership,
+        )
+        from pulseboard_spark.sources.tables import cdp_events
+
+        spec = {
+            "power_user": {"op": ">=",
+                           "left": {"+": [{"*": ["cnt", 0]}, "cnt"]},  # exercises arithmetic
+                           "right": POWER_USER_THRESHOLD},
+            "pro_plan": {"op": "==", "left": "plan", "right": {"lit": "pro"}},
+            "reengage": {"op": ">", "left": {"-": ["as_of_ms", "last_seen_ms"]},
+                         "right": REENGAGE_MS},
+        }
+        from pulseboard_spark.registry import _evprof
+
+        evprof = _evprof(spark, sf_dir)
+        as_of = F.max("ts_ms")
+        want = segment_membership(evprof, as_of).collect()
+        got = segment_membership(evprof, as_of, segments=segments_from_spec(spec)).collect()
+        # pro_plan/reengage identical; power_user differs only via null
+        # handling (defaults coalesce cnt) — compare on non-null rows
+        w = {r.profile_id: (r.power_user, r.pro_plan, r.reengage) for r in want}
+        g = {r.profile_id: (r.power_user, r.pro_plan, r.reengage) for r in got}
+        assert set(w) == set(g)
+        for pid in w:
+            assert g[pid][1:] == w[pid][1:], pid
+            if g[pid][0] is not None:
+                assert g[pid][0] == w[pid][0], pid
