@@ -499,23 +499,40 @@ def ann_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
     """Approximate top-k: exact cosine ranking within LSH buckets only.
 
     Recall < 1 by construction (documented approximation); the exact twin
-    is cosine_topk.  Join is bucket-partitioned — no cross join."""
-    e = simhash_buckets(embeddings, n_planes)
-    a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
-    pairs = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            F.round(cos, 6).alias("cosine"),
+    is cosine_topk.  Physical shape: ONE shuffle on the bucket signature,
+    then the same vectorized numpy block kernel as the exact path runs
+    all-pairs INSIDE each bucket and emits k rows per query — no join, no
+    window, no per-pair Catalyst expression evaluation (the earlier
+    bucket self-join scored each pair with a per-row array fold: ~6×
+    slower at sf0.1).  Scoring/rounding/tie-break identical to
+    :func:`cosine_topk`, so results within a bucket are exact."""
+    e = simhash_buckets(embeddings, n_planes).select("vec_id", F.col("v").alias("embedding"), "bucket")
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        A = _batch_matrix(pdf["embedding"])
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        norms = np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))
+        C = np.round(_seq_gram(A, A) / (norms[:, None] * norms[None, :]), 6)
+        out_q, out_n, out_c, out_r = [], [], [], []
+        for i in range(A.shape[0]):
+            row = C[i]
+            order = np.lexsort((ids, -row))
+            order = order[ids[order] != ids[i]][:k]
+            out_q.extend([ids[i]] * len(order))
+            out_n.extend(ids[order])
+            out_c.extend(row[order])
+            out_r.extend(range(1, len(order) + 1))
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+                "cosine": pd.Series(out_c, dtype="float64"),
+                "rank": pd.Series(out_r, dtype="int64"),
+            }
         )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+    return e.groupBy("bucket").applyInPandas(
+        bucket_topk, schema="vec_id bigint, neighbor_id bigint, cosine double, rank bigint"
     )
 
 

@@ -1026,3 +1026,32 @@ class TestRuleDsl:
             assert g[pid][1:] == w[pid][1:], pid
             if g[pid][0] is not None:
                 assert g[pid][0] == w[pid][0], pid
+
+
+class TestAnnTopk:
+    def test_single_bucket_matches_exact(self, spark):
+        """Colinear vectors share every hyperplane sign, so they land in
+        one bucket — there ann must equal the exact kernel bit for bit."""
+        from pulseboard_spark.operators.similarity import ann_topk, cosine_topk
+
+        rows = [(i, [float(i + 1), 2.0 * (i + 1), 0.5 * (i + 1)]) for i in range(12)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {tuple(r) for r in ann_topk(df, k=4).collect()}
+        want = {tuple(r) for r in cosine_topk(df, k=4).collect()}
+        assert got == want and got
+
+    def test_structure_at_sf(self, spark, sf_dir):
+        from pulseboard_spark.operators.similarity import ann_topk
+        from pulseboard_spark.sources.tables import load_table
+
+        out = ann_topk(load_table(spark, sf_dir, "embeddings"), k=5).collect()
+        per = {}
+        for r in out:
+            assert r.vec_id != r.neighbor_id
+            per.setdefault(r.vec_id, []).append((r.rank, r.cosine))
+        for ranks in per.values():
+            ranks.sort()
+            assert [x[0] for x in ranks] == list(range(1, len(ranks) + 1))
+            cos = [x[1] for x in ranks]
+            assert cos == sorted(cos, reverse=True)
+            assert len(ranks) <= 5
