@@ -186,12 +186,33 @@ def connected_components(
     if limit > 0:
         probe = edges.select("a", "b").limit(limit + 1).collect()
         if len(probe) <= limit:
-            rows = _local_components(
-                nodes.select("id").collect(), [(r[0], r[1]) for r in probe]
+            # Driver memory is bounded by the EDGE guard alone: only the
+            # edge-incident ids are collected (≤ 2·|E|), never the nodes
+            # table — the thin-graph-at-scale case is exactly |V| huge
+            # with |E| small, and isolated nodes resolve distributed via
+            # an anti-join (id = component, no materialization).
+            spark = nodes.sparkSession
+            out_schema = nodes.select("id", F.col("id").alias("component")).schema
+            endpoint_ids = sorted({x for r in probe for x in (r[0], r[1])})
+            inc_df = spark.createDataFrame(
+                [(i,) for i in endpoint_ids], schema=nodes.select("id").schema
             )
-            return nodes.sparkSession.createDataFrame(
-                rows, schema=nodes.select("id", F.col("id").alias("component")).schema
+            # endpoints that are REAL nodes — matching the distributed
+            # fixpoint, which neither labels nor propagates through ids
+            # absent from `nodes`
+            node_inc = {
+                r[0]
+                for r in nodes.join(inc_df, "id", "left_semi").select("id").collect()
+            }
+            local_edges = [
+                (r[0], r[1]) for r in probe if r[0] in node_inc and r[1] in node_inc
+            ]
+            rows = _local_components([(n,) for n in sorted(node_inc)], local_edges)
+            labels = spark.createDataFrame(rows, schema=out_schema)
+            isolated_rest = nodes.join(labels.select("id"), "id", "left_anti").select(
+                "id", F.col("id").alias("component")
             )
+            return labels.unionByName(isolated_rest)
 
     sym = edges.select("a", "b").unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym.cache()

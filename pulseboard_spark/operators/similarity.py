@@ -64,17 +64,47 @@ def _seq_norms(M: np.ndarray) -> np.ndarray:
     return np.sqrt(n)
 
 
+def _safe_norms(M: np.ndarray) -> np.ndarray:
+    """Norms with zeros replaced by 1 — an all-zero vector scores cosine
+    0.0 everywhere instead of NaN.  EVERY kernel must use this (broadcast,
+    IVF, bucket): the guard is part of the scoring contract, and a kernel
+    that skips it returns different rows for the same table depending on
+    which physical path the size guard picks."""
+    n = _seq_norms(M)
+    return np.where(n == 0, 1.0, n)
+
+
+def _cosine_block(A: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """The ONE scoring contract shared by all kernels: sequential-fold dot
+    products, zero-guarded norms, round to 6."""
+    return np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * _safe_norms(M)[None, :]), 6)
+
+
+def _topk_order(row: np.ndarray, ids: np.ndarray, k: int, keep: np.ndarray) -> np.ndarray:
+    """The ONE selection contract: (cosine desc, neighbor id asc), masked
+    by ``keep``, truncated to k."""
+    order = np.lexsort((ids, -row))
+    return order[keep[order]][:k]
+
+
 #: Ceiling for driver-collected broadcast indexes: ~200k × (64-dim f64 +
 #: id + norm) ≈ 110 MB — the same order as Spark's own broadcast-join
 #: comfort zone.  Above it the exact kernels route to the distributed
 #: IVF path instead of OOMing the driver at 100× scale.
 MAX_BROADCAST_INDEX_ROWS = 200_000
 
+#: Probe-side chunk for cogrouped cell kernels: bounds each task's score
+#: matrix at ~CHUNK × |cell| doubles regardless of how many queries probe
+#: the cell (at full probe that is ALL of them).
+_SCORE_CHUNK = 4096
+
 
 def _index_too_big(embeddings: DataFrame, max_rows: int | None) -> bool:
     limit = MAX_BROADCAST_INDEX_ROWS if max_rows is None else max_rows
-    # LIMIT-probe instead of full count: one cheap job, stops early
-    return len(embeddings.select("vec_id").limit(limit + 1).collect()) > limit
+    # LIMIT-probe: one early-stopping job, nothing shipped to the driver
+    # but the single count (collecting limit+1 Row objects just for len()
+    # would move ~limit rows driver-side on every call)
+    return embeddings.select(F.lit(1).alias("one")).limit(limit + 1).count() > limit
 
 
 def _broadcast_index(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
@@ -85,7 +115,7 @@ def _broadcast_index(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    return embeddings.sparkSession.sparkContext.broadcast((ids, M, _seq_norms(M)))
+    return embeddings.sparkSession.sparkContext.broadcast((ids, M, _safe_norms(M)))
 
 
 def _batch_matrix(series: pd.Series) -> np.ndarray:
@@ -121,12 +151,11 @@ def cosine_topk(
         for pdf in batches:
             A = _batch_matrix(pdf["embedding"])
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            C = np.round(_seq_gram(A, M) / (_seq_norms(A)[:, None] * norms[None, :]), 6)
+            C = np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
             out_q, out_n, out_c, out_r = [], [], [], []
             for i in range(A.shape[0]):
                 row = C[i]
-                order = np.lexsort((ids, -row))
-                order = order[ids[order] != a_ids[i]][:k]
+                order = _topk_order(row, ids, k, ids != a_ids[i])
                 out_q.extend([a_ids[i]] * len(order))
                 out_n.extend(ids[order])
                 out_c.extend(row[order])
@@ -178,24 +207,26 @@ def _ivf_pairs_above(
                 {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
                  "cosine": pd.Series(dtype="float64")}
             )
-        A = _batch_matrix(left["embedding"])
-        a_ids = left["vec_id"].to_numpy(np.int64)
         M = _batch_matrix(right["embedding"])
         m_ids = right["vec_id"].to_numpy(np.int64)
-        C = np.round(
-            _seq_gram(A, M)
-            / (np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))[:, None]
-               * np.where(_seq_norms(M) == 0, 1.0, _seq_norms(M))[None, :]),
-            6,
-        )
-        ii, jj = np.nonzero((C >= threshold) & (a_ids[:, None] < m_ids[None, :]))
-        return pd.DataFrame(
-            {
-                "vec_a": pd.Series(a_ids[ii], dtype="int64"),
-                "vec_b": pd.Series(m_ids[jj], dtype="int64"),
-                "cosine": pd.Series(C[ii, jj], dtype="float64"),
-            }
-        )
+        frames = []
+        # chunk the probe side: at full probe a cell's left frame holds
+        # EVERY query, and an unchunked score matrix would be |queries|×
+        # |cell| doubles per task — chunking bounds peak memory
+        for lo in range(0, len(left), _SCORE_CHUNK):
+            chunk = left.iloc[lo : lo + _SCORE_CHUNK]
+            A = _batch_matrix(chunk["embedding"])
+            a_ids = chunk["vec_id"].to_numpy(np.int64)
+            C = _cosine_block(A, M)
+            ii, jj = np.nonzero((C >= threshold) & (a_ids[:, None] < m_ids[None, :]))
+            frames.append(pd.DataFrame(
+                {
+                    "vec_a": pd.Series(a_ids[ii], dtype="int64"),
+                    "vec_b": pd.Series(m_ids[jj], dtype="int64"),
+                    "cosine": pd.Series(C[ii, jj], dtype="float64"),
+                }
+            ))
+        return pd.concat(frames, ignore_index=True)
 
     return (
         probes.groupBy("cell")
@@ -221,7 +252,7 @@ def cosine_pairs_above(
         for pdf in batches:
             A = _batch_matrix(pdf["embedding"])
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            C = np.round(_seq_gram(A, M) / (_seq_norms(A)[:, None] * norms[None, :]), 6)
+            C = np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
             ii, jj = np.nonzero((C >= threshold) & (a_ids[:, None] < ids[None, :]))
             yield pd.DataFrame(
                 {
@@ -401,33 +432,30 @@ def _ivf_knn(
             return pd.DataFrame(
                 {c: pd.Series(dtype="float64" if c == "cosine" else "int64") for c in empty_cols}
             )
-        A = _batch_matrix(left["embedding"])
-        a_ids = left["vec_id"].to_numpy(np.int64)
         M = _batch_matrix(right["embedding"])
         m_ids = right["vec_id"].to_numpy(np.int64)
-        if cross_label:
-            a_lbl = left["label"].to_numpy(np.int64)
-            m_lbl = right["label"].to_numpy(np.int64)
-        C = np.round(
-            _seq_gram(A, M)
-            / (np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))[:, None]
-               * np.where(_seq_norms(M) == 0, 1.0, _seq_norms(M))[None, :]),
-            6,
-        )
+        m_lbl = right["label"].to_numpy(np.int64) if cross_label else None
         out = {c: [] for c in empty_cols}
-        for i in range(A.shape[0]):
-            row = C[i]
-            order = np.lexsort((m_ids, -row))
-            keep = m_ids[order] != a_ids[i]
-            if cross_label:
-                keep &= m_lbl[order] != a_lbl[i]
-            order = order[keep][:k]
-            out["vec_id"].extend([a_ids[i]] * len(order))
-            out["neighbor_id"].extend(m_ids[order])
-            out["cosine"].extend(row[order])
-            if cross_label:
-                out["label"].extend([a_lbl[i]] * len(order))
-                out["neighbor_label"].extend(m_lbl[order])
+        # chunk the probe side: at full probe the left frame holds every
+        # query — chunking bounds the score matrix per task
+        for lo in range(0, len(left), _SCORE_CHUNK):
+            chunk = left.iloc[lo : lo + _SCORE_CHUNK]
+            A = _batch_matrix(chunk["embedding"])
+            a_ids = chunk["vec_id"].to_numpy(np.int64)
+            a_lbl = chunk["label"].to_numpy(np.int64) if cross_label else None
+            C = _cosine_block(A, M)
+            for i in range(A.shape[0]):
+                row = C[i]
+                keep = m_ids != a_ids[i]
+                if cross_label:
+                    keep &= m_lbl != a_lbl[i]
+                order = _topk_order(row, m_ids, k, keep)
+                out["vec_id"].extend([a_ids[i]] * len(order))
+                out["neighbor_id"].extend(m_ids[order])
+                out["cosine"].extend(row[order])
+                if cross_label:
+                    out["label"].extend([a_lbl[i]] * len(order))
+                    out["neighbor_label"].extend(m_lbl[order])
         return pd.DataFrame(
             {c: pd.Series(out[c], dtype="float64" if c == "cosine" else "int64") for c in empty_cols}
         )
@@ -511,13 +539,11 @@ def ann_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         A = _batch_matrix(pdf["embedding"])
         ids = pdf["vec_id"].to_numpy(np.int64)
-        norms = np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))
-        C = np.round(_seq_gram(A, A) / (norms[:, None] * norms[None, :]), 6)
+        C = _cosine_block(A, A)
         out_q, out_n, out_c, out_r = [], [], [], []
         for i in range(A.shape[0]):
             row = C[i]
-            order = np.lexsort((ids, -row))
-            order = order[ids[order] != ids[i]][:k]
+            order = _topk_order(row, ids, k, ids != ids[i])
             out_q.extend([ids[i]] * len(order))
             out_n.extend(ids[order])
             out_c.extend(row[order])
@@ -646,7 +672,7 @@ def hard_negatives_broadcast(embeddings: DataFrame, k: int = 3) -> DataFrame:
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([list(r[1]) for r in rows], dtype=np.float64)
     labels = np.array([r[2] for r in rows], dtype=np.int64)
-    b = embeddings.sparkSession.sparkContext.broadcast((ids, M, _seq_norms(M), labels))
+    b = embeddings.sparkSession.sparkContext.broadcast((ids, M, _safe_norms(M), labels))
 
     def block(batches):
         ids_, M_, norms, labels_ = b.value
@@ -654,12 +680,11 @@ def hard_negatives_broadcast(embeddings: DataFrame, k: int = 3) -> DataFrame:
             A = _batch_matrix(pdf["embedding"])
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_labels = pdf["label"].to_numpy(dtype=np.int64)
-            C = np.round(_seq_gram(A, M_) / (_seq_norms(A)[:, None] * norms[None, :]), 6)
+            C = np.round(_seq_gram(A, M_) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
             out = {c: [] for c in ("vec_id", "label", "neighbor_id", "neighbor_label", "cosine", "rank")}
             for i in range(A.shape[0]):
                 row = C[i]
-                order = np.lexsort((ids_, -row))
-                order = order[(labels_[order] != a_labels[i]) & (ids_[order] != a_ids[i])][:k]
+                order = _topk_order(row, ids_, k, (labels_ != a_labels[i]) & (ids_ != a_ids[i]))
                 out["vec_id"].extend([a_ids[i]] * len(order))
                 out["label"].extend([a_labels[i]] * len(order))
                 out["neighbor_id"].extend(ids_[order])

@@ -460,14 +460,22 @@ def profile_upsert_writer(
     Use: ``profiles.writeStream.foreachBatch(profile_upsert_writer(path))``.
     """
 
+    from pyspark.errors import AnalysisException
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucket = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
-        batch = batch_df.withColumn("_bucket", bucket)
+        batch = batch_df.withColumn("_bucket", bucket).withColumn("_src", F.lit(1))
         try:
-            existing = spark.read.parquet(base_path)
-        except Exception:
+            existing = spark.read.parquet(base_path).withColumn("_src", F.lit(0))
+        except AnalysisException as exc:
+            # ONLY a missing store means "first batch"; any other read
+            # failure (transient FS error, corrupt footer, permissions)
+            # must abort the batch — treating it as empty would overwrite
+            # touched buckets with batch-only rows and silently lose data
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             existing = None
         if existing is not None:
             touched = [r[0] for r in batch.select("_bucket").distinct().collect()]
@@ -476,13 +484,16 @@ def profile_upsert_writer(
             )
         else:
             merged = batch
+        # tie-break: on equal order columns the BATCH row wins (an update
+        # carrying the same event time as the stored row must not
+        # nondeterministically keep the stale value)
         w = Window.partitionBy(key).orderBy(
-            *[F.desc(c) for c in order], F.desc("_bucket")
+            *[F.desc(c) for c in order], F.desc("_src")
         )
         latest = (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            .drop("_rn", "_src")
             .localCheckpoint()  # sever the read-from-base lineage pre-overwrite
         )
         latest.write.mode("overwrite").partitionBy("_bucket").parquet(base_path)

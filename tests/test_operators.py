@@ -1055,3 +1055,19 @@ class TestAnnTopk:
             cos = [x[1] for x in ranks]
             assert cos == sorted(cos, reverse=True)
             assert len(ranks) <= 5
+
+
+@pytest.mark.parametrize("max_local_edges", [None, 0], ids=["local", "distributed"])
+def test_connected_components_ignores_foreign_endpoints(spark, max_local_edges):
+    """Edges touching ids absent from `nodes` neither label nor bridge —
+    and BOTH physical paths must agree on that (the induced-subgraph
+    contract of the distributed fixpoint)."""
+    edges = spark.createDataFrame(
+        [("n1", "x"), ("x", "n2"), ("n3", "n4")], "a string, b string"
+    )
+    nodes = spark.createDataFrame([("n1",), ("n2",), ("n3",), ("n4",)], "id string")
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges, max_local_edges=max_local_edges).collect()
+    }
+    assert comp == {"n1": "n1", "n2": "n2", "n3": "n3", "n4": "n3"}

@@ -663,3 +663,16 @@ def test_profile_upsert_writer_merges_latest(spark, tmp_path):
         for r in spark.read.parquet(store).collect()
     }
     assert again == got
+
+
+def test_profile_upsert_tie_breaks_to_batch(spark, tmp_path):
+    """Equal order-column values: the incoming batch row must win, not a
+    nondeterministic pick."""
+    from pulseboard_spark.streaming.pipeline import profile_upsert_writer
+
+    store = str(tmp_path / "profiles_tie")
+    writer = profile_upsert_writer(store, key="profile_id", order=("ts_ms",), n_buckets=2)
+    writer(spark.createDataFrame([("p1", 100, "basic")], "profile_id string, ts_ms long, plan string"), 0)
+    writer(spark.createDataFrame([("p1", 100, "pro")], "profile_id string, ts_ms long, plan string"), 1)
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) == 1 and rows[0].plan == "pro"
