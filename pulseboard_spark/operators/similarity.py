@@ -267,6 +267,62 @@ def cosine_pairs_above(
     )
 
 
+def embedding_decontamination(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    eval_mod: int = 10,
+    max_broadcast_rows: int | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of
+    the n-gram `corpus.decontaminate`: vectors with ``vec_id % eval_mod
+    == 0`` form the held-out eval set; a training vector is contaminated
+    when its cosine to ANY eval vector reaches ``threshold`` (paraphrased
+    eval leakage that shares no n-gram).  Returns contaminated training
+    vectors with their closest-eval cosine and the match count.
+
+    Physical shape: the eval set (a few percent) is the broadcast index;
+    training vectors stream through the shared block kernel.  Size guard
+    as everywhere — an over-ceiling eval set routes through the chunked
+    IVF cell kernel.
+    """
+    evals = embeddings.filter(F.col("vec_id") % eval_mod == 0)
+    train = embeddings.filter(F.col("vec_id") % eval_mod != 0)
+    if _index_too_big(evals, max_broadcast_rows):
+        pairs = _ivf_pairs_above(embeddings, threshold)
+        # keep (train, eval) pairs regardless of the a<b canonicalization
+        t_e = pairs.filter(
+            (F.col("vec_a") % eval_mod != 0) & (F.col("vec_b") % eval_mod == 0)
+        ).select(F.col("vec_a").alias("vec_id"), "cosine")
+        e_t = pairs.filter(
+            (F.col("vec_a") % eval_mod == 0) & (F.col("vec_b") % eval_mod != 0)
+        ).select(F.col("vec_b").alias("vec_id"), "cosine")
+        hits = t_e.unionByName(e_t)
+    else:
+        b = _broadcast_index(evals)
+
+        def block(batches):
+            ids, M, norms = b.value
+            for pdf in batches:
+                A = _batch_matrix(pdf["embedding"])
+                a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                C = np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
+                ii, jj = np.nonzero(C >= threshold)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series(a_ids[ii], dtype="int64"),
+                        "cosine": pd.Series(C[ii, jj], dtype="float64"),
+                    }
+                )
+
+        hits = train.select("vec_id", "embedding").mapInPandas(
+            block, schema="vec_id bigint, cosine double"
+        )
+    return hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("cosine").alias("max_eval_cosine"),
+    )
+
+
 def label_knn_accuracy(embeddings: DataFrame, k: int = 5) -> DataFrame:
     """Diagnostic: per-label majority agreement of the top-k neighbors —
     a cheap quality signal for the ANN variants against the exact kernel."""

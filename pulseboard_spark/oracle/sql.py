@@ -849,6 +849,34 @@ GROUP BY 1
 """
 
 
+# Embedding-space decontamination (operators/similarity.py::
+# embedding_decontamination): train vectors whose cosine to any held-out
+# eval vector (vec_id % 10 == 0) reaches the threshold; cosine via
+# list_dot_product = the kernel's sequential fold, rounded to 6.
+ORACLE_SQL["embedding_decontamination"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN 1.0
+              ELSE sqrt(list_dot_product(e, e)) END AS nrm
+  FROM v
+),
+hits AS (
+  SELECT t.vec_id,
+         round(list_dot_product(t.e, ev.e) / (t.nrm * ev.nrm), 6) AS cosine
+  FROM n t JOIN n ev
+    ON t.vec_id % 10 <> 0 AND ev.vec_id % 10 = 0
+  WHERE round(list_dot_product(t.e, ev.e) / (t.nrm * ev.nrm), 6) >= 0.35
+)
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS n_eval_matches,
+       max(cosine) AS max_eval_cosine
+FROM hits GROUP BY vec_id
+"""
+
 # Real frame sampling (operators/multimodal.py::sampled_frame_features over
 # synth_video): Spark seeks and decodes every 2nd frame of a genuine
 # multi-frame container; the oracle reproduces per-frame pixel sums from

@@ -1328,6 +1328,10 @@ def video_frame_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sampled_frame_features(multimodal.synth_video(_docs(spark, sf_dir)))
 
 
+def embedding_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_decontamination(_embs(spark, sf_dir))
+
+
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV decode: synthesize 16-bit mono PCM payloads, decode with
     the in-module stdlib parser, emit integer signal stats — oracle-checked
@@ -1475,6 +1479,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_length_histogram": token_length_histogram_q,
     "audio_features": audio_features_q,
     "video_frame_features": video_frame_features_q,
+    "embedding_decontamination": embedding_decontamination_q,
     "component_sizes": component_sizes_q,
     "value_histogram": value_histogram_q,
     "doc_hash_sample": doc_hash_sample_q,
