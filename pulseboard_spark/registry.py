@@ -1475,6 +1475,13 @@ QUERIES: dict[str, QueryFn] = {
     "pii_scrub": pii_scrub_q,
     "decontamination": decontamination_q,
     # ---- driver window boundary (~50) ----
+    # Round-3 rotation plan: once CORRECTNESS_r02 lands green for the 50
+    # above, rotate these never-driver-checked oracle queries to the front
+    # (doc_lm_score, token_length_histogram, audio_features,
+    # video_frame_features, embedding_decontamination, component_sizes,
+    # value_histogram, doc_hash_sample, frame_sample_plan, corpus_mixture)
+    # and backfill with round-1 greens; keep any r02 FAILURES in front
+    # after fixing them.
     "doc_lm_score": doc_lm_score_q,
     "token_length_histogram": token_length_histogram_q,
     "audio_features": audio_features_q,
