@@ -193,6 +193,9 @@ def connected_components(
             # an anti-join (id = component, no materialization).
             spark = nodes.sparkSession
             out_schema = nodes.select("id", F.col("id").alias("component")).schema
+            # null endpoints never equi-join in the distributed fixpoint —
+            # drop them here too (and keep sorted() away from None)
+            probe = [r for r in probe if r[0] is not None and r[1] is not None]
             endpoint_ids = sorted({x for r in probe for x in (r[0], r[1])})
             inc_df = spark.createDataFrame(
                 [(i,) for i in endpoint_ids], schema=nodes.select("id").schema

@@ -52,6 +52,8 @@ def _seq_gram(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     still vectorized C-speed, just not BLAS-reassociated.
     """
     C = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    if A.size == 0 or B.size == 0:  # empty side: 0×m / n×0 — nothing to fold
+        return C
     for j in range(A.shape[1]):
         C += A[:, j][:, None] * B[:, j][None, :]
     return C
@@ -114,7 +116,12 @@ def _broadcast_index(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str
     unbounded table."""
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    # empty index must keep a 2-D shape: (0,)-shaped M breaks every kernel
+    M = (
+        np.array([list(r[1]) for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 0), dtype=np.float64)
+    )
     return embeddings.sparkSession.sparkContext.broadcast((ids, M, _safe_norms(M)))
 
 
@@ -288,15 +295,56 @@ def embedding_decontamination(
     evals = embeddings.filter(F.col("vec_id") % eval_mod == 0)
     train = embeddings.filter(F.col("vec_id") % eval_mod != 0)
     if _index_too_big(evals, max_broadcast_rows):
-        pairs = _ivf_pairs_above(embeddings, threshold)
-        # keep (train, eval) pairs regardless of the a<b canonicalization
-        t_e = pairs.filter(
-            (F.col("vec_a") % eval_mod != 0) & (F.col("vec_b") % eval_mod == 0)
-        ).select(F.col("vec_a").alias("vec_id"), "cosine")
-        e_t = pairs.filter(
-            (F.col("vec_a") % eval_mod == 0) & (F.col("vec_b") % eval_mod != 0)
-        ).select(F.col("vec_b").alias("vec_id"), "cosine")
-        hits = t_e.unionByName(e_t)
+        # asymmetric cell kernel: cells index ONLY the eval side, train
+        # vectors probe them — scoring all-pairs over the full table and
+        # filtering after would waste ~5× the compute on train×train and
+        # eval×eval cosines nobody reads
+        assigned, cent_bc = ivf_index(evals, iters=0)
+
+        def probe(batches):
+            _ids, CM, _cn = cent_bc.value
+            npb = CM.shape[0]
+            for pdf in batches:
+                m = len(pdf)
+                rep = np.repeat(np.arange(m), npb)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), npb),
+                        "embedding": [pdf["embedding"].iloc[i] for i in rep],
+                        "cell": np.tile(np.arange(npb, dtype=np.int64), m),
+                    }
+                )
+
+        probes = train.select("vec_id", "embedding").mapInPandas(
+            probe, schema="vec_id bigint, embedding array<float>, cell bigint"
+        )
+
+        def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame(
+                    {"vec_id": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
+                )
+            M = _batch_matrix(right["embedding"])
+            frames = []
+            for lo in range(0, len(left), _SCORE_CHUNK):
+                chunk = left.iloc[lo : lo + _SCORE_CHUNK]
+                A = _batch_matrix(chunk["embedding"])
+                a_ids = chunk["vec_id"].to_numpy(np.int64)
+                C = _cosine_block(A, M)
+                ii, jj = np.nonzero(C >= threshold)
+                frames.append(pd.DataFrame(
+                    {
+                        "vec_id": pd.Series(a_ids[ii], dtype="int64"),
+                        "cosine": pd.Series(C[ii, jj], dtype="float64"),
+                    }
+                ))
+            return pd.concat(frames, ignore_index=True)
+
+        hits = (
+            probes.groupBy("cell")
+            .cogroup(assigned.groupBy("cell"))
+            .applyInPandas(score_cell, schema="vec_id bigint, cosine double")
+        )
     else:
         b = _broadcast_index(evals)
 
@@ -383,13 +431,13 @@ def ivf_index(
     )
     C = np.array([list(r[1]) for r in seeds], dtype=np.float64)
     sc = embeddings.sparkSession.sparkContext
-    cent_bc = sc.broadcast((np.arange(len(C)), C, np.where(_seq_norms(C) == 0, 1.0, _seq_norms(C))))
+    cent_bc = sc.broadcast((np.arange(len(C)), C, _safe_norms(C)))
 
     def assign(batches):
         _ids, CM, cn = cent_bc.value
         for pdf in batches:
             A = _batch_matrix(pdf["embedding"])
-            an = np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))
+            an = _safe_norms(A)
             S = _seq_gram(A, CM) / (an[:, None] * cn[None, :])
             pdf["cell"] = np.argmax(S, axis=1).astype(np.int64)  # first max wins: lowest cell id
             yield pdf[["vec_id", "embedding", "cell"]]
@@ -410,7 +458,7 @@ def ivf_index(
         # empty cells keep their previous centroid (rows only cover non-empty)
         for cell, centroid in rows:
             C[cell] = centroid
-        cent_bc = sc.broadcast((np.arange(len(C)), C, np.where(_seq_norms(C) == 0, 1.0, _seq_norms(C))))
+        cent_bc = sc.broadcast((np.arange(len(C)), C, _safe_norms(C)))
 
     return base.mapInPandas(assign, schema=schema), cent_bc
 
@@ -459,7 +507,7 @@ def _ivf_knn(
         npb = CM.shape[0] if nprobe is None else min(nprobe, CM.shape[0])
         for pdf in batches:
             A = _batch_matrix(pdf["embedding"])
-            an = np.where(_seq_norms(A) == 0, 1.0, _seq_norms(A))
+            an = _safe_norms(A)
             S = _seq_gram(A, CM) / (an[:, None] * cn[None, :])
             # nprobe best cells per query; stable argsort is deterministic
             # under ties

@@ -700,7 +700,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 ORACLE_SQL["dedup_embedding"] = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+n AS (SELECT vec_id, v, CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END AS nrm FROM e)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine,
        least(a.vec_id, b.vec_id) AS canonical_vec_id
@@ -711,7 +711,7 @@ WHERE a.vec_id < b.vec_id
 
 _TOPK_CTE = """
 e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+n AS (SELECT vec_id, v, CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END AS nrm FROM e),
 pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
          round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
@@ -2255,7 +2255,7 @@ WITH e AS (
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+n AS (SELECT vec_id, label, v, CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END AS nrm FROM e),
 pairs AS (
   SELECT a.vec_id AS vec_id, a.label AS label,
          b.vec_id AS neighbor_id, b.label AS neighbor_label,

@@ -463,6 +463,8 @@ def profile_upsert_writer(
     from pyspark.errors import AnalysisException
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # nothing to upsert — and never create an empty store dir
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucket = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
@@ -470,11 +472,18 @@ def profile_upsert_writer(
         try:
             existing = spark.read.parquet(base_path).withColumn("_src", F.lit(0))
         except AnalysisException as exc:
-            # ONLY a missing store means "first batch"; any other read
-            # failure (transient FS error, corrupt footer, permissions)
-            # must abort the batch — treating it as empty would overwrite
-            # touched buckets with batch-only rows and silently lose data
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            # ONLY a missing or still-empty store means "first batch"; any
+            # other read failure (transient FS error, corrupt footer,
+            # permissions) must abort the batch — treating it as empty
+            # would overwrite touched buckets with batch-only rows and
+            # silently lose data
+            msg = str(exc)
+            recoverable = (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg  # dir exists but holds no files
+            )
+            if not recoverable:
                 raise
             existing = None
         if existing is not None:

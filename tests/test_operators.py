@@ -1071,3 +1071,25 @@ def test_connected_components_ignores_foreign_endpoints(spark, max_local_edges):
         for r in connected_components(nodes, edges, max_local_edges=max_local_edges).collect()
     }
     assert comp == {"n1": "n1", "n2": "n2", "n3": "n3", "n4": "n3"}
+
+
+class TestEmbeddingDecon:
+    def test_guarded_path_matches_broadcast(self, spark, sf_dir, monkeypatch):
+        """The asymmetric IVF fallback must equal the broadcast path."""
+        from pulseboard_spark.operators import similarity
+        from pulseboard_spark.sources.tables import load_table
+
+        embs = load_table(spark, sf_dir, "embeddings")
+        want = {tuple(r) for r in similarity.embedding_decontamination(embs).collect()}
+        monkeypatch.setattr(similarity, "MAX_BROADCAST_INDEX_ROWS", 5)
+        got = {tuple(r) for r in similarity.embedding_decontamination(embs).collect()}
+        assert got == want and got
+
+    def test_no_eval_vectors_yields_empty(self, spark):
+        """An id space with no eval residues returns zero rows, not a
+        crash (empty broadcast index)."""
+        from pulseboard_spark.operators.similarity import embedding_decontamination
+
+        rows = [(i, [1.0, float(i)]) for i in range(1, 20, 2)]  # all odd ids
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        assert embedding_decontamination(df, eval_mod=10).count() == 0
