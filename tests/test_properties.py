@@ -328,3 +328,72 @@ def test_heavy_hitters_matches_counter_model(spark):
             if n * 10000 >= 1000 * tot:  # integer-bp predicate, like the operator
                 want[(k, v)] = (n, tot)
     assert got == want
+
+
+# --- JSON rule DSL vs a Python reference evaluator ---------------------------
+
+
+def test_dsl_random_specs_match_python_eval(spark):
+    """Randomly generated predicate trees must evaluate identically via
+    the compiled Catalyst Column and a plain-Python interpreter."""
+    from pulseboard_spark.functions.dsl import compile_predicate
+
+    rng = random.Random(42)
+    fields = ["a", "b", "c"]
+
+    def gen_operand(depth):
+        r = rng.random()
+        if depth <= 0 or r < 0.5:
+            return rng.choice(fields) if rng.random() < 0.6 else round(rng.uniform(-5, 5), 2)
+        op = rng.choice(["+", "-", "*"])
+        return {op: [gen_operand(depth - 1), gen_operand(depth - 1)]}
+
+    def gen_pred(depth):
+        r = rng.random()
+        if depth <= 0 or r < 0.5:
+            return {
+                "op": rng.choice([">", ">=", "<", "<=", "==", "!="]),
+                "left": gen_operand(1),
+                "right": gen_operand(1),
+            }
+        kind = rng.choice(["all", "any", "not"])
+        if kind == "not":
+            return {"not": gen_pred(depth - 1)}
+        return {kind: [gen_pred(depth - 1) for _ in range(rng.randint(1, 3))]}
+
+    def py_operand(spec, row):
+        if isinstance(spec, str):
+            return row[spec]
+        if isinstance(spec, (int, float)):
+            return spec
+        (op, (l, r)), = spec.items()
+        lv, rv = py_operand(l, row), py_operand(r, row)
+        return {"+": lv + rv, "-": lv - rv, "*": lv * rv}[op]
+
+    def py_pred(spec, row):
+        if "all" in spec:
+            return all(py_pred(p, row) for p in spec["all"])
+        if "any" in spec:
+            return any(py_pred(p, row) for p in spec["any"])
+        if "not" in spec:
+            return not py_pred(spec["not"], row)
+        l, r = py_operand(spec["left"], row), py_operand(spec["right"], row)
+        return {
+            ">": l > r, ">=": l >= r, "<": l < r, "<=": l <= r,
+            "==": l == r, "!=": l != r,
+        }[spec["op"]]
+
+    rows = [
+        {"id": i, "a": round(rng.uniform(-5, 5), 2), "b": round(rng.uniform(-5, 5), 2),
+         "c": round(rng.uniform(-5, 5), 2)}
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(r["id"], r["a"], r["b"], r["c"]) for r in rows],
+        "id long, a double, b double, c double",
+    )
+    for _ in range(15):
+        spec = gen_pred(3)
+        got = {r.id for r in df.filter(compile_predicate(spec)).select("id").collect()}
+        want = {r["id"] for r in rows if py_pred(spec, r)}
+        assert got == want, spec
