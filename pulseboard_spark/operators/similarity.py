@@ -89,6 +89,49 @@ def _topk_order(row: np.ndarray, ids: np.ndarray, k: int, keep: np.ndarray) -> n
     return order[keep[order]][:k]
 
 
+def _full_probe(df: DataFrame, n_cells: int) -> DataFrame:
+    """Explode every vector to one row per cell — the probe side of the
+    exact (full-probe) cogrouped kernels.  One shared implementation so
+    the replication contract has a single home; embeddings are gathered
+    with one vectorized numpy take, not a per-element Python loop."""
+
+    def probe(batches):
+        for pdf in batches:
+            m = len(pdf)
+            rep = np.repeat(np.arange(m), n_cells)
+            emb = pdf["embedding"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), n_cells),
+                    "embedding": list(emb[rep]),
+                    "cell": np.tile(np.arange(n_cells, dtype=np.int64), m),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        probe, schema="vec_id bigint, embedding array<float>, cell bigint"
+    )
+
+
+def _chunked_pairs_above(left: pd.DataFrame, right: pd.DataFrame, threshold: float, canonical: bool):
+    """Shared chunked scorer for pairs-above-threshold cell kernels:
+    yields (a_ids, b_ids, cosines) per probe chunk.  ``canonical`` keeps
+    only a<b pairs (symmetric dedup); without it every (probe, member)
+    hit is emitted."""
+    M = _batch_matrix(right["embedding"])
+    m_ids = right["vec_id"].to_numpy(np.int64)
+    for lo in range(0, len(left), _SCORE_CHUNK):
+        chunk = left.iloc[lo : lo + _SCORE_CHUNK]
+        A = _batch_matrix(chunk["embedding"])
+        a_ids = chunk["vec_id"].to_numpy(np.int64)
+        C = _cosine_block(A, M)
+        mask = C >= threshold
+        if canonical:
+            mask &= a_ids[:, None] < m_ids[None, :]
+        ii, jj = np.nonzero(mask)
+        yield a_ids[ii], m_ids[jj], C[ii, jj]
+
+
 #: Ceiling for driver-collected broadcast indexes: ~200k × (64-dim f64 +
 #: id + norm) ≈ 110 MB — the same order as Spark's own broadcast-join
 #: comfort zone.  Above it the exact kernels route to the distributed
@@ -189,51 +232,22 @@ def _ivf_pairs_above(
     filter (each unordered pair scored exactly once: when a probes b's
     home cell).  No driver collect; exact ≡ the broadcast kernel."""
     assigned, cent_bc = ivf_index(embeddings, n_cells=n_cells, iters=iters)
-
-    def probe(batches):
-        _ids, CM, _cn = cent_bc.value
-        npb = CM.shape[0]
-        for pdf in batches:
-            m = len(pdf)
-            rep = np.repeat(np.arange(m), npb)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), npb),
-                    "embedding": [pdf["embedding"].iloc[i] for i in rep],
-                    "cell": np.tile(np.arange(npb, dtype=np.int64), m),
-                }
-            )
-
-    probes = embeddings.select("vec_id", "embedding").mapInPandas(
-        probe, schema="vec_id bigint, embedding array<float>, cell bigint"
-    )
+    probes = _full_probe(embeddings, cent_bc.value[1].shape[0])
 
     def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame(
-                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
-            )
-        M = _batch_matrix(right["embedding"])
-        m_ids = right["vec_id"].to_numpy(np.int64)
-        frames = []
-        # chunk the probe side: at full probe a cell's left frame holds
-        # EVERY query, and an unchunked score matrix would be |queries|×
-        # |cell| doubles per task — chunking bounds peak memory
-        for lo in range(0, len(left), _SCORE_CHUNK):
-            chunk = left.iloc[lo : lo + _SCORE_CHUNK]
-            A = _batch_matrix(chunk["embedding"])
-            a_ids = chunk["vec_id"].to_numpy(np.int64)
-            C = _cosine_block(A, M)
-            ii, jj = np.nonzero((C >= threshold) & (a_ids[:, None] < m_ids[None, :]))
-            frames.append(pd.DataFrame(
-                {
-                    "vec_a": pd.Series(a_ids[ii], dtype="int64"),
-                    "vec_b": pd.Series(m_ids[jj], dtype="int64"),
-                    "cosine": pd.Series(C[ii, jj], dtype="float64"),
-                }
-            ))
-        return pd.concat(frames, ignore_index=True)
+        out_a, out_b, out_c = [], [], []
+        if len(left) and len(right):
+            for a_ids, b_ids, cos in _chunked_pairs_above(left, right, threshold, canonical=True):
+                out_a.append(a_ids)
+                out_b.append(b_ids)
+                out_c.append(cos)
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(np.concatenate(out_a) if out_a else [], dtype="int64"),
+                "vec_b": pd.Series(np.concatenate(out_b) if out_b else [], dtype="int64"),
+                "cosine": pd.Series(np.concatenate(out_c) if out_c else [], dtype="float64"),
+            }
+        )
 
     return (
         probes.groupBy("cell")
@@ -300,45 +314,20 @@ def embedding_decontamination(
         # filtering after would waste ~5× the compute on train×train and
         # eval×eval cosines nobody reads
         assigned, cent_bc = ivf_index(evals, iters=0)
-
-        def probe(batches):
-            _ids, CM, _cn = cent_bc.value
-            npb = CM.shape[0]
-            for pdf in batches:
-                m = len(pdf)
-                rep = np.repeat(np.arange(m), npb)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), npb),
-                        "embedding": [pdf["embedding"].iloc[i] for i in rep],
-                        "cell": np.tile(np.arange(npb, dtype=np.int64), m),
-                    }
-                )
-
-        probes = train.select("vec_id", "embedding").mapInPandas(
-            probe, schema="vec_id bigint, embedding array<float>, cell bigint"
-        )
+        probes = _full_probe(train, cent_bc.value[1].shape[0])
 
         def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0 or len(right) == 0:
-                return pd.DataFrame(
-                    {"vec_id": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
-                )
-            M = _batch_matrix(right["embedding"])
-            frames = []
-            for lo in range(0, len(left), _SCORE_CHUNK):
-                chunk = left.iloc[lo : lo + _SCORE_CHUNK]
-                A = _batch_matrix(chunk["embedding"])
-                a_ids = chunk["vec_id"].to_numpy(np.int64)
-                C = _cosine_block(A, M)
-                ii, jj = np.nonzero(C >= threshold)
-                frames.append(pd.DataFrame(
-                    {
-                        "vec_id": pd.Series(a_ids[ii], dtype="int64"),
-                        "cosine": pd.Series(C[ii, jj], dtype="float64"),
-                    }
-                ))
-            return pd.concat(frames, ignore_index=True)
+            out_a, out_c = [], []
+            if len(left) and len(right):
+                for a_ids, _b_ids, cos in _chunked_pairs_above(left, right, threshold, canonical=False):
+                    out_a.append(a_ids)
+                    out_c.append(cos)
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(np.concatenate(out_a) if out_a else [], dtype="int64"),
+                    "cosine": pd.Series(np.concatenate(out_c) if out_c else [], dtype="float64"),
+                }
+            )
 
         hits = (
             probes.groupBy("cell")
@@ -514,9 +503,10 @@ def _ivf_knn(
             order = np.argsort(-S, axis=1, kind="stable")[:, :npb]
             m = len(pdf)
             rep = np.repeat(np.arange(m), npb)
+            emb = pdf["embedding"].to_numpy()
             out = {
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), npb),
-                "embedding": [pdf["embedding"].iloc[i] for i in rep],
+                "embedding": list(emb[rep]),  # one vectorized gather
                 "cell": order.ravel().astype(np.int64),
             }
             if cross_label:

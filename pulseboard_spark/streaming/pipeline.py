@@ -478,14 +478,24 @@ def profile_upsert_writer(
             # would overwrite touched buckets with batch-only rows and
             # silently lose data
             msg = str(exc)
-            recoverable = (
-                "PATH_NOT_FOUND" in msg
-                or "Path does not exist" in msg
-                or "UNABLE_TO_INFER_SCHEMA" in msg  # dir exists but holds no files
-            )
-            if not recoverable:
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                existing = None
+            elif "UNABLE_TO_INFER_SCHEMA" in msg:
+                # schema inference also fails when a store WITH data merely
+                # lists zero files transiently (flaky object-store listing)
+                # — recover only after the filesystem itself confirms the
+                # directory holds no data files at all
+                jvm = spark._jvm
+                pathj = jvm.org.apache.hadoop.fs.Path(base_path)
+                fs = pathj.getFileSystem(spark._jsc.hadoopConfiguration())
+                files = fs.listFiles(pathj, True)
+                while files.hasNext():
+                    name = files.next().getPath().getName()
+                    if not name.startswith(("_", ".")):
+                        raise  # data exists but was unreadable — abort, don't overwrite
+                existing = None
+            else:
                 raise
-            existing = None
         if existing is not None:
             touched = [r[0] for r in batch.select("_bucket").distinct().collect()]
             merged = batch.unionByName(
