@@ -92,6 +92,13 @@ def main() -> None:
     spark = get_spark("pulseboard-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Stream bench runs FIRST, in a fresh JVM with no cached silver tables:
+    # round 2 ran it after 61 batch queries and the accumulated executor
+    # memory pressure cost ~30% of the recorded rate (11204 -> 7718 eps).
+    stream_eps = _stream_throughput(spark, sf_dir)
+    print(f"# streaming_rules_eps: {stream_eps:.0f} events/sec (baseline target 10000)", file=sys.stderr)
+    spark.catalog.clearCache()
+
     # warm the JVM + parquet footers so per-query numbers measure the plans
     QUERIES["tpch_q1_pricing_summary"](spark, sf_dir).count()
 
@@ -112,9 +119,6 @@ def main() -> None:
             best = min(best, dt)
         timings[name] = round(best, 3)
         print(f"# {name}: warm {timings[name]:.3f}s cold {cold[name]:.3f}s rows={n}", file=sys.stderr)
-
-    stream_eps = _stream_throughput(spark, sf_dir)
-    print(f"# streaming_rules_eps: {stream_eps:.0f} events/sec (baseline target 10000)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # cold timings go to STDERR: the recorder keeps only a bounded tail of
@@ -168,18 +172,18 @@ def _stream_throughput(spark, sf_dir: str) -> float:
             .start()
         )
         q.processAllAvailable()  # warm-up batch (startup costs, cold state)
-        # two timed replay passes, best-of: a single short pass is noisy
-        # (state-store compaction, GC); the driver records one number, so
-        # report the sustained warm rate
-        best = 0.0
+        # two timed replay passes; report the MEAN rate (total events /
+        # total time) — a sustained measure, not a best-of max, so the
+        # recorded stream_eps is what the label implies
+        elapsed = 0.0
         for rep in range(2):
             for i, f in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
                 shutil.copy(f, f"{src}/replay-{rep}-{i}.parquet")
             t0 = _t.monotonic()
             q.processAllAvailable()
-            best = max(best, n / (_t.monotonic() - t0))
+            elapsed += _t.monotonic() - t0
         q.stop()
-        return best
+        return 2 * n / elapsed
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -54,7 +54,16 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 #: violate the "registration plans nothing" contract, so the default
 #: registration sweep skips them; registering one by name opts in.
 EAGER_QUERIES = frozenset(
-    {"bpe_learned_merges", "hard_negatives", "ivf_topk", "similarity_topk", "knn_label_agreement", "dedup_embedding"}
+    {
+        "bpe_learned_merges",
+        "hard_negatives",
+        "ivf_topk",
+        "similarity_topk",
+        "knn_label_agreement",
+        "dedup_embedding",
+        # _index_too_big runs a limit-probe count job during plan construction
+        "embedding_decontamination",
+    }
 )
 
 

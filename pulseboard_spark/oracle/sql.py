@@ -479,7 +479,7 @@ ORACLE_SQL["cdp_trait_fidelity"] = f"""
 WITH {CDP_CTE}
 SELECT plan, country,
        count(*) AS n_events,
-       sum(CAST(18 + k % 60 AS BIGINT)) AS sum_age,
+       CAST(sum(18 + k % 60) AS BIGINT) AS sum_age,
        CAST(sum(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vip
 FROM cdp WHERE ctype = 'IDENTIFY'
 GROUP BY plan, country
@@ -533,7 +533,11 @@ SELECT id, component FROM comp
 
 ORACLE_SQL["cdp_profiles"] = f"""
 WITH RECURSIVE {PROFILES_CTE}
-SELECT profile_id, user_ids, emails, anonymous_ids, plan, country,
+SELECT profile_id,
+       array_to_string(user_ids, ',') AS user_ids,
+       array_to_string(emails, ',') AS emails,
+       array_to_string(anonymous_ids, ',') AS anonymous_ids,
+       plan, country,
        last_seen_ms, CAST(feature_used_24h AS BIGINT) AS feature_used_24h
 FROM profiles
 """
@@ -560,9 +564,10 @@ ORACLE_SQL["cdp_segments"] = f"""
 WITH RECURSIVE {PROFILES_CTE},
 {_segment_membership_cte('end', _SEG_END)}
 SELECT s.profile_id, s.power_user, s.pro_plan, s.reengage,
-       (CASE WHEN s.power_user THEN ['power_user'] ELSE [] END)
-       || (CASE WHEN s.pro_plan THEN ['pro_plan'] ELSE [] END)
-       || (CASE WHEN s.reengage THEN ['reengage'] ELSE [] END) AS segments
+       array_to_string(
+         (CASE WHEN s.power_user THEN ['power_user'] ELSE [] END)
+         || (CASE WHEN s.pro_plan THEN ['pro_plan'] ELSE [] END)
+         || (CASE WHEN s.reengage THEN ['reengage'] ELSE [] END), ',') AS segments
 FROM snap_end s
 """
 
@@ -582,9 +587,9 @@ WHERE e.profile_id IS NULL OR m.profile_id IS NULL
 ORACLE_SQL["top20_profiles"] = f"""
 WITH RECURSIVE {PROFILES_CTE}
 SELECT profile_id,
-       list_transform(user_ids, x -> regexp_replace(x, '^(user|email|anon):', '')) AS user_ids,
-       list_transform(emails, x -> regexp_replace(x, '^(user|email|anon):', '')) AS emails,
-       list_transform(anonymous_ids, x -> regexp_replace(x, '^(user|email|anon):', '')) AS anonymous_ids,
+       array_to_string(list_transform(user_ids, x -> regexp_replace(x, '^(user|email|anon):', '')), ',') AS user_ids,
+       array_to_string(list_transform(emails, x -> regexp_replace(x, '^(user|email|anon):', '')), ',') AS emails,
+       array_to_string(list_transform(anonymous_ids, x -> regexp_replace(x, '^(user|email|anon):', '')), ',') AS anonymous_ids,
        plan, country, last_seen_ms,
        CAST(feature_used_24h AS BIGINT) AS feature_used_24h
 FROM profiles
@@ -1389,8 +1394,8 @@ cu AS (
   FROM h
 )
 SELECT type,
-       max(tot) AS n_gaps,
-       sum(gap_ms * c) AS sum_gap_ms,
+       CAST(max(tot) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_ms * c) AS BIGINT) AS sum_gap_ms,
        min(gap_ms) AS min_gap_ms,
        max(gap_ms) AS max_gap_ms,
        min(CASE WHEN cum >= (tot + 1) // 2 THEN gap_ms END) AS median_gap_ms
@@ -1489,8 +1494,9 @@ r AS (
          sum(n) OVER (PARTITION BY entity_id) AS tot
   FROM c
 )
-SELECT entity_id, type AS top_type, n AS n_top, tot AS n_total,
-       (n * 10000) // tot AS share_bp
+SELECT entity_id, type AS top_type, n AS n_top,
+       CAST(tot AS BIGINT) AS n_total,
+       CAST((n * 10000) // tot AS BIGINT) AS share_bp
 FROM r WHERE rk = 1
 """
 
@@ -1629,7 +1635,8 @@ packed AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
   FROM toks
 )
-SELECT doc_id, source, n_tokens, cum_tokens,
+SELECT doc_id, source, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
        CAST(floor((cum_tokens - n_tokens) / 2048.0) AS INT) AS pack_id,
        CAST((cum_tokens - n_tokens) % 2048 AS INT) AS pack_offset,
        CAST(floor((cum_tokens - 1) / 2048.0) AS INT) AS pack_end
@@ -1779,7 +1786,7 @@ ranked AS (
   FROM toks
 )
 SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
-       list(doc_id ORDER BY doc_id) FILTER (WHERE rnk <= 20) AS postings
+       array_to_string(list(doc_id ORDER BY doc_id) FILTER (WHERE rnk <= 20), ',') AS postings
 FROM ranked GROUP BY term
 """
 
@@ -1791,8 +1798,9 @@ ORACLE_SQL["geo_heavy_hitters"] = f"""
 WITH {ENT_CTE},
 counts AS (SELECT geo, type, count(*) AS n FROM ent GROUP BY geo, type),
 tot AS (SELECT *, sum(n) OVER (PARTITION BY geo) AS n_total FROM counts)
-SELECT geo, type, n, n_total,
-       (n * 10000) // n_total AS share_bp
+SELECT geo, type, n,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST((n * 10000) // n_total AS BIGINT) AS share_bp
 FROM tot WHERE n * 10000 >= 500 * n_total
 """
 
@@ -1876,7 +1884,9 @@ counts AS (
 tot AS (
   SELECT *, sum(n) OVER (PARTITION BY w1) AS n_first FROM counts
 )
-SELECT w1, w2, n, n_first, (n * 1000000) // n_first AS p_follow_ppm
+SELECT w1, w2, n,
+       CAST(n_first AS BIGINT) AS n_first,
+       CAST((n * 1000000) // n_first AS BIGINT) AS p_follow_ppm
 FROM tot WHERE n >= 2
 """
 
@@ -1914,10 +1924,10 @@ top AS (
   SELECT doc_id, max(n) AS topn, sum(n) AS totn FROM wc GROUP BY doc_id
 )
 SELECT f.doc_id, f.n_words,
-       (f.alpha * 1000000) // f.nw1 AS mean_word_len_ppm,
-       (f.alpha * 1000000) // f.len1 AS frac_alpha_ppm,
-       (coalesce(t.topn, 0) * 1000000) // coalesce(t.totn, 1) AS top_word_share_ppm,
-       (f.ndup * 1000000) // f.nsh AS dup_shingle_frac_ppm,
+       CAST((f.alpha * 1000000) // f.nw1 AS BIGINT) AS mean_word_len_ppm,
+       CAST((f.alpha * 1000000) // f.len1 AS BIGINT) AS frac_alpha_ppm,
+       CAST((coalesce(t.topn, 0) * 1000000) // coalesce(t.totn, 1) AS BIGINT) AS top_word_share_ppm,
+       CAST((f.ndup * 1000000) // f.nsh AS BIGINT) AS dup_shingle_frac_ppm,
        (f.n_words BETWEEN 20 AND 100000
         AND 2 * f.nw1 <= f.alpha AND f.alpha <= 12 * f.nw1
         AND coalesce(t.topn, 0) * 10000 <= 3000 * coalesce(t.totn, 1)
@@ -2087,7 +2097,8 @@ per_dim AS (
          count(*) AS n
   FROM triples GROUP BY label, pos
 )
-SELECT label, min(n) AS n_vecs, list(m ORDER BY pos) AS centroid_micro
+SELECT label, min(n) AS n_vecs,
+       array_to_string(list(m ORDER BY pos), ',') AS centroid_micro
 FROM per_dim GROUP BY label
 """
 

