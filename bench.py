@@ -89,16 +89,20 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("pulseboard-bench")
+    # Stream bench runs FIRST and in its OWN SparkContext: round 2 ran it
+    # after 61 batch queries and the accumulated memory pressure cost ~30%
+    # of the recorded rate (11204 -> 7718 eps); conversely, state-store and
+    # Python-worker residue from streaming inflates the Arrow-heavy batch
+    # queries (multimodal_features measured 4x slower post-stream), so each
+    # phase gets a clean context.
+    spark = get_spark("pulseboard-bench-stream")
     spark.sparkContext.setLogLevel("ERROR")
-
-    # Stream bench runs FIRST, in a fresh JVM with no cached silver tables:
-    # round 2 ran it after 61 batch queries and the accumulated executor
-    # memory pressure cost ~30% of the recorded rate (11204 -> 7718 eps).
     stream_eps = _stream_throughput(spark, sf_dir)
     print(f"# streaming_rules_eps: {stream_eps:.0f} events/sec (baseline target 10000)", file=sys.stderr)
-    spark.catalog.clearCache()
+    spark.stop()
 
+    spark = get_spark("pulseboard-bench")
+    spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + parquet footers so per-query numbers measure the plans
     QUERIES["tpch_q1_pricing_summary"](spark, sf_dir).count()
 

@@ -63,6 +63,10 @@ EAGER_QUERIES = frozenset(
         "dedup_embedding",
         # _index_too_big runs a limit-probe count job during plan construction
         "embedding_decontamination",
+        # distributed_ntile pins (localCheckpoints) its ranked layout at
+        # plan time; rfm_scores additionally checkpoints its entity base
+        "rfm_scores",
+        "value_deciles",
     }
 )
 

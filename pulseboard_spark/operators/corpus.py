@@ -137,6 +137,80 @@ def decontaminate(
     )
 
 
+LINE_TOKENS = 10
+
+
+def doc_lines(documents: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame:
+    """Pseudo-line segmentation: whitespace tokens chunked ``line_tokens``
+    at a time, joined back to a line string — (doc_id, line_no, line).
+
+    The synthetic corpus ships no newlines, so fixed-token chunks stand in
+    for lines; on a real corpus the chunker is ``split(text, '\\n')`` and
+    everything downstream is unchanged.  Narrow (explode over the token
+    array) — no shuffle; the token filter mirrors the oracle's
+    ``list_filter(string_split(...))`` exactly."""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    base = documents.select("doc_id", toks.alias("_t")).withColumn(
+        "_n", F.size("_t")
+    ).filter(F.col("_n") > 0)
+    line_no = F.explode(
+        F.sequence(F.lit(0), ((F.col("_n") - 1) / line_tokens).cast("int"))
+    )
+    return base.select("doc_id", line_no.alias("line_no"), "_t").select(
+        "doc_id",
+        "line_no",
+        F.array_join(
+            F.slice("_t", F.col("line_no") * line_tokens + 1, line_tokens), " "
+        ).alias("line"),
+    )
+
+
+def line_dedup_stats(documents: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame:
+    """C4-style line-level dedup audit: per document, how many of its lines
+    are corpus boilerplate (the same line appears in >= 2 distinct docs).
+
+    C4 removes any line occurring >= 3 times in the corpus; this is the
+    audit pass that sizes that removal before you commit to it.  Shape at
+    100 TB: one shuffle on the line string for the distinct-doc frequency
+    (map-side partial over (line, doc_id)), the join back is co-partitioned
+    on the same key, and the final per-doc rollup shuffles line-count rows,
+    never text.  Integer-exact surface (ppm via truncating div)."""
+    lines = doc_lines(documents, line_tokens)
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    per_line = lines.join(freq, "line")
+    return (
+        per_line.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).cast("long").alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_boilerplate",
+            F.expr("(n_boilerplate * 1000000) div n_lines").alias("boilerplate_ppm"),
+        )
+    )
+
+
+def boilerplate_lines(documents: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame:
+    """The boilerplate inventory itself: every line occurring in >= 2
+    distinct documents, with its doc reach and total occurrence count —
+    what a C4-style cleaner materializes as its removal list.  One shuffle
+    on the line string; output is bounded by the duplicated-line mass."""
+    lines = doc_lines(documents, line_tokens)
+    return (
+        lines.groupBy("line")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def build_corpus(
     spark,
     sf_dir: str,

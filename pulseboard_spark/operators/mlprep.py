@@ -83,6 +83,102 @@ def value_outliers(ev: DataFrame, threshold: float = 3.0) -> DataFrame:
     )
 
 
+#: Below this many rows an exact global rank runs as one single-partition
+#: window task over an already-materialized table (cheaper than the
+#: two-level rank's extra stages); above it, the single partition is the
+#: scale-killer and the two-level path takes over.  Same guarded-routing
+#: pattern as similarity.MAX_BROADCAST_INDEX_ROWS.
+MAX_SINGLE_PARTITION_RANK_ROWS = 1_000_000
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n_tiles: int,
+    out: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Exact ANSI ``ntile`` without the single-partition global window.
+
+    ``F.ntile().over(Window.orderBy(...))`` moves EVERY row of the input
+    into ONE partition (and ``partitionBy(group)`` moves every row of a
+    group into one partition) — at entity- or fact-cardinality row counts
+    that is the classic 100 TB scale-killer.  This computes the identical
+    bucket assignment with two-level ranking, moving the big table through
+    exactly ONE exchange:
+
+    1. range-repartition on (by…, order_cols…) + in-partition sort — the
+       same sort-run a global ``orderBy`` pays, minus the final gather;
+    2. local rank from ``monotonically_increasing_id`` (contiguous
+       within a sorted partition): rank-in-(partition, group) =
+       ``_mid - min(_mid)`` over that group — no second full-table
+       shuffle and no fact-sized WindowExec;
+    3. per-(partition, group) counts and min-ids
+       (|partitions|·|groups| rows, tiny) cumulated into rank offsets
+       with a window over that tiny table, broadcast back;
+    4. bucket from the exact global rank r and group size n via ANSI
+       ntile arithmetic (first n % k buckets take one extra row) —
+       bit-identical to ``F.ntile`` and DuckDB ``ntile`` (pinned by
+       test and by the value_deciles / rfm_scores oracles).
+
+    The sorted layout is ALWAYS pinned with an eager ``localCheckpoint``
+    before fan-out: range boundaries come from sampling whose draw depends
+    on upstream row order, which is not stable across recomputation
+    whenever the input contains a shuffle or cache (reduce-side fetch
+    order varies), and the two consumers (counts, final join) silently
+    disagree on partition ids if they each resample — observed as
+    run-to-run row-count drift before this was pinned.  The checkpoint is
+    the sort-run materialization any exact global rank pays; project the
+    input down to the needed columns first to keep it narrow.
+    """
+    by = list(by)
+    order_cols = list(order_cols)
+    keys = by + order_cols
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(p, *[F.asc(c) for c in keys]).sortWithinPartitions(
+        *[F.asc(c) for c in keys]
+    ).localCheckpoint()
+    local = ranged.select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+
+    counts = local.groupBy("_pid", *by).agg(
+        F.count(F.lit(1)).alias("_c"), F.min("_mid").alias("_min_mid")
+    )
+    gw = Window.partitionBy(*by) if by else Window.partitionBy()
+    offsets = counts.select(
+        "_pid",
+        *by,
+        "_min_mid",
+        F.coalesce(
+            F.sum("_c").over(gw.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_c").over(gw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("_n"),
+    )
+
+    # ANSI ntile from the exact global rank r = _off + (_mid - _min_mid + 1):
+    # with n rows and k tiles, the first n % k buckets hold (n div k)+1
+    # rows, the rest n div k.  Pure integer arithmetic (`div` truncates) —
+    # no float ever touches the bucket id.
+    k = int(n_tiles)
+    r = "(_off + _mid - _min_mid + 1)"
+    bucket = F.expr(
+        f"CAST(CASE WHEN {r} <= (_n % {k}) * ((_n div {k}) + 1) "
+        f"THEN ({r} - 1) div ((_n div {k}) + 1) "
+        f"ELSE (_n % {k}) + ({r} - (_n % {k}) * ((_n div {k}) + 1) - 1) div (_n div {k}) "
+        f"END + 1 AS INT)"
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *by])
+        .withColumn(out, bucket)
+        .drop("_pid", "_mid", "_min_mid", "_off", "_n")
+    )
+
+
 def quantile_bins(
     df: DataFrame,
     value: str,
@@ -92,17 +188,28 @@ def quantile_bins(
 ) -> DataFrame:
     """Equal-frequency bin assignment (ntile) of ``value`` within each
     group; ties broken deterministically by event_id so the binning is
-    reproducible across engines and partitionings."""
-    w = Window.partitionBy(*by).orderBy(F.col(value), F.col("event_id"))
-    return df.where(F.col(value).isNotNull()).withColumn(
-        bin_col, F.ntile(n_bins).over(w)
+    reproducible across engines and partitionings.  Routed through
+    :func:`distributed_ntile`: a per-group window would gather each
+    group into one partition (20 TB in one task for a 5-type fact at
+    100 TB); the two-level rank keeps every partition parallel.  NOTE:
+    materializes the (projected) input at plan-construction time — see
+    distributed_ntile's pinning contract and catalog.EAGER_QUERIES."""
+    return distributed_ntile(
+        df.where(F.col(value).isNotNull()),
+        [value, "event_id"],
+        n_bins,
+        bin_col,
+        by=by,
     )
 
 
 def value_decile_profile(ev: DataFrame) -> DataFrame:
     """Per (type, decile) population and value range — the compact,
-    query-shaped face of :func:`quantile_bins`."""
-    binned = quantile_bins(ev, "value", ["type"], 10, "decile")
+    query-shaped face of :func:`quantile_bins`.  Projects to the three
+    needed columns first so the ranked checkpoint stays narrow."""
+    binned = quantile_bins(
+        ev.select("type", "value", "event_id"), "value", ["type"], 10, "decile"
+    )
     return binned.groupBy("type", "decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("value"), 4).alias("lo"),
@@ -160,12 +267,16 @@ def _discrete_median(df: DataFrame, key: str, valcol: str, out: str) -> DataFram
     internally; an exact median fundamentally costs a per-group selection.
     At 100 TB route continuous columns to ``percentile_approx`` (the
     sketch twin, `approx_value_quantiles`) unless exactness is required."""
-    from pyspark.sql import Window
-
     hist = df.groupBy(key, valcol).agg(F.count(F.lit(1)).alias("_c"))
+    return _hist_median(hist, key, valcol, "_c", out)
+
+
+def _hist_median(hist: DataFrame, key: str, valcol: str, cnt: str, out: str) -> DataFrame:
+    """Lower discrete median from a precomputed (key, value, count)
+    histogram — lets a caller that already paid the fact pass reuse it."""
     w = Window.partitionBy(key)
-    cum = hist.withColumn("_cum", F.sum("_c").over(w.orderBy(valcol))).withColumn(
-        "_tot", F.sum("_c").over(w)
+    cum = hist.withColumn("_cum", F.sum(cnt).over(w.orderBy(valcol))).withColumn(
+        "_tot", F.sum(cnt).over(w)
     )
     return (
         cum.where(F.col("_cum") >= F.expr("(_tot + 1) div 2"))
@@ -182,31 +293,48 @@ def mad_outliers(ev: DataFrame, k: float = 3.0) -> DataFrame:
     — actual data elements, engine-exact with no rounding at the surface —
     then median of |v − med|; a value is an outlier when
     |v − med| > k · 1.4826 · MAD (1.4826 scales MAD to σ under
-    normality).  The fact is never shuffled — both stats tables are tiny
-    per-type aggregates broadcast back, and the final reduction is a
-    per-type count.  Degenerate types (MAD = 0) flag every v ≠ median.
+    normality).  Degenerate types (MAD = 0) flag every v ≠ median.
+
+    The fact is scanned and aggregated ONCE — into the per-(type, value)
+    histogram — and everything downstream (both medians, the outlier
+    count, n_values) is histogram arithmetic: the deviation histogram is
+    a regroup of the value histogram, and the final outlier count weighs
+    histogram rows by their counts instead of rescanning events.  Spark
+    reuses the one histogram exchange across all three consumers, so
+    what was 3 fact scans + 3 fact-sized aggregations is now 1 + 0.
     """
     vals = ev.filter(F.col("value").isNotNull()).select(
         "type", F.col("value").cast("double").alias("v")
     )
-    med = _discrete_median(vals, "type", "v", "med")
-    dev = vals.join(F.broadcast(med), "type").withColumn(
-        "adev", F.abs(F.col("v") - F.col("med"))
+    # cache() the histogram: its three consumers (median window, deviation
+    # regroup, final weighted count) are independent subtrees that AQE does
+    # NOT stitch into one reused exchange; the CacheManager dedupes them by
+    # canonical plan so the fact pass runs once.  Lazy — nothing plans or
+    # runs at construction — and the entry is |distinct (type, value)| rows.
+    hist = vals.groupBy("type", "v").agg(F.count(F.lit(1)).alias("_c")).cache()
+    # med/mad are |types|-row tables consumed 2-3x each (deviation regroup,
+    # mad join, final threshold) — caching them stops the median window
+    # re-running per consumer; same lazy CacheManager dedupe as hist
+    med = _hist_median(hist, "type", "v", "_c", "med").cache()
+    ahist = (
+        hist.join(F.broadcast(med), "type")
+        .groupBy("type", F.abs(F.col("v") - F.col("med")).alias("adev"))
+        .agg(F.sum("_c").alias("_c"))
     )
-    mad = _discrete_median(dev, "type", "adev", "mad").join(med, "type")
-    flagged = vals.join(F.broadcast(mad), "type").withColumn(
+    mad = _hist_median(ahist, "type", "adev", "_c", "mad").join(med, "type").cache()
+    flagged = hist.join(F.broadcast(mad), "type").withColumn(
         "is_out",
         F.abs(F.col("v") - F.col("med")) > F.lit(k) * F.lit(1.4826) * F.col("mad"),
     )
     return (
         flagged.groupBy("type")
         .agg(
-            F.count(F.lit(1)).alias("n_values"),
+            F.sum("_c").alias("n_values"),
             # raw doubles: discrete medians are data elements, identical
             # bits on any engine — rounding would REINTRODUCE drift
             F.min("med").alias("median_value"),
             F.min("mad").alias("mad_value"),
-            F.sum(F.col("is_out").cast("long")).alias("n_outliers"),
+            F.sum(F.when(F.col("is_out"), F.col("_c")).otherwise(F.lit(0))).alias("n_outliers"),
         )
         # integer bp — the exact-rational count ratio must not round as a
         # double at the hash boundary
@@ -227,13 +355,20 @@ def rfm_scores(ev: DataFrame, n_tiles: int = 5) -> DataFrame:
     into ``n_tiles`` buckets, plus the concatenated RFM segment label —
     the classic CDP-to-ML feature block.
 
-    One fact shuffle (the per-entity aggregate); the three ntile windows
-    run over entity-cardinality rows.  Every ntile carries an entity_id
-    tie-break so equal metrics score identically on any engine or
-    partitioning.
+    One fact shuffle (the per-entity aggregate), checkpointed once; the
+    scoring then routes on the checkpointed size (the count is free — the
+    table is already materialized, same guarded-routing pattern as
+    similarity's broadcast-vs-IVF split): a small entity table takes the
+    plain window ntile (one task over an in-memory table beats the
+    two-level rank's extra stages), a large one takes the exact
+    :func:`distributed_ntile` two-level rank — a plain ``ntile`` over
+    ``Window.orderBy`` would gather every entity into ONE partition, the
+    100 TB scale-killer for a 1e8+-entity corpus.  Both paths are the
+    same ANSI arithmetic (equivalence pinned by
+    ``test_distributed_ntile_matches_window_ntile``), and every ranking
+    carries an entity_id tie-break so equal metrics score identically on
+    any engine or partitioning.
     """
-    from pyspark.sql import Window
-
     agg = ev.groupBy("entity_id").agg(
         F.max("ts_ms").alias("last_ms"),
         F.count(F.lit(1)).alias("n_events"),
@@ -242,18 +377,29 @@ def rfm_scores(ev: DataFrame, n_tiles: int = 5) -> DataFrame:
         # the cross-engine half-case drift class that failed round 1
         F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
     ).withColumn("total_value", F.coalesce(F.col("total_value"), F.lit(0.0)))
-    t = lambda col: F.ntile(n_tiles).over(  # noqa: E731
-        Window.orderBy(F.asc(col), F.asc("entity_id"))
-    ).cast("int")
-    scored = agg.select(
-        "entity_id",
-        "last_ms",
-        "n_events",
-        "total_value",
-        t("last_ms").alias("r_score"),
-        t("n_events").alias("f_score"),
-        t("total_value").alias("m_score"),
-    )
+    # ONE materialization of the per-entity table pins the chain's
+    # determinism; the rankings below run unpinned — each is a pure
+    # function of the checkpointed base, so recomputation is stable and no
+    # further checkpoint jobs are paid
+    base = agg.localCheckpoint()
+    if base.count() <= MAX_SINGLE_PARTITION_RANK_ROWS:
+        t = lambda col: F.ntile(n_tiles).over(  # noqa: E731
+            Window.orderBy(F.asc(col), F.asc("entity_id"))
+        ).cast("int")
+        scored = base.select(
+            "entity_id", "last_ms", "n_events", "total_value",
+            t("last_ms").alias("r_score"),
+            t("n_events").alias("f_score"),
+            t("total_value").alias("m_score"),
+        )
+    else:
+        scored = distributed_ntile(base, ["last_ms", "entity_id"], n_tiles, "r_score")
+        scored = distributed_ntile(scored, ["n_events", "entity_id"], n_tiles, "f_score")
+        scored = distributed_ntile(scored, ["total_value", "entity_id"], n_tiles, "m_score")
+        scored = scored.select(
+            "entity_id", "last_ms", "n_events", "total_value",
+            "r_score", "f_score", "m_score",
+        )
     return scored.withColumn(
         "rfm",
         F.concat(

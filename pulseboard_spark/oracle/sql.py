@@ -1643,6 +1643,41 @@ SELECT doc_id, source, n_tokens,
 FROM packed
 """
 
+# C4-style line-level dedup (operators/corpus.py::line_dedup_stats /
+# boilerplate_lines): 10-token pseudo-lines (the synthetic corpus has no
+# newlines), boilerplate = line in >= 2 distinct docs.
+_LINES_CTE = """
+ltoks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, array_to_string(list_slice(t, i*10+1, i*10+10), ' ') AS line
+  FROM (SELECT doc_id, t, unnest(generate_series(0, greatest((len(t)-1)//10, 0))) AS i
+        FROM ltoks WHERE len(t) > 0)
+)
+"""
+
+ORACLE_SQL["line_dedup"] = f"""
+WITH {_LINES_CTE},
+lfreq AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       CAST((sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS boilerplate_ppm
+FROM lines JOIN lfreq USING (line)
+GROUP BY doc_id
+"""
+
+ORACLE_SQL["boilerplate_lines"] = f"""
+WITH {_LINES_CTE}
+SELECT line,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM lines GROUP BY line
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
 ORACLE_SQL["pii_scrub"] = """
 WITH injected AS (
   SELECT doc_id,

@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 from pulseboard_spark.oracle.sql import ORACLE_SQL
 from pulseboard_spark.session import tune
-from pulseboard_spark.sources.tables import cdp_events, entity_events, load_table
+from pulseboard_spark.sources.tables import load_table
+from pulseboard_spark.sources.tables import cdp_events as _cdp_events_raw
+from pulseboard_spark.sources.tables import entity_events as _entity_events_raw
 from pulseboard_spark.functions.core import duck_round
 from pulseboard_spark.functions.ids import normalize_id
 from pulseboard_spark.operators import corpus, dedup, mlprep, multimodal, relational, rules, scd, sessions, similarity, text, timeseries
@@ -51,6 +53,23 @@ def _dsum(expr) -> F.Column:
     Spark's partition-parallel accumulation and DuckDB's sequential one
     produce bit-identical results, then surface as DOUBLE."""
     return F.sum(expr.cast("decimal(27,6)")).cast("double")
+
+
+def entity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached entity silver: ~25 behavioral/rule/time-series queries scan
+    this view, and the projection (regexp tag extraction, geo/device
+    derivation, the degenerate-parquet spread exchange) is worth paying
+    once per session, not once per scan.  ``cache()`` is lazy — nothing
+    plans or runs at registration — and Spark's CacheManager matches by
+    canonicalized plan, so the one entry serves every query.  The 100 TB
+    twin is a materialized silver table refreshed per corpus snapshot
+    (same posture as ``_cvalid`` for the CDP family)."""
+    return _entity_events_raw(spark, sf_dir).cache()
+
+
+def cdp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached raw-CDP silver (see :func:`entity_events`)."""
+    return _cdp_events_raw(spark, sf_dir).cache()
 
 
 # --- TPC-H-ish batch layer ---------------------------------------------------
@@ -1394,6 +1413,14 @@ def pack_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_documents(_docs(spark, sf_dir))
 
 
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.line_dedup_stats(_docs(spark, sf_dir))
+
+
+def boilerplate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.boilerplate_lines(_docs(spark, sf_dir))
+
+
 def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents corpus carries no natural PII, so the query injects a
     deterministic synthetic email/URL/phone tail per doc (mirrored verbatim
@@ -1531,6 +1558,9 @@ QUERIES: dict[str, QueryFn] = {
     "resize_media": resize_media_q,
     "pii_scrub": pii_scrub_q,
     "decontamination": decontamination_q,
+    # — new in round 3 (rotate into the r04 front-50) —
+    "line_dedup": line_dedup_q,
+    "boilerplate_lines": boilerplate_lines_q,
     # — green driver rows from round 1 —
     "tpch_q1_pricing_summary": tpch_q1,
     "tpch_q3_shipping_priority": tpch_q3,

@@ -779,6 +779,19 @@ class TestRfm:
                     assert max(by_score[k]) <= min(by_score[k + 1]), (attr, k)
         assert all(r.rfm == f"{r.r_score}{r.f_score}{r.m_score}" for r in rows)
 
+    def test_distributed_path_matches_window_path(self, spark, sf_dir, monkeypatch):
+        """Force the >threshold two-level-rank route and pin it against the
+        small-table window route — the size guard must be a pure routing
+        decision, never a semantic one."""
+        from pulseboard_spark.operators import mlprep
+        from pulseboard_spark.sources.tables import entity_events
+
+        ev = entity_events(spark, sf_dir)
+        want = {tuple(r) for r in mlprep.rfm_scores(ev).collect()}
+        monkeypatch.setattr(mlprep, "MAX_SINGLE_PARTITION_RANK_ROWS", 0)
+        got = {tuple(r) for r in mlprep.rfm_scores(ev).collect()}
+        assert got == want
+
 
 class TestBpeTrain:
     def test_matches_sequential_reference(self, spark):

@@ -43,8 +43,12 @@ def test_trailing_windows_single_key_shuffle(spark, sf_dir):
     hashparts = re.findall(r"hashpartitioning\(entity_id", plan)
     assert len(hashparts) == 1, f"expected one key shuffle, got {len(hashparts)}"
     assert not PY_NODES.search(plan), "window layer must stay JVM-side"
-    schemas = _read_schemas(plan)
-    assert all("props" not in s for s in schemas), "unused props column must be pruned"
+    # the entity silver is session-cached (registry.entity_events): the one
+    # props regexp runs in the silver build; every consumer must read the
+    # cache, and the cached relation itself must not carry raw props
+    assert "InMemoryTableScan" in plan, "must consume the cached entity silver"
+    for cols in re.findall(r"InMemoryTableScan \[([^\]]*)\]", plan):
+        assert "props" not in cols, "raw props must not be a silver column"
 
 
 def test_rolling_counter_single_key_shuffle(spark, sf_dir):
@@ -252,6 +256,29 @@ def test_bigram_and_cooccurrence_join_free_pair_gen(spark, sf_dir):
 def test_mad_outliers_fact_never_shuffles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "value_mad_outliers")
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert not PY_NODES.search(plan)
+
+
+def test_value_deciles_two_level_rank_stays_parallel(spark, sf_dir):
+    """Equal-frequency binning must NOT run a per-group window ntile (one
+    partition per type = 20 TB tasks at scale): the plan ranks off the
+    pinned range layout, with no ntile WindowExec and no SinglePartition
+    exchange anywhere."""
+    plan = _plan(spark, sf_dir, "value_deciles")
+    assert "ntile" not in plan, "deciles must use the two-level rank, not window ntile"
+    assert "SinglePartition" not in plan
+    assert not PY_NODES.search(plan)
+
+
+def test_rfm_large_path_avoids_global_window(spark, sf_dir, monkeypatch):
+    """Above the size guard, rfm scoring must rank without an ntile window
+    over a global sort; the only SinglePartition allowed is the offsets
+    window over the |partitions|-row counts table."""
+    from pulseboard_spark.operators import mlprep
+
+    monkeypatch.setattr(mlprep, "MAX_SINGLE_PARTITION_RANK_ROWS", 0)
+    plan = _plan(spark, sf_dir, "rfm_scores")
+    assert "ntile" not in plan, "large path must use the two-level rank"
     assert not PY_NODES.search(plan)
 
 

@@ -264,6 +264,34 @@ def test_quantile_bins_match_ntile_model(spark):
     assert got == want
 
 
+def test_distributed_ntile_matches_window_ntile(spark):
+    """The two-level rank (range partition + per-partition row_number +
+    offset join) must reproduce F.ntile over a global window EXACTLY —
+    including the ANSI first-(n%k)-buckets-get-one-extra arithmetic —
+    on data spread across many input partitions, for several k and n
+    (n < k, n % k == 0, and ragged)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pulseboard_spark.operators.mlprep import distributed_ntile
+
+    rng = random.Random(7)
+    for n_rows, k in [(3, 7), (64, 8), (501, 5), (200, 3)]:
+        rows = [(i, float(rng.randint(0, 9))) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "entity_id long, v double").repartition(13)
+        got = {
+            (r.entity_id, r.b)
+            for r in distributed_ntile(df, ["v", "entity_id"], k, "b").collect()
+        }
+        want = {
+            (r.entity_id, r.b)
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy("v", "entity_id"))
+            ).collect()
+        }
+        assert got == want, (n_rows, k)
+
+
 # --- SCD2 intervals vs a sequential Python model ----------------------------
 
 
