@@ -67,6 +67,8 @@ EAGER_QUERIES = frozenset(
         # plan time; rfm_scores additionally checkpoints its entity base
         "rfm_scores",
         "value_deciles",
+        # runs the bpe_train driver loop at plan time
+        "bpe_encode",
     }
 )
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from pulseboard_spark.operators.dedup import shingles
 from pulseboard_spark.operators.sampling import hash_bucket
+from pulseboard_spark.operators.text import ws_tokens
 
 PACK_BUDGET = 2048
 
@@ -149,7 +150,7 @@ def doc_lines(documents: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame
     everything downstream is unchanged.  Narrow (explode over the token
     array) — no shuffle; the token filter mirrors the oracle's
     ``list_filter(string_split(...))`` exactly."""
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = ws_tokens(F.lower(F.col("text")))
     base = documents.select("doc_id", toks.alias("_t")).withColumn(
         "_n", F.size("_t")
     ).filter(F.col("_n") > 0)

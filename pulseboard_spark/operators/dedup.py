@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pulseboard_spark.operators.similarity import cosine_pairs_above
+from pulseboard_spark.operators.text import ws_tokens
 
 N_HASHES = 8
 N_BANDS = 4  # 2 hashes per band
@@ -50,7 +51,7 @@ def shingles(documents: DataFrame, n: int = SHINGLE) -> DataFrame:
     large-scale text dedup.  Everything JVM-side via split → explode →
     slice; docs shorter than n words degrade to one short shingle.
     """
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = ws_tokens(F.lower(F.col("text")))
     base = documents.select("doc_id", toks.alias("toks"))
     idx = F.explode(F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))))
     return (

@@ -146,16 +146,33 @@ def distributed_ntile(
     )
 
     counts = local.groupBy("_pid", *by).agg(
-        F.count(F.lit(1)).alias("_c"), F.min("_mid").alias("_min_mid")
+        F.count(F.lit(1)).alias("_c"),
+        F.min("_mid").alias("_min_mid"),
+        F.max("_mid").alias("_max_mid"),
     )
     gw = Window.partitionBy(*by) if by else Window.partitionBy()
+    # Contiguity guard: the local-rank identity `_mid - _min_mid` requires
+    # monotonically_increasing_id to be CONSECUTIVE within a partition —
+    # true in every current Spark (id = pid << 33 | row index) but only
+    # monotonicity+uniqueness is contractual.  assert_true makes a future
+    # gap a loud runtime error instead of silently shifted buckets; folded
+    # into _off (coalesce of the NULL it returns on success) so the check
+    # cannot be pruned as a dead column.
+    contiguous = F.col("_max_mid") - F.col("_min_mid") + 1 == F.col("_c")
+    guard = F.coalesce(
+        F.assert_true(contiguous, F.lit("two-level rank: non-contiguous partition ids")).cast("bigint"),
+        F.lit(0),
+    )
     offsets = counts.select(
         "_pid",
         *by,
         "_min_mid",
-        F.coalesce(
-            F.sum("_c").over(gw.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
+        (
+            guard
+            + F.coalesce(
+                F.sum("_c").over(gw.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
         ).alias("_off"),
         F.sum("_c").over(gw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("_n"),
     )
@@ -299,9 +316,19 @@ def mad_outliers(ev: DataFrame, k: float = 3.0) -> DataFrame:
     histogram — and everything downstream (both medians, the outlier
     count, n_values) is histogram arithmetic: the deviation histogram is
     a regroup of the value histogram, and the final outlier count weighs
-    histogram rows by their counts instead of rescanning events.  Spark
-    reuses the one histogram exchange across all three consumers, so
-    what was 3 fact scans + 3 fact-sized aggregations is now 1 + 0.
+    histogram rows by their counts instead of rescanning events.
+
+    Cache lifecycle: hist/med/mad are ``cache()``d because the three
+    consumers are independent subtrees that AQE does NOT stitch into one
+    reused exchange (measured: 0 ReusedExchange, 3.3s -> 1.0s warm with
+    the caches).  Entries live for the session, like the silver-table
+    caches; they are |distinct (type, value)| and |types| rows.  For a
+    CONTINUOUS value column at extreme scale the histogram approaches
+    fact cardinality — there the exact-median contract itself is the
+    costly part, and the documented sketch twin
+    (``approx_value_quantiles`` / ``percentile_approx``) is the right
+    tool; this operator's cache merely materializes what any exact
+    multi-consumer plan would otherwise recompute three times.
     """
     vals = ev.filter(F.col("value").isNotNull()).select(
         "type", F.col("value").cast("double").alias("v")

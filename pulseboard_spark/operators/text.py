@@ -25,8 +25,16 @@ _PUNCT = "[.,;:!?]"
 _BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
-def _tokens(text_col):
+def ws_tokens(text_col):
+    """Whitespace tokens with empties dropped — THE one tokenizer shared by
+    text stats, shingle dedup, and line segmentation, mirroring the
+    oracle's ``list_filter(string_split(x, ' '), x -> x <> '')`` exactly.
+    Lowercasing is the caller's choice.  Keep single-sourced: a drift
+    between any consumer and the oracle mirror breaks hash parity."""
     return F.filter(F.split(text_col, " "), lambda x: F.length(x) > 0)
+
+
+_tokens = ws_tokens
 
 
 def _count_in(tokens, words: list[str]):
@@ -570,3 +578,49 @@ def bpe_train(documents: DataFrame, n_merges: int = 5) -> list[tuple[str, str, i
     finally:
         syms.unpersist()
     return merges
+
+
+def bpe_encode(documents: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus — the tokenizer-
+    APPLICATION half of the train→encode pipeline (:func:`bpe_train` is
+    the train half).  Per document: word count, character count, encoded
+    BPE token count, and the compression this vocabulary buys
+    (``saved_ppm``, integer-exact).
+
+    Each merge is one ordered :func:`_apply_merge` fold per word, chained
+    in merge order inside a single projection — pure Catalyst expressions,
+    no Python, no shuffle until the final per-doc rollup.  At 100 TB the
+    encode is embarrassingly parallel (the merge table is a plan literal,
+    broadcast by construction); the per-word cost is O(|word| · |merges|),
+    the standard sequential-BPE bound.  Encoded equivalence with a
+    verbatim sequential encoder is pinned by ``TestBpeEncode``.
+    """
+    words = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w"),
+    )
+    syms = F.regexp_extract_all(F.col("w"), F.lit("."), F.lit(0))
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b)
+    per_word = words.select(
+        "doc_id",
+        F.length("w").cast("long").alias("n_chars"),
+        F.size(syms).cast("long").alias("n_toks"),
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.expr("((n_chars - n_bpe_tokens) * 1000000) div n_chars").alias("saved_ppm"),
+        )
+    )

@@ -1332,6 +1332,18 @@ def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train→apply: learn 5 merges (driver loop, see
+    bpe_learned_merges) then encode the whole corpus with them.  The
+    encode itself is a single declarative pass; the trained merge table is
+    driver state baked into the plan.  Rows-only check (the training loop
+    has no SQL oracle); sequential-encoder equivalence pinned by
+    ``TestBpeEncode``."""
+    docs = _docs(spark, sf_dir)
+    merges = [(a, b) for a, b, _ in text.bpe_train(docs, n_merges=5)]
+    return text.bpe_encode(docs, merges)
+
+
 def value_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlprep.mad_outliers(entity_events(spark, sf_dir))
 
@@ -1561,6 +1573,7 @@ QUERIES: dict[str, QueryFn] = {
     # — new in round 3 (rotate into the r04 front-50) —
     "line_dedup": line_dedup_q,
     "boilerplate_lines": boilerplate_lines_q,
+    "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     # — green driver rows from round 1 —
     "tpch_q1_pricing_summary": tpch_q1,
     "tpch_q3_shipping_priority": tpch_q3,

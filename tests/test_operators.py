@@ -833,6 +833,43 @@ class TestBpeTrain:
         assert got == want and len(got) >= 3
 
 
+class TestBpeEncode:
+    def test_matches_sequential_encoder(self, spark):
+        """Corpus encoded with trained merges must match a verbatim
+        sequential leftmost-greedy BPE encoder, doc by doc."""
+        import re as _re
+
+        from pulseboard_spark.operators.text import bpe_encode, bpe_train
+
+        texts = ["the cat chased the other thermos", "then the cats gathered", "banana bandana"]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        merges = [(a, b) for a, b, _ in bpe_train(df, n_merges=5)]
+        got = {r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens, r.saved_ppm) for r in bpe_encode(df, merges).collect()}
+
+        def enc(word: str) -> list[str]:
+            w = list(word)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(w):
+                    if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(w[i])
+                        i += 1
+                w = out
+            return w
+
+        want = {}
+        for i, t in enumerate(texts):
+            words = _re.findall("[a-z]+", t.lower())
+            n_chars = sum(len(w) for w in words)
+            n_toks = sum(len(enc(w)) for w in words)
+            want[i] = (len(words), n_chars, n_toks, (n_chars - n_toks) * 1000000 // n_chars)
+        assert got == want
+        assert all(v[2] < v[1] for v in want.values()), "merges must compress something"
+
+
 class TestDriftPsi:
     def test_identical_halves_zero_drift_and_shift_detected(self, spark):
         from pulseboard_spark.operators.mlprep import value_drift_psi

@@ -265,7 +265,9 @@ def test_value_deciles_two_level_rank_stays_parallel(spark, sf_dir):
     pinned range layout, with no ntile WindowExec and no SinglePartition
     exchange anywhere."""
     plan = _plan(spark, sf_dir, "value_deciles")
-    assert "ntile" not in plan, "deciles must use the two-level rank, not window ntile"
+    # "ntile(" = the window-function call in a WindowExec spec (bare
+    # "ntile" would also match unrelated strings in the plan text)
+    assert "ntile(" not in plan, "deciles must use the two-level rank, not window ntile"
     assert "SinglePartition" not in plan
     assert not PY_NODES.search(plan)
 
@@ -278,7 +280,11 @@ def test_rfm_large_path_avoids_global_window(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(mlprep, "MAX_SINGLE_PARTITION_RANK_ROWS", 0)
     plan = _plan(spark, sf_dir, "rfm_scores")
-    assert "ntile" not in plan, "large path must use the two-level rank"
+    assert "ntile(" not in plan, "large path must use the two-level rank"
+    # the tiny offsets windows are the ONLY permitted single-partition
+    # exchanges (one per ranking over the |partitions|-row counts table);
+    # a fact-sized gather would add more
+    assert plan.count("SinglePartition") <= 3, plan.count("SinglePartition")
     assert not PY_NODES.search(plan)
 
 
