@@ -69,6 +69,8 @@ EAGER_QUERIES = frozenset(
         "value_deciles",
         # runs the bpe_train driver loop at plan time
         "bpe_encode",
+        # power iteration localCheckpoints each superstep at build time
+        "identity_pagerank",
     }
 )
 

@@ -387,3 +387,86 @@ def resolve_profiles(cvalid: DataFrame, comp: DataFrame) -> DataFrame:
         .withColumnRenamed("component", "profile_id")
         .drop("pkey")
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Power-iteration PageRank over an undirected edge list — ranks hub
+    identifiers (ids that co-occur with many well-connected ids), the
+    prioritization complement to :func:`connected_components`' membership
+    answer.  Returns (id, rank) with ranks summing to ~1.
+
+    Spark-shaped iteration:
+
+    * the graph size ``N`` and each node's degree are 1-row / node-sized
+      aggregates joined back by broadcast — no driver ``count()``;
+    * each round is contribution = ranks ⋈ symmetric edges (shuffle on
+      the edge key) → groupBy(dst) sum — the canonical distributed
+      PageRank step; dangling (degree-0) mass is re-spread uniformly via
+      a 1-row aggregate broadcast-joined back (the textbook dangling-node
+      treatment, so ranks keep summing to 1);
+    * ``checkpoint_every`` MATERIALIZES the frontier every K rounds
+      (eager ``localCheckpoint``) — non-optional in spirit: each round
+      references the previous ranks twice (contribution + dangling), so
+      a fully lazy build doubles the logical TREE per round and Catalyst
+      analysis goes exponential (measured: 12 lazy rounds pinned the
+      driver for 30+ min before any job).  Checkpointed supersteps are
+      how every production iterative-graph engine runs; K=2 bounds the
+      inter-checkpoint tree at 4 copies.  Because construction runs jobs,
+      the registry entry is in ``EAGER_QUERIES`` (same class as
+      ``bpe_train``).
+
+    Float caveat: per-dst contribution sums are shuffle-order sensitive in
+    the last bits, so rank is an approximate surface (rows-only check);
+    ``TestPagerank`` pins values against a dense NumPy power iteration to
+    1e-9 and exact ranking on a separated graph.
+    """
+    sym = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    n_tot = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    base = (
+        nodes.join(deg, "id", "left")
+        .join(F.broadcast(n_tot))
+        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"), "_n")
+    )
+    ranks = base.select("id", "deg", "_n", (F.lit(1.0) / F.col("_n")).alias("rank"))
+    for i in range(iters):
+        contrib = (
+            ranks.filter(F.col("deg") > 0)
+            .select(F.col("id").alias("a"), (F.col("rank") / F.col("deg")).alias("c"))
+            .join(sym, "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = ranks.agg(
+            F.coalesce(F.sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0.0)).alias(
+                "_dangle"
+            )
+        )
+        ranks = (
+            base.join(contrib, "id", "left")
+            .join(F.broadcast(dangling))
+            .select(
+                "id",
+                "deg",
+                "_n",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("_dangle") / F.col("_n")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("id", "rank")

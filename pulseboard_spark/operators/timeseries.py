@@ -239,3 +239,41 @@ def seasonal_deviation(ev: DataFrame, z_threshold: float = 3.0) -> DataFrame:
         z.alias("z"),
         anomaly.alias("is_anomaly"),
     )
+
+
+def event_transitions(ev: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each entity's event
+    sequence: for every (from_type, to_type) pair, how often the second
+    immediately follows the first, plus the conditional transition
+    probability in ppm (integer-exact, truncated — the hash-safe surface
+    for an exact rational; see ``inter_event_deltas``'s round-1 lesson).
+
+    Sequence order is (ts_ms, event_id) — event_id is unique, so the
+    per-entity ordering is a deterministic total order on both engines.
+
+    Scale: the lag window is ONE shuffle on entity_id (same class as
+    sessionization); the pair rollup map-side combines to at most
+    |types|² rows, and the per-from_type total is a window over that tiny
+    counts table.  No self-join — lag over the sorted per-key frame is
+    linear in events.
+    """
+    w = Window.partitionBy("entity_id").orderBy("ts_ms", "event_id")
+    pairs = (
+        ev.select("entity_id", "type", "ts_ms", "event_id")
+        .withColumn("from_type", F.lag("type").over(w))
+        .where(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", F.col("type").alias("to_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("n_from", F.sum("n").over(wf))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            F.expr("(n * 1000000) div n_from").alias("p_ppm"),
+        )
+    )

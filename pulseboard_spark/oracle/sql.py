@@ -1500,6 +1500,24 @@ SELECT entity_id, type AS top_type, n AS n_top,
 FROM r WHERE rk = 1
 """
 
+ORACLE_SQL["event_transitions"] = f"""
+WITH {ENT_CTE},
+s AS (
+  SELECT type,
+         lag(type) OVER (PARTITION BY entity_id ORDER BY ts_ms, event_id) AS from_type
+  FROM ent
+),
+c AS (
+  SELECT from_type, type AS to_type, count(*) AS n
+  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+FROM c
+"""
+
 ORACLE_SQL["fuzzy_customer_pairs"] = """
 SELECT a.c_nationkey, a.c_custkey AS a_key, b.c_custkey AS b_key,
        levenshtein(a.c_name, b.c_name) AS dist

@@ -831,6 +831,10 @@ def dominant_event_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.dominant_event_type(entity_events(spark, sf_dir))
 
 
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.event_transitions(entity_events(spark, sf_dir))
+
+
 def fuzzy_customer_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.blocked_fuzzy_pairs(
         load_table(spark, sf_dir, "customer"),
@@ -1000,6 +1004,19 @@ def _evprof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def identity_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _components(spark, sf_dir)
+
+
+def identity_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub score per identifier over the identity co-occurrence graph —
+    the prioritization complement to the component map (which ids anchor
+    the most well-connected neighborhoods).  Rows-only check: per-node
+    float inflow sums are shuffle-order sensitive in the last bits, so
+    there is no bit-exact SQL oracle; values are pinned vs a dense NumPy
+    power iteration by ``TestPagerank``."""
+    cvalid = _cvalid(spark, sf_dir)
+    from pulseboard_spark.operators.identity import identity_edges, identity_nodes, pagerank
+
+    return pagerank(identity_nodes(cvalid), identity_edges(cvalid), iters=10)
 
 
 def cdp_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1574,6 +1591,8 @@ QUERIES: dict[str, QueryFn] = {
     "line_dedup": line_dedup_q,
     "boilerplate_lines": boilerplate_lines_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
+    "event_transitions": event_transitions_q,
+    "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
     # — green driver rows from round 1 —
     "tpch_q1_pricing_summary": tpch_q1,
     "tpch_q3_shipping_priority": tpch_q3,

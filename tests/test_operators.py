@@ -833,6 +833,89 @@ class TestBpeTrain:
         assert got == want and len(got) >= 3
 
 
+class TestEventTransitions:
+    def test_counts_and_ppm(self, spark):
+        from pulseboard_spark.operators.timeseries import event_transitions
+
+        rows = [
+            # entity u1: a -> b -> a -> c
+            ("u1", "a", 1000, 1),
+            ("u1", "b", 2000, 2),
+            ("u1", "a", 3000, 3),
+            ("u1", "c", 4000, 4),
+            # entity u2: a -> b  (tie on ts with event 6 — event_id breaks it)
+            ("u2", "a", 1000, 5),
+            ("u2", "b", 1000, 6),
+            # entity u3: single event — no transition
+            ("u3", "c", 1000, 7),
+        ]
+        ev = spark.createDataFrame(
+            rows, "entity_id string, type string, ts_ms long, event_id long"
+        )
+        got = {
+            (r.from_type, r.to_type): (r.n, r.n_from, r.p_ppm)
+            for r in event_transitions(ev).collect()
+        }
+        assert got == {
+            ("a", "b"): (2, 3, 666666),   # a->b twice of three a-departures
+            ("a", "c"): (1, 3, 333333),
+            ("b", "a"): (1, 1, 1000000),
+        }
+
+
+class TestPagerank:
+    @staticmethod
+    def _reference(nodes, edges, iters, d=0.85):
+        import numpy as np
+
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        deg = np.zeros(n)
+        for a, b in edges:
+            deg[idx[a]] += 1
+            deg[idx[b]] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            inflow = np.zeros(n)
+            for a, b in edges:
+                inflow[idx[b]] += r[idx[a]] / deg[idx[a]]
+                inflow[idx[a]] += r[idx[b]] / deg[idx[b]]
+            dangle = r[deg == 0].sum()
+            r = (1 - d) / n + d * (inflow + dangle / n)
+        return {node: r[idx[node]] for node in nodes}
+
+    def test_matches_dense_power_iteration(self, spark):
+        from pulseboard_spark.operators.identity import pagerank
+
+        nodes = ["a", "b", "c", "d", "e", "f"]
+        # star centered on a, one far pair (e,f)... plus isolated d (dangling)
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("e", "f")]
+        ndf = spark.createDataFrame([(n,) for n in nodes], "id string")
+        edf = spark.createDataFrame(edges, "a string, b string")
+        got = {r.id: r.rank for r in pagerank(ndf, edf, iters=12).collect()}
+        want = self._reference(nodes, edges, iters=12)
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+        assert abs(sum(got.values()) - 1.0) < 1e-9, "ranks must sum to 1"
+        # hub a outranks every leaf; isolated d sits at the teleport floor
+        assert got["a"] == max(got.values())
+        assert got["d"] == min(got.values())
+
+    def test_checkpoint_cadence_same_answer(self, spark):
+        from pulseboard_spark.operators.identity import pagerank
+
+        ndf = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+        edf = spark.createDataFrame([("a", "b"), ("b", "c")], "a string, b string")
+        every2 = {r.id: r.rank for r in pagerank(ndf, edf, iters=6).collect()}
+        every3 = {
+            r.id: r.rank
+            for r in pagerank(ndf, edf, iters=6, checkpoint_every=3).collect()
+        }
+        for k in every2:
+            assert abs(every2[k] - every3[k]) < 1e-12
+
+
 class TestBpeEncode:
     def test_matches_sequential_encoder(self, spark):
         """Corpus encoded with trained merges must match a verbatim

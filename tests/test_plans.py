@@ -329,3 +329,13 @@ def test_doc_lm_score_reads_corpus_once(spark, sf_dir):
     plan = _plan(spark, sf_dir, "doc_lm_score")
     assert plan.count("InMemoryTableScan") >= 3, "pair table not reused"
     assert not PY_NODES.search(plan)
+
+
+def test_event_transitions_single_fact_shuffle(spark, sf_dir):
+    """The lag window is the only fact-sized exchange; the pair rollup and
+    the per-from_type total run over the ≤|types|² counts table."""
+    plan = _plan(spark, sf_dir, "event_transitions")
+    hashparts = re.findall(r"hashpartitioning\(entity_id", plan)
+    assert len(hashparts) == 1, f"expected one entity lag shuffle, got {len(hashparts)}"
+    assert "Join" not in plan, "transition matrix must be the lag form, not a self-join"
+    assert not PY_NODES.search(plan)
