@@ -624,3 +624,34 @@ def bpe_encode(documents: DataFrame, merges: list[tuple[str, str]]) -> DataFrame
             F.expr("((n_chars - n_bpe_tokens) * 1000000) div n_chars").alias("saved_ppm"),
         )
     )
+
+
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID evaluation matrix: labeled ``lang`` × predicted
+    ``lang_guess`` counts, per-label totals, and the cell share in ppm
+    (integer-exact) — the corpus-health view that tells you whether the
+    identifier (or its replacement model) can be trusted before it gates
+    a 100 TB filter pass.
+
+    One narrow projection (the :func:`lang_id` scores) then a groupBy
+    that map-side combines to ≤ |langs|·(|langs|+1) cells; the per-label
+    total is a window over that tiny matrix.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        lang_id(documents)
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wl = Window.partitionBy("lang")
+    return (
+        cells.withColumn("n_lang", F.sum("n").over(wl))
+        .select(
+            "lang",
+            "lang_guess",
+            "n",
+            "n_lang",
+            F.expr("(n * 1000000) div n_lang").alias("share_ppm"),
+        )
+    )

@@ -786,6 +786,39 @@ SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
 FROM s
 """
 
+ORACLE_SQL["lang_confusion"] = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(toks, x -> list_contains(['the','and','is'], x))) AS BIGINT) AS score_en,
+         CAST(len(list_filter(toks, x -> list_contains(['der','und','ist'], x))) AS BIGINT) AS score_de,
+         CAST(len(list_filter(toks, x -> list_contains(['le','et','est'], x))) AS BIGINT) AS score_fr,
+         CAST(len(list_filter(toks, x -> list_contains(['el','y','es'], x))) AS BIGINT) AS score_es
+  FROM t
+),
+g AS (
+  SELECT lang,
+         CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+              WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+              WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+              WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+              ELSE 'es' END AS lang_guess
+  FROM s
+),
+c AS (
+  SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2
+)
+SELECT lang, lang_guess,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+FROM c
+"""
+
 ORACLE_SQL["token_stats"] = """
 WITH t AS (
   SELECT doc_id,

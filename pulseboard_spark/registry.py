@@ -1256,6 +1256,10 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(_docs(spark, sf_dir))
 
 
+def lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_confusion(_docs(spark, sf_dir))
+
+
 def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(_docs(spark, sf_dir))
 
@@ -1592,6 +1596,7 @@ QUERIES: dict[str, QueryFn] = {
     "boilerplate_lines": boilerplate_lines_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "event_transitions": event_transitions_q,
+    "lang_confusion": lang_confusion_q,
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
     # — green driver rows from round 1 —
     "tpch_q1_pricing_summary": tpch_q1,
