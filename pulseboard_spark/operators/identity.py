@@ -376,6 +376,34 @@ def components_for(cvalid: DataFrame) -> DataFrame:
     return connected_components(identity_nodes(cvalid), identity_edges(cvalid), seed=clique_min)
 
 
+def merge_components(
+    prior: DataFrame, delta_nodes: DataFrame, delta_edges: DataFrame
+) -> DataFrame:
+    """Incremental component refresh WITHOUT rescanning historical edges:
+    fold a delta edge batch into a prior (id, component) label map.
+
+    The prior map is connectivity-complete for everything already seen, so
+    each labeled node contributes one *star edge* (component — id); CC over
+    star ∪ delta edges equals CC over (all historical ∪ delta) edges —
+    the standard label-map contraction.  At 100 TB this is the difference
+    between reprocessing a petabyte-class accumulated edge log per refresh
+    and touching only |ids| labels + the day's delta (the streaming
+    identity stage's seeded-recompute, `streaming/pipeline.py:210`, still
+    rescans accumulated edges; this is the batch-refresh twin that does
+    not).  Convergence is fast by construction: the star forest has depth
+    1, so only components actually bridged by delta edges move labels.
+    Equivalence with a full recompute is pinned by ``TestMergeComponents``
+    and by the `identity_components_incremental` registry query, which
+    shares the full-graph oracle.
+    """
+    star = prior.filter(F.col("id") != F.col("component")).select(
+        F.col("component").alias("a"), F.col("id").alias("b")
+    )
+    nodes = prior.select("id").unionByName(delta_nodes.select("id")).distinct()
+    edges = star.unionByName(delta_edges.select("a", "b"))
+    return connected_components(nodes, edges, seed=prior)
+
+
 def resolve_profiles(cvalid: DataFrame, comp: DataFrame) -> DataFrame:
     """Attach the canonical profile_id to each valid event (apply-time
     resolution): the component of any of the event's ids — the event's own

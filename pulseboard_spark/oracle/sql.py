@@ -531,6 +531,10 @@ WITH RECURSIVE {COMPONENTS_CTE}
 SELECT id, component FROM comp
 """
 
+# The incremental refresh must reproduce the full-graph answer exactly —
+# sharing the oracle makes that equivalence the externally-checked contract.
+ORACLE_SQL["identity_components_incremental"] = ORACLE_SQL["identity_components"]
+
 ORACLE_SQL["cdp_profiles"] = f"""
 WITH RECURSIVE {PROFILES_CTE}
 SELECT profile_id,

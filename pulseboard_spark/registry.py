@@ -1006,6 +1006,28 @@ def identity_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _components(spark, sf_dir)
 
 
+def identity_components_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental component refresh: an ~80% slice of the validated events
+    (deterministic crc32 split) builds the prior label map; the remaining
+    ~20% arrives as a delta edge batch folded in via
+    :func:`merge_components` — prior labels as star edges, historical
+    edges never rescanned.  The refreshed map must equal the full-graph
+    recompute, so this query shares `identity_components`' oracle SQL —
+    the equivalence IS the check."""
+    cvalid = _cvalid(spark, sf_dir)
+    from pulseboard_spark.operators.identity import (
+        identity_edges,
+        identity_nodes,
+        merge_components,
+    )
+
+    is_delta = F.crc32(F.col("event_id").cast("string")) % 5 == 0
+    prior = components_for(cvalid.filter(~is_delta))
+    return merge_components(
+        prior, identity_nodes(cvalid), identity_edges(cvalid.filter(is_delta))
+    )
+
+
 def identity_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub score per identifier over the identity co-occurrence graph —
     the prioritization complement to the component map (which ids anchor
@@ -1597,6 +1619,7 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "event_transitions": event_transitions_q,
     "lang_confusion": lang_confusion_q,
+    "identity_components_incremental": identity_components_incremental_q,
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
     # — green driver rows from round 1 —
     "tpch_q1_pricing_summary": tpch_q1,

@@ -863,6 +863,57 @@ class TestEventTransitions:
         }
 
 
+class TestMergeComponents:
+    """merge_components(prior_labels, nodes, delta_edges) must equal a full
+    recompute over prior ∪ delta edges — including bridged components,
+    brand-new nodes, and still-isolated nodes."""
+
+    def _check(self, spark, prior_edges, delta_edges, extra_nodes=(), **cc_kw):
+        from pulseboard_spark.operators.identity import (
+            connected_components,
+            merge_components,
+        )
+
+        all_ids = sorted(
+            {x for e in prior_edges + delta_edges for x in e} | set(extra_nodes)
+        )
+        ndf = spark.createDataFrame([(n,) for n in all_ids], "id string")
+        prior_ndf = spark.createDataFrame(
+            [(n,) for n in sorted({x for e in prior_edges for x in e} | set(extra_nodes))],
+            "id string",
+        )
+        mk = lambda es: spark.createDataFrame(es, "a string, b string")
+        prior = connected_components(prior_ndf, mk(prior_edges), **cc_kw)
+        got = {
+            (r.id, r.component)
+            for r in merge_components(prior, ndf, mk(delta_edges)).collect()
+        }
+        want = {
+            (r.id, r.component)
+            for r in connected_components(ndf, mk(prior_edges + delta_edges), **cc_kw).collect()
+        }
+        assert got == want
+
+    def test_bridge_new_nodes_and_isolated(self, spark):
+        # delta bridges {a,b} with {c,d}, introduces brand-new {e,f}, and
+        # leaves g isolated throughout
+        self._check(
+            spark,
+            prior_edges=[("a", "b"), ("c", "d")],
+            delta_edges=[("b", "c"), ("e", "f")],
+            extra_nodes=["g"],
+        )
+
+    def test_distributed_path_equivalence(self, spark):
+        self._check(
+            spark,
+            prior_edges=[("a", "b"), ("b", "c"), ("x", "y")],
+            delta_edges=[("c", "x"), ("p", "q")],
+            extra_nodes=["z"],
+            max_local_edges=0,
+        )
+
+
 class TestPagerank:
     @staticmethod
     def _reference(nodes, edges, iters, d=0.85):
