@@ -1590,14 +1590,21 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": text_quality_q,
     "lang_id": lang_id_q,
     "token_stats": token_stats_q,
+    # — new in round 3, oracle-checked, strict-replica green at the
+    #   driver's exact sf0.01 scale — take window slots immediately so
+    #   they accumulate driver rows this round —
+    "event_transitions": event_transitions_q,
+    "lang_confusion": lang_confusion_q,
+    "identity_components_incremental": identity_components_incremental_q,
+    # ---- driver window boundary (50) ----
+    # After r03 every query registered before round 3 has had >= 1 driver
+    # row across r01-r03 (r01: TPC-H/windows/rules wave; r02: CDP + LLM
+    # wave; r03: repairs + the 15 first-timers + 3 round-3 newcomers
+    # above).  The three displaced r02-green anchors move just below.
+    # — green driver rows from round 2 —
     "doc_fingerprint": doc_fingerprint_q,
     "top_terms_per_lang": top_terms_per_lang_q,
     "term_df_idf": term_df_idf_q,
-    # ---- driver window boundary (50) ----
-    # After r03 every registry query has had >= 1 driver row across
-    # r01-r03 (r01: TPC-H/windows/rules wave; r02: CDP + LLM wave;
-    # r03: repairs + the 15 first-timers above).
-    # — green driver rows from round 2 —
     "term_cooccurrence": term_cooccurrence_q,
     "doc_split_assign": doc_split_assign_q,
     "bpe_merge_candidates": bpe_merge_candidates_q,
@@ -1617,9 +1624,6 @@ QUERIES: dict[str, QueryFn] = {
     "line_dedup": line_dedup_q,
     "boilerplate_lines": boilerplate_lines_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
-    "event_transitions": event_transitions_q,
-    "lang_confusion": lang_confusion_q,
-    "identity_components_incremental": identity_components_incremental_q,
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
     # — green driver rows from round 1 —
     "tpch_q1_pricing_summary": tpch_q1,
