@@ -499,3 +499,53 @@ def segment_diff_stateful(snapshot_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TRANSITION_SCHEMA = "from_type string, to_type string, ts_ms bigint"
+_TRANSITION_STATE_SCHEMA = "last_ts_ms bigint, last_event_id bigint, last_type string"
+
+
+def _emit_transitions(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-entity Markov pair emitter: one (from_type, to_type) row per
+    arriving event that has a predecessor; state is only the LAST event's
+    (ts_ms, event_id, type) — O(1) per key, the smallest state of any
+    operator in this file.  Exact under the W3 per-key in-order drain
+    contract (time-ordered chunk replay + the in-batch (ts_ms, event_id)
+    sort), same as every stateful twin here."""
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_ms", "event_id"], kind="mergesort"
+    )
+    types = batch["type"].tolist()
+    prev = state.get[2] if state.exists else None
+    out_from, out_to = [], []
+    for t in types:
+        if prev is not None:
+            out_from.append(prev)
+            out_to.append(t)
+        prev = t
+    last = batch.iloc[-1]
+    state.update((int(last["ts_ms"]), int(last["event_id"]), str(last["type"])))
+    if out_from:
+        ts = batch["ts_ms"].tolist()[-len(out_from):]
+        yield pd.DataFrame({"from_type": out_from, "to_type": out_to, "ts_ms": ts})
+
+
+def transitions_stateful(entity_stream: DataFrame, set_watermark: bool = True) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.event_transitions``: emits
+    the raw transition PAIR stream (append mode); the matrix itself is one
+    tiny downstream rollup per sink flush (foreachBatch / the consumer),
+    exactly how the batch operator splits fact-shuffle vs counts-table
+    work.  Input needs: entity_id, type, ts (timestamp), ts_ms, event_id."""
+    if set_watermark:
+        entity_stream = entity_stream.withWatermark("ts", "120 seconds")
+    return (
+        entity_stream.select("entity_id", "type", "ts", "ts_ms", "event_id")
+        .groupBy("entity_id")
+        .applyInPandasWithState(
+            _emit_transitions,
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=_TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

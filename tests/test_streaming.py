@@ -676,3 +676,40 @@ def test_profile_upsert_tie_breaks_to_batch(spark, tmp_path):
     writer(spark.createDataFrame([("p1", 100, "pro")], "profile_id string, ts_ms long, plan string"), 1)
     rows = spark.read.parquet(store).collect()
     assert len(rows) == 1 and rows[0].plan == "pro"
+
+
+def test_streaming_transitions_match_batch(spark, sf_dir, entity_chunks_dir):
+    """The stateful pair emitter, aggregated, must reproduce the batch
+    Markov matrix exactly (counts per (from, to) pair) under in-order
+    chunk replay."""
+    from pulseboard_spark.operators.timeseries import event_transitions
+    from pulseboard_spark.streaming.stateful import transitions_stateful
+
+    out, schema = entity_chunks_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{out}/chunk=*")
+    )
+    q = (
+        transitions_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stream_transitions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in spark.sql(
+            "SELECT from_type, to_type, count(*) AS n FROM stream_transitions GROUP BY 1, 2"
+        ).collect()
+    }
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in event_transitions(entity_events(spark, sf_dir)).collect()
+    }
+    assert got == want
