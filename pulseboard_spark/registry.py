@@ -1620,7 +1620,8 @@ QUERIES: dict[str, QueryFn] = {
     "resize_media": resize_media_q,
     "pii_scrub": pii_scrub_q,
     "decontamination": decontamination_q,
-    # — new in round 3 (rotate into the r04 front-50) —
+    # — new in round 3, still below the window (rotate these four into the
+    #   r04 front-50, displacing four r03-green anchors) —
     "line_dedup": line_dedup_q,
     "boilerplate_lines": boilerplate_lines_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode

@@ -913,6 +913,28 @@ class TestMergeComponents:
             max_local_edges=0,
         )
 
+    def test_random_graphs(self, spark):
+        """Randomized splits of random sparse graphs: the increment must
+        equal the full recompute regardless of which edges arrive late."""
+        import random
+
+        rng = random.Random(20260814)
+        for trial in range(4):
+            n = rng.randint(6, 24)
+            ids = [f"n{i:02d}" for i in range(n)]
+            m = rng.randint(n // 2, 2 * n)
+            edges = sorted(
+                {tuple(sorted(rng.sample(ids, 2))) for _ in range(m)}
+            )
+            rng.shuffle(edges)
+            cut = rng.randint(0, len(edges))
+            self._check(
+                spark,
+                prior_edges=edges[:cut],
+                delta_edges=edges[cut:],
+                extra_nodes=ids,  # include isolated nodes in every trial
+            )
+
 
 class TestPagerank:
     @staticmethod
