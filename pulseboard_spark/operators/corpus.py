@@ -278,3 +278,43 @@ def build_corpus(
         "n_clean": n_clean,
         "packed_sequences": per_split,
     }
+
+
+def ngram_novelty(documents: DataFrame) -> DataFrame:
+    """Per-document corpus-novelty contribution: the share of the doc's
+    distinct word-3-gram shingles FIRST introduced by it (owner = min
+    doc_id over the whole corpus), in integer ppm.  The curation
+    complement of near-dup removal — a doc whose shingles are all owned by
+    earlier docs adds nothing even if no single earlier doc matches it
+    (cross-doc template reuse that pairwise dedup can't see); the metric
+    drives both dedup triage and data-mixture weighting.
+
+    Shape: the distinct (doc, shingle) table (``dedup.shingles`` — the
+    same definition the oracle's SHINGLES_CTE mirrors) flows through ONE
+    corpus scan; ownership is ``min(doc_id) over (partition by s)`` — a
+    window, NOT a groupBy+self-join, which would rescan the corpus and
+    rebuild the pair table per branch (measured: 2 FileScans, zero reuse).
+    The per-doc rollup is map-side combined.  Cost rides the pair-table
+    cardinality exactly like MinHash — no new fact-sized structure at
+    100 TB; a boilerplate mega-shingle skews its one window partition,
+    the same hot-key profile (and remedy) as the LSH band buckets.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(documents)
+    owned = sh.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("s")))
+    return (
+        owned.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_shingles").alias("novelty_ppm"),
+        )
+    )

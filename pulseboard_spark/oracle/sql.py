@@ -616,6 +616,20 @@ sh AS (
 )
 """
 
+ORACLE_SQL["ngram_novelty"] = f"""
+WITH {SHINGLES_CTE},
+own AS (
+  SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN sh.doc_id = own.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST((sum(CASE WHEN sh.doc_id = own.first_doc THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM sh JOIN own USING (s)
+GROUP BY sh.doc_id
+"""
+
 ORACLE_SQL["dedup_exact"] = """
 SELECT doc_id,
        md5(text) AS content_hash,

@@ -1468,6 +1468,10 @@ def pack_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_documents(_docs(spark, sf_dir))
 
 
+def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.ngram_novelty(_docs(spark, sf_dir))
+
+
 def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.line_dedup_stats(_docs(spark, sf_dir))
 
@@ -1624,6 +1628,7 @@ QUERIES: dict[str, QueryFn] = {
     #   r04 front-50, displacing four r03-green anchors) —
     "line_dedup": line_dedup_q,
     "boilerplate_lines": boilerplate_lines_q,
+    "ngram_novelty": ngram_novelty_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
     # — green driver rows from round 1 —

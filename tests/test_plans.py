@@ -339,3 +339,12 @@ def test_event_transitions_single_fact_shuffle(spark, sf_dir):
     assert len(hashparts) == 1, f"expected one entity lag shuffle, got {len(hashparts)}"
     assert "Join" not in plan, "transition matrix must be the lag form, not a self-join"
     assert not PY_NODES.search(plan)
+
+
+def test_ngram_novelty_single_scan(spark, sf_dir):
+    """Ownership is a window over the shingle partitioning, not a
+    groupBy+self-join — one corpus scan, no join."""
+    plan = _plan(spark, sf_dir, "ngram_novelty")
+    assert plan.count("FileScan parquet") == 1, "novelty must not rescan the corpus"
+    assert "Join" not in plan
+    assert not PY_NODES.search(plan)
