@@ -1593,13 +1593,13 @@ QUERIES: dict[str, QueryFn] = {
     "hard_negatives": hard_negatives_q,
     "text_quality": text_quality_q,
     "lang_id": lang_id_q,
-    "token_stats": token_stats_q,
     # — new in round 3, oracle-checked, strict-replica green at the
     #   driver's exact sf0.01 scale — take window slots immediately so
     #   they accumulate driver rows this round —
     "event_transitions": event_transitions_q,
     "lang_confusion": lang_confusion_q,
     "identity_components_incremental": identity_components_incremental_q,
+    "ngram_novelty": ngram_novelty_q,
     # ---- driver window boundary (50) ----
     # After r03 every query registered before round 3 has had >= 1 driver
     # row across r01-r03 (r01: TPC-H/windows/rules wave; r02: CDP + LLM
@@ -1607,6 +1607,7 @@ QUERIES: dict[str, QueryFn] = {
     # above).  The three displaced r02-green anchors move just below.
     # — green driver rows from round 2 —
     "doc_fingerprint": doc_fingerprint_q,
+    "token_stats": token_stats_q,
     "top_terms_per_lang": top_terms_per_lang_q,
     "term_df_idf": term_df_idf_q,
     "term_cooccurrence": term_cooccurrence_q,
@@ -1628,7 +1629,6 @@ QUERIES: dict[str, QueryFn] = {
     #   r04 front-50, displacing four r03-green anchors) —
     "line_dedup": line_dedup_q,
     "boilerplate_lines": boilerplate_lines_q,
-    "ngram_novelty": ngram_novelty_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
     # — green driver rows from round 1 —
