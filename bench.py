@@ -176,18 +176,37 @@ def _stream_throughput(spark, sf_dir: str) -> float:
             .start()
         )
         q.processAllAvailable()  # warm-up batch (startup costs, cold state)
-        # two timed replay passes; report the MEAN rate (total events /
+        # four timed replay passes; report the MEAN rate (total events /
         # total time) — a sustained measure, not a best-of max, so the
-        # recorded stream_eps is what the label implies
+        # recorded stream_eps is what the label implies.  Four passes, not
+        # two: each pass is only seconds of work at this SF, so a single
+        # straggler batch/GC pause was swinging the recorded rate ~2×
+        # run-to-run (observed 35.4k vs 15.2k same-day); per-pass rates go
+        # to stderr so a skewed record is diagnosable.
         elapsed = 0.0
-        for rep in range(2):
-            for i, f in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
-                shutil.copy(f, f"{src}/replay-{rep}-{i}.parquet")
+        replays = 4
+        parts = sorted(glob.glob(f"{src}/part-*.parquet"))
+        for rep in range(replays):
+            # Stage the replay batch as dot-prefixed files (invisible to
+            # Spark's file listing) and expose it with instant renames —
+            # copying in place races the RUNNING stream, which picks up a
+            # partial file set as its own micro-batch and splits the pass
+            # in two (measured: 2-stage passes at ~10k eps vs 1-stage at
+            # ~35k — the whole run-to-run variance was this race).
+            staged = []
+            for i, f in enumerate(parts):
+                tmp = f"{src}/.replay-{rep}-{i}.parquet"
+                shutil.copy(f, tmp)
+                staged.append((tmp, f"{src}/replay-{rep}-{i}.parquet"))
+            for tmp, final in staged:
+                os.rename(tmp, final)
             t0 = _t.monotonic()
             q.processAllAvailable()
-            elapsed += _t.monotonic() - t0
+            dt = _t.monotonic() - t0
+            elapsed += dt
+            print(f"# stream pass {rep}: {n / dt:.0f} eps", file=sys.stderr)
         q.stop()
-        return 2 * n / elapsed
+        return replays * n / elapsed
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
