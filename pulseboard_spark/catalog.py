@@ -71,9 +71,10 @@ EAGER_QUERIES = frozenset(
         "bpe_encode",
         # power iteration localCheckpoints each superstep at build time
         "identity_pagerank",
-        # runs the prior-slice CC fixpoint (probe collect + checkpoints)
+        # run a prior-slice CC fixpoint (probe collect + checkpoints)
         # while building the merge plan
         "identity_components_incremental",
+        "dedup_clusters_incremental",
     }
 )
 

@@ -194,6 +194,39 @@ def near_dup_clusters(
     )
 
 
+def near_dup_clusters_incremental(
+    documents: DataFrame,
+    prior: DataFrame,
+    delta_pairs: DataFrame,
+    threshold_bp: int = 8000,
+) -> DataFrame:
+    """Fold a delta batch of verified near-dup pairs into a prior cluster
+    map — the nightly-corpus-refresh shape: yesterday's (doc, cluster)
+    labels + today's newly verified pairs, with the accumulated pair log
+    never rescanned (identity.merge_components' star-edge contraction,
+    applied to the dedup graph).  Output matches
+    :func:`near_dup_clusters`: doc_id, cluster_id (min doc id),
+    is_canonical — and must EQUAL the full recompute, which is how the
+    registry query is oracle-checked (it shares `dedup_clusters`' SQL).
+    """
+    from pulseboard_spark.operators.identity import merge_components
+
+    edges = (
+        delta_pairs.filter(_jaccard_at_least(threshold_bp))
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    comp = merge_components(
+        prior.select(F.col("doc_id").alias("id"), F.col("cluster_id").alias("component")),
+        documents.select(F.col("doc_id").alias("id")),
+        edges,
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """16-bit SimHash per document over its distinct word-trigram shingles.
 

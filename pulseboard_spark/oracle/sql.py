@@ -531,8 +531,10 @@ WITH RECURSIVE {COMPONENTS_CTE}
 SELECT id, component FROM comp
 """
 
-# The incremental refresh must reproduce the full-graph answer exactly —
-# sharing the oracle makes that equivalence the externally-checked contract.
+# The incremental refreshes must reproduce the full-graph answers exactly —
+# sharing the oracles makes that equivalence the externally-checked contract.
+# (dedup_clusters_incremental aliases dedup_clusters further down, after
+# that oracle is defined.)
 ORACLE_SQL["identity_components_incremental"] = ORACLE_SQL["identity_components"]
 
 ORACLE_SQL["cdp_profiles"] = f"""
@@ -1280,6 +1282,8 @@ ORACLE_SQL["dedup_clusters"] = f"""
 WITH RECURSIVE {_CLUSTERS_BODY}
 SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical FROM dcomp
 """
+
+ORACLE_SQL["dedup_clusters_incremental"] = ORACLE_SQL["dedup_clusters"]
 
 ORACLE_SQL["corpus_summary"] = f"""
 WITH RECURSIVE {_CLUSTERS_BODY},

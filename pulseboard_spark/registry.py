@@ -1180,6 +1180,25 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _near_dup_clusters(spark, sf_dir)
 
 
+def dedup_clusters_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster refresh: an ~80% slice of the verified pair
+    graph (deterministic crc32 split) builds the prior cluster map; the
+    remaining pairs arrive as the delta batch folded in via
+    ``near_dup_clusters_incremental``.  Shares `dedup_clusters`' oracle —
+    incremental ≡ full recompute is the externally-checked contract."""
+    from pulseboard_spark.operators.dedup import (
+        _jaccard_at_least,
+        near_dup_clusters,
+        near_dup_clusters_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = _near_dup_pairs(spark, sf_dir).filter(_jaccard_at_least(8000))
+    is_delta = F.crc32(F.concat_ws(":", "doc_a", "doc_b")) % 5 == 0
+    prior = near_dup_clusters(docs, pairs=pairs.filter(~is_delta))
+    return near_dup_clusters_incremental(docs, prior, pairs.filter(is_delta))
+
+
 def corpus_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite LLM-pipeline query: quality-filter -> near-dup-canonical
     filter -> per-language token accounting.  One query exercising the
@@ -1629,6 +1648,7 @@ QUERIES: dict[str, QueryFn] = {
     #   r04 front-50, displacing four r03-green anchors) —
     "line_dedup": line_dedup_q,
     "boilerplate_lines": boilerplate_lines_q,
+    "dedup_clusters_incremental": dedup_clusters_incremental_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
     # — green driver rows from round 1 —
