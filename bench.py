@@ -198,9 +198,13 @@ def _stream_throughput(spark, sf_dir: str) -> float:
                 tmp = f"{src}/.replay-{rep}-{i}.parquet"
                 shutil.copy(f, tmp)
                 staged.append((tmp, f"{src}/replay-{rep}-{i}.parquet"))
+            # timer starts BEFORE the renames: if the poller catches a
+            # partial set mid-rename the pass still counts every second of
+            # its processing — a split can lower a pass's rate (variance)
+            # but can never move work outside the timed region (bias)
+            t0 = _t.monotonic()
             for tmp, final in staged:
                 os.rename(tmp, final)
-            t0 = _t.monotonic()
             q.processAllAvailable()
             dt = _t.monotonic() - t0
             elapsed += dt

@@ -457,12 +457,18 @@ def pagerank(
     sym = edges.select("a", "b").unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    # cached/materialized once: every superstep's contribution join reads
+    # sym and every rank rebuild reads base — without this, each
+    # checkpoint action rescans the edge source and re-runs the union +
+    # degree aggregate (same reason connected_components caches sym)
+    sym.cache()
     deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     n_tot = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     base = (
         nodes.join(deg, "id", "left")
         .join(F.broadcast(n_tot))
         .select("id", F.coalesce("deg", F.lit(0)).alias("deg"), "_n")
+        .localCheckpoint()
     )
     ranks = base.select("id", "deg", "_n", (F.lit(1.0) / F.col("_n")).alias("rank"))
     for i in range(iters):
@@ -497,4 +503,8 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint()
+    # final materialization makes the result self-contained so sym can be
+    # released before the consumer runs its action
+    ranks = ranks.localCheckpoint()
+    sym.unpersist()
     return ranks.select("id", "rank")

@@ -422,7 +422,7 @@ def gopher_quality(
     n_words = F.size(words).cast("long")
     alpha_chars = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast("long")
 
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = ws_tokens(F.lower(F.col("text")))
     n_sh = F.greatest(F.size(toks) - 4, F.lit(1))
     sh_arr = F.transform(
         F.sequence(F.lit(1), n_sh),
@@ -609,19 +609,26 @@ def bpe_encode(documents: DataFrame, merges: list[tuple[str, str]]) -> DataFrame
         F.length("w").cast("long").alias("n_chars"),
         F.size(syms).cast("long").alias("n_toks"),
     )
+    agg = per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+    )
+    # left join back so letterless docs (all digits/punctuation — zero
+    # [a-z] words, hence zero exploded rows) still get a row, matching the
+    # one-row-per-doc contract of the sibling per-doc operators
     return (
-        per_word.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("n_chars").cast("long").alias("n_chars"),
-            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
-        )
+        documents.select("doc_id")
+        .join(agg, "doc_id", "left")
         .select(
             "doc_id",
-            "n_words",
-            "n_chars",
-            "n_bpe_tokens",
-            F.expr("((n_chars - n_bpe_tokens) * 1000000) div n_chars").alias("saved_ppm"),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+            F.expr(
+                "CASE WHEN coalesce(n_chars, 0) = 0 THEN 0 "
+                "ELSE ((n_chars - n_bpe_tokens) * 1000000) div n_chars END"
+            ).alias("saved_ppm"),
         )
     )
 

@@ -502,29 +502,29 @@ def segment_diff_stateful(snapshot_stream: DataFrame) -> DataFrame:
 
 
 TRANSITION_SCHEMA = "from_type string, to_type string, ts_ms bigint"
-_TRANSITION_STATE_SCHEMA = "last_ts_ms bigint, last_event_id bigint, last_type string"
+_TRANSITION_STATE_SCHEMA = "last_type string"
 
 
 def _emit_transitions(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     """Per-entity Markov pair emitter: one (from_type, to_type) row per
-    arriving event that has a predecessor; state is only the LAST event's
-    (ts_ms, event_id, type) — O(1) per key, the smallest state of any
-    operator in this file.  Exact under the W3 per-key in-order drain
-    contract (time-ordered chunk replay + the in-batch (ts_ms, event_id)
-    sort), same as every stateful twin here."""
+    arriving event that has a predecessor; state is ONLY the last event's
+    type — O(1) per key, the smallest state of any operator in this file
+    (no ordering fields: correctness rests on the W3 per-key in-order
+    drain contract — time-ordered chunk replay + the in-batch
+    (ts_ms, event_id) sort — and storing timestamps would imply an
+    out-of-order guard this operator deliberately does not have)."""
     batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
         ["ts_ms", "event_id"], kind="mergesort"
     )
     types = batch["type"].tolist()
-    prev = state.get[2] if state.exists else None
+    prev = state.get[0] if state.exists else None
     out_from, out_to = [], []
     for t in types:
         if prev is not None:
             out_from.append(prev)
             out_to.append(t)
         prev = t
-    last = batch.iloc[-1]
-    state.update((int(last["ts_ms"]), int(last["event_id"]), str(last["type"])))
+    state.update((str(batch.iloc[-1]["type"]),))
     if out_from:
         ts = batch["ts_ms"].tolist()[-len(out_from):]
         yield pd.DataFrame({"from_type": out_from, "to_type": out_to, "ts_ms": ts})
@@ -573,23 +573,20 @@ def transitions_stateful_tws(entity_stream: DataFrame, set_watermark: bool = Tru
 
     class _Transitions(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._last = handle.getValueState(
-                "last", "last_ts_ms long, last_event_id long, last_type string"
-            )
+            self._last = handle.getValueState("last", "last_type string")
 
         def handleInputRows(self, key, rows, timer_values):
             batch = pd.concat(list(rows), ignore_index=True).sort_values(
                 ["ts_ms", "event_id"], kind="mergesort"
             )
-            prev = self._last.get()[2] if self._last.exists() else None
+            prev = self._last.get()[0] if self._last.exists() else None
             out_from, out_to = [], []
             for t in batch["type"].tolist():
                 if prev is not None:
                     out_from.append(prev)
                     out_to.append(t)
                 prev = t
-            last = batch.iloc[-1]
-            self._last.update((int(last["ts_ms"]), int(last["event_id"]), str(last["type"])))
+            self._last.update((str(batch.iloc[-1]["type"]),))
             if out_from:
                 ts = batch["ts_ms"].tolist()[-len(out_from):]
                 yield pd.DataFrame({"from_type": out_from, "to_type": out_to, "ts_ms": ts})

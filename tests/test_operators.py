@@ -997,7 +997,12 @@ class TestBpeEncode:
 
         from pulseboard_spark.operators.text import bpe_encode, bpe_train
 
-        texts = ["the cat chased the other thermos", "then the cats gathered", "banana bandana"]
+        texts = [
+            "the cat chased the other thermos",
+            "then the cats gathered",
+            "banana bandana",
+            "12345 !!!",  # letterless doc must still get a (0,0,0,0) row
+        ]
         df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
         merges = [(a, b) for a, b, _ in bpe_train(df, n_merges=5)]
         got = {r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens, r.saved_ppm) for r in bpe_encode(df, merges).collect()}
@@ -1021,9 +1026,11 @@ class TestBpeEncode:
             words = _re.findall("[a-z]+", t.lower())
             n_chars = sum(len(w) for w in words)
             n_toks = sum(len(enc(w)) for w in words)
-            want[i] = (len(words), n_chars, n_toks, (n_chars - n_toks) * 1000000 // n_chars)
+            saved = (n_chars - n_toks) * 1000000 // n_chars if n_chars else 0
+            want[i] = (len(words), n_chars, n_toks, saved)
         assert got == want
-        assert all(v[2] < v[1] for v in want.values()), "merges must compress something"
+        assert want[3] == (0, 0, 0, 0), "letterless doc row present with zeros"
+        assert all(v[2] < v[1] for v in want.values() if v[1]), "merges must compress something"
 
 
 class TestDriftPsi:

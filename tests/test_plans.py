@@ -348,7 +348,10 @@ def _operative(plan: str) -> str:
     operative InMemoryTableScan, which double-counts scan substrings."""
     out, skip_indent = [], None
     for line in plan.splitlines():
-        indent = len(line) - len(line.lstrip())
+        # tree depth, counting the ':'/'+-' branch-drawing prefix too —
+        # multi-branch treeStrings prefix nested nodes with ':' at column
+        # 0, which plain lstrip() would measure as depth 0
+        indent = len(line) - len(line.lstrip(" :+-*("))
         if skip_indent is not None:
             if indent > skip_indent:
                 continue

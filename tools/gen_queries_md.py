@@ -34,16 +34,20 @@ def first_doc_line(fn) -> str:
     return doc.split("\n", 1)[0].strip() if doc else ""
 
 
-def driver_status() -> dict[str, str]:
+def driver_status() -> tuple[dict[str, str], str]:
     """Per-query driver evidence from CORRECTNESS_r*.json (latest round
-    wins).  Distinguishes a driver-recorded result from the in-repo
-    strict-parity sweep — the two are NOT the same evidence class."""
+    wins) plus the NEXT round's window label (latest recorded round + 1 —
+    the window queues work for the round that has not run yet).
+    Distinguishes a driver-recorded result from the in-repo strict-parity
+    sweep — the two are NOT the same evidence class."""
     import json
 
     root = Path(__file__).resolve().parents[1]
     status: dict[str, str] = {}
+    last = 0
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         rnd = path.stem.split("_")[-1]
+        last = max(last, int(rnd.lstrip("r")))
         rows = json.loads(path.read_text())
         for name, rec in rows.items():
             if rec.get("err"):
@@ -54,12 +58,12 @@ def driver_status() -> dict[str, str]:
                 status[name] = f"driver-FAIL {rnd}"
             elif rec.get("rows_match"):
                 status[name] = f"driver-rows {rnd}"
-    return status
+    return status, f"r{last + 1:02d}"
 
 
 def main() -> None:
     n_oracle = sum(1 for n in QUERIES if n in ORACLE_SQL)
-    drv = driver_status()
+    drv, window_round = driver_status()
     front50 = set(list(QUERIES)[:50])
     lines = [
         "# QUERIES — declared query index (generated from registry.py)",
@@ -70,10 +74,11 @@ def main() -> None:
         "",
         "Driver evidence (CORRECTNESS_rNN.json) is reported per query and is",
         "distinct from the in-repo sweep: `driver-green rNN` = external driver",
-        "hash match in round NN; `repaired, in r03 window` = failed r02 on a",
-        "surface-encoding class (HUGEINT dtype image / array column), repaired",
-        "and re-queued at the front of the driver's 50-query window;",
-        "`repo-green` = strict in-repo parity only, no driver row yet.",
+        "hash match in round NN; `repaired, in rNN window` = last driver row",
+        "was FAIL/ERR (r02's surface-encoding classes: HUGEINT dtype image /",
+        "array column), repaired and re-queued at the front of the driver's",
+        "50-query window; `repo-green` = strict in-repo parity only, no",
+        "driver row yet.",
     ]
     n_green = n_window = 0
     placed: set[str] = set()
@@ -90,10 +95,14 @@ def main() -> None:
                 mark = d
                 n_green += 1
             elif d.startswith(("driver-FAIL", "driver-ERR")):
-                mark = "repaired, in r03 window"
+                # the front-50 check is real, not assumed: a failed query
+                # accidentally left below the boundary must not claim a
+                # driver re-check it will not get
+                where = f"in {window_round} window" if n in front50 else "NOT in window — rotate it in"
+                mark = f"repaired, {where}"
                 n_window += 1
             elif n in front50:
-                mark = "repo-green, in r03 window"
+                mark = f"repo-green, in {window_round} window"
                 n_window += 1
             else:
                 mark = "repo-green"
@@ -105,7 +114,7 @@ def main() -> None:
     )
     print(
         f"QUERIES.md: {len(QUERIES)} queries, {n_oracle} oracle-checked, "
-        f"{n_green} driver-recorded green, {n_window} queued in the r03 window"
+        f"{n_green} driver-recorded green, {n_window} queued in the {window_round} window"
     )
 
 
