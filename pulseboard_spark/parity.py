@@ -46,21 +46,31 @@ TABLE_NAMES = [
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Views over the sf dir's parquet tables.  A missing table gets no
+    view (its queries then fail individually with a clear 'table does not
+    exist' — run_all's per-query guard surfaces that instead of the whole
+    sweep aborting, since DuckDB binds read_parquet views eagerly)."""
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        path = os.path.join(sf_dir, f"{t}.parquet").replace("'", "''")
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        except duckdb.Error:
+            pass  # absent table: only its own queries fail, later, by name
     return con
 
 
 def _array_cells(df: pd.DataFrame) -> list[str]:
-    """Columns holding any list/ndarray cell — these crash the driver."""
+    """Columns holding unsortable container cells (list/ndarray/dict —
+    MapType images as dict) — all of these crash the driver's
+    sort_values.  Result columns are homogeneously typed, so the first
+    non-null cell decides (no full-column Python scan)."""
     bad = []
     for c in df.columns:
-        if df[c].dtype == object and any(
-            isinstance(v, (list, tuple, np.ndarray)) for v in df[c]
-        ):
-            bad.append(c)
+        if df[c].dtype == object:
+            probe = next((v for v in df[c] if v is not None), None)
+            if isinstance(probe, (list, tuple, dict, np.ndarray)):
+                bad.append(c)
     return bad
 
 
@@ -97,11 +107,11 @@ def compare(spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, sf_d
         return ParityResult(name, False, len(sdf), len(ddf), "row count differs")
 
     # Class B replica: the driver's sort_values crashes on array cells.
-    bad = _array_cells(sdf) + _array_cells(ddf)
-    if bad:
+    s_bad, d_bad = _array_cells(sdf), _array_cells(ddf)
+    if s_bad or d_bad:
         return ParityResult(
             name, False, len(sdf), len(ddf),
-            f"array-typed cells would crash the driver: {sorted(set(bad))}",
+            f"array-typed cells would crash the driver: spark={s_bad} duck={d_bad}",
         )
 
     sc = _canon_frame(sdf)
@@ -124,7 +134,9 @@ def compare(spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, sf_d
 def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[ParityResult]:
     con = duck_connection(sf_dir)
     results = []
-    for name in names or [n for n in QUERIES if n in ORACLE_SQL]:
+    if names is None:  # an explicitly-empty list means "run nothing"
+        names = [n for n in QUERIES if n in ORACLE_SQL]
+    for name in names:
         try:
             results.append(compare(spark, con, name, sf_dir))
         except Exception as exc:  # surface, don't abort the sweep
