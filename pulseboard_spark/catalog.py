@@ -75,6 +75,10 @@ EAGER_QUERIES = frozenset(
         # while building the merge plan
         "identity_components_incremental",
         "dedup_clusters_incremental",
+        # PQ codebook training runs Lloyd-round jobs at plan time (and
+        # pq_topk additionally limit-probes + collects the query slice)
+        "pq_codes",
+        "pq_topk_rerank",
     }
 )
 

@@ -355,3 +355,50 @@ def blocked_fuzzy_pairs(
         .where(F.col("dist") <= max_dist)
         .select(F.col("blk").alias(block), "a_key", "b_key", "dist")
     )
+
+
+def cross_source_overlap(
+    documents: DataFrame, threshold_bp: int = 8000, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Near-duplicate leakage between sources: for every (source, source)
+    pair, how many verified near-dup document pairs cross it — the
+    contamination audit a training pipeline runs before mixing corpora
+    (a high off-diagonal count means two "independent" sources share
+    content; a high diagonal means a source self-duplicates).
+
+    Built on the same verified pair graph as :func:`ngram_jaccard_dedup`
+    (MinHash-banded candidates → exact-Jaccard verify at ``threshold_bp``),
+    so the scale posture is unchanged: banded candidate generation, never
+    all-pairs.  The source pair is ordered lexicographically (src_a <=
+    src_b) so each unordered pair surfaces once.
+
+    Output: src_a, src_b, n_pairs, n_docs (distinct documents of that
+    source pair touched by a crossing near-dup edge).
+    """
+    if pairs is None:
+        pairs = minhash_near_dups(documents)
+    pairs = pairs.filter(_jaccard_at_least(threshold_bp))
+    src = documents.select("doc_id", "source")
+    tagged = (
+        pairs.select("doc_a", "doc_b")
+        .join(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+        )
+    )
+    docs_touched = tagged.select(
+        "src_a", "src_b", F.col("doc_a").alias("doc_id")
+    ).union(tagged.select("src_a", "src_b", F.col("doc_b").alias("doc_id")))
+    n_docs = docs_touched.groupBy("src_a", "src_b").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        tagged.groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .join(n_docs, ["src_a", "src_b"])
+        .select("src_a", "src_b", "n_pairs", "n_docs")
+    )

@@ -800,3 +800,344 @@ def hard_negatives_broadcast(embeddings: DataFrame, k: int = 3) -> DataFrame:
         block,
         schema="vec_id bigint, label bigint, neighbor_id bigint, neighbor_label bigint, cosine double, rank bigint",
     )
+
+
+def embedding_norm_outliers(embeddings: DataFrame, k: float = 3.0) -> DataFrame:
+    """Embedding-table QA: per label, robust (median/MAD) outlier stats
+    over the squared L2 norm — degenerate vectors (zero, clipped,
+    mis-scaled, fp-overflowed) show up as norm outliers long before any
+    downstream similarity job notices them.
+
+    The squared norm is a LEFT-TO-RIGHT double fold over the vector
+    (``F.aggregate`` — JVM-side, no Python seam), rounded at 6 places
+    with DuckDB semantics (:func:`duck_round`) — the exact op sequence
+    the oracle's ``list_dot_product(v, v)`` performs, so the surface is
+    engine-identical like the cosine kernels above.  Everything after
+    that is :func:`~pulseboard_spark.operators.mlprep.mad_outliers` on
+    (label, sqnorm): one histogram pass, discrete medians, integer
+    outlier counts.
+
+    Output: label, n_vecs, med_sqnorm, mad_sqnorm, n_outliers,
+    outlier_frac_bp.
+    """
+    from pulseboard_spark.operators.mlprep import mad_outliers
+
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    vals = embeddings.select(
+        F.col("label").alias("type"), duck_round(sq, 6).alias("value")
+    )
+    out = mad_outliers(vals, k=k)
+    return out.select(
+        F.col("type").alias("label"),
+        F.col("n_values").alias("n_vecs"),
+        F.col("median_value").alias("med_sqnorm"),
+        F.col("mad_value").alias("mad_sqnorm"),
+        "n_outliers",
+        "outlier_frac_bp",
+    )
+
+
+# --- Product quantization (PQ) ----------------------------------------------
+#
+# The memory-bound end of the ANN ladder: IVF (above) prunes WHICH vectors a
+# query scores; PQ shrinks WHAT is stored per vector — d float32s become m
+# 4-bit codes (64 dims -> 8 bytes at the defaults, 32x), so a 100 TB
+# embedding corpus compresses to ~3 TB of codes that fit hot in executor
+# memory while the raw vectors stay in cold parquet.  Search is asymmetric
+# distance computation (ADC): one small lookup table per (query, subspace),
+# then a gather-sum over the codes — no floats from the corpus touched at
+# query time.  Jegou et al., "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011) — public method, reimplemented Spark-first.
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame, m: int = 8, k: int = 256, iters: int = 2
+) -> np.ndarray:
+    """Train the (m, k, d/m) PQ codebooks — deterministic k-means per
+    subspace, same recipe as :func:`ivf_index`: seeds are the ``k``
+    vectors with smallest md5(vec_id) (no driver RNG), Lloyd rounds
+    assign distributed (broadcast codebooks, Arrow kernel) and update via
+    per-(subspace, code) means averaged in vec_id order so every centroid
+    is bit-deterministic.
+
+    Scale: each round is one pass over the corpus plus a shuffle whose
+    payload is exactly one subvector per (row, subspace) — the same bytes
+    a d-dim shuffle would move, split m ways; the m·k codebook table is
+    driver-size (m·k·d/m = k·d doubles) by construction.  On 100 TB the
+    train pass runs on a hash-sample (caller passes ``embeddings.sample``)
+    and only the final assignment sweeps the full corpus.
+    """
+    seeds = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .collect()
+    )
+    S = np.array([list(r[1]) for r in seeds], dtype=np.float64)
+    d = S.shape[1]
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    dsub = d // m
+    # C[j] = centroids of subspace j, initialised from the seed slices
+    C = np.stack([S[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+    if len(seeds) < k:  # tiny corpus: fewer seeds than codes — tile
+        reps = -(-k // len(seeds))
+        C = np.tile(C, (1, reps, 1))[:, :k, :]
+    sc = embeddings.sparkSession.sparkContext
+    base = embeddings.select("vec_id", "embedding")
+
+    for _ in range(iters):
+        cb = sc.broadcast(C)
+
+        def subassign(batches):
+            CB = cb.value
+            for pdf in batches:
+                A = _batch_matrix(pdf["embedding"])
+                ids = pdf["vec_id"].to_numpy(np.int64)
+                out = []
+                for j in range(m):
+                    X = A[:, j * dsub : (j + 1) * dsub]
+                    # ||x-c||^2 = ||x||^2 - 2<x,c> + ||c||^2; argmin over
+                    # codes — first min wins, ties resolve to lowest code
+                    D = (
+                        (X * X).sum(axis=1)[:, None]
+                        - 2.0 * X @ CB[j].T
+                        + (CB[j] * CB[j]).sum(axis=1)[None, :]
+                    )
+                    code = np.argmin(D, axis=1).astype(np.int64)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": ids,
+                                "j": np.full(len(ids), j, dtype=np.int64),
+                                "code": code,
+                                "sub": list(X),
+                            }
+                        )
+                    )
+                yield pd.concat(out, ignore_index=True)
+
+        assigned = base.mapInPandas(
+            subassign, schema="vec_id bigint, j bigint, code bigint, sub array<double>"
+        )
+
+        def mean_code(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id")
+            M = np.stack(pdf["sub"].to_numpy())
+            return pd.DataFrame(
+                {
+                    "j": [int(pdf["j"].iloc[0])],
+                    "code": [int(pdf["code"].iloc[0])],
+                    "centroid": [M.mean(axis=0).tolist()],
+                }
+            )
+
+        rows = sorted(
+            assigned.groupBy("j", "code")
+            .applyInPandas(mean_code, schema="j bigint, code bigint, centroid array<double>")
+            .collect()
+        )
+        C = C.copy()  # empty codes keep their previous centroid
+        for j, code, centroid in rows:
+            C[j][code] = centroid
+    return C
+
+
+def pq_assign_codes(embeddings: DataFrame, C: np.ndarray) -> DataFrame:
+    """Assign every vector its m PQ codes (vec_id, codes array<int>) —
+    one broadcast of the codebooks, one Arrow-batched pass, no shuffle."""
+    m, _k, dsub = C.shape
+    cb = embeddings.sparkSession.sparkContext.broadcast(C)
+
+    def assign(batches):
+        CB = cb.value
+        for pdf in batches:
+            A = _batch_matrix(pdf["embedding"])
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                X = A[:, j * dsub : (j + 1) * dsub]
+                D = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * X @ CB[j].T
+                    + (CB[j] * CB[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(D, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(np.int64), "codes": list(codes)}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id bigint, codes array<bigint>"
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    iters: int = 2,
+    C: np.ndarray | None = None,
+) -> DataFrame:
+    """Registry surface for the PQ code table: vec_id, codes as a
+    comma-joined string (arrays never reach a driver-checked surface —
+    round-2 Class B), n_bytes = m (one byte per code at k<=256).
+    ``C``: pre-trained codebooks (callers running several PQ queries over
+    one corpus train once and share — see the registry's _pq cache)."""
+    if C is None:
+        C = pq_train_codebooks(embeddings, m=m, k=k, iters=iters)
+    codes = pq_assign_codes(embeddings, C)
+    return codes.select(
+        "vec_id",
+        F.array_join("codes", ",").alias("codes"),
+        F.lit(m).cast("long").alias("n_bytes"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    topk: int = 10,
+    m: int = 8,
+    k: int = 256,
+    iters: int = 2,
+    eval_mod: int = 10,
+    max_query_rows: int | None = None,
+    C: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: vectors with ``vec_id % eval_mod == 0``
+    are the query set (same held-out convention as
+    :func:`embedding_decontamination`); every corpus vector is a
+    candidate via its 8-byte code only.
+
+    Physical shape — the INVERSE of the broadcast-index kernels above,
+    which is the point: there the *index* had to fit somewhere hot; here
+    the corpus side stays distributed as codes (32x smaller than raw)
+    and only the QUERY slice broadcasts.  Per partition the kernel
+    builds each query's (m × k) ADC lookup table once, scores the
+    partition's codes with a gather-sum (no corpus floats touched),
+    keeps a partial top-k, and a final |queries|·topk-row window merge
+    picks the global winners — ties broken by neighbor_id, so output is
+    deterministic given the (deterministic) codebooks.
+
+    Approximate by construction → rows-only driver check; recall against
+    the exact kernel and bit-determinism are pinned by
+    ``tests/test_operators.py::TestPq``.
+    """
+    if C is None:
+        C = pq_train_codebooks(embeddings, m=m, k=k, iters=iters)
+    dsub = C.shape[2]
+    codes = pq_assign_codes(embeddings, C)
+    queries = embeddings.filter(F.col("vec_id") % eval_mod == 0)
+    if _index_too_big(queries, max_query_rows):
+        raise ValueError(
+            "pq_topk query slice exceeds the broadcast ceiling — raise eval_mod "
+            "or pre-sample the query set; the codes side scales, the query "
+            "broadcast is the documented bound"
+        )
+    q_rows = queries.select("vec_id", "embedding").collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64).reshape(len(q_rows), -1)
+    sc = embeddings.sparkSession.sparkContext
+    # T[q, j, c] = ||Q[q, j-slice] - C[j, c]||^2, built once and broadcast
+    T = np.stack(
+        [
+            (
+                (Q[:, j * dsub : (j + 1) * dsub] ** 2).sum(axis=1)[:, None]
+                - 2.0 * Q[:, j * dsub : (j + 1) * dsub] @ C[j].T
+                + (C[j] ** 2).sum(axis=1)[None, :]
+            )
+            for j in range(C.shape[0])
+        ],
+        axis=1,
+    )
+    t_bc = sc.broadcast((qids, T))
+
+    def partial(batches):
+        ids_q, TT = t_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            CM = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            nids = pdf["vec_id"].to_numpy(np.int64)
+            # D[q, n] = sum_j TT[q, j, CM[n, j]] — gather-sum, no corpus floats
+            D = np.zeros((len(ids_q), len(nids)))
+            for j in range(CM.shape[1]):
+                D += TT[:, j, CM[:, j]]
+            keep = min(topk + 1, len(nids))  # +1: self may be in-partition
+            part = np.argpartition(D, keep - 1, axis=1)[:, :keep]
+            qq, nn, dd = [], [], []
+            for qi in range(len(ids_q)):
+                sel = part[qi]
+                mask = nids[sel] != ids_q[qi]
+                qq.append(np.full(mask.sum(), ids_q[qi], dtype=np.int64))
+                nn.append(nids[sel][mask])
+                dd.append(D[qi, sel][mask])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(qq),
+                    "neighbor_id": np.concatenate(nn),
+                    "adc_dist": np.concatenate(dd),
+                }
+            )
+
+    parts = codes.mapInPandas(
+        partial, schema="vec_id bigint, neighbor_id bigint, adc_dist double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        parts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= topk)
+        .select("vec_id", "neighbor_id", duck_round(F.col("adc_dist"), 6).alias("adc_dist"), "rank")
+    )
+
+
+def pq_topk_rerank(
+    embeddings: DataFrame,
+    topk: int = 10,
+    shortlist: int = 50,
+    m: int = 8,
+    k: int = 256,
+    iters: int = 2,
+    eval_mod: int = 10,
+    C: np.ndarray | None = None,
+) -> DataFrame:
+    """IVFADC+R-style two-stage search: the PQ/ADC pass
+    (:func:`pq_topk`) produces a ``shortlist``-deep candidate set from
+    codes alone, then ONLY those candidates' raw vectors are fetched
+    (a join against the corpus — at 100 TB this touches
+    |queries|·shortlist rows of cold parquet, not the corpus) and
+    re-ranked by exact L2 distance as a pure Catalyst expression
+    (``zip_with``/``aggregate`` left fold — JVM-side, no Python seam in
+    the re-rank stage).  Recall is then bounded by shortlist coverage
+    rather than code resolution — the standard production ANN shape.
+
+    Output: vec_id, neighbor_id, l2_dist (round-6), rank ≤ ``topk``.
+    Approximate (shortlist may miss true neighbors) → rows-only driver
+    check; recall and determinism pinned by ``TestPq``.
+    """
+    cand = pq_topk(
+        embeddings, topk=shortlist, m=m, k=k, iters=iters, eval_mod=eval_mod, C=C
+    ).select("vec_id", "neighbor_id")
+    qvec = embeddings.select(
+        F.col("vec_id").alias("vec_id"), _as_double(F.col("embedding")).alias("_qv")
+    )
+    nvec = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("_nv")
+    )
+    dist = F.aggregate(
+        F.zip_with("_qv", "_nv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("l2_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        cand.join(qvec, "vec_id")
+        .join(nvec, "neighbor_id")
+        .withColumn("l2_dist", duck_round(dist, 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= topk)
+        .select("vec_id", "neighbor_id", "l2_dist", "rank")
+    )

@@ -8,7 +8,7 @@ the numbers are engine-portable by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
@@ -661,4 +661,65 @@ def lang_confusion(documents: DataFrame) -> DataFrame:
             "n_lang",
             F.expr("(n * 1000000) div n_lang").alias("share_ppm"),
         )
+    )
+
+
+def quality_funnel(documents: DataFrame) -> DataFrame:
+    """Staged filter-attrition report: how many documents survive each
+    stage of a standard pretraining quality cascade — the observability
+    table a data pipeline publishes so corpus shrinkage is explainable
+    per stage instead of one opaque count.
+
+    Stages (each applied on top of all previous — a document is counted
+    at stage i only if it passed 1..i-1):
+
+    1. ``min_chars``    — n_chars >= 100
+    2. ``min_tokens``   — >= 20 whitespace tokens (:func:`ws_tokens`)
+    3. ``punct_ratio``  — punctuation <= 30% of tokens (exact integer
+       cross-multiply; no float ratio at a decision boundary)
+    4. ``stopword_floor`` — stopword count >= 1% of tokens (same)
+    5. ``exact_canonical`` — doc is its md5(text) group's min-id
+       canonical (the survivor exact dedup would keep)
+
+    Output: stage_idx, stage, n_in, n_out, n_dropped — ``len(stages)+1``
+    rows (stage 0 = ingest, n_in = n_out = corpus size).
+
+    Scale: one scan computes every per-doc predicate; the only shuffle is
+    the md5 window for stage 5 (same key as exact dedup — at 100 TB the
+    hash group is the partitioner, no skew since hashes are uniform);
+    counts map-side combine to a single row that is then unpivoted
+    driver-free via ``stack``.
+    """
+    toks = ws_tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    punct = (
+        F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), _PUNCT, ""))
+    ).cast("long")
+    stop = _count_in(toks, STOPWORDS)
+    canon = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+    staged = documents.select(
+        (F.col("n_chars") >= 100).alias("_s1"),
+        (n_tokens >= 20).alias("_s2"),
+        (punct * 10 <= n_tokens * 3).alias("_s3"),
+        (stop * 100 >= n_tokens).alias("_s4"),
+        (F.col("doc_id") == canon).alias("_s5"),
+    )
+    cum = staged.select(
+        F.lit(1).alias("_c0"),
+        *[
+            F.when(
+                F.expr(" AND ".join(f"_s{j}" for j in range(1, i + 1))), F.lit(1)
+            ).otherwise(F.lit(0)).alias(f"_c{i}")
+            for i in range(1, 6)
+        ],
+    )
+    totals = cum.agg(*[F.sum(f"_c{i}").alias(f"n{i}") for i in range(6)])
+    names = ["ingest", "min_chars", "min_tokens", "punct_ratio", "stopword_floor", "exact_canonical"]
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), '{names[i]}', n{max(i - 1, 0)}, n{i}" for i in range(6)
+    )
+    return totals.selectExpr(
+        f"stack(6, {stack_args}) AS (stage_idx, stage, n_in, n_out)"
+    ).select(
+        "stage_idx", "stage", "n_in", "n_out", (F.col("n_in") - F.col("n_out")).alias("n_dropped")
     )

@@ -277,3 +277,35 @@ def event_transitions(ev: DataFrame) -> DataFrame:
             F.expr("(n * 1000000) div n_from").alias("p_ppm"),
         )
     )
+
+
+def event_paths_topk(ev: DataFrame, depth: int = 3, k: int = 20) -> DataFrame:
+    """Top-k event-type paths: the ``depth``-length sequences of
+    consecutive event types (per entity, ordered by (ts_ms, event_id))
+    that occur most often across the corpus — the "what do users do in
+    what order" product-analytics staple one step up from the first-order
+    transition matrix (:func:`event_transitions`).
+
+    Output: path (types joined by " > "), n, rank — the global top ``k``
+    by (n DESC, path ASC), a deterministic total order.
+
+    Scale: one shuffle on entity_id for the lag window (shared with
+    sessionization / transitions — same key), then a map-side-combining
+    rollup to at most |types|^depth rows; the final top-k is a single
+    window over that tiny counts table.  No self-join, no driver collect.
+    """
+    w = Window.partitionBy("entity_id").orderBy("ts_ms", "event_id")
+    steps = ev.select("entity_id", "type", "ts_ms", "event_id")
+    for i in range(1, depth):
+        steps = steps.withColumn(f"_t{i}", F.lag("type", depth - i).over(w))
+    parts = [F.col(f"_t{i}") for i in range(1, depth)] + [F.col("type")]
+    paths = steps.where(F.col("_t1").isNotNull()).select(
+        F.concat_ws(" > ", *parts).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("path").asc()))
+    return (
+        counts.withColumn("rank", rk.cast("long"))
+        .where(F.col("rank") <= k)
+        .select("path", "n", "rank")
+    )

@@ -2449,3 +2449,119 @@ SELECT 'l_linestatus' AS column_name, count(*) AS n_rows, count(l_linestatus) AS
 UNION ALL
 SELECT 'l_shipdate' AS column_name, count(*) AS n_rows, count(l_shipdate) AS n_nonnull, count(DISTINCT l_shipdate) AS n_distinct FROM lineitem
 """
+
+
+# Round-3 wave 3: path analysis, funnel observability, source-overlap
+# contamination, embedding-norm QA (operators/timeseries.py::
+# event_paths_topk, text.py::quality_funnel, dedup.py::
+# cross_source_overlap, similarity.py::embedding_norm_outliers).
+
+ORACLE_SQL["event_paths_topk"] = f"""
+WITH {ENT_CTE},
+s AS (
+  SELECT entity_id, type,
+         lag(type, 2) OVER (PARTITION BY entity_id ORDER BY ts_ms, event_id) AS t1,
+         lag(type, 1) OVER (PARTITION BY entity_id ORDER BY ts_ms, event_id) AS t2
+  FROM ent
+),
+p AS (SELECT t1 || ' > ' || t2 || ' > ' || type AS path FROM s WHERE t1 IS NOT NULL),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path),
+r AS (
+  SELECT path, n,
+         CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS BIGINT) AS rank
+  FROM c
+)
+SELECT path, n, rank FROM r WHERE rank <= 20
+"""
+
+ORACLE_SQL["quality_funnel"] = """
+WITH q AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS nt,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct,
+         CAST(len(list_filter(list_filter(string_split(text, ' '), x -> len(x) > 0),
+              x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS stop,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+  FROM documents
+),
+c AS (
+  SELECT CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS c1,
+         CASE WHEN n_chars >= 100 AND nt >= 20 THEN 1 ELSE 0 END AS c2,
+         CASE WHEN n_chars >= 100 AND nt >= 20 AND punct * 10 <= nt * 3 THEN 1 ELSE 0 END AS c3,
+         CASE WHEN n_chars >= 100 AND nt >= 20 AND punct * 10 <= nt * 3
+                   AND stop * 100 >= nt THEN 1 ELSE 0 END AS c4,
+         CASE WHEN n_chars >= 100 AND nt >= 20 AND punct * 10 <= nt * 3
+                   AND stop * 100 >= nt AND doc_id = canon THEN 1 ELSE 0 END AS c5
+  FROM q
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c3) AS BIGINT) AS n3, CAST(sum(c4) AS BIGINT) AS n4,
+         CAST(sum(c5) AS BIGINT) AS n5
+  FROM c
+)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingest' AS stage, n0 AS n_in, n0 AS n_out, CAST(0 AS BIGINT) AS n_dropped FROM t
+UNION ALL SELECT 1, 'min_chars', n0, n1, n0 - n1 FROM t
+UNION ALL SELECT 2, 'min_tokens', n1, n2, n1 - n2 FROM t
+UNION ALL SELECT 3, 'punct_ratio', n2, n3, n2 - n3 FROM t
+UNION ALL SELECT 4, 'stopword_floor', n3, n4, n3 - n4 FROM t
+UNION ALL SELECT 5, 'exact_canonical', n4, n5, n4 - n5 FROM t
+"""
+
+ORACLE_SQL["cross_source_overlap"] = f"""
+WITH {_MINHASH_BODY},
+ver AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE i.i * 10000 >= 8000 * (na.n + nb.n - i.i)
+),
+tg AS (
+  SELECT v.doc_a, v.doc_b,
+         least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b
+  FROM ver v
+  JOIN documents da ON da.doc_id = v.doc_a
+  JOIN documents db ON db.doc_id = v.doc_b
+),
+np AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs FROM tg GROUP BY 1, 2),
+dt AS (
+  SELECT src_a, src_b, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM (
+    SELECT src_a, src_b, doc_a AS doc_id FROM tg
+    UNION ALL SELECT src_a, src_b, doc_b FROM tg
+  ) GROUP BY 1, 2
+)
+SELECT np.src_a, np.src_b, np.n_pairs, dt.n_docs
+FROM np JOIN dt USING (src_a, src_b)
+"""
+
+ORACLE_SQL["embedding_norm_outliers"] = """
+WITH e AS (
+  SELECT label,
+         round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS v
+  FROM embeddings
+),
+vh AS (SELECT label, v, count(*) AS c FROM e GROUP BY 1, 2),
+vc AS (SELECT label, v, sum(c) OVER (PARTITION BY label ORDER BY v) AS cum,
+              sum(c) OVER (PARTITION BY label) AS tot FROM vh),
+med AS (SELECT label, min(v) AS med FROM vc WHERE cum >= (tot + 1) // 2 GROUP BY label),
+dev AS (SELECT e.label, v, med, abs(v - med) AS adev FROM e JOIN med USING (label)),
+ah AS (SELECT label, adev, count(*) AS c FROM dev GROUP BY 1, 2),
+ac AS (SELECT label, adev, sum(c) OVER (PARTITION BY label ORDER BY adev) AS cum,
+              sum(c) OVER (PARTITION BY label) AS tot FROM ah),
+mad AS (
+  SELECT a.label, min(m.med) AS med, min(a.adev) AS mad
+  FROM ac a JOIN med m USING (label) WHERE cum >= (tot + 1) // 2 GROUP BY a.label
+)
+SELECT e.label,
+       count(*) AS n_vecs,
+       min(m.med) AS med_sqnorm,
+       min(m.mad) AS mad_sqnorm,
+       CAST(sum(CASE WHEN abs(v - m.med) > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       (CAST(sum(CASE WHEN abs(v - m.med) > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*) AS outlier_frac_bp
+FROM e JOIN mad m USING (label)
+GROUP BY e.label
+"""

@@ -1491,6 +1491,49 @@ def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.ngram_novelty(_docs(spark, sf_dir))
 
 
+def event_paths_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.event_paths_topk(entity_events(spark, sf_dir))
+
+
+def quality_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_funnel(_docs(spark, sf_dir))
+
+
+def cross_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.cross_source_overlap(
+        _docs(spark, sf_dir), pairs=_near_dup_pairs(spark, sf_dir)
+    )
+
+
+def embedding_norm_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_norm_outliers(_embs(spark, sf_dir))
+
+
+#: (applicationId, sf_dir) -> trained PQ codebooks.  Training is the shared
+#: expensive stage of every PQ query (codes table, ADC search, re-rank);
+#: a real pipeline trains once per corpus snapshot and ships the m*k*d/m
+#: table with the index — the registry memoizes it the same way as
+#: _PAIR_CACHE.
+_PQ_CACHE: dict = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    C = _PQ_CACHE.get(key)
+    if C is None:
+        C = similarity.pq_train_codebooks(_embs(spark, sf_dir))
+        _PQ_CACHE[key] = C
+    return C
+
+
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_codes(_embs(spark, sf_dir), C=_pq_codebooks(spark, sf_dir))
+
+
+def pq_topk_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_topk_rerank(_embs(spark, sf_dir), C=_pq_codebooks(spark, sf_dir))
+
+
 def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.line_dedup_stats(_docs(spark, sf_dir))
 
@@ -1644,13 +1687,19 @@ QUERIES: dict[str, QueryFn] = {
     "resize_media": resize_media_q,
     "pii_scrub": pii_scrub_q,
     "decontamination": decontamination_q,
-    # — new in round 3, still below the window (rotate these four into the
-    #   r04 front-50, displacing four r03-green anchors) —
+    # — new in round 3, still below the window (rotate these nine into the
+    #   r04 front-50, displacing r03-green anchors) —
     "line_dedup": line_dedup_q,
     "boilerplate_lines": boilerplate_lines_q,
+    "event_paths_topk": event_paths_topk_q,
+    "quality_funnel": quality_funnel_q,
+    "cross_source_overlap": cross_source_overlap_q,
+    "embedding_norm_outliers": embedding_norm_outliers_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
+    "pq_codes": pq_codes_q,  # iterative k-means trainer — rows-only, pinned by TestPq
+    "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — rows-only, recall+determinism pinned by TestPq
     # — green driver rows from round 1 —
     "tpch_q1_pricing_summary": tpch_q1,
     "tpch_q3_shipping_priority": tpch_q3,

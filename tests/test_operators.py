@@ -1306,3 +1306,103 @@ class TestEmbeddingDecon:
         rows = [(i, [1.0, float(i)]) for i in range(1, 20, 2)]  # all odd ids
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
         assert embedding_decontamination(df, eval_mod=10).count() == 0
+
+
+class TestPq:
+    """Product quantization: codes match a sequential NumPy reference of
+    the same deterministic recipe; ADC+rerank recall is pinned; output is
+    bit-stable across runs."""
+
+    @staticmethod
+    def _reference_codebooks(ids, M, m, k, iters):
+        import hashlib
+
+        import numpy as np
+
+        order = sorted(range(len(ids)), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]))
+        S = M[order[:k]].astype(np.float64)
+        d = M.shape[1]
+        dsub = d // m
+        C = np.stack([S[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+        if len(order) < k:
+            reps = -(-k // len(order))
+            C = np.tile(C, (1, reps, 1))[:, :k, :]
+        vid_order = np.argsort(ids)
+        for _ in range(iters):
+            newC = C.copy()
+            for j in range(m):
+                X = M[:, j * dsub : (j + 1) * dsub].astype(np.float64)
+                D = (X * X).sum(1)[:, None] - 2.0 * X @ C[j].T + (C[j] * C[j]).sum(1)[None, :]
+                code = np.argmin(D, axis=1)
+                for c in np.unique(code):
+                    members = vid_order[code[vid_order] == c]
+                    newC[j][c] = X[members].mean(axis=0)
+            C = newC
+        return C
+
+    def test_codes_match_reference(self, spark, sf_dir):
+        import numpy as np
+
+        from pulseboard_spark.operators import similarity as S
+        from pulseboard_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        m, k, iters = 4, 8, 2
+        C = S.pq_train_codebooks(emb, m=m, k=k, iters=iters)
+        Cref = self._reference_codebooks(ids, M, m, k, iters)
+        assert C.shape == Cref.shape
+        assert np.allclose(C, Cref, atol=1e-12), np.abs(C - Cref).max()
+        # distributed assignment == reference argmin over the same books
+        got = {r.vec_id: r.codes for r in S.pq_assign_codes(emb, C).collect()}
+        dsub = M.shape[1] // m
+        for i, vid in enumerate(ids):
+            want = [
+                int(
+                    np.argmin(
+                        ((M[i, j * dsub : (j + 1) * dsub] - C[j]) ** 2).sum(axis=1)
+                    )
+                )
+                for j in range(m)
+            ]
+            assert list(got[vid]) == want, vid
+
+    def test_adc_recall_and_determinism(self, spark, sf_dir):
+        import numpy as np
+
+        from pulseboard_spark.operators import similarity as S
+        from pulseboard_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        C = S.pq_train_codebooks(emb)
+        adc = S.pq_topk(emb, topk=10, C=C).toPandas()
+        rr = S.pq_topk_rerank(emb, C=C).toPandas()
+        rec_adc, rec_rr, top1 = [], [], []
+        for qi in np.where(ids % 10 == 0)[0]:
+            d = ((M - M[qi]) ** 2).sum(axis=1)
+            d[qi] = np.inf
+            exact = ids[np.argsort(d)[:10]]
+            a = set(adc[adc.vec_id == ids[qi]].neighbor_id)
+            r = set(rr[rr.vec_id == ids[qi]].neighbor_id)
+            rec_adc.append(len(set(exact) & a) / 10)
+            rec_rr.append(len(set(exact) & r) / 10)
+            top1.append(1.0 if exact[0] in r else 0.0)
+        # measured at sf0.001: adc .512 / rerank .938 / top1 1.0 — pinned
+        # with slack for other scale fixtures
+        assert np.mean(rec_adc) >= 0.35, np.mean(rec_adc)
+        assert np.mean(rec_rr) >= 0.75, np.mean(rec_rr)
+        assert np.mean(rec_rr) >= np.mean(rec_adc) - 1e-9, "re-rank must not hurt recall"
+        assert np.mean(top1) >= 0.85, np.mean(top1)
+        # rank column: each query has exactly ranks 1..10
+        g = rr.groupby("vec_id")["rank"].apply(lambda s: sorted(s) == list(range(1, 11)))
+        assert g.all()
+        # bit-stable across runs (fresh plans, same codebooks)
+        rr2 = S.pq_topk_rerank(emb, C=C).toPandas()
+        a = rr.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        b = rr2.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        assert a.equals(b)
