@@ -1141,3 +1141,78 @@ def pq_topk_rerank(
         .where(F.col("rank") <= topk)
         .select("vec_id", "neighbor_id", "l2_dist", "rank")
     )
+
+
+def label_cohesion(embeddings: DataFrame) -> DataFrame:
+    """Embedding-space label geometry: for every label pair a <= b, the
+    cosine between the two labels' mean UNIT vectors — the separation
+    matrix a team reads before trusting labels for training (off-diagonal
+    near 1 ⇒ two labels are not separable in this space; the diagonal's
+    ``sqnorm_a_micro2`` doubles as the concentration measure: the squared
+    resultant length of a label's unit vectors, low ⇒ diffuse class).
+
+    Exact and engine-portable by construction — the same micro-integer
+    quantization as ``label_centroids``: unit-normalized elements are
+    quantized at 1e-6 (duck_round ties-away), per-(label, dim) means are
+    integer ``div``s, and the pairwise dot/sq-norms are integer sums; the
+    only float is the final cosine, one division + sqrt of the same
+    integers on both engines, round-6.
+
+    Scale: O(n·d) — one positional explode (rows never pair up), one
+    shuffle to (label, dim) [|L|·d rows], and the label-pair join runs on
+    that tiny table broadcast.  No all-pairs stage at any size.
+    """
+    d = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    normed = (
+        embeddings.select("label", "vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("_n", F.sqrt(d))
+        .withColumn("nrm", F.when(F.col("_n") == 0, F.lit(1.0)).otherwise(F.col("_n")))
+    )
+    triples = normed.select(
+        "label",
+        F.posexplode("v").alias("pos", "x"),
+        F.col("nrm"),
+    ).select(
+        "label",
+        "pos",
+        duck_round(F.col("x") / F.col("nrm") * F.lit(1000000.0), 0).cast("long").alias("vu"),
+    )
+    per_dim = triples.groupBy("label", "pos").agg(
+        F.expr("sum(vu) div count(1)").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    a = per_dim.select(
+        F.col("label").alias("label_a"), "pos", F.col("m").alias("ma"), F.col("n").alias("n_a")
+    )
+    b = per_dim.select(
+        F.col("label").alias("label_b"), "pos", F.col("m").alias("mb"), F.col("n").alias("n_b")
+    )
+    pairs = (
+        a.join(F.broadcast(b), "pos")
+        .where(F.col("label_a") <= F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(F.col("ma") * F.col("mb")).alias("dot_micro2"),
+            F.sum(F.col("ma") * F.col("ma")).alias("sqnorm_a_micro2"),
+            F.sum(F.col("mb") * F.col("mb")).alias("sqnorm_b_micro2"),
+        )
+    )
+    cos = F.when(
+        (F.col("sqnorm_a_micro2") == 0) | (F.col("sqnorm_b_micro2") == 0), F.lit(0.0)
+    ).otherwise(
+        F.col("dot_micro2")
+        / F.sqrt(F.col("sqnorm_a_micro2").cast("double") * F.col("sqnorm_b_micro2").cast("double"))
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        "dot_micro2",
+        "sqnorm_a_micro2",
+        "sqnorm_b_micro2",
+        duck_round(cos, 6).alias("centroid_cos"),
+    )

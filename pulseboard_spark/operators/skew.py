@@ -72,3 +72,56 @@ def with_salted_key(df: DataFrame, key: str, n_salts: int = 32, out: str = "salt
             (F.abs(F.xxhash64(F.monotonically_increasing_id())) % n_salts).cast("string"),
         ),
     )
+
+
+def key_skew_audit(df: DataFrame, key: str, column_name: str | None = None) -> DataFrame:
+    """One-row skew diagnostic for a candidate shuffle/join key: how many
+    distinct keys, how the rows-per-key distribution looks (max, lower
+    discrete p50/p99), and a skew ratio — the number that tells you
+    whether a groupBy/join on this key needs :func:`salted_agg`, AQE skew
+    splitting, or is safe as-is.  This is the measurement half of this
+    module: salt when the audit says so, not by guess.
+
+    skew_ratio_ppm = (max_per_key · 1e6) // (total_rows // n_keys) —
+    hottest key vs the mean key, in ppm: 1e6 means perfectly uniform,
+    50e6 means the hottest key holds 50x its fair share (at 1000
+    executors that key IS the straggler).  The mean divides first so the
+    product stays far from int64 range at any corpus size.
+
+    All surfaces are exact integers (counts, discrete quantiles via
+    cumulative histogram-of-histogram, integer ppm) — engine-portable.
+
+    Scale: one shuffle on the audited key (the same shuffle the real
+    query would pay — partial counts map-side combine), then the
+    counts-of-counts table is at most |distinct per-key sizes| rows;
+    everything after is arithmetic on that tiny table.
+    """
+    from pyspark.sql import Window
+
+    name = column_name or key
+    per_key = df.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("c"))
+    hh = per_key.groupBy("c").agg(F.count(F.lit(1)).alias("k"))
+    w = Window.orderBy("c")
+    cum = (
+        hh.withColumn("cum", F.sum("k").over(w))
+        .withColumn("n_keys", F.sum("k").over(Window.partitionBy()))
+        .withColumn("total", F.sum(F.col("c") * F.col("k")).over(Window.partitionBy()))
+    )
+    agg = cum.agg(
+        F.max("n_keys").alias("n_keys"),
+        F.max("total").alias("total_rows"),
+        F.max("c").alias("max_per_key"),
+        F.min(F.when(F.expr("cum >= (n_keys + 1) div 2"), F.col("c"))).alias("p50_per_key"),
+        F.min(F.when(F.expr("cum * 100 >= n_keys * 99"), F.col("c"))).alias("p99_per_key"),
+    )
+    return agg.select(
+        F.lit(name).alias("column_name"),
+        "n_keys",
+        "total_rows",
+        "max_per_key",
+        "p50_per_key",
+        "p99_per_key",
+        F.expr("(max_per_key * 1000000) div greatest(total_rows div n_keys, 1)").alias(
+            "skew_ratio_ppm"
+        ),
+    )

@@ -723,3 +723,41 @@ def quality_funnel(documents: DataFrame) -> DataFrame:
     ).select(
         "stage_idx", "stage", "n_in", "n_out", (F.col("n_in") - F.col("n_out")).alias("n_dropped")
     )
+
+
+def doc_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` terms with the highest
+    tf-over-df salience — frequent in THIS doc, rare across the corpus —
+    the retrieval/labeling primitive built on the same exploded-term pass
+    as :func:`term_df_idf`.
+
+    The score is an exact rational surfaced as integer ppm
+    (score_ppm = tf·1e6 // doc_freq) so the top-k ranking has no float
+    tie at a decision boundary (the idf-log variant would rank float
+    scores; monotonicity per doc is identical when N is constant).
+    Ties break on term ASC.  Keywords surface as one comma-joined string
+    — arrays never reach a driver-checked surface.
+
+    Scale: tf is one shuffle on (doc_id, term) partial-aggregated
+    map-side; df is a broadcast-class per-term table (vocabulary-sized)
+    joined in; top-k is a per-doc window over each doc's vocabulary.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    exploded = documents.select("doc_id", F.explode(toks).alias("term"))
+    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = exploded.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term", F.expr("(tf * 1000000) div doc_freq").alias("score_ppm")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_ppm").desc(), F.col("term").asc())
+    top = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    return top.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "term"))), lambda s: s["term"]
+            ),
+            ",",
+        ).alias("keywords"),
+        F.max("score_ppm").alias("top_score_ppm"),
+        F.count(F.lit(1)).alias("n_keywords"),
+    )

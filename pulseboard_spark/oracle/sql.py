@@ -2565,3 +2565,143 @@ SELECT e.label,
 FROM e JOIN mad m USING (label)
 GROUP BY e.label
 """
+
+
+ORACLE_SQL["doc_keywords"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq FROM toks GROUP BY 1),
+s AS (
+  SELECT doc_id, term, CAST((tf * 1000000) // doc_freq AS BIGINT) AS score_ppm
+  FROM tf JOIN df USING (term)
+),
+r AS (
+  SELECT doc_id, term, score_ppm,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term ASC) AS rk
+  FROM s
+)
+SELECT doc_id,
+       string_agg(term, ',' ORDER BY rk) AS keywords,
+       CAST(max(score_ppm) AS BIGINT) AS top_score_ppm,
+       CAST(count(*) AS BIGINT) AS n_keywords
+FROM r WHERE rk <= 3 GROUP BY doc_id
+"""
+
+ORACLE_SQL["label_cohesion"] = """
+WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT label, vec_id, v,
+             CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+                  ELSE sqrt(list_dot_product(v, v)) END AS nrm
+      FROM e),
+triples AS (
+  SELECT label, i - 1 AS pos,
+         CAST(round(v[i] / nrm * 1000000) AS BIGINT) AS vu
+  FROM n, UNNEST(generate_series(1, array_length(v))) AS t(i)
+),
+per_dim AS (
+  SELECT label, pos, CAST(sum(vu) // count(*) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS n
+  FROM triples GROUP BY 1, 2
+),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.pos,
+         a.m AS ma, b.m AS mb, a.n AS n_a, b.n AS n_b
+  FROM per_dim a JOIN per_dim b ON a.pos = b.pos AND a.label <= b.label
+),
+g AS (
+  SELECT label_a, label_b,
+         CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+         CAST(sum(ma * mb) AS BIGINT) AS dot_micro2,
+         CAST(sum(ma * ma) AS BIGINT) AS sqnorm_a_micro2,
+         CAST(sum(mb * mb) AS BIGINT) AS sqnorm_b_micro2
+  FROM p GROUP BY 1, 2
+)
+SELECT label_a, label_b, n_a, n_b, dot_micro2, sqnorm_a_micro2, sqnorm_b_micro2,
+       CASE WHEN sqnorm_a_micro2 = 0 OR sqnorm_b_micro2 = 0 THEN 0.0
+            ELSE round(dot_micro2 / sqrt(CAST(sqnorm_a_micro2 AS DOUBLE) * CAST(sqnorm_b_micro2 AS DOUBLE)), 6)
+       END AS centroid_cos
+FROM g
+"""
+
+
+# Shuffle/join-key skew diagnostics (operators/skew.py::key_skew_audit)
+# over the keys the engine's own heavy joins/aggs shuffle on.
+ORACLE_SQL["key_skew_audit"] = """
+SELECT 'events.user_id' AS column_name,
+       CAST(max(n_keys) AS BIGINT) AS n_keys,
+       CAST(max(total) AS BIGINT) AS total_rows,
+       CAST(max(c) AS BIGINT) AS max_per_key,
+       CAST(min(CASE WHEN cum >= (n_keys + 1) // 2 THEN c END) AS BIGINT) AS p50_per_key,
+       CAST(min(CASE WHEN cum * 100 >= n_keys * 99 THEN c END) AS BIGINT) AS p99_per_key,
+       CAST((max(c) * 1000000) // greatest(max(total) // max(n_keys), 1) AS BIGINT) AS skew_ratio_ppm
+FROM (
+  SELECT c, k, sum(k) OVER (ORDER BY c) AS cum,
+         sum(k) OVER () AS n_keys, sum(c * k) OVER () AS total
+  FROM (SELECT c, CAST(count(*) AS BIGINT) AS k
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id)
+        GROUP BY c)
+)
+UNION ALL
+SELECT 'events.event_type' AS column_name,
+       CAST(max(n_keys) AS BIGINT) AS n_keys,
+       CAST(max(total) AS BIGINT) AS total_rows,
+       CAST(max(c) AS BIGINT) AS max_per_key,
+       CAST(min(CASE WHEN cum >= (n_keys + 1) // 2 THEN c END) AS BIGINT) AS p50_per_key,
+       CAST(min(CASE WHEN cum * 100 >= n_keys * 99 THEN c END) AS BIGINT) AS p99_per_key,
+       CAST((max(c) * 1000000) // greatest(max(total) // max(n_keys), 1) AS BIGINT) AS skew_ratio_ppm
+FROM (
+  SELECT c, k, sum(k) OVER (ORDER BY c) AS cum,
+         sum(k) OVER () AS n_keys, sum(c * k) OVER () AS total
+  FROM (SELECT c, CAST(count(*) AS BIGINT) AS k
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM events GROUP BY event_type)
+        GROUP BY c)
+)
+UNION ALL
+SELECT 'orders.o_custkey' AS column_name,
+       CAST(max(n_keys) AS BIGINT) AS n_keys,
+       CAST(max(total) AS BIGINT) AS total_rows,
+       CAST(max(c) AS BIGINT) AS max_per_key,
+       CAST(min(CASE WHEN cum >= (n_keys + 1) // 2 THEN c END) AS BIGINT) AS p50_per_key,
+       CAST(min(CASE WHEN cum * 100 >= n_keys * 99 THEN c END) AS BIGINT) AS p99_per_key,
+       CAST((max(c) * 1000000) // greatest(max(total) // max(n_keys), 1) AS BIGINT) AS skew_ratio_ppm
+FROM (
+  SELECT c, k, sum(k) OVER (ORDER BY c) AS cum,
+         sum(k) OVER () AS n_keys, sum(c * k) OVER () AS total
+  FROM (SELECT c, CAST(count(*) AS BIGINT) AS k
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY o_custkey)
+        GROUP BY c)
+)
+UNION ALL
+SELECT 'lineitem.l_orderkey' AS column_name,
+       CAST(max(n_keys) AS BIGINT) AS n_keys,
+       CAST(max(total) AS BIGINT) AS total_rows,
+       CAST(max(c) AS BIGINT) AS max_per_key,
+       CAST(min(CASE WHEN cum >= (n_keys + 1) // 2 THEN c END) AS BIGINT) AS p50_per_key,
+       CAST(min(CASE WHEN cum * 100 >= n_keys * 99 THEN c END) AS BIGINT) AS p99_per_key,
+       CAST((max(c) * 1000000) // greatest(max(total) // max(n_keys), 1) AS BIGINT) AS skew_ratio_ppm
+FROM (
+  SELECT c, k, sum(k) OVER (ORDER BY c) AS cum,
+         sum(k) OVER () AS n_keys, sum(c * k) OVER () AS total
+  FROM (SELECT c, CAST(count(*) AS BIGINT) AS k
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey)
+        GROUP BY c)
+)
+UNION ALL
+SELECT 'lineitem.l_partkey' AS column_name,
+       CAST(max(n_keys) AS BIGINT) AS n_keys,
+       CAST(max(total) AS BIGINT) AS total_rows,
+       CAST(max(c) AS BIGINT) AS max_per_key,
+       CAST(min(CASE WHEN cum >= (n_keys + 1) // 2 THEN c END) AS BIGINT) AS p50_per_key,
+       CAST(min(CASE WHEN cum * 100 >= n_keys * 99 THEN c END) AS BIGINT) AS p99_per_key,
+       CAST((max(c) * 1000000) // greatest(max(total) // max(n_keys), 1) AS BIGINT) AS skew_ratio_ppm
+FROM (
+  SELECT c, k, sum(k) OVER (ORDER BY c) AS cum,
+         sum(k) OVER () AS n_keys, sum(c * k) OVER () AS total
+  FROM (SELECT c, CAST(count(*) AS BIGINT) AS k
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_partkey)
+        GROUP BY c)
+)
+"""

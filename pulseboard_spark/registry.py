@@ -1534,6 +1534,34 @@ def pq_topk_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk_rerank(_embs(spark, sf_dir), C=_pq_codebooks(spark, sf_dir))
 
 
+def doc_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_keywords(_docs(spark, sf_dir))
+
+
+def label_cohesion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_cohesion(_embs(spark, sf_dir))
+
+
+def key_skew_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics over the keys this engine's own heavy operators
+    shuffle on — the measurement that justifies (or spares) salting."""
+    from functools import reduce
+
+    from pulseboard_spark.operators.skew import key_skew_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    audits = [
+        key_skew_audit(ev, "user_id", "events.user_id"),
+        key_skew_audit(ev, "event_type", "events.event_type"),
+        key_skew_audit(orders, "o_custkey", "orders.o_custkey"),
+        key_skew_audit(li, "l_orderkey", "lineitem.l_orderkey"),
+        key_skew_audit(li, "l_partkey", "lineitem.l_partkey"),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), audits)
+
+
 def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.line_dedup_stats(_docs(spark, sf_dir))
 
@@ -1695,6 +1723,9 @@ QUERIES: dict[str, QueryFn] = {
     "quality_funnel": quality_funnel_q,
     "cross_source_overlap": cross_source_overlap_q,
     "embedding_norm_outliers": embedding_norm_outliers_q,
+    "doc_keywords": doc_keywords_q,
+    "label_cohesion": label_cohesion_q,
+    "key_skew_audit": key_skew_audit_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
