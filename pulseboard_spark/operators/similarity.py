@@ -1179,8 +1179,14 @@ def label_cohesion(embeddings: DataFrame) -> DataFrame:
         "pos",
         duck_round(F.col("x") / F.col("nrm") * F.lit(1000000.0), 0).cast("long").alias("vu"),
     )
-    per_dim = triples.groupBy("label", "pos").agg(
-        F.expr("sum(vu) div count(1)").alias("m"), F.count(F.lit(1)).alias("n")
+    # cache(): per_dim is |L|·d rows but costs a full corpus explode to
+    # build, and BOTH join sides consume it — AQE does not stitch the two
+    # subtrees into one reused exchange (same rationale as mad_outliers'
+    # histogram cache; lazy, CacheManager-deduped)
+    per_dim = (
+        triples.groupBy("label", "pos")
+        .agg(F.expr("sum(vu) div count(1)").alias("m"), F.count(F.lit(1)).alias("n"))
+        .cache()
     )
     a = per_dim.select(
         F.col("label").alias("label_a"), "pos", F.col("m").alias("ma"), F.col("n").alias("n_a")

@@ -738,17 +738,23 @@ def doc_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
     Ties break on term ASC.  Keywords surface as one comma-joined string
     — arrays never reach a driver-checked surface.
 
-    Scale: tf is one shuffle on (doc_id, term) partial-aggregated
-    map-side; df is a broadcast-class per-term table (vocabulary-sized)
-    joined in; top-k is a per-doc window over each doc's vocabulary.
+    Scale: ONE corpus scan — tf is one shuffle on (doc_id, term)
+    partial-aggregated map-side, and df falls out of tf for free as a
+    per-term count window (tf has one row per (doc, term), so rows per
+    term IS the document frequency — no second explode, no
+    count-distinct state, no join); everything after the scan shuffles
+    vocabulary-sized data only.
     """
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     exploded = documents.select("doc_id", F.explode(toks).alias("term"))
     tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = exploded.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id", "term", F.expr("(tf * 1000000) div doc_freq").alias("score_ppm")
-    )
+    # doc_freq as a count window over tf — tf has exactly one row per
+    # (doc, term), so rows-per-term IS the document frequency; expressing
+    # it as a window instead of a groupBy+join keeps the whole operator a
+    # single linear pipeline (one corpus scan, then vocab-sized shuffles)
+    scored = tf.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).select("doc_id", "term", F.expr("(tf * 1000000) div doc_freq").alias("score_ppm"))
     w = Window.partitionBy("doc_id").orderBy(F.col("score_ppm").desc(), F.col("term").asc())
     top = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
     return top.groupBy("doc_id").agg(
