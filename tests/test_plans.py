@@ -374,3 +374,57 @@ def test_ngram_novelty_single_scan(spark, sf_dir):
     assert n_scans == 1, f"novelty must read ONE source, saw {n_scans}"
     assert "Join" not in plan
     assert not PY_NODES.search(plan)
+
+
+def test_doc_keywords_single_scan_pipeline(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_keywords")
+    assert plan.count("FileScan parquet") == 1, "tf and df must share one corpus scan"
+    assert "Join" not in plan, "doc_freq is a count window over tf, not a join"
+    assert not PY_NODES.search(plan), "keyword extraction must stay JVM-side"
+    schemas = _read_schemas(plan)
+    assert schemas and all("source" not in s for s in schemas), "unused columns pruned"
+
+
+def test_quality_funnel_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "quality_funnel")
+    assert plan.count("FileScan parquet") == 1, "all stage predicates ride one scan"
+    # md5 window shuffle + two-phase global agg; nothing else
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 3
+    assert not PY_NODES.search(plan)
+
+
+def test_event_paths_single_entity_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "event_paths_topk")
+    hashparts = re.findall(r"hashpartitioning\(entity_id", plan)
+    assert len(hashparts) == 1, f"expected one entity shuffle, got {len(hashparts)}"
+    assert "Join" not in plan, "paths come from lag windows, not self-joins"
+    assert not PY_NODES.search(plan)
+
+
+def test_label_cohesion_no_pair_explosion(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "label_cohesion")
+    # the label-pair join must run on the tiny cached per-(label, dim)
+    # table — broadcast, never a corpus-sized sort-merge
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("InMemoryTableScan") >= 2, "both join sides must read the per-dim cache"
+    assert not PY_NODES.search(plan), "cohesion is integer Column algebra, no Python seam"
+
+
+def test_pq_codes_broadcast_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pq_codes")
+    # assignment is one Arrow pass with broadcast codebooks: no shuffle of
+    # raw vectors at all
+    assert "Exchange hashpartitioning" not in plan, "code assignment must not shuffle vectors"
+    assert PY_NODES.search(plan), "assignment runs in the designated Arrow seam"
+
+
+def test_key_skew_audit_prunes_to_key_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "key_skew_audit")
+    schemas = _read_schemas(plan)
+    assert schemas, "expected parquet scans"
+    # each audit scan must read ONLY its key column — the audit of a
+    # 100 TB fact must not drag fact payloads through the scan
+    for s in schemas:
+        n_fields = s.count(":")
+        assert n_fields == 1, f"audit scan reads more than the key: {s}"
