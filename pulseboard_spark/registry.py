@@ -1542,6 +1542,12 @@ def label_cohesion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_cohesion(_embs(spark, sf_dir))
 
 
+def hll_daily_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.operators.sketches import hll_daily_user_rollup
+
+    return hll_daily_user_rollup(entity_events(spark, sf_dir))
+
+
 def key_skew_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostics over the keys this engine's own heavy operators
     shuffle on — the measurement that justifies (or spares) salting."""
@@ -1731,6 +1737,7 @@ QUERIES: dict[str, QueryFn] = {
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
     "pq_codes": pq_codes_q,  # iterative k-means trainer — rows-only, pinned by TestPq
     "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — rows-only, recall+determinism pinned by TestPq
+    "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — rows-only, error bound pinned by TestHllRollup
     # — green driver rows from round 1 —
     "tpch_q1_pricing_summary": tpch_q1,
     "tpch_q3_shipping_priority": tpch_q3,

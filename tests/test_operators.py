@@ -1406,3 +1406,34 @@ class TestPq:
         a = rr.sort_values(["vec_id", "rank"]).reset_index(drop=True)
         b = rr2.sort_values(["vec_id", "rank"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestHllRollup:
+    def test_daily_sketches_merge_to_total(self, spark, sf_dir):
+        from pulseboard_spark.operators.sketches import hll_daily_user_rollup
+        from pulseboard_spark.sources.tables import entity_events
+
+        ev = entity_events(spark, sf_dir)
+        got = {r.day: (r.est_users, r.n_events) for r in hll_daily_user_rollup(ev).collect()}
+        assert "ALL" in got
+        import pyspark.sql.functions as F
+
+        exact_days = {
+            r.day: (r.u, r.n)
+            for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count_distinct("entity_id").alias("u"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        exact_total = ev.select("entity_id").distinct().count()
+        # n_events is exact everywhere; estimates within 5% (lgConfigK=12
+        # => ~2.5% RSE)
+        assert set(got) == set(exact_days) | {"ALL"}
+        for day, (u, n) in exact_days.items():
+            assert got[day][1] == n
+            assert abs(got[day][0] - u) <= max(0.05 * u, 2), (day, got[day][0], u)
+        assert got["ALL"][1] == sum(n for _, n in exact_days.values())
+        assert abs(got["ALL"][0] - exact_total) <= max(0.05 * exact_total, 2)
+        # the union row must come from sketch merges, not a second scan:
+        # deterministic across runs (HLL agg is order-insensitive)
+        again = {r.day: r.est_users for r in hll_daily_user_rollup(ev).collect()}
+        assert {d: e for d, (e, _) in got.items()} == again
