@@ -1407,6 +1407,17 @@ class TestPq:
         b = rr2.sort_values(["vec_id", "rank"]).reset_index(drop=True)
         assert a.equals(b)
 
+    def test_query_slice_guard(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from pulseboard_spark.operators import similarity as S
+        from pulseboard_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        C = S.pq_train_codebooks(emb, m=4, k=8, iters=0)
+        with _pytest.raises(ValueError, match="broadcast ceiling"):
+            S.pq_topk(emb, topk=5, m=4, k=8, max_query_rows=3, C=C)
+
 
 class TestHllRollup:
     def test_daily_sketches_merge_to_total(self, spark, sf_dir):
