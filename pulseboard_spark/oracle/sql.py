@@ -2705,3 +2705,21 @@ FROM (
         GROUP BY c)
 )
 """
+
+
+# ML-ready per-document feature matrix: the oracle composes the
+# already-verified component queries as subqueries — compositionality of
+# the surfaces is itself the contract under test.
+ORACLE_SQL["doc_feature_matrix"] = f"""
+SELECT q.doc_id, q.lang, q.n_tokens, q.avg_token_len_ppm, q.punct_count,
+       q.stopword_ratio_ppm, q.quality_score_ppm,
+       t.n_bpe_tokens, t.n_word_tokens, t.n_number_tokens, t.n_symbol_tokens,
+       l.lang_guess,
+       m.n_bigrams, m.lm_logprob_sum,
+       d.n_chars
+FROM ({ORACLE_SQL["text_quality"]}) q
+JOIN ({ORACLE_SQL["token_stats"]}) t USING (doc_id)
+JOIN ({ORACLE_SQL["lang_id"]}) l USING (doc_id)
+JOIN ({ORACLE_SQL["doc_lm_score"]}) m USING (doc_id)
+JOIN (SELECT doc_id, n_chars FROM documents) d USING (doc_id)
+"""

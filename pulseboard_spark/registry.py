@@ -1542,6 +1542,34 @@ def label_cohesion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_cohesion(_embs(spark, sf_dir))
 
 
+def doc_feature_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-ready per-document feature block: the quality, token-census,
+    language-ID, and bigram-LM operators joined on doc_id — the feature
+    matrix a fasttext-style quality classifier trains on.  Each component
+    is independently oracle-verified; this query additionally pins that
+    their surfaces COMPOSE (the oracle joins the component SQLs as
+    subqueries).  doc_lm_score's cached pair silver keeps the LM leg to
+    one corpus scan; the joins are doc_id-keyed and co-partitioned."""
+    docs = _docs(spark, sf_dir)
+    q = text.text_quality(docs)
+    t = text.token_stats(docs)
+    lg = text.lang_id(docs).select("doc_id", "lang_guess")
+    m = text.doc_lm_score(docs)
+    d = docs.select("doc_id", "n_chars")
+    return (
+        q.join(t, "doc_id")
+        .join(lg, "doc_id")
+        .join(m, "doc_id")
+        .join(d, "doc_id")
+        .select(
+            "doc_id", "lang", "n_tokens", "avg_token_len_ppm", "punct_count",
+            "stopword_ratio_ppm", "quality_score_ppm",
+            "n_bpe_tokens", "n_word_tokens", "n_number_tokens", "n_symbol_tokens",
+            "lang_guess", "n_bigrams", "lm_logprob_sum", "n_chars",
+        )
+    )
+
+
 def hll_daily_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulseboard_spark.operators.sketches import hll_daily_user_rollup
 
@@ -1732,6 +1760,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_keywords": doc_keywords_q,
     "label_cohesion": label_cohesion_q,
     "key_skew_audit": key_skew_audit_q,
+    "doc_feature_matrix": doc_feature_matrix_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
