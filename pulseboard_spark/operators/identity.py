@@ -508,3 +508,35 @@ def pagerank(
     ranks = ranks.localCheckpoint()
     sym.unpersist()
     return ranks.select("id", "rank")
+
+
+def triangle_counts(cvalid: DataFrame) -> DataFrame:
+    """Per-identifier triangle counts over the identity graph — the
+    over-merge density signal: an alias edge shared by many triangles is
+    corroborated (several events independently link the same identifiers),
+    while a bridge edge in zero triangles is the classic wrong-merge
+    suspect connecting two otherwise-unrelated cliques.
+
+    Counting is the standard oriented wedge join on the (a < b)-ordered
+    distinct edge set: wedges (x,y)(y,z) closed by (x,z) — each triangle
+    {x<y<z} counted exactly once, two shuffles on edge keys.  Nodes in no
+    triangle surface with 0.  At production scale the orientation knob is
+    (degree, id) order instead of plain id order — it bounds wedge
+    fan-out by hub out-degree (√m) without changing the triangle set;
+    identity graphs keep per-profile id counts small, so id order
+    suffices here (and matches the oracle verbatim).
+    """
+    e = identity_edges(cvalid)
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(closing, ["x", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nodes = identity_nodes(cvalid)
+    return nodes.join(per_node, "id", "left").select(
+        "id", F.coalesce(F.col("n"), F.lit(0)).alias("n_triangles")
+    )

@@ -139,3 +139,56 @@ def retention_cohorts(ev: DataFrame, key: str = "entity_id") -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def funnel_latency(
+    ev: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    key: str = "entity_id",
+) -> DataFrame:
+    """Time-to-convert between adjacent funnel steps: for every entity
+    that reached step i+1, the gap between its step-i and step-(i+1)
+    first-occurrence times (the same strictly-after step times as
+    :func:`funnel`) — the "how long does conversion take" companion to
+    the "how many convert" funnel.
+
+    Latency stats are LOWER DISCRETE quantiles from a (pair, latency)
+    histogram — actual data elements, integer-exact on both engines (the
+    same cumulative-count pattern as `mad_outliers`): n_converted, median,
+    p90, max, all in ms.
+
+    Scale: one shuffle on the entity key computes every step time (k
+    window passes over the same partitioning); the histogram shuffles
+    (pair, latency_ms) rows — bounded by |converting entities|, and the
+    quantile window runs over distinct latency values per pair.
+    """
+    w = Window.partitionBy(key)
+    cur = ev
+    prev_col = None
+    for i, s in enumerate(steps, start=1):
+        cond = F.col("type") == s
+        if prev_col is not None:
+            cond = cond & F.col(prev_col).isNotNull() & (F.col("ts_ms") > F.col(prev_col))
+        cur = cur.withColumn(f"_t{i}", F.min(F.when(cond, F.col("ts_ms"))).over(w))
+        prev_col = f"_t{i}"
+    per_entity = cur.groupBy(key).agg(
+        *[F.first(f"_t{i}").alias(f"t{i}") for i in range(1, len(steps) + 1)]
+    )
+    pairs = None
+    for i in range(1, len(steps)):
+        leg = per_entity.where(F.col(f"t{i + 1}").isNotNull()).select(
+            F.lit(f"{steps[i - 1]}>{steps[i]}").alias("step_pair"),
+            (F.col(f"t{i + 1}") - F.col(f"t{i}")).alias("lat_ms"),
+        )
+        pairs = leg if pairs is None else pairs.unionByName(leg)
+    hist = pairs.groupBy("step_pair", "lat_ms").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("step_pair")
+    cum = hist.withColumn("cum", F.sum("c").over(wp.orderBy("lat_ms"))).withColumn(
+        "tot", F.sum("c").over(wp)
+    )
+    return cum.groupBy("step_pair").agg(
+        F.max("tot").alias("n_converted"),
+        F.min(F.when(F.expr("cum >= (tot + 1) div 2"), F.col("lat_ms"))).alias("med_latency_ms"),
+        F.min(F.when(F.expr("cum * 10 >= tot * 9"), F.col("lat_ms"))).alias("p90_latency_ms"),
+        F.max("lat_ms").alias("max_latency_ms"),
+    )

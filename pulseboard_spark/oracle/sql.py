@@ -2723,3 +2723,67 @@ JOIN ({ORACLE_SQL["lang_id"]}) l USING (doc_id)
 JOIN ({ORACLE_SQL["doc_lm_score"]}) m USING (doc_id)
 JOIN (SELECT doc_id, n_chars FROM documents) d USING (doc_id)
 """
+
+
+# Triangle census over the identity graph (operators/identity.py::
+# triangle_counts): corroboration density per identifier.
+ORACLE_SQL["identity_triangles"] = f"""
+WITH {CVALID_CTE},
+idrows AS (
+  SELECT event_id, nuser AS id FROM cvalid WHERE nuser IS NOT NULL
+  UNION
+  SELECT event_id, nanon FROM cvalid WHERE nanon IS NOT NULL
+  UNION
+  SELECT event_id, nemail FROM cvalid WHERE nemail IS NOT NULL
+),
+nodes AS (SELECT DISTINCT id FROM idrows),
+edges0 AS (
+  SELECT DISTINCT a.id AS a, b.id AS b
+  FROM idrows a JOIN idrows b ON a.event_id = b.event_id AND a.id < b.id
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges0 e1
+  JOIN edges0 e2 ON e2.a = e1.b
+  JOIN edges0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pern AS (
+  SELECT x AS id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM pern GROUP BY id)
+SELECT nodes.id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN cnt USING (id)
+"""
+
+# Funnel conversion-latency stats (operators/sessions.py::funnel_latency):
+# lower-discrete quantiles of step-to-step gaps, ms.
+ORACLE_SQL["funnel_latency"] = f"""
+WITH {ENT_CTE},
+t1 AS (SELECT entity_id, min(ts_ms) AS t FROM ent WHERE type = 'view' GROUP BY entity_id),
+t2 AS (SELECT e.entity_id, min(e.ts_ms) AS t
+       FROM ent e JOIN t1 ON e.entity_id = t1.entity_id AND e.ts_ms > t1.t
+       WHERE e.type = 'click' GROUP BY e.entity_id),
+t3 AS (SELECT e.entity_id, min(e.ts_ms) AS t
+       FROM ent e JOIN t2 ON e.entity_id = t2.entity_id AND e.ts_ms > t2.t
+       WHERE e.type = 'purchase' GROUP BY e.entity_id),
+lat AS (
+  SELECT 'view>click' AS step_pair, t2.t - t1.t AS lat_ms FROM t1 JOIN t2 USING (entity_id)
+  UNION ALL
+  SELECT 'click>purchase', t3.t - t2.t FROM t2 JOIN t3 USING (entity_id)
+),
+h AS (SELECT step_pair, lat_ms, count(*) AS c FROM lat GROUP BY 1, 2),
+cum AS (
+  SELECT step_pair, lat_ms,
+         sum(c) OVER (PARTITION BY step_pair ORDER BY lat_ms) AS cum,
+         sum(c) OVER (PARTITION BY step_pair) AS tot
+  FROM h
+)
+SELECT step_pair,
+       CAST(max(tot) AS BIGINT) AS n_converted,
+       CAST(min(CASE WHEN cum >= (tot + 1) // 2 THEN lat_ms END) AS BIGINT) AS med_latency_ms,
+       CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN lat_ms END) AS BIGINT) AS p90_latency_ms,
+       CAST(max(lat_ms) AS BIGINT) AS max_latency_ms
+FROM cum GROUP BY step_pair
+"""

@@ -1542,6 +1542,16 @@ def label_cohesion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_cohesion(_embs(spark, sf_dir))
 
 
+def identity_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.operators.identity import triangle_counts
+
+    return triangle_counts(_cvalid(spark, sf_dir))
+
+
+def funnel_latency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.funnel_latency(entity_events(spark, sf_dir))
+
+
 def doc_feature_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML-ready per-document feature block: the quality, token-census,
     language-ID, and bigram-LM operators joined on doc_id — the feature
@@ -1761,6 +1771,8 @@ QUERIES: dict[str, QueryFn] = {
     "label_cohesion": label_cohesion_q,
     "key_skew_audit": key_skew_audit_q,
     "doc_feature_matrix": doc_feature_matrix_q,
+    "identity_triangles": identity_triangles_q,
+    "funnel_latency": funnel_latency_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
