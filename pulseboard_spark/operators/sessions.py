@@ -192,3 +192,51 @@ def funnel_latency(
         F.min(F.when(F.expr("cum * 10 >= tot * 9"), F.col("lat_ms"))).alias("p90_latency_ms"),
         F.max("lat_ms").alias("max_latency_ms"),
     )
+
+
+def time_to_return(
+    ev: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    key: str = "entity_id",
+    by: str = "profile",
+) -> DataFrame:
+    """Inter-session return-time stats: for every session after an
+    entity's first, the gap between the previous session's end and this
+    session's start — the churn-risk signal product teams watch next to
+    the funnel.  Aggregated per ``by`` group (profile by default) with
+    the usual engine-exact surfaces: n gaps, lower-discrete median/p90,
+    max (ms), and returning-entity count.
+
+    Scale: rides :func:`sessionize`'s one entity-key shuffle (the lag
+    over session starts reuses the same partitioning — sessions per
+    entity are tiny), then a (group, gap) histogram; quantiles are
+    cumulative-count arithmetic on distinct gap values.
+    """
+    sess = sessionize(ev, key=key, gap_ms=gap_ms).select(
+        key, "session_start_ms", "session_end_ms"
+    )
+    groups = ev.select(key, by).distinct()
+    w = Window.partitionBy(key).orderBy("session_start_ms")
+    gaps = (
+        sess.withColumn("prev_end", F.lag("session_end_ms").over(w))
+        .where(F.col("prev_end").isNotNull())
+        .select(key, (F.col("session_start_ms") - F.col("prev_end")).alias("gap_ms"))
+        .join(groups, key)
+    )
+    hist = gaps.groupBy(by, "gap_ms").agg(
+        F.count(F.lit(1)).alias("c"), F.count_distinct(key).alias("k")
+    )
+    wp = Window.partitionBy(by)
+    cum = hist.withColumn("cum", F.sum("c").over(wp.orderBy("gap_ms"))).withColumn(
+        "tot", F.sum("c").over(wp)
+    )
+    ents = gaps.groupBy(by).agg(F.count_distinct(key).alias("n_returning"))
+    stats = cum.groupBy(by).agg(
+        F.max("tot").alias("n_gaps"),
+        F.min(F.when(F.expr("cum >= (tot + 1) div 2"), F.col("gap_ms"))).alias("med_gap_ms"),
+        F.min(F.when(F.expr("cum * 10 >= tot * 9"), F.col("gap_ms"))).alias("p90_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+    )
+    return stats.join(ents, by).select(
+        by, "n_returning", "n_gaps", "med_gap_ms", "p90_gap_ms", "max_gap_ms"
+    )

@@ -2787,3 +2787,66 @@ SELECT step_pair,
        CAST(max(lat_ms) AS BIGINT) AS max_latency_ms
 FROM cum GROUP BY step_pair
 """
+
+
+# Ops rollup over the assembled alert stream — composes the verified
+# alerts SQL as a subquery (same compositionality contract as
+# doc_feature_matrix).
+ORACLE_SQL["alert_summary"] = f"""
+SELECT rule, severity,
+       strftime(epoch_ms(ts_ms), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_alerts,
+       CAST(count(DISTINCT entity_id) AS BIGINT) AS n_entities
+FROM ({ORACLE_SQL["alerts"]})
+GROUP BY 1, 2, 3
+"""
+
+# Inter-session return-time stats per profile (operators/sessions.py::
+# time_to_return) — reuses user_sessions' numbered-islands CTE verbatim.
+ORACLE_SQL["time_to_return"] = f"""
+WITH {ENT_CTE},
+ordered AS (
+  SELECT entity_id, event_id, ts_ms,
+         lag(ts_ms) OVER (PARTITION BY entity_id ORDER BY ts_ms, event_id) AS prev_ts
+  FROM ent
+),
+numbered AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY entity_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM ordered
+),
+sess AS (
+  SELECT entity_id, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
+  FROM numbered GROUP BY entity_id, session_no
+),
+gaps0 AS (
+  SELECT entity_id, session_start_ms,
+         lag(session_end_ms) OVER (PARTITION BY entity_id ORDER BY session_start_ms) AS prev_end
+  FROM sess
+),
+prof AS (SELECT DISTINCT entity_id, profile FROM ent),
+gaps AS (
+  SELECT p.profile, g.entity_id, g.session_start_ms - g.prev_end AS gap_ms
+  FROM gaps0 g JOIN prof p USING (entity_id)
+  WHERE g.prev_end IS NOT NULL
+),
+h AS (SELECT profile, gap_ms, count(*) AS c FROM gaps GROUP BY 1, 2),
+cum AS (
+  SELECT profile, gap_ms,
+         sum(c) OVER (PARTITION BY profile ORDER BY gap_ms) AS cum,
+         sum(c) OVER (PARTITION BY profile) AS tot
+  FROM h
+),
+ents AS (SELECT profile, CAST(count(DISTINCT entity_id) AS BIGINT) AS n_returning FROM gaps GROUP BY 1),
+stats AS (
+  SELECT profile,
+         CAST(max(tot) AS BIGINT) AS n_gaps,
+         CAST(min(CASE WHEN cum >= (tot + 1) // 2 THEN gap_ms END) AS BIGINT) AS med_gap_ms,
+         CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN gap_ms END) AS BIGINT) AS p90_gap_ms,
+         CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+  FROM cum GROUP BY profile
+)
+SELECT s.profile, e.n_returning, s.n_gaps, s.med_gap_ms, s.p90_gap_ms, s.max_gap_ms
+FROM stats s JOIN ents e USING (profile)
+"""

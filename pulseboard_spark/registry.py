@@ -1542,6 +1542,24 @@ def label_cohesion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_cohesion(_embs(spark, sf_dir))
 
 
+def alert_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops rollup of the assembled alert stream: volumes and blast radius
+    (distinct entities) per rule, severity, and UTC day."""
+    al = rules.alerts(entity_events(spark, sf_dir))
+    return al.groupBy(
+        "rule",
+        "severity",
+        F.date_format(F.timestamp_millis(F.col("ts_ms")), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_alerts"),
+        F.count_distinct("entity_id").alias("n_entities"),
+    )
+
+
+def time_to_return_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.time_to_return(entity_events(spark, sf_dir))
+
+
 def identity_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulseboard_spark.operators.identity import triangle_counts
 
@@ -1773,6 +1791,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_feature_matrix": doc_feature_matrix_q,
     "identity_triangles": identity_triangles_q,
     "funnel_latency": funnel_latency_q,
+    "alert_summary": alert_summary_q,
+    "time_to_return": time_to_return_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
