@@ -77,6 +77,26 @@ def sessionize(
     )
 
 
+def _step_times(ev: DataFrame, steps: Sequence[str], key: str) -> DataFrame:
+    """Per-entity first-occurrence time of each funnel step, where step i
+    must land STRICTLY AFTER the entity's step-(i-1) time — THE one
+    definition of funnel step semantics, shared by :func:`funnel` (counts)
+    and :func:`funnel_latency` (gaps) so the two can never disagree.
+    Output: (key, t1..tk) — one row per entity, one entity-key shuffle."""
+    w = Window.partitionBy(key)
+    cur = ev
+    prev_col = None
+    for i, s in enumerate(steps, start=1):
+        cond = F.col("type") == s
+        if prev_col is not None:
+            cond = cond & F.col(prev_col).isNotNull() & (F.col("ts_ms") > F.col(prev_col))
+        cur = cur.withColumn(f"_t{i}", F.min(F.when(cond, F.col("ts_ms"))).over(w))
+        prev_col = f"_t{i}"
+    return cur.groupBy(key).agg(
+        *[F.first(f"_t{i}").alias(f"t{i}") for i in range(1, len(steps) + 1)]
+    )
+
+
 def funnel(
     ev: DataFrame,
     steps: Sequence[str] = ("view", "click", "purchase"),
@@ -87,20 +107,7 @@ def funnel(
     occurrence counts).  Output one row per step: step_no, step,
     n_entities, conversion (fraction of step-1 entities, 4 dp).
     """
-    w = Window.partitionBy(key)
-    cur = ev
-    prev_col = None
-    for i, s in enumerate(steps, start=1):
-        cond = F.col("type") == s
-        if prev_col is not None:
-            cond = cond & F.col(prev_col).isNotNull() & (
-                F.col("ts_ms") > F.col(prev_col)
-            )
-        cur = cur.withColumn(f"_t{i}", F.min(F.when(cond, F.col("ts_ms"))).over(w))
-        prev_col = f"_t{i}"
-    per_entity = cur.groupBy(key).agg(
-        *[F.first(f"_t{i}").alias(f"t{i}") for i in range(1, len(steps) + 1)]
-    )
+    per_entity = _step_times(ev, steps, key)
     counts = per_entity.agg(
         *[
             F.sum(F.col(f"t{i}").isNotNull().cast("long")).alias(f"n{i}")
@@ -162,18 +169,7 @@ def funnel_latency(
     (pair, latency_ms) rows — bounded by |converting entities|, and the
     quantile window runs over distinct latency values per pair.
     """
-    w = Window.partitionBy(key)
-    cur = ev
-    prev_col = None
-    for i, s in enumerate(steps, start=1):
-        cond = F.col("type") == s
-        if prev_col is not None:
-            cond = cond & F.col(prev_col).isNotNull() & (F.col("ts_ms") > F.col(prev_col))
-        cur = cur.withColumn(f"_t{i}", F.min(F.when(cond, F.col("ts_ms"))).over(w))
-        prev_col = f"_t{i}"
-    per_entity = cur.groupBy(key).agg(
-        *[F.first(f"_t{i}").alias(f"t{i}") for i in range(1, len(steps) + 1)]
-    )
+    per_entity = _step_times(ev, steps, key)
     pairs = None
     for i in range(1, len(steps)):
         leg = per_entity.where(F.col(f"t{i + 1}").isNotNull()).select(
@@ -223,9 +219,7 @@ def time_to_return(
         .select(key, (F.col("session_start_ms") - F.col("prev_end")).alias("gap_ms"))
         .join(groups, key)
     )
-    hist = gaps.groupBy(by, "gap_ms").agg(
-        F.count(F.lit(1)).alias("c"), F.count_distinct(key).alias("k")
-    )
+    hist = gaps.groupBy(by, "gap_ms").agg(F.count(F.lit(1)).alias("c"))
     wp = Window.partitionBy(by)
     cum = hist.withColumn("cum", F.sum("c").over(wp.orderBy("gap_ms"))).withColumn(
         "tot", F.sum("c").over(wp)

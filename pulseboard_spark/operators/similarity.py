@@ -845,7 +845,7 @@ def embedding_norm_outliers(embeddings: DataFrame, k: float = 3.0) -> DataFrame:
 #
 # The memory-bound end of the ANN ladder: IVF (above) prunes WHICH vectors a
 # query scores; PQ shrinks WHAT is stored per vector — d float32s become m
-# 4-bit codes (64 dims -> 8 bytes at the defaults, 32x), so a 100 TB
+# one-byte codes (64 dims -> 8 bytes at the defaults, 32x), so a 100 TB
 # embedding corpus compresses to ~3 TB of codes that fit hot in executor
 # memory while the raw vectors stay in cold parquet.  Search is asymmetric
 # distance computation (ADC): one small lookup table per (query, subspace),
@@ -993,7 +993,9 @@ def pq_codes(
     return codes.select(
         "vec_id",
         F.array_join("codes", ",").alias("codes"),
-        F.lit(m).cast("long").alias("n_bytes"),
+        # from the codebooks, not the parameter — pre-trained C may use a
+        # different subspace count than this call's default m
+        F.lit(int(C.shape[0])).cast("long").alias("n_bytes"),
     )
 
 
@@ -1038,6 +1040,11 @@ def pq_topk(
             "broadcast is the documented bound"
         )
     q_rows = queries.select("vec_id", "embedding").collect()
+    if not q_rows:  # empty query slice: empty result, like the sibling
+        # embedding_decontamination — not a kernel crash
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id bigint, neighbor_id bigint, adc_dist double, rank bigint"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64).reshape(len(q_rows), -1)
     sc = embeddings.sparkSession.sparkContext
