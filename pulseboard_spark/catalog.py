@@ -87,6 +87,8 @@ EAGER_QUERIES = frozenset(
         # pq_topk additionally limit-probes + collects the query slice)
         "pq_codes",
         "pq_topk_rerank",
+        # collects the d x d Gram partials and eigensolves at plan time
+        "embedding_pca",
     }
 )
 

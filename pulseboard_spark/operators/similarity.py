@@ -1229,3 +1229,84 @@ def label_cohesion(embeddings: DataFrame) -> DataFrame:
         "sqnorm_b_micro2",
         duck_round(cos, 6).alias("centroid_cos"),
     )
+
+
+def embedding_pca(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """Distributed PCA spectrum of the embedding cloud — the variance
+    audit behind whitening, dimensionality choices, and PQ subspace
+    design: if the top-8 of 64 components explain ~95 % of variance, the
+    table is effectively low-rank and every distance-based op downstream
+    (ANN, dedup, cohesion) is easier than its dimension suggests.
+
+    The tall-skinny pattern: executors reduce the corpus to d×d partial
+    Gram matrices and a d-vector partial sum (one Arrow pass, one row of
+    d² doubles per partition — for d = 64 that is 32 KB/partition);
+    the driver sums partials in partition order, forms the covariance,
+    and eigensolves the 64×64 symmetric matrix locally.  The corpus is
+    never shuffled and the driver never sees a data row — only
+    O(partitions · d²) bytes of sufficient statistics, the same
+    communication shape as a 1000-executor cluster job.
+
+    Output (k rows): component, eigenvalue, explained_bp (basis points of
+    total variance), cum_explained_bp.  Approximate at the float level
+    (partial-sum order differs from a serial pass) → rows-only driver
+    check; spectrum pinned against a single-machine NumPy reference by
+    ``TestPca``.
+    """
+    d_probe = embeddings.select(F.size("embedding").alias("d")).first()
+    if d_probe is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "component bigint, eigenvalue double, explained_bp bigint, cum_explained_bp bigint"
+        )
+    d = int(d_probe[0])
+
+    def partial(batches):
+        G = np.zeros((d, d))
+        s = np.zeros(d)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _batch_matrix(pdf["embedding"])
+            G += A.T @ A
+            s += A.sum(axis=0)
+            n += len(pdf)
+        if n:
+            yield pd.DataFrame(
+                {"g": [G.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+            )
+
+    parts = embeddings.select("embedding").mapInPandas(
+        partial, schema="g array<double>, s array<double>, n bigint"
+    ).collect()
+    if not parts:
+        return embeddings.sparkSession.createDataFrame(
+            [], "component bigint, eigenvalue double, explained_bp bigint, cum_explained_bp bigint"
+        )
+    G = np.zeros((d, d))
+    s = np.zeros(d)
+    n = 0
+    for row in parts:
+        G += np.array(row["g"]).reshape(d, d)
+        s += np.array(row["s"])
+        n += row["n"]
+    mu = s / n
+    cov = G / n - np.outer(mu, mu)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum()) or 1.0
+    k = min(k, d)
+    rows = []
+    cum = 0.0
+    for i in range(k):
+        cum += float(evals[i])
+        rows.append(
+            (
+                i,
+                float(evals[i]),
+                int(evals[i] / total * 10000),
+                int(cum / total * 10000),
+            )
+        )
+    return embeddings.sparkSession.createDataFrame(
+        rows, "component bigint, eigenvalue double, explained_bp bigint, cum_explained_bp bigint"
+    )

@@ -1542,6 +1542,10 @@ def label_cohesion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_cohesion(_embs(spark, sf_dir))
 
 
+def embedding_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_pca(_embs(spark, sf_dir))
+
+
 def alert_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops rollup of the assembled alert stream: volumes and blast radius
     (distinct entities) per rule, severity, and UTC day."""
@@ -1801,6 +1805,7 @@ QUERIES: dict[str, QueryFn] = {
     "pq_codes": pq_codes_q,  # iterative k-means trainer — rows-only, pinned by TestPq
     "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — rows-only, recall+determinism pinned by TestPq
     "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — rows-only, error bound pinned by TestHllRollup
+    "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — rows-only, NumPy-pinned by TestPca
     # — green driver rows from round 1 —
     "tpch_q1_pricing_summary": tpch_q1,
     "tpch_q3_shipping_priority": tpch_q3,

@@ -1448,3 +1448,33 @@ class TestHllRollup:
         # deterministic across runs (HLL agg is order-insensitive)
         again = {r.day: r.est_users for r in hll_daily_user_rollup(ev).collect()}
         assert {d: e for d, (e, _) in got.items()} == again
+
+
+class TestPca:
+    def test_spectrum_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from pulseboard_spark.operators.similarity import embedding_pca
+        from pulseboard_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        got = embedding_pca(emb, k=8).orderBy("component").collect()
+        M = np.array([list(r[0]) for r in emb.select("embedding").collect()], dtype=np.float64)
+        cov = np.cov(M, rowvar=False, bias=True)
+        ref = np.linalg.eigvalsh(cov)[::-1]
+        assert len(got) == 8
+        for r in got:
+            # partial-sum order differs from the serial reference — agree
+            # to float-accumulation tolerance, not bit-exactness
+            assert abs(r.eigenvalue - ref[r.component]) < 1e-8 * max(1.0, abs(ref[r.component])), (
+                r.component, r.eigenvalue, ref[r.component])
+        # explained shares: descending eigenvalues, cumulative monotone, <= 100%
+        bps = [r.explained_bp for r in got]
+        cums = [r.cum_explained_bp for r in got]
+        assert bps == sorted(bps, reverse=True)
+        assert cums == sorted(cums) and cums[-1] <= 10000
+        # deterministic across runs
+        again = embedding_pca(emb, k=8).orderBy("component").collect()
+        assert [(r.component, r.eigenvalue) for r in got] == [
+            (r.component, r.eigenvalue) for r in again
+        ]
