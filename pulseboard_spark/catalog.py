@@ -89,6 +89,8 @@ EAGER_QUERIES = frozenset(
         "pq_topk_rerank",
         # collects the d x d Gram partials and eigensolves at plan time
         "embedding_pca",
+        # runs three CC fixpoints (checkpointed rounds) at plan time
+        "dedup_threshold_sweep",
     }
 )
 

@@ -1542,6 +1542,34 @@ def label_cohesion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_cohesion(_embs(spark, sf_dir))
 
 
+def dedup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity report: near-dup cluster statistics at three
+    Jaccard cut-offs over the ONE memoized candidate pair graph — how a
+    dedup owner picks (or defends) the 0.8 default.  The expensive stage
+    (MinHash banding + exact intersection) is shared; each threshold adds
+    only a filter + CC over its own verified edge set."""
+    from functools import reduce
+
+    docs = _docs(spark, sf_dir)
+    pairs = _near_dup_pairs(spark, sf_dir)
+    frames = []
+    for bp in (7000, 8000, 9000):
+        cl = dedup.near_dup_clusters(docs, threshold_bp=bp, pairs=pairs)
+        sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("c"))
+        frames.append(
+            sizes.agg(
+                F.sum("c").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_clusters"),
+                (F.sum("c") - F.count(F.lit(1))).alias("n_dups"),
+                F.max("c").alias("largest_cluster"),
+            ).select(
+                F.lit(bp).cast("long").alias("threshold_bp"),
+                "n_docs", "n_clusters", "n_dups", "largest_cluster",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
 def embedding_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_pca(_embs(spark, sf_dir))
 
@@ -1799,6 +1827,7 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_latency": funnel_latency_q,
     "alert_summary": alert_summary_q,
     "time_to_return": time_to_return_q,
+    "dedup_threshold_sweep": dedup_threshold_sweep_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
