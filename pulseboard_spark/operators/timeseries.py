@@ -21,8 +21,12 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from pulseboard_spark.functions.core import duck_round
 
 HOUR_MS = 3_600_000
 
@@ -308,4 +312,109 @@ def event_paths_topk(ev: DataFrame, depth: int = 3, k: int = 20) -> DataFrame:
         counts.withColumn("rank", rk.cast("long"))
         .where(F.col("rank") <= k)
         .select("path", "n", "rank")
+    )
+
+
+def cusum_changepoints(ev: DataFrame, h_mads: int = 5) -> DataFrame:
+    """Per-(entity, type) CUSUM change-point detection — the classic
+    drift detector the threshold rules (R1/R2) can't express: a rule
+    fires on one extreme event, CUSUM fires when a RUN of individually
+    unremarkable deviations accumulates (slow exfil, gradual metric
+    drift, sensor bias).
+
+    Fully integer-exact, so it is oracle-checkable despite being a
+    per-key recurrence: values quantize to micro units
+    (duck_round(v·1e6) — the `label_centroids` pattern), the per-type
+    center is the truncated micro-mean, the scale is the micro-MAD
+    (lower-discrete, histogram arithmetic), and the two-sided recurrence
+
+        S⁺ = max(0, S⁺ + (v − μ));  alarm when S⁺ > h = h_mads·max(MAD,1), then S⁺ := 0
+        S⁻ = max(0, S⁻ − (v − μ));  symmetric
+
+    runs in int64 (page 1 of Page 1954, public method).  Output per key:
+    n_obs, n_alarms_up/down, max_cusum_up/down (pre-reset maxima, micro).
+
+    Physical shape = the EWMA seam (`operators/ewma.py`): repartition on
+    the key, sortWithinPartitions, ONE mapInPandas scan carrying a
+    6-int state dict — but emitting one summary row per key at
+    partition end instead of per-event rows, so the Python seam returns
+    |keys| rows, not |events|.  The per-type μ/h table is broadcast.
+    """
+    vu = duck_round(F.col("value").cast("double") * F.lit(1000000.0), 0).cast("long")
+    vals = ev.filter(F.col("value").isNotNull()).select(
+        "entity_id", "type", "ts_us", "event_id", vu.alias("vu")
+    )
+    mu = vals.groupBy("type").agg(
+        F.expr("sum(vu) div count(1)").alias("mu")
+    )
+    from pulseboard_spark.operators.mlprep import _hist_median
+
+    vh = vals.groupBy("type", "vu").agg(F.count(F.lit(1)).alias("_c"))
+    med = _hist_median(vh, "type", "vu", "_c", "med")
+    ah = (
+        vh.join(F.broadcast(med), "type")
+        .groupBy("type", F.abs(F.col("vu") - F.col("med")).alias("adev"))
+        .agg(F.sum("_c").alias("_c"))
+    )
+    mad = _hist_median(ah, "type", "adev", "_c", "mad")
+    par = mu.join(mad, "type").select(
+        "type", "mu", (F.greatest(F.col("mad"), F.lit(1)) * h_mads).alias("h")
+    )
+    narrow = vals.join(F.broadcast(par), "type").select(
+        "entity_id", "type", "ts_us", "event_id",
+        (F.col("vu") - F.col("mu")).alias("d"), "h",
+    )
+
+    def _scan(batches):
+        state: dict = {}
+        for pdf in batches:
+            ds = pdf["d"].to_numpy(dtype="int64")
+            hs = pdf["h"].to_numpy(dtype="int64")
+            ents = pdf["entity_id"].to_numpy()
+            typs = pdf["type"].to_numpy()
+            get = state.get
+            for i in range(len(ds)):
+                k = (ents[i], typs[i])
+                sp, sm, au, ad, mxu, mxd, n = get(k, (0, 0, 0, 0, 0, 0, 0))
+                d = int(ds[i])
+                h = int(hs[i])
+                sp_raw = max(0, sp + d)
+                sm_raw = max(0, sm - d)
+                mxu = max(mxu, sp_raw)
+                mxd = max(mxd, sm_raw)
+                if sp_raw > h:
+                    au += 1
+                    sp = 0
+                else:
+                    sp = sp_raw
+                if sm_raw > h:
+                    ad += 1
+                    sm = 0
+                else:
+                    sm = sm_raw
+                state[k] = (sp, sm, au, ad, mxu, mxd, n + 1)
+        rows = sorted(state.items())
+        yield pd.DataFrame(
+            {
+                "entity_id": [k[0] for k, _ in rows],
+                "type": [k[1] for k, _ in rows],
+                "n_obs": pd.Series([v[6] for _, v in rows], dtype="int64"),
+                "n_alarms_up": pd.Series([v[2] for _, v in rows], dtype="int64"),
+                "n_alarms_down": pd.Series([v[3] for _, v in rows], dtype="int64"),
+                "max_cusum_up": pd.Series([v[4] for _, v in rows], dtype="int64"),
+                "max_cusum_down": pd.Series([v[5] for _, v in rows], dtype="int64"),
+            }
+        )
+
+    return (
+        narrow.repartition("entity_id", "type")
+        .sortWithinPartitions("entity_id", "type", "ts_us", "event_id")
+        .mapInPandas(
+            _scan,
+            schema=(
+                "entity_id string, type string, n_obs bigint, "
+                "n_alarms_up bigint, n_alarms_down bigint, "
+                "max_cusum_up bigint, max_cusum_down bigint"
+            ),
+        )
     )

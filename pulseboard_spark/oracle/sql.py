@@ -2922,3 +2922,57 @@ SELECT CAST(9000 AS BIGINT) AS threshold_bp,
        CAST(max(c) AS BIGINT) AS largest_cluster
 FROM (SELECT cluster_id, count(*) AS c FROM dcomp9000 GROUP BY cluster_id)
 """
+
+
+# Two-sided integer CUSUM per (entity, type) (operators/timeseries.py::
+# cusum_changepoints): the recurrence is int64-exact end to end, so the
+# oracle can replay it with a recursive CTE like EWMA's.
+ORACLE_SQL["cusum_changepoints"] = f"""
+WITH RECURSIVE {ENT_CTE},
+vals AS (
+  SELECT entity_id, type, ts_us, event_id,
+         CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vu,
+         row_number() OVER (PARTITION BY entity_id, type ORDER BY ts_us, event_id) AS rn,
+         count(*) OVER (PARTITION BY entity_id, type) AS n_obs
+  FROM ent WHERE value IS NOT NULL
+),
+mu AS (SELECT type, CAST(sum(vu) AS BIGINT) // count(*) AS mu FROM vals GROUP BY type),
+vh AS (SELECT type, vu, count(*) AS c FROM vals GROUP BY 1, 2),
+vc AS (SELECT type, vu, sum(c) OVER (PARTITION BY type ORDER BY vu) AS cum,
+              sum(c) OVER (PARTITION BY type) AS tot FROM vh),
+med AS (SELECT type, min(vu) AS med FROM vc WHERE cum >= (tot + 1) // 2 GROUP BY type),
+ah AS (SELECT v.type, abs(vu - med) AS adev, count(*) AS c
+       FROM vals v JOIN med USING (type) GROUP BY 1, 2),
+ac AS (SELECT type, adev, sum(c) OVER (PARTITION BY type ORDER BY adev) AS cum,
+              sum(c) OVER (PARTITION BY type) AS tot FROM ah),
+mad AS (SELECT type, min(adev) AS mad FROM ac WHERE cum >= (tot + 1) // 2 GROUP BY type),
+par AS (SELECT mu.type, mu.mu, greatest(mad.mad, 1) * 5 AS h FROM mu JOIN mad USING (type)),
+rec AS (
+  SELECT v.entity_id, v.type, v.rn, v.n_obs,
+         CASE WHEN greatest(0, vu - p.mu) > p.h THEN 0 ELSE greatest(0, vu - p.mu) END AS sp,
+         CASE WHEN greatest(0, p.mu - vu) > p.h THEN 0 ELSE greatest(0, p.mu - vu) END AS sm,
+         CASE WHEN greatest(0, vu - p.mu) > p.h THEN 1 ELSE 0 END AS au,
+         CASE WHEN greatest(0, p.mu - vu) > p.h THEN 1 ELSE 0 END AS ad,
+         greatest(0, vu - p.mu) AS mxu,
+         greatest(0, p.mu - vu) AS mxd
+  FROM vals v JOIN par p USING (type) WHERE v.rn = 1
+  UNION ALL
+  SELECT v.entity_id, v.type, v.rn, v.n_obs,
+         CASE WHEN greatest(0, r.sp + vu - p.mu) > p.h THEN 0 ELSE greatest(0, r.sp + vu - p.mu) END,
+         CASE WHEN greatest(0, r.sm + p.mu - vu) > p.h THEN 0 ELSE greatest(0, r.sm + p.mu - vu) END,
+         r.au + CASE WHEN greatest(0, r.sp + vu - p.mu) > p.h THEN 1 ELSE 0 END,
+         r.ad + CASE WHEN greatest(0, r.sm + p.mu - vu) > p.h THEN 1 ELSE 0 END,
+         greatest(r.mxu, greatest(0, r.sp + vu - p.mu)),
+         greatest(r.mxd, greatest(0, r.sm + p.mu - vu))
+  FROM vals v
+  JOIN par p USING (type)
+  JOIN rec r ON v.entity_id = r.entity_id AND v.type = r.type AND v.rn = r.rn + 1
+)
+SELECT entity_id, type,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(au AS BIGINT) AS n_alarms_up,
+       CAST(ad AS BIGINT) AS n_alarms_down,
+       CAST(mxu AS BIGINT) AS max_cusum_up,
+       CAST(mxd AS BIGINT) AS max_cusum_down
+FROM rec WHERE rn = n_obs
+"""
