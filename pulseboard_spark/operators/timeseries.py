@@ -315,6 +315,39 @@ def event_paths_topk(ev: DataFrame, depth: int = 3, k: int = 20) -> DataFrame:
     )
 
 
+def _cusum_values(ev: DataFrame) -> DataFrame:
+    """Micro-quantized non-null value stream: (entity_id, type, ts_us,
+    event_id, vu) — the shared input of the batch CUSUM and the
+    parameter trainer."""
+    vu = duck_round(F.col("value").cast("double") * F.lit(1000000.0), 0).cast("long")
+    return ev.filter(F.col("value").isNotNull()).select(
+        "entity_id", "type", "ts_us", "event_id", vu.alias("vu")
+    )
+
+
+def cusum_params(ev: DataFrame, h_mads: int = 5) -> DataFrame:
+    """Per-type CUSUM parameters (type, mu, h) in micro units: truncated
+    micro-mean center, h = h_mads·max(micro-MAD, 1).  Trained offline on
+    a batch window and handed to the streaming detector
+    (`streaming/stateful.py::cusum_stateful`) — the standard
+    train-offline / detect-online split."""
+    from pulseboard_spark.operators.mlprep import _hist_median
+
+    vals = _cusum_values(ev)
+    mu = vals.groupBy("type").agg(F.expr("sum(vu) div count(1)").alias("mu"))
+    vh = vals.groupBy("type", "vu").agg(F.count(F.lit(1)).alias("_c"))
+    med = _hist_median(vh, "type", "vu", "_c", "med")
+    ah = (
+        vh.join(F.broadcast(med), "type")
+        .groupBy("type", F.abs(F.col("vu") - F.col("med")).alias("adev"))
+        .agg(F.sum("_c").alias("_c"))
+    )
+    mad = _hist_median(ah, "type", "adev", "_c", "mad")
+    return mu.join(mad, "type").select(
+        "type", "mu", (F.greatest(F.col("mad"), F.lit(1)) * h_mads).alias("h")
+    )
+
+
 def cusum_changepoints(ev: DataFrame, h_mads: int = 5) -> DataFrame:
     """Per-(entity, type) CUSUM change-point detection — the classic
     drift detector the threshold rules (R1/R2) can't express: a rule
@@ -340,26 +373,8 @@ def cusum_changepoints(ev: DataFrame, h_mads: int = 5) -> DataFrame:
     partition end instead of per-event rows, so the Python seam returns
     |keys| rows, not |events|.  The per-type μ/h table is broadcast.
     """
-    vu = duck_round(F.col("value").cast("double") * F.lit(1000000.0), 0).cast("long")
-    vals = ev.filter(F.col("value").isNotNull()).select(
-        "entity_id", "type", "ts_us", "event_id", vu.alias("vu")
-    )
-    mu = vals.groupBy("type").agg(
-        F.expr("sum(vu) div count(1)").alias("mu")
-    )
-    from pulseboard_spark.operators.mlprep import _hist_median
-
-    vh = vals.groupBy("type", "vu").agg(F.count(F.lit(1)).alias("_c"))
-    med = _hist_median(vh, "type", "vu", "_c", "med")
-    ah = (
-        vh.join(F.broadcast(med), "type")
-        .groupBy("type", F.abs(F.col("vu") - F.col("med")).alias("adev"))
-        .agg(F.sum("_c").alias("_c"))
-    )
-    mad = _hist_median(ah, "type", "adev", "_c", "mad")
-    par = mu.join(mad, "type").select(
-        "type", "mu", (F.greatest(F.col("mad"), F.lit(1)) * h_mads).alias("h")
-    )
+    vals = _cusum_values(ev)
+    par = cusum_params(ev, h_mads=h_mads)
     narrow = vals.join(F.broadcast(par), "type").select(
         "entity_id", "type", "ts_us", "event_id",
         (F.col("vu") - F.col("mu")).alias("d"), "h",

@@ -606,3 +606,90 @@ def transitions_stateful_tws(entity_stream: DataFrame, set_watermark: bool = Tru
             timeMode="None",
         )
     )
+
+
+CUSUM_ALARM_SCHEMA = (
+    "entity_id string, type string, ts_ms bigint, event_id bigint, "
+    "direction string, cusum_micro bigint"
+)
+_CUSUM_STATE_SCHEMA = "sp bigint, sm bigint"
+
+
+def _emit_cusum_alarms(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-(entity, type) two-sided integer CUSUM with O(1) state (the
+    pair of accumulators); emits one row per alarm crossing — the alert
+    stream, not the per-event trace.  Exactly the batch recurrence of
+    `operators/timeseries.cusum_changepoints`, drained per key in
+    (ts_ms, event_id) order (W3)."""
+    entity_id, typ = key
+    sp, sm = state.get if state.exists else (0, 0)
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_ms", "event_id"], kind="mergesort"
+    )
+    out = {"ts_ms": [], "event_id": [], "direction": [], "cusum_micro": []}
+    for d, h, ts_ms, event_id in zip(
+        batch["d"].tolist(), batch["h"].tolist(), batch["ts_ms"].tolist(), batch["event_id"].tolist()
+    ):
+        sp_raw = max(0, sp + d)
+        sm_raw = max(0, sm - d)
+        if sp_raw > h:
+            out["ts_ms"].append(ts_ms)
+            out["event_id"].append(event_id)
+            out["direction"].append("UP")
+            out["cusum_micro"].append(sp_raw)
+            sp = 0
+        else:
+            sp = sp_raw
+        if sm_raw > h:
+            out["ts_ms"].append(ts_ms)
+            out["event_id"].append(event_id)
+            out["direction"].append("DOWN")
+            out["cusum_micro"].append(sm_raw)
+            sm = 0
+        else:
+            sm = sm_raw
+    state.update((int(sp), int(sm)))
+    if out["ts_ms"]:
+        yield pd.DataFrame(
+            {
+                "entity_id": entity_id,
+                "type": typ,
+                "ts_ms": pd.Series(out["ts_ms"], dtype="int64"),
+                "event_id": pd.Series(out["event_id"], dtype="int64"),
+                "direction": out["direction"],
+                "cusum_micro": pd.Series(out["cusum_micro"], dtype="int64"),
+            }
+        )
+
+
+def cusum_stateful(
+    entity_stream: DataFrame, params: DataFrame, set_watermark: bool = True
+) -> DataFrame:
+    """Streaming CUSUM drift detector: the batch-trained per-type
+    (mu, h) parameter table (`operators/timeseries.cusum_params`) joins
+    the stream broadcast (stream-static join), then keyed state carries
+    just the two accumulators per (entity, type) — the train-offline /
+    detect-online deployment of the batch operator.  Emits alarm rows in
+    append mode; per-key alarm counts are pinned equal to the batch
+    summary by ``test_streaming_cusum_matches_batch``."""
+    from pulseboard_spark.functions.core import duck_round
+
+    if set_watermark:
+        entity_stream = entity_stream.withWatermark("ts", "120 seconds")
+    vu = duck_round(F.col("value").cast("double") * F.lit(1000000.0), 0).cast("long")
+    narrow = (
+        entity_stream.filter(F.col("value").isNotNull())
+        .select("entity_id", "type", "ts", "ts_ms", "event_id", vu.alias("vu"))
+        .join(F.broadcast(params), "type")
+        .select(
+            "entity_id", "type", "ts", "ts_ms", "event_id",
+            (F.col("vu") - F.col("mu")).alias("d"), "h",
+        )
+    )
+    return narrow.groupBy("entity_id", "type").applyInPandasWithState(
+        _emit_cusum_alarms,
+        outputStructType=CUSUM_ALARM_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -775,3 +775,46 @@ def test_transitions_tws_matches_legacy_and_batch(spark, sf_dir, entity_chunks_d
         for r in event_transitions(entity_events(spark, sf_dir)).collect()
     }
     assert got == want
+
+
+def test_streaming_cusum_matches_batch(spark, sf_dir, entity_chunks_dir):
+    """Streaming CUSUM alarms (batch-trained params, O(1) keyed state)
+    must reproduce the batch operator's per-key alarm counts exactly
+    under in-order chunk replay."""
+    from pulseboard_spark.operators.timeseries import cusum_changepoints, cusum_params
+    from pulseboard_spark.streaming.stateful import cusum_stateful
+
+    out, schema = entity_chunks_dir
+    batch_ev = entity_events(spark, sf_dir)
+    params = cusum_params(batch_ev).localCheckpoint()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{out}/chunk=*")
+    )
+    q = (
+        cusum_stateful(stream, params)
+        .writeStream.format("memory")
+        .queryName("stream_cusum")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.entity_id, r.type): (r.up, r.down)
+        for r in spark.sql(
+            """SELECT entity_id, type,
+                      count(*) FILTER (WHERE direction = 'UP') AS up,
+                      count(*) FILTER (WHERE direction = 'DOWN') AS down
+               FROM stream_cusum GROUP BY 1, 2"""
+        ).collect()
+    }
+    want = {
+        (r.entity_id, r.type): (r.n_alarms_up, r.n_alarms_down)
+        for r in cusum_changepoints(batch_ev).collect()
+        if r.n_alarms_up or r.n_alarms_down
+    }
+    assert got == want
