@@ -428,3 +428,18 @@ def test_key_skew_audit_prunes_to_key_columns(spark, sf_dir):
     for s in schemas:
         n_fields = s.count(":")
         assert n_fields == 1, f"audit scan reads more than the key: {s}"
+
+
+def test_cusum_single_designated_seam(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cusum_changepoints")
+    # exactly one Python seam: the keyed integer scan
+    assert len(PY_NODES.findall(plan)) == 1, "cusum must have exactly the one Arrow scan"
+    # the (mu, h) parameter table joins broadcast — never a corpus SMJ
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_time_to_return_rides_entity_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "time_to_return")
+    assert not PY_NODES.search(plan), "return-time stats must stay JVM-side"
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
