@@ -21,7 +21,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -507,4 +507,73 @@ def media_text_pairs(documents: DataFrame, caption_chars: int = 100) -> DataFram
         .join(quality, "doc_id")
         .join(split, "doc_id")
         .select("doc_id", "media_type", "meta_n_bytes", "caption", "passes", "split")
+    )
+
+
+PHASH_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, phash string"
+)
+
+
+def perceptual_hash_dedup(media: DataFrame) -> DataFrame:
+    """Image near-dup via a 64-chunk average hash over REAL-decoded
+    grayscale pixels — the media twin of text MinHash: resolution-robust
+    content grouping where byte-level dedup sees only distinct payloads.
+
+    Recipe (aHash family, public method): decode to RGB, gray =
+    (r+g+b)//3 per pixel, split the pixel sequence into 64 contiguous
+    chunks, bit_k = (chunk mean > global mean), pack MSB-first into a
+    16-hex-char string.  Every step is integer arithmetic on the decoded
+    pixels, so the hash is engine-exact and the ORACLE recomputes it
+    from the closed-form synthetic pixel model — the decode path itself
+    is what the check exercises (same contract as ``decoded_features``).
+
+    Output: doc_id, media_type, width, height, phash, canonical_doc_id
+    (min doc per (dims, phash) group), is_duplicate.
+
+    Scale: one Arrow decode pass (payloads never shuffle), then a window
+    over the 16-char hash — the same exact-dedup shape as md5 text
+    dedup; banding the 64 bits into 4×16-bit keys turns it into
+    Hamming-tolerant near-dup (the SimHash machinery in
+    `operators/dedup.py` applies verbatim).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in ("doc_id", "media_type", "width", "height", "phash")}
+            for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(payload))
+                px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                gray = (px[0::3] + px[1::3] + px[2::3]) // 3
+                n = w * h
+                chunk = np.arange(n) * 64 // n
+                sums = np.zeros(64, dtype=np.int64)
+                counts = np.zeros(64, dtype=np.int64)
+                np.add.at(sums, chunk, gray)
+                np.add.at(counts, chunk, 1)
+                means = sums // counts
+                gmean = int(gray.sum()) // n
+                bits = (means > gmean).astype(np.int64)
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mtype)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["phash"].append(format(val, "016x"))
+            yield pd.DataFrame(out)
+
+    hashed = media.select("doc_id", "media_type", "payload").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )
+    grp = Window.partitionBy("width", "height", "phash")
+    return hashed.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "phash",
+        F.min("doc_id").over(grp).alias("canonical_doc_id"),
+        (F.col("doc_id") != F.min("doc_id").over(grp)).alias("is_duplicate"),
     )

@@ -2976,3 +2976,49 @@ SELECT entity_id, type,
        CAST(mxd AS BIGINT) AS max_cusum_down
 FROM rec WHERE rn = n_obs
 """
+
+
+# Image near-dup via 64-chunk average hash (operators/multimodal.py::
+# perceptual_hash_dedup): the oracle recomputes the hash from the
+# closed-form synthetic pixel model, so the REAL decode path is what the
+# comparison exercises (same contract as multimodal_features).
+ORACLE_SQL["media_phash_dedup"] = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/ppm' END AS media_type,
+         CAST(8 + doc_id % 16 AS BIGINT) AS w,
+         CAST(8 + doc_id % 12 AS BIGINT) AS h
+  FROM documents
+),
+g AS (
+  SELECT doc_id, media_type, w, h, j,
+         (((doc_id + 3 * j) % 256) + ((doc_id + 3 * j + 1) % 256) + ((doc_id + 3 * j + 2) % 256)) // 3 AS gray
+  FROM m, UNNEST(generate_series(0, w * h - 1)) AS t(j)
+),
+ch AS (
+  SELECT doc_id, media_type, w, h, (j * 64) // (w * h) AS k,
+         CAST(sum(gray) AS BIGINT) AS s, count(*) AS c
+  FROM g GROUP BY 1, 2, 3, 4, 5
+),
+gm AS (SELECT doc_id, CAST(sum(s) AS BIGINT) // CAST(sum(c) AS BIGINT) AS gmean FROM ch GROUP BY doc_id),
+bits AS (
+  SELECT ch.doc_id, media_type, w, h, k,
+         CASE WHEN s // c > gmean THEN 1 ELSE 0 END AS b
+  FROM ch JOIN gm USING (doc_id)
+),
+nib AS (
+  SELECT doc_id, media_type, w, h, k // 4 AS t,
+         CAST(sum(b * CASE k % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS INT) AS v
+  FROM bits GROUP BY 1, 2, 3, 4, 5
+),
+ph AS (
+  SELECT doc_id, media_type, w, h,
+         string_agg(substr('0123456789abcdef', v + 1, 1), '' ORDER BY t) AS phash
+  FROM nib GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, media_type,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height, phash,
+       min(doc_id) OVER (PARTITION BY w, h, phash) AS canonical_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY w, h, phash) AS is_duplicate
+FROM ph
+"""

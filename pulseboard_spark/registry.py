@@ -1542,6 +1542,10 @@ def label_cohesion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_cohesion(_embs(spark, sf_dir))
 
 
+def media_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.perceptual_hash_dedup(multimodal.synth_images(_docs(spark, sf_dir)))
+
+
 def cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.cusum_changepoints(entity_events(spark, sf_dir))
 
@@ -1834,6 +1838,7 @@ QUERIES: dict[str, QueryFn] = {
     "time_to_return": time_to_return_q,
     "dedup_threshold_sweep": dedup_threshold_sweep_q,
     "cusum_changepoints": cusum_changepoints_q,
+    "media_phash_dedup": media_phash_dedup_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
