@@ -213,11 +213,16 @@ def time_to_return(
     )
     groups = ev.select(key, by).distinct()
     w = Window.partitionBy(key).orderBy("session_start_ms")
+    # cache(): the histogram and the returning-entity count are two
+    # independent consumers of the session-bounded gap table (AQE does not
+    # stitch them — the mad_outliers/label_cohesion precedent); the entry
+    # is |sessions − entities| rows
     gaps = (
         sess.withColumn("prev_end", F.lag("session_end_ms").over(w))
         .where(F.col("prev_end").isNotNull())
         .select(key, (F.col("session_start_ms") - F.col("prev_end")).alias("gap_ms"))
         .join(groups, key)
+        .cache()
     )
     hist = gaps.groupBy(by, "gap_ms").agg(F.count(F.lit(1)).alias("c"))
     wp = Window.partitionBy(by)

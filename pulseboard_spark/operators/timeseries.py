@@ -315,13 +315,20 @@ def event_paths_topk(ev: DataFrame, depth: int = 3, k: int = 20) -> DataFrame:
     )
 
 
+def micro_units(col) -> "F.Column":
+    """THE one micro-quantization expression (duck_round(x·1e6) → int64)
+    shared by the batch CUSUM, its parameter trainer, and the streaming
+    twin — stream/batch equivalence rides on all three quantizing
+    identically, so the expression has a single home."""
+    return duck_round(col.cast("double") * F.lit(1000000.0), 0).cast("long")
+
+
 def _cusum_values(ev: DataFrame) -> DataFrame:
     """Micro-quantized non-null value stream: (entity_id, type, ts_us,
     event_id, vu) — the shared input of the batch CUSUM and the
     parameter trainer."""
-    vu = duck_round(F.col("value").cast("double") * F.lit(1000000.0), 0).cast("long")
     return ev.filter(F.col("value").isNotNull()).select(
-        "entity_id", "type", "ts_us", "event_id", vu.alias("vu")
+        "entity_id", "type", "ts_us", "event_id", micro_units(F.col("value")).alias("vu")
     )
 
 
@@ -333,9 +340,13 @@ def cusum_params(ev: DataFrame, h_mads: int = 5) -> DataFrame:
     train-offline / detect-online split."""
     from pulseboard_spark.operators.mlprep import _hist_median
 
-    vals = _cusum_values(ev)
+    # cache(): mu, the median, and the MAD regroup are three independent
+    # consumers of the same fact pass — AQE does not stitch them into one
+    # reused exchange (the mad_outliers precedent); the vh histogram entry
+    # is |distinct (type, vu)| rows, vals is the narrow projected fact
+    vals = _cusum_values(ev).cache()
     mu = vals.groupBy("type").agg(F.expr("sum(vu) div count(1)").alias("mu"))
-    vh = vals.groupBy("type", "vu").agg(F.count(F.lit(1)).alias("_c"))
+    vh = vals.groupBy("type", "vu").agg(F.count(F.lit(1)).alias("_c")).cache()
     med = _hist_median(vh, "type", "vu", "_c", "med")
     ah = (
         vh.join(F.broadcast(med), "type")

@@ -2857,71 +2857,45 @@ FROM stats s JOIN ents e USING (profile)
 # the knob-tuning report a dedup owner reads before picking 0.8
 # (operators/dedup.py::near_dup_clusters at each threshold; registry
 # dedup_threshold_sweep_q shares the memoized pair graph the same way).
-ORACLE_SQL["dedup_threshold_sweep"] = f"""
-WITH RECURSIVE {_MINHASH_BODY},
-dpairs7000 AS (
+# Per-threshold CC blocks are generated from ONE template so the three
+# copies cannot drift.
+_SWEEP_THRESHOLDS_BP = (7000, 8000, 9000)
+
+
+def _sweep_cc_block(bp: int) -> str:
+    return f"""dpairs{bp} AS (
   SELECT i.doc_a, i.doc_b
   FROM inter i
   JOIN sizes na ON na.doc_id = i.doc_a
   JOIN sizes nb ON nb.doc_id = i.doc_b
-  WHERE i.i * 10000 >= 7000 * (na.n + nb.n - i.i)
+  WHERE i.i * 10000 >= {bp} * (na.n + nb.n - i.i)
 ),
-dedges7000 AS (SELECT doc_a AS a, doc_b AS b FROM dpairs7000 UNION SELECT doc_b, doc_a FROM dpairs7000),
-dreach7000 AS (
+dedges{bp} AS (SELECT doc_a AS a, doc_b AS b FROM dpairs{bp} UNION SELECT doc_b, doc_a FROM dpairs{bp}),
+dreach{bp} AS (
   SELECT doc_id AS id, doc_id AS r FROM documents
   UNION
-  SELECT e.b AS id, dreach7000.r AS r FROM dedges7000 e JOIN dreach7000 ON dreach7000.id = e.a
+  SELECT e.b AS id, dreach{bp}.r AS r FROM dedges{bp} e JOIN dreach{bp} ON dreach{bp}.id = e.a
 ),
-dcomp7000 AS (SELECT id, min(r) AS cluster_id FROM dreach7000 GROUP BY id),
-dpairs8000 AS (
-  SELECT i.doc_a, i.doc_b
-  FROM inter i
-  JOIN sizes na ON na.doc_id = i.doc_a
-  JOIN sizes nb ON nb.doc_id = i.doc_b
-  WHERE i.i * 10000 >= 8000 * (na.n + nb.n - i.i)
-),
-dedges8000 AS (SELECT doc_a AS a, doc_b AS b FROM dpairs8000 UNION SELECT doc_b, doc_a FROM dpairs8000),
-dreach8000 AS (
-  SELECT doc_id AS id, doc_id AS r FROM documents
-  UNION
-  SELECT e.b AS id, dreach8000.r AS r FROM dedges8000 e JOIN dreach8000 ON dreach8000.id = e.a
-),
-dcomp8000 AS (SELECT id, min(r) AS cluster_id FROM dreach8000 GROUP BY id),
-dpairs9000 AS (
-  SELECT i.doc_a, i.doc_b
-  FROM inter i
-  JOIN sizes na ON na.doc_id = i.doc_a
-  JOIN sizes nb ON nb.doc_id = i.doc_b
-  WHERE i.i * 10000 >= 9000 * (na.n + nb.n - i.i)
-),
-dedges9000 AS (SELECT doc_a AS a, doc_b AS b FROM dpairs9000 UNION SELECT doc_b, doc_a FROM dpairs9000),
-dreach9000 AS (
-  SELECT doc_id AS id, doc_id AS r FROM documents
-  UNION
-  SELECT e.b AS id, dreach9000.r AS r FROM dedges9000 e JOIN dreach9000 ON dreach9000.id = e.a
-),
-dcomp9000 AS (SELECT id, min(r) AS cluster_id FROM dreach9000 GROUP BY id)
-SELECT CAST(7000 AS BIGINT) AS threshold_bp,
+dcomp{bp} AS (SELECT id, min(r) AS cluster_id FROM dreach{bp} GROUP BY id)"""
+
+
+def _sweep_stats_select(bp: int) -> str:
+    return f"""SELECT CAST({bp} AS BIGINT) AS threshold_bp,
        CAST(sum(c) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_clusters,
        CAST(sum(c) - count(*) AS BIGINT) AS n_dups,
        CAST(max(c) AS BIGINT) AS largest_cluster
-FROM (SELECT cluster_id, count(*) AS c FROM dcomp7000 GROUP BY cluster_id)
-UNION ALL
-SELECT CAST(8000 AS BIGINT) AS threshold_bp,
-       CAST(sum(c) AS BIGINT) AS n_docs,
-       CAST(count(*) AS BIGINT) AS n_clusters,
-       CAST(sum(c) - count(*) AS BIGINT) AS n_dups,
-       CAST(max(c) AS BIGINT) AS largest_cluster
-FROM (SELECT cluster_id, count(*) AS c FROM dcomp8000 GROUP BY cluster_id)
-UNION ALL
-SELECT CAST(9000 AS BIGINT) AS threshold_bp,
-       CAST(sum(c) AS BIGINT) AS n_docs,
-       CAST(count(*) AS BIGINT) AS n_clusters,
-       CAST(sum(c) - count(*) AS BIGINT) AS n_dups,
-       CAST(max(c) AS BIGINT) AS largest_cluster
-FROM (SELECT cluster_id, count(*) AS c FROM dcomp9000 GROUP BY cluster_id)
-"""
+FROM (SELECT cluster_id, count(*) AS c FROM dcomp{bp} GROUP BY cluster_id)"""
+
+
+ORACLE_SQL["dedup_threshold_sweep"] = (
+    "WITH RECURSIVE "
+    + _MINHASH_BODY
+    + ",\n"
+    + ",\n".join(_sweep_cc_block(bp) for bp in _SWEEP_THRESHOLDS_BP)
+    + "\n"
+    + "\nUNION ALL\n".join(_sweep_stats_select(bp) for bp in _SWEEP_THRESHOLDS_BP)
+)
 
 
 # Two-sided integer CUSUM per (entity, type) (operators/timeseries.py::

@@ -623,8 +623,11 @@ def _emit_cusum_alarms(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     (ts_ms, event_id) order (W3)."""
     entity_id, typ = key
     sp, sm = state.get if state.exists else (0, 0)
+    # (ts_us, event_id) — the BATCH twin's order; ts_ms ties are real
+    # (sub-ms timestamps share a millisecond) and would fork the S+/S-
+    # trajectory
     batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
-        ["ts_ms", "event_id"], kind="mergesort"
+        ["ts_us", "event_id"], kind="mergesort"
     )
     out = {"ts_ms": [], "event_id": [], "direction": [], "cusum_micro": []}
     for d, h, ts_ms, event_id in zip(
@@ -672,17 +675,19 @@ def cusum_stateful(
     detect-online deployment of the batch operator.  Emits alarm rows in
     append mode; per-key alarm counts are pinned equal to the batch
     summary by ``test_streaming_cusum_matches_batch``."""
-    from pulseboard_spark.functions.core import duck_round
+    from pulseboard_spark.operators.timeseries import micro_units
 
     if set_watermark:
         entity_stream = entity_stream.withWatermark("ts", "120 seconds")
-    vu = duck_round(F.col("value").cast("double") * F.lit(1000000.0), 0).cast("long")
     narrow = (
         entity_stream.filter(F.col("value").isNotNull())
-        .select("entity_id", "type", "ts", "ts_ms", "event_id", vu.alias("vu"))
+        .select(
+            "entity_id", "type", "ts", "ts_us", "ts_ms", "event_id",
+            micro_units(F.col("value")).alias("vu"),
+        )
         .join(F.broadcast(params), "type")
         .select(
-            "entity_id", "type", "ts", "ts_ms", "event_id",
+            "entity_id", "type", "ts", "ts_us", "ts_ms", "event_id",
             (F.col("vu") - F.col("mu")).alias("d"), "h",
         )
     )

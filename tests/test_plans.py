@@ -442,4 +442,10 @@ def test_cusum_single_designated_seam(spark, sf_dir):
 def test_time_to_return_rides_entity_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "time_to_return")
     assert not PY_NODES.search(plan), "return-time stats must stay JVM-side"
-    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    # the gap table is cached and BOTH consumers (histogram quantiles,
+    # returning-entity count) must read the cache — textual scan/exchange
+    # counts are unreliable here because InMemoryRelation definitions
+    # re-print their build plans, so the cache-consumption signal is the
+    # robust one.  The entity-attribute join itself runs on aggregated,
+    # co-partitioned inputs; an SMJ there is the correct scale shape.
+    assert plan.count("InMemoryTableScan") >= 2, "both consumers must read the gaps cache"
