@@ -577,3 +577,58 @@ def perceptual_hash_dedup(media: DataFrame) -> DataFrame:
         F.min("doc_id").over(grp).alias("canonical_doc_id"),
         (F.col("doc_id") != F.min("doc_id").over(grp)).alias("is_duplicate"),
     )
+
+
+AUDIO_FP_SCHEMA = "doc_id bigint, sample_rate int, n_samples bigint, afp string"
+
+
+def audio_fingerprint_dedup(media: DataFrame) -> DataFrame:
+    """Audio near-dup via a 32-chunk energy fingerprint over REAL-decoded
+    PCM samples — :func:`perceptual_hash_dedup`'s twin for the audio
+    modality: chunk mean |amplitude| vs global mean |amplitude|, one bit
+    per chunk, packed MSB-first into an 8-hex-char string.  Integer
+    arithmetic end to end, so the ORACLE recomputes the fingerprint from
+    the closed-form synthetic sample model and the comparison exercises
+    the WAV parser itself (same contract as ``decoded_audio_features``).
+
+    Output: doc_id, sample_rate, n_samples, afp, canonical_doc_id
+    (min doc per (n_samples, afp) group), is_duplicate.
+
+    Scale: identical posture to the image twin — one Arrow decode pass,
+    payloads never shuffle, then the md5-dedup window shape over an
+    8-char key; band the 32 bits for Hamming-tolerant matching.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in ("doc_id", "sample_rate", "n_samples", "afp")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                v = np.abs(samples.astype(np.int64))
+                n = len(v)
+                chunk = np.arange(n) * 32 // n
+                sums = np.zeros(32, dtype=np.int64)
+                counts = np.zeros(32, dtype=np.int64)
+                np.add.at(sums, chunk, v)
+                np.add.at(counts, chunk, 1)
+                means = sums // counts
+                gmean = int(v.sum()) // n
+                val = 0
+                for b in (means > gmean).astype(np.int64):
+                    val = (val << 1) | int(b)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(n)
+                out["afp"].append(format(val, "08x"))
+            yield pd.DataFrame(out)
+
+    hashed = media.select("doc_id", "payload").mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+    grp = Window.partitionBy("n_samples", "afp")
+    return hashed.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "afp",
+        F.min("doc_id").over(grp).alias("canonical_doc_id"),
+        (F.col("doc_id") != F.min("doc_id").over(grp)).alias("is_duplicate"),
+    )

@@ -2996,3 +2996,42 @@ SELECT doc_id, media_type,
        doc_id <> min(doc_id) OVER (PARTITION BY w, h, phash) AS is_duplicate
 FROM ph
 """
+
+
+# Audio near-dup fingerprint (operators/multimodal.py::
+# audio_fingerprint_dedup): oracle recomputes from the closed-form
+# synthetic sample model — the WAV parse path is what the check exercises.
+ORACLE_SQL["audio_fingerprint_dedup"] = """
+WITH m AS (SELECT doc_id, CAST(64 + doc_id % 192 AS BIGINT) AS n FROM documents),
+s AS (
+  SELECT doc_id, n, i,
+         abs((doc_id * 7 + i * 13) % 2001 - 1000) AS a
+  FROM m, UNNEST(generate_series(0, n - 1)) AS t(i)
+),
+ch AS (
+  SELECT doc_id, n, (i * 32) // n AS k,
+         CAST(sum(a) AS BIGINT) AS sv, count(*) AS c
+  FROM s GROUP BY 1, 2, 3
+),
+gm AS (SELECT doc_id, CAST(sum(sv) AS BIGINT) // CAST(sum(c) AS BIGINT) AS gmean FROM ch GROUP BY doc_id),
+bits AS (
+  SELECT ch.doc_id, n, k,
+         CASE WHEN sv // c > gmean THEN 1 ELSE 0 END AS b
+  FROM ch JOIN gm USING (doc_id)
+),
+nib AS (
+  SELECT doc_id, n, k // 4 AS t,
+         CAST(sum(b * CASE k % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS INT) AS v
+  FROM bits GROUP BY 1, 2, 3
+),
+ph AS (
+  SELECT doc_id, n,
+         string_agg(substr('0123456789abcdef', v + 1, 1), '' ORDER BY t) AS afp
+  FROM nib GROUP BY 1, 2
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples, afp,
+       min(doc_id) OVER (PARTITION BY n, afp) AS canonical_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY n, afp) AS is_duplicate
+FROM ph
+"""

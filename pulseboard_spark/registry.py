@@ -1546,6 +1546,10 @@ def media_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.perceptual_hash_dedup(multimodal.synth_images(_docs(spark, sf_dir)))
 
 
+def audio_fingerprint_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.audio_fingerprint_dedup(multimodal.synth_audio(_docs(spark, sf_dir)))
+
+
 def cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.cusum_changepoints(entity_events(spark, sf_dir))
 
@@ -1839,6 +1843,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_threshold_sweep": dedup_threshold_sweep_q,
     "cusum_changepoints": cusum_changepoints_q,
     "media_phash_dedup": media_phash_dedup_q,
+    "audio_fingerprint_dedup": audio_fingerprint_dedup_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
