@@ -3035,3 +3035,27 @@ SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
        doc_id <> min(doc_id) OVER (PARTITION BY n, afp) AS is_duplicate
 FROM ph
 """
+
+
+# DAU/WAU stickiness (operators/timeseries.py::active_user_stickiness):
+# WAU from the 7-day contribution explode of per-(entity, day) activity.
+ORACLE_SQL["active_user_stickiness"] = f"""
+WITH {ENT_CTE},
+days AS (
+  SELECT DISTINCT strftime(epoch_ms(ts_ms), '%Y-%m-%d') AS day, entity_id FROM ent
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM days GROUP BY day),
+contrib AS (
+  SELECT DISTINCT entity_id,
+         strftime(CAST(day AS DATE) + CAST(i AS INTEGER), '%Y-%m-%d') AS day
+  FROM days, UNNEST(generate_series(0, 6)) AS t(i)
+),
+wau AS (
+  SELECT c.day, CAST(count(*) AS BIGINT) AS wau
+  FROM contrib c JOIN (SELECT DISTINCT day FROM dau) d USING (day)
+  GROUP BY c.day
+)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST((dau.dau * 10000) // wau.wau AS BIGINT) AS stickiness_bp
+FROM dau JOIN wau USING (day)
+"""

@@ -1554,6 +1554,10 @@ def cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.cusum_changepoints(entity_events(spark, sf_dir))
 
 
+def active_user_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.active_user_stickiness(entity_events(spark, sf_dir))
+
+
 def dedup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-sensitivity report: near-dup cluster statistics at three
     Jaccard cut-offs over the ONE memoized candidate pair graph — how a
@@ -1844,6 +1848,7 @@ QUERIES: dict[str, QueryFn] = {
     "cusum_changepoints": cusum_changepoints_q,
     "media_phash_dedup": media_phash_dedup_q,
     "audio_fingerprint_dedup": audio_fingerprint_dedup_q,
+    "active_user_stickiness": active_user_stickiness_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
