@@ -491,3 +491,35 @@ def active_user_stickiness(ev: DataFrame) -> DataFrame:
         dau.join(wau, "day")
         .select("day", "dau", "wau", F.expr("(dau * 10000) div wau").alias("stickiness_bp"))
     )
+
+
+def daily_value_bands(ev: DataFrame) -> DataFrame:
+    """Per-(type, UTC day) value envelope: n plus lower-discrete
+    P10/P50/P90 — the SLO-band report ops teams chart under every metric
+    (yesterday's P90 is today's alert threshold candidate).
+
+    Quantiles are actual data elements picked by cumulative counts over
+    the per-(type, day) value histogram (`cum·10 ≥ tot·k` — the
+    engine-exact discrete convention used throughout this repo), so the
+    surfaces are bit-identical doubles, never interpolations.
+
+    Scale: one shuffle builds the (type, day, value) histogram map-side
+    combined; the quantile window runs over distinct values per group —
+    bounded by value cardinality, not event count.
+    """
+    vals = ev.filter(F.col("value").isNotNull()).select(
+        "type",
+        F.date_format(F.timestamp_millis(F.col("ts_ms")), "yyyy-MM-dd").alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    hist = vals.groupBy("type", "day", "v").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("type", "day")
+    cum = hist.withColumn("cum", F.sum("c").over(wp.orderBy("v"))).withColumn(
+        "tot", F.sum("c").over(wp)
+    )
+    return cum.groupBy("type", "day").agg(
+        F.max("tot").alias("n_values"),
+        F.min(F.when(F.expr("cum * 10 >= tot"), F.col("v"))).alias("p10_value"),
+        F.min(F.when(F.expr("cum * 2 >= tot"), F.col("v"))).alias("p50_value"),
+        F.min(F.when(F.expr("cum * 10 >= tot * 9"), F.col("v"))).alias("p90_value"),
+    )

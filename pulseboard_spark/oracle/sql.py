@@ -3059,3 +3059,28 @@ SELECT dau.day, dau.dau, wau.wau,
        CAST((dau.dau * 10000) // wau.wau AS BIGINT) AS stickiness_bp
 FROM dau JOIN wau USING (day)
 """
+
+
+# Daily value envelope (operators/timeseries.py::daily_value_bands):
+# lower-discrete P10/P50/P90 via cumulative histogram counts.
+ORACLE_SQL["daily_value_bands"] = f"""
+WITH {ENT_CTE},
+vals AS (
+  SELECT type, strftime(epoch_ms(ts_ms), '%Y-%m-%d') AS day,
+         CAST(value AS DOUBLE) AS v
+  FROM ent WHERE value IS NOT NULL
+),
+h AS (SELECT type, day, v, count(*) AS c FROM vals GROUP BY 1, 2, 3),
+cum AS (
+  SELECT type, day, v,
+         sum(c) OVER (PARTITION BY type, day ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY type, day) AS tot
+  FROM h
+)
+SELECT type, day,
+       CAST(max(tot) AS BIGINT) AS n_values,
+       min(CASE WHEN cum * 10 >= tot THEN v END) AS p10_value,
+       min(CASE WHEN cum * 2 >= tot THEN v END) AS p50_value,
+       min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS p90_value
+FROM cum GROUP BY type, day
+"""

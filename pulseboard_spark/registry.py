@@ -1558,6 +1558,10 @@ def active_user_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.active_user_stickiness(entity_events(spark, sf_dir))
 
 
+def daily_value_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.daily_value_bands(entity_events(spark, sf_dir))
+
+
 def dedup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-sensitivity report: near-dup cluster statistics at three
     Jaccard cut-offs over the ONE memoized candidate pair graph — how a
@@ -1849,6 +1853,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_phash_dedup": media_phash_dedup_q,
     "audio_fingerprint_dedup": audio_fingerprint_dedup_q,
     "active_user_stickiness": active_user_stickiness_q,
+    "daily_value_bands": daily_value_bands_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
