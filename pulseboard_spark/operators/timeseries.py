@@ -523,3 +523,81 @@ def daily_value_bands(ev: DataFrame) -> DataFrame:
         F.min(F.when(F.expr("cum * 2 >= tot"), F.col("v"))).alias("p50_value"),
         F.min(F.when(F.expr("cum * 10 >= tot * 9"), F.col("v"))).alias("p90_value"),
     )
+
+
+def holt_forecast(
+    ev: DataFrame, alpha: float = 0.2, beta: float = 0.1
+) -> DataFrame:
+    """Holt double-exponential smoothing per (entity, type): level +
+    linear trend, surfaced as the LAST state per key plus the one-step
+    forecast — the next rung of the forecasting ladder above
+    :func:`~pulseboard_spark.operators.ewma.with_ewma` (EWMA tracks a
+    level; Holt also tracks where it is headed, so a steadily climbing
+    metric forecasts ahead of its current value instead of lagging it).
+
+        level_1 = v_1;  trend_1 = 0
+        level_t = α·v + (1−α)·(level_{t−1} + trend_{t−1})
+        trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+
+    Parity recipe is EWMA's exactly: the recurrence replays in the
+    oracle's recursive CTE with the SAME operation order, complements
+    come from Decimal (1.0−0.2 binary-differs from the parsed literal
+    0.8 the SQL uses — the drift that flips round-6 boundaries), and the
+    surface is round-6 via ``duck_round``.
+
+    Physical shape = the CUSUM scan: one key shuffle, one Arrow pass,
+    per-key dict state (level, trend, n), |keys| summary rows out.
+    """
+    from decimal import Decimal
+
+    a_c = float(Decimal(1) - Decimal(str(alpha)))
+    b_c = float(Decimal(1) - Decimal(str(beta)))
+    narrow = ev.filter(F.col("value").isNotNull()).select(
+        "entity_id", "type", "ts_us", "event_id", F.col("value").cast("double").alias("v")
+    )
+
+    def _scan(batches):
+        state: dict = {}
+        for pdf in batches:
+            vs = pdf["v"].to_numpy(dtype="float64")
+            ents = pdf["entity_id"].to_numpy()
+            typs = pdf["type"].to_numpy()
+            get = state.get
+            for i in range(len(vs)):
+                k = (ents[i], typs[i])
+                prev = get(k)
+                v = float(vs[i])
+                if prev is None:
+                    state[k] = (v, 0.0, 1)
+                else:
+                    pl, pt, n = prev
+                    level = alpha * v + a_c * (pl + pt)
+                    trend = beta * (level - pl) + b_c * pt
+                    state[k] = (level, trend, n + 1)
+        rows = sorted(state.items())
+        yield pd.DataFrame(
+            {
+                "entity_id": [k[0] for k, _ in rows],
+                "type": [k[1] for k, _ in rows],
+                "n_obs": pd.Series([v[2] for _, v in rows], dtype="int64"),
+                "level": pd.Series([v[0] for _, v in rows], dtype="float64"),
+                "trend": pd.Series([v[1] for _, v in rows], dtype="float64"),
+            }
+        )
+
+    out = (
+        narrow.repartition("entity_id", "type")
+        .sortWithinPartitions("entity_id", "type", "ts_us", "event_id")
+        .mapInPandas(
+            _scan,
+            schema="entity_id string, type string, n_obs bigint, level double, trend double",
+        )
+    )
+    return out.select(
+        "entity_id",
+        "type",
+        "n_obs",
+        duck_round(F.col("level"), 6).alias("level"),
+        duck_round(F.col("trend"), 6).alias("trend"),
+        duck_round(F.col("level") + F.col("trend"), 6).alias("forecast_next"),
+    )

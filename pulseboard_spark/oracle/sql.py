@@ -3084,3 +3084,32 @@ SELECT type, day,
        min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS p90_value
 FROM cum GROUP BY type, day
 """
+
+
+# Holt double-exponential smoothing (operators/timeseries.py::
+# holt_forecast): the level+trend recurrence replays in a recursive CTE
+# with the same operation order; round-6 surfaces like EWMA.
+ORACLE_SQL["holt_forecast"] = f"""
+WITH RECURSIVE {ENT_CTE},
+seq AS (
+  SELECT entity_id, type, ts_us, event_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY entity_id, type ORDER BY ts_us, event_id) AS rn,
+         count(*) OVER (PARTITION BY entity_id, type) AS n_obs
+  FROM ent WHERE value IS NOT NULL
+),
+holt AS (
+  SELECT entity_id, type, rn, n_obs, v AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.entity_id, s.type, s.rn, s.n_obs,
+         0.2 * s.v + 0.8 * (h.level + h.trend),
+         0.1 * ((0.2 * s.v + 0.8 * (h.level + h.trend)) - h.level) + 0.9 * h.trend
+  FROM seq s JOIN holt h
+    ON s.entity_id = h.entity_id AND s.type = h.type AND s.rn = h.rn + 1
+)
+SELECT entity_id, type, CAST(n_obs AS BIGINT) AS n_obs,
+       round(level, 6) AS level,
+       round(trend, 6) AS trend,
+       round(level + trend, 6) AS forecast_next
+FROM holt WHERE rn = n_obs
+"""
