@@ -239,3 +239,63 @@ def time_to_return(
     return stats.join(ents, by).select(
         by, "n_returning", "n_gaps", "med_gap_ms", "p90_gap_ms", "max_gap_ms"
     )
+
+
+def session_basket_lift(
+    ev: DataFrame, gap_ms: int = 30 * 60 * 1000, key: str = "entity_id"
+) -> DataFrame:
+    """Market-basket analysis over sessions: for every pair of event
+    types that co-occur in a session, support and LIFT — does seeing
+    type a in a session make type b more likely than its base rate?
+    (lift > 1e6 ppm ⇒ positive association).  The classic retail
+    affinity op, with sessions as baskets.
+
+    All surfaces are exact integer rationals:
+    lift_ppm = (n_ab · n_sessions · 1e6) // (n_a · n_b).
+
+    Scale: sessionization's one entity shuffle, then baskets collapse to
+    DISTINCT (session, type) rows — |sessions|·|types| at worst; the
+    pair join is per session-key (bounded fan-out: ≤ |types|² per
+    basket) and the rollup is map-side combined to ≤ |types|² rows.
+    """
+    w = Window.partitionBy(key).orderBy("ts_ms", "event_id")
+    prev_ts = F.lag("ts_ms").over(w)
+    new_sess = (prev_ts.isNull() | ((F.col("ts_ms") - prev_ts) > F.lit(gap_ms))).cast("long")
+    sess = (
+        ev.select(key, "type", "ts_ms", "event_id")
+        .withColumn("_n", new_sess)
+        .withColumn("session_no", F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(
+            F.concat(F.col(key), F.lit("#"), F.col("session_no").cast("string")).alias("sid"),
+            "type",
+        )
+        .distinct()
+    )
+    # 1-row broadcast stat join, not a driver count — nothing runs at
+    # plan time and the total rides the plan like every other global stat
+    totals = sess.agg(F.count_distinct("sid").alias("n_sessions"))
+    per_type = sess.groupBy("type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = sess.select("sid", F.col("type").alias("type_a"))
+    b = sess.select("sid", F.col("type").alias("type_b"))
+    pairs = (
+        a.join(b, "sid")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = per_type.select(F.col("type").alias("type_a"), F.col("n_t").alias("n_a"))
+    nb = per_type.select(F.col("type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_sessions",
+            F.expr("(n_ab * n_sessions * 1000000) div (n_a * n_b)").alias("lift_ppm"),
+        )
+    )

@@ -3113,3 +3113,39 @@ SELECT entity_id, type, CAST(n_obs AS BIGINT) AS n_obs,
        round(level + trend, 6) AS forecast_next
 FROM holt WHERE rn = n_obs
 """
+
+
+# Session market-basket lift (operators/sessions.py::session_basket_lift):
+# sessions as baskets, exact integer lift.
+ORACLE_SQL["session_basket_lift"] = f"""
+WITH {ENT_CTE},
+ordered AS (
+  SELECT entity_id, type, ts_ms, event_id,
+         lag(ts_ms) OVER (PARTITION BY entity_id ORDER BY ts_ms, event_id) AS prev_ts
+  FROM ent
+),
+numbered AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY entity_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM ordered
+),
+sess AS (
+  SELECT DISTINCT entity_id || '#' || CAST(session_no AS VARCHAR) AS sid, type
+  FROM numbered
+),
+totals AS (SELECT CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions FROM sess),
+per_type AS (SELECT type, CAST(count(*) AS BIGINT) AS n_t FROM sess GROUP BY type),
+pairs AS (
+  SELECT a.type AS type_a, b.type AS type_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM sess a JOIN sess b ON a.sid = b.sid AND a.type < b.type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       na.n_t AS n_a, nb.n_t AS n_b, t.n_sessions,
+       CAST((p.n_ab * t.n_sessions * 1000000) // (na.n_t * nb.n_t) AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN per_type na ON na.type = p.type_a
+JOIN per_type nb ON nb.type = p.type_b
+CROSS JOIN totals t
+"""

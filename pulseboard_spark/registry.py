@@ -1566,6 +1566,10 @@ def holt_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.holt_forecast(entity_events(spark, sf_dir))
 
 
+def session_basket_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.session_basket_lift(entity_events(spark, sf_dir))
+
+
 def dedup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-sensitivity report: near-dup cluster statistics at three
     Jaccard cut-offs over the ONE memoized candidate pair graph — how a
@@ -1859,6 +1863,7 @@ QUERIES: dict[str, QueryFn] = {
     "active_user_stickiness": active_user_stickiness_q,
     "daily_value_bands": daily_value_bands_q,
     "holt_forecast": holt_forecast_q,
+    "session_basket_lift": session_basket_lift_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
