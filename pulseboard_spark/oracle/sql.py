@@ -3149,3 +3149,44 @@ JOIN per_type na ON na.type = p.type_a
 JOIN per_type nb ON nb.type = p.type_b
 CROSS JOIN totals t
 """
+
+
+# Per-source corpus governance rollup (registry source_quality_report_q):
+# composes the verified text-quality and cluster-canonical surfaces.
+ORACLE_SQL["source_quality_report"] = f"""
+WITH RECURSIVE {_CLUSTERS_BODY},
+q AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_count
+  FROM documents
+),
+qq AS (
+  SELECT doc_id, n_tokens,
+         (least(n_tokens, 100) * 10000 * (greatest(n_tokens, 1) - least(punct_count, greatest(n_tokens, 1))))
+           // greatest(n_tokens, 1) AS quality_score_ppm
+  FROM q
+),
+base AS (
+  SELECT d.source, d.n_chars, qq.n_tokens, qq.quality_score_ppm,
+         CASE WHEN c.id = c.cluster_id THEN 0 ELSE 1 END AS is_dup
+  FROM documents d
+  JOIN qq ON qq.doc_id = d.doc_id
+  JOIN dcomp c ON c.id = d.doc_id
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_tokens) AS BIGINT) AS st,
+         CAST(sum(quality_score_ppm) AS BIGINT) AS sq
+  FROM base GROUP BY source
+)
+SELECT source, n_docs, n_dups,
+       CAST((n_dups * 10000) // n_docs AS BIGINT) AS dup_share_bp,
+       total_chars,
+       CAST(st // n_docs AS BIGINT) AS mean_tokens,
+       CAST(sq // n_docs AS BIGINT) AS mean_quality_ppm
+FROM agg
+"""

@@ -1570,6 +1570,38 @@ def session_basket_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.session_basket_lift(entity_events(spark, sf_dir))
 
 
+def source_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus governance rollup: volume, near-dup share, and
+    mean quality/token stats — the table a data-sourcing owner reads to
+    decide which feeds to keep, cap, or renegotiate.  Composes the
+    verified text-quality and cluster-canonical surfaces by source
+    (integer means via truncated div — exact rationals end to end)."""
+    docs = _docs(spark, sf_dir)
+    q = text.text_quality(docs).select("doc_id", "n_tokens", "quality_score_ppm")
+    dup = _near_dup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    base = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(q, "doc_id")
+        .join(dup, "doc_id")
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((~F.col("is_canonical")).cast("long")).alias("n_dups"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("_st"),
+        F.sum("quality_score_ppm").alias("_sq"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dups",
+        F.expr("(n_dups * 10000) div n_docs").alias("dup_share_bp"),
+        "total_chars",
+        F.expr("_st div n_docs").alias("mean_tokens"),
+        F.expr("_sq div n_docs").alias("mean_quality_ppm"),
+    )
+
+
 def dedup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-sensitivity report: near-dup cluster statistics at three
     Jaccard cut-offs over the ONE memoized candidate pair graph — how a
@@ -1864,6 +1896,7 @@ QUERIES: dict[str, QueryFn] = {
     "daily_value_bands": daily_value_bands_q,
     "holt_forecast": holt_forecast_q,
     "session_basket_lift": session_basket_lift_q,
+    "source_quality_report": source_quality_report_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
     "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
     "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
