@@ -1869,9 +1869,9 @@ QUERIES: dict[str, QueryFn] = {
     "resize_media": resize_media_q,
     "pii_scrub": pii_scrub_q,
     "decontamination": decontamination_q,
-    # — new in round 3, still below the window: 26 queries queued for the
-    #   r04 rotation (20 oracle-checked incl. the shared-SQL incremental
-    #   twin, 6 rows-only) — they plus 24 r03-green anchors fill the r04
+    # — new in round 3, still below the window: 30 queries queued for the
+    #   r04 rotation (24 oracle-checked incl. the shared-SQL incremental
+    #   twin, 6 rows-only) — they plus 20 r03-green anchors fill the r04
     #   front-50; every queued oracle query is strict-parity green at
     #   sf0.01 (most at sf0.1 too) —
     "line_dedup": line_dedup_q,
