@@ -17,7 +17,7 @@ connectedComponents is a drop-in upgrade when the jar is available.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pulseboard_spark.functions.ids import normalize_id
@@ -449,11 +449,23 @@ def pagerank(
       the registry entry is in ``EAGER_QUERIES`` (same class as
       ``bpe_train``).
 
-    Float caveat: per-dst contribution sums are shuffle-order sensitive in
-    the last bits, so rank is an approximate surface (rows-only check);
-    ``TestPagerank`` pins values against a dense NumPy power iteration to
-    1e-9 and exact ranking on a separated graph.
+    Determinism: per-dst contribution sums (and the dangling-mass sum)
+    are routed ``duck_round(x, 12) → DECIMAL(27,12) → sum → double`` —
+    decimal addition is exact and order-free, so the result is bit-stable
+    under any shuffle order AND bit-reproducible by the DuckDB oracle's
+    unrolled-iteration replay (``oracle/sql.py::identity_pagerank`` —
+    the EWMA/Holt recurrence-replay recipe applied to a graph fixpoint).
+    The 1e-12 contribution quantization perturbs ranks ~1e-11 over 10
+    rounds; ``TestPagerank`` still pins values against a dense NumPy
+    power iteration to 1e-9 and exact ranking on a separated graph.
+    Run-to-run bit-stability is also what a production 100 TB job wants:
+    a re-run on a different cluster layout emits byte-identical ranks.
     """
+    from pulseboard_spark.functions.core import duck_round
+
+    def _det_sum(col: Column) -> Column:
+        return F.sum(duck_round(col, 12).cast("decimal(27,12)")).cast("double")
+
     sym = edges.select("a", "b").unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -477,12 +489,12 @@ def pagerank(
             .select(F.col("id").alias("a"), (F.col("rank") / F.col("deg")).alias("c"))
             .join(sym, "a")
             .groupBy(F.col("b").alias("id"))
-            .agg(F.sum("c").alias("inflow"))
+            .agg(_det_sum(F.col("c")).alias("inflow"))
         )
         dangling = ranks.agg(
-            F.coalesce(F.sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0.0)).alias(
-                "_dangle"
-            )
+            F.coalesce(
+                _det_sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0.0)
+            ).alias("_dangle")
         )
         ranks = (
             base.join(contrib, "id", "left")

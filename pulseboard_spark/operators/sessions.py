@@ -169,6 +169,8 @@ def funnel_latency(
     (pair, latency_ms) rows — bounded by |converting entities|, and the
     quantile window runs over distinct latency values per pair.
     """
+    if len(steps) < 2:
+        raise ValueError(f"funnel_latency needs >= 2 steps, got {list(steps)!r}")
     per_entity = _step_times(ev, steps, key)
     pairs = None
     for i in range(1, len(steps)):
@@ -251,7 +253,11 @@ def session_basket_lift(
     affinity op, with sessions as baskets.
 
     All surfaces are exact integer rationals:
-    lift_ppm = (n_ab · n_sessions · 1e6) // (n_a · n_b).
+    lift_ppm = (n_ab · n_sessions · 1e6) // (n_a · n_b), with the
+    numerator routed through DECIMAL(38,0): at production session counts
+    (≥1e6 sessions) the three-way BIGINT product exceeds int64, where
+    Spark (non-ANSI) would wrap silently and DuckDB would raise — the
+    decimal route is exact in both engines and still surfaces BIGINT.
 
     Scale: sessionization's one entity shuffle, then baskets collapse to
     DISTINCT (session, type) rows — |sessions|·|types| at worst; the
@@ -296,6 +302,9 @@ def session_basket_lift(
             "n_a",
             "n_b",
             "n_sessions",
-            F.expr("(n_ab * n_sessions * 1000000) div (n_a * n_b)").alias("lift_ppm"),
+            F.expr(
+                "CAST((CAST(n_ab AS DECIMAL(38,0)) * n_sessions * 1000000)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )

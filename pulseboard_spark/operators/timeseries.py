@@ -298,6 +298,8 @@ def event_paths_topk(ev: DataFrame, depth: int = 3, k: int = 20) -> DataFrame:
     rollup to at most |types|^depth rows; the final top-k is a single
     window over that tiny counts table.  No self-join, no driver collect.
     """
+    if depth < 2:
+        raise ValueError(f"event_paths_topk needs depth >= 2, got {depth}")
     w = Window.partitionBy("entity_id").orderBy("ts_ms", "event_id")
     steps = ev.select("entity_id", "type", "ts_ms", "event_id")
     for i in range(1, depth):

@@ -97,10 +97,9 @@ cvalid AS (
 """
 )
 
-# Connected components over the identity graph: union-find replaced by
-# min-label transitive closure (canonical id = lexicographic min of the
-# component, the deterministic twin of `IdentityGraph.kt:50-80`).
-COMPONENTS_CTE = (
+# Identity graph (nodes + distinct a<b edges + symmetric closure) —
+# shared by connected components, triangles, and pagerank.
+GRAPH_CTE = (
     CVALID_CTE
     + """,
 idrows AS (
@@ -115,7 +114,16 @@ edges0 AS (
   SELECT DISTINCT a.id AS a, b.id AS b
   FROM idrows a JOIN idrows b ON a.event_id = b.event_id AND a.id < b.id
 ),
-edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0)
+"""
+)
+
+# Connected components over the identity graph: union-find replaced by
+# min-label transitive closure (canonical id = lexicographic min of the
+# component, the deterministic twin of `IdentityGraph.kt:50-80`).
+COMPONENTS_CTE = (
+    GRAPH_CTE
+    + """,
 reach AS (
   SELECT id, id AS r FROM nodes
   UNION
@@ -2757,6 +2765,62 @@ SELECT nodes.id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
 FROM nodes LEFT JOIN cnt USING (id)
 """
 
+
+def _pagerank_sql(iters: int = 10) -> str:
+    """Unrolled power-iteration replay of operators/identity.py::pagerank.
+
+    Bit-exact with Spark because every float op has an engine-free image:
+    per-dst inflow and the dangling-mass sum are ``round(x,12)::
+    DECIMAL(27,12)`` sums (exact, order-free; Spark mirrors DuckDB's
+    multiply-floor rounding via ``duck_round``), and the rank update
+    ``(1.0-0.85)/n + 0.85*(inflow + dangle/n)`` is the identical IEEE
+    expression shape in both engines.  DuckDB recursive CTEs cannot
+    aggregate in the recursive term, so the ``iters`` rounds unroll as a
+    chained-CTE template — same recipe class as holt/cusum, applied to a
+    graph fixpoint.  Every r{i} is MATERIALIZED: each round references
+    the previous one twice (inflow + dangling), so default CTE inlining
+    doubles the plan per round — 2^iters parquet scans blew the fd limit
+    before the first row; materialization is the oracle-side twin of the
+    Spark operator's localCheckpoint cadence."""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+inflow{i} AS (
+  SELECT e.b AS id,
+         CAST(sum(CAST(round(r.rank / r.deg, 12) AS DECIMAL(27,12))) AS DOUBLE) AS inflow
+  FROM r{i} r JOIN edges e ON e.a = r.id
+  WHERE r.deg > 0 GROUP BY e.b
+),
+dangle{i} AS (
+  SELECT coalesce(CAST(sum(CAST(round(CASE WHEN deg = 0 THEN rank END, 12)
+                                AS DECIMAL(27,12))) AS DOUBLE), 0.0) AS d
+  FROM r{i}
+),
+r{i + 1} AS MATERIALIZED (
+  SELECT b.id, b.deg, b.n,
+         (1.0 - 0.85) / b.n
+           + 0.85 * (coalesce(i.inflow, 0.0) + g.d / b.n) AS rank
+  FROM r0 b
+  LEFT JOIN inflow{i} i USING (id)
+  CROSS JOIN dangle{i} g
+)""")
+    return (
+        f"WITH {GRAPH_CTE},\n"
+        """deg AS (SELECT a AS id, count(*) AS deg FROM edges GROUP BY a),
+n1 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT nodes.id, coalesce(deg.deg, 0) AS deg, n1.n, 1.0 / n1.n AS rank
+  FROM nodes LEFT JOIN deg USING (id) CROSS JOIN n1
+),"""
+        + ",".join(steps)
+        + f"\nSELECT id, rank FROM r{iters}"
+    )
+
+
+# Hub scores over the identity graph (operators/identity.py::pagerank):
+# deterministic decimal-routed power iteration, replayed bit-exactly.
+ORACLE_SQL["identity_pagerank"] = _pagerank_sql(10)
+
 # Funnel conversion-latency stats (operators/sessions.py::funnel_latency):
 # lower-discrete quantiles of step-to-step gaps, ms.
 ORACLE_SQL["funnel_latency"] = f"""
@@ -3086,6 +3150,35 @@ FROM cum GROUP BY type, day
 """
 
 
+# Per-type GK-sketch quantiles (registry.py::approx_value_quantiles_q):
+# at accuracy 100 000 the sketch rank error n/accuracy < 1 at test
+# scales, so percentile_approx is exact and equals the smallest value
+# whose cumulative count reaches ceil(p*n) — replayed here with the
+# integer ceil-free comparisons cum*2 >= n (p50), cum*10 >= 9n (p90),
+# cum*100 >= 99n (p99).  Convention verified empirically against Spark
+# at sf0.01 AND sf0.1 before promotion to an oracle-checked query.
+ORACLE_SQL["approx_value_quantiles"] = f"""
+WITH {ENT_CTE},
+vals AS (
+  SELECT type, CAST(value AS DOUBLE) AS v
+  FROM ent WHERE value IS NOT NULL
+),
+h AS (SELECT type, v, count(*) AS c FROM vals GROUP BY 1, 2),
+cum AS (
+  SELECT type, v,
+         sum(c) OVER (PARTITION BY type ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY type) AS tot
+  FROM h
+)
+SELECT type,
+       min(CASE WHEN cum * 2 >= tot THEN v END) AS q50,
+       min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS q90,
+       min(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS q99,
+       CAST(max(tot) AS BIGINT) AS n_values
+FROM cum GROUP BY type
+"""
+
+
 # Holt double-exponential smoothing (operators/timeseries.py::
 # holt_forecast): the level+trend recurrence replays in a recursive CTE
 # with the same operation order; round-6 surfaces like EWMA.
@@ -3143,7 +3236,8 @@ pairs AS (
 )
 SELECT p.type_a, p.type_b, p.n_ab,
        na.n_t AS n_a, nb.n_t AS n_b, t.n_sessions,
-       CAST((p.n_ab * t.n_sessions * 1000000) // (na.n_t * nb.n_t) AS BIGINT) AS lift_ppm
+       CAST((CAST(p.n_ab AS HUGEINT) * t.n_sessions * 1000000)
+            // (CAST(na.n_t AS HUGEINT) * nb.n_t) AS BIGINT) AS lift_ppm
 FROM pairs p
 JOIN per_type na ON na.type = p.type_a
 JOIN per_type nb ON nb.type = p.type_b

@@ -1031,10 +1031,12 @@ def identity_components_incremental_q(spark: SparkSession, sf_dir: str) -> DataF
 def identity_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub score per identifier over the identity co-occurrence graph —
     the prioritization complement to the component map (which ids anchor
-    the most well-connected neighborhoods).  Rows-only check: per-node
-    float inflow sums are shuffle-order sensitive in the last bits, so
-    there is no bit-exact SQL oracle; values are pinned vs a dense NumPy
-    power iteration by ``TestPagerank``."""
+    the most well-connected neighborhoods).  Oracle-checked: the
+    decimal-routed contribution sums make every iteration bit-stable
+    under shuffle order, so the DuckDB unrolled-iteration replay
+    (``oracle/sql.py::_pagerank_sql``) reproduces ranks bit-exactly;
+    values are additionally pinned vs a dense NumPy power iteration by
+    ``TestPagerank``."""
     cvalid = _cvalid(spark, sf_dir)
     from pulseboard_spark.operators.identity import identity_edges, identity_nodes, pagerank
 
@@ -1274,14 +1276,32 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based per-type quantiles (`percentile_approx` = the
-    mergeable KLL/GK-style sketch path COUNT/SORT-free at 100 TB).
-    Approximate by design → rows-only driver check; the error bound vs
-    the exact interpolated percentile is pinned by
+    mergeable GK-sketch path, COUNT/SORT-free at 100 TB).
+
+    Surface is three SCALAR doubles (q50/q90/q99) — never the raw
+    ``array<double>`` (the driver's pandas canonicalizer cannot hash
+    array cells; it crashed on exactly that in round 3).  At accuracy
+    100 000 the GK rank error is ``n/accuracy`` < 1 for every per-type
+    group at both test scales (n≈2k at sf0.01, ≈20k at sf0.1), so the
+    sketch output is EXACT here and oracle-checkable against the
+    ceil(p*n) discrete-rank convention (verified empirically: rank =
+    smallest value with cum >= ceil(p*n)); at 100 TB, where n >>
+    accuracy, the same expression degrades gracefully to the bounded-
+    error mergeable sketch.  The error bound is pinned by
     ``TestApproxQuantiles``."""
     ev = entity_events(spark, sf_dir)
-    return ev.filter(F.col("value").isNotNull()).groupBy("type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_q"),
-        F.count(F.lit(1)).alias("n_values"),
+    q = F.percentile_approx("value", [0.5, 0.9, 0.99], 100_000)
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("type")
+        .agg(q.alias("_q"), F.count(F.lit(1)).alias("n_values"))
+        .select(
+            "type",
+            F.element_at("_q", 1).alias("q50"),
+            F.element_at("_q", 2).alias("q90"),
+            F.element_at("_q", 3).alias("q99"),
+            "n_values",
+        )
     )
 
 
@@ -1779,101 +1799,20 @@ def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Registry ----------------------------------------------------------------
 
 # Ordering policy: the correctness driver hash-checks the FIRST 50 entries
-# of this dict per round.  Round 1 checked the (then-leading) TPC-H/window/
-# rule wave — all green except the two float-rounding queries.  Round 2
-# therefore leads with (a) the two repaired queries, then (b) the CDP core
-# and the LLM-pipeline wave, none of which have a driver row yet.  Queries
-# already carrying a green driver row rotate to the back; rows-only
-# (non-SQL-expressible) queries sit behind the oracle-checked ones.
+# of this dict per round.  Rounds 1-3 accumulated >= 1 green driver row
+# for every query registered before round 3 (112/117 green cumulative).
+# Round 4 therefore leads with (a) the 24 round-3 oracle queries that have
+# never been driver-checked, (b) the two promotions — approx_value_
+# quantiles (scalarized q50/q90/q99 surface, exact at driver scale with
+# accuracy=100k) and identity_pagerank (decimal-routed deterministic
+# iteration + unrolled-CTE oracle) — then (c) r03-green anchors to fill
+# the window.  ROWS-ONLY queries NEVER take window slots: the driver
+# records a no_oracle entry as a FAIL row (r03 proved it — 5 burned
+# slots), so their evidence is the in-repo pinned tests + exact-twin
+# oracle queries, and they live strictly below the boundary.
 QUERIES: dict[str, QueryFn] = {
-    # — repaired after round 2 (driver Class A: BIGINT-cast integer
-    #   aggregate images; Class B: arrays string-encoded at the surface).
-    #   Kept in the front-50 until CORRECTNESS_r03 records them green. —
-    "inter_event_deltas": inter_event_deltas_q,
-    "dominant_event_type": dominant_event_type_q,
-    "cdp_trait_fidelity": cdp_trait_fidelity_q,
-    "bigram_stats": bigram_stats_q,
-    "gopher_quality": gopher_quality_q,
-    "geo_heavy_hitters": geo_heavy_hitters_q,
-    "pack_documents": pack_documents_q,
-    "cdp_profiles": cdp_profiles_q,
-    "cdp_segments": cdp_segments_q,
-    "top20_profiles": top20_profiles_q,
-    "label_centroids": label_centroids_q,
-    "inverted_index": inverted_index_q,
-    # — round-3 rotation: never driver-checked before this round —
-    "doc_lm_score": doc_lm_score_q,
-    "token_length_histogram": token_length_histogram_q,
-    "audio_features": audio_features_q,
-    "video_frame_features": video_frame_features_q,
-    "embedding_decontamination": embedding_decontamination_q,
-    "component_sizes": component_sizes_q,
-    "value_histogram": value_histogram_q,
-    "doc_hash_sample": doc_hash_sample_q,
-    "frame_sample_plan": frame_sample_plan_q,
-    "corpus_mixture": corpus_mixture_q,
-    "ann_topk": ann_topk_q,  # approximate — rows-only check, exact twin is similarity_topk
-    "ivf_topk": ivf_topk_q,  # approximate — rows-only check; full-probe==exact pinned by test
-    "approx_value_quantiles": approx_value_quantiles_q,  # sketch — rows-only check, bound pinned by test
-    "approx_user_counts": approx_user_counts_q,  # HLL sketch — rows-only check, error bound pinned by test
-    "bpe_learned_merges": bpe_learned_merges_q,  # iterative (driver loop) — rows-only check, pinned vs sequential reference by test
-    # — r02-green regression anchors (fill the window to 50) —
-    "cdp_validation": cdp_validation_q,
-    "identity_normalize": identity_normalize_q,
-    "identity_components": identity_components_q,
-    "rolling_counter_24h": rolling_counter_q,
-    "segment_events": segment_events_q,
-    "trait_history": trait_history_q,
-    "dedup_exact": dedup_exact_q,
-    "dedup_minhash": dedup_minhash_q,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-    "dedup_simhash": dedup_simhash_q,
-    "dedup_embedding": dedup_embedding_q,
-    "dedup_clusters": dedup_clusters_q,
-    "corpus_summary": corpus_summary_q,
-    "similarity_topk": similarity_topk_q,
-    "knn_label_agreement": knn_label_agreement_q,
-    "label_noise_suspects": label_noise_suspects_q,
-    "hard_negatives": hard_negatives_q,
-    "text_quality": text_quality_q,
-    "lang_id": lang_id_q,
-    # — new in round 3, oracle-checked, strict-replica green at the
-    #   driver's exact sf0.01 scale — take window slots immediately so
-    #   they accumulate driver rows this round —
-    "event_transitions": event_transitions_q,
-    "lang_confusion": lang_confusion_q,
-    "identity_components_incremental": identity_components_incremental_q,
-    "ngram_novelty": ngram_novelty_q,
-    # ---- driver window boundary (50) ----
-    # After r03 every query registered before round 3 has had >= 1 driver
-    # row across r01-r03 (r01: TPC-H/windows/rules wave; r02: CDP + LLM
-    # wave; r03: repairs + the 15 first-timers + 3 round-3 newcomers
-    # above).  The three displaced r02-green anchors move just below.
-    # — green driver rows from round 2 —
-    "doc_fingerprint": doc_fingerprint_q,
-    "token_stats": token_stats_q,
-    "top_terms_per_lang": top_terms_per_lang_q,
-    "term_df_idf": term_df_idf_q,
-    "term_cooccurrence": term_cooccurrence_q,
-    "doc_split_assign": doc_split_assign_q,
-    "bpe_merge_candidates": bpe_merge_candidates_q,
-    "media_text_pairs": media_text_pairs_q,
-    "value_mad_outliers": value_mad_outliers_q,
-    "hourly_trending": hourly_trending_q,
-    "rfm_scores": rfm_scores_q,
-    "value_drift_psi": value_drift_psi_q,
-    "seasonal_deviation": seasonal_deviation_q,
-    "lineitem_profile": lineitem_profile_q,
-    "stratified_doc_sample": stratified_doc_sample_q,
-    "multimodal_features": multimodal_features_q,
-    "resize_media": resize_media_q,
-    "pii_scrub": pii_scrub_q,
-    "decontamination": decontamination_q,
-    # — new in round 3, still below the window: 30 queries queued for the
-    #   r04 rotation (24 oracle-checked incl. the shared-SQL incremental
-    #   twin, 6 rows-only) — they plus 20 r03-green anchors fill the r04
-    #   front-50; every queued oracle query is strict-parity green at
-    #   sf0.01 (most at sf0.1 too) —
+    # — round-4 rotation: oracle-checked, never driver-checked before;
+    #   all strict-parity green at the driver's exact sf0.01 scale —
     "line_dedup": line_dedup_q,
     "boilerplate_lines": boilerplate_lines_q,
     "event_paths_topk": event_paths_topk_q,
@@ -1898,12 +1837,90 @@ QUERIES: dict[str, QueryFn] = {
     "session_basket_lift": session_basket_lift_q,
     "source_quality_report": source_quality_report_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
-    "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — rows-only, pinned by TestBpeEncode
-    "identity_pagerank": identity_pagerank_q,  # float power iteration — rows-only, pinned by TestPagerank
-    "pq_codes": pq_codes_q,  # iterative k-means trainer — rows-only, pinned by TestPq
-    "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — rows-only, recall+determinism pinned by TestPq
-    "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — rows-only, error bound pinned by TestHllRollup
-    "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — rows-only, NumPy-pinned by TestPca
+    # — round-4 promotions: rows-only → oracle-checked —
+    "approx_value_quantiles": approx_value_quantiles_q,
+    "identity_pagerank": identity_pagerank_q,
+    # — r03-green anchors (fill the window to 50) —
+    "cdp_validation": cdp_validation_q,
+    "identity_normalize": identity_normalize_q,
+    "identity_components": identity_components_q,
+    "identity_components_incremental": identity_components_incremental_q,
+    "rolling_counter_24h": rolling_counter_q,
+    "segment_events": segment_events_q,
+    "trait_history": trait_history_q,
+    "cdp_profiles": cdp_profiles_q,
+    "cdp_segments": cdp_segments_q,
+    "top20_profiles": top20_profiles_q,
+    "dedup_exact": dedup_exact_q,
+    "dedup_minhash": dedup_minhash_q,
+    "dedup_simhash": dedup_simhash_q,
+    "dedup_embedding": dedup_embedding_q,
+    "dedup_clusters": dedup_clusters_q,
+    "similarity_topk": similarity_topk_q,
+    "knn_label_agreement": knn_label_agreement_q,
+    "hard_negatives": hard_negatives_q,
+    "text_quality": text_quality_q,
+    "lang_id": lang_id_q,
+    "gopher_quality": gopher_quality_q,
+    "doc_lm_score": doc_lm_score_q,
+    "event_transitions": event_transitions_q,
+    "component_sizes": component_sizes_q,
+    # ---- driver window boundary (50) ----
+    # Everything below has >= 1 green driver row (r01-r03) or is
+    # rows-only by design.  After r04 lands green, the rotation backlog
+    # is EMPTY: all oracle-checked queries carry driver evidence.
+    # — rows-only (approximate / iterative; pinned by tests + exact
+    #   twins, deliberately kept out of the hash window) —
+    "ann_topk": ann_topk_q,  # approximate — exact twin is similarity_topk
+    "ivf_topk": ivf_topk_q,  # approximate — full-probe==exact pinned by test
+    "approx_user_counts": approx_user_counts_q,  # HLL sketch — error bound pinned by test
+    "bpe_learned_merges": bpe_learned_merges_q,  # iterative — pinned vs sequential reference
+    "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — pinned by TestBpeEncode
+    "pq_codes": pq_codes_q,  # iterative k-means trainer — pinned by TestPq
+    "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — recall+determinism pinned by TestPq
+    "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — error bound pinned by TestHllRollup
+    "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — NumPy-pinned by TestPca
+    # — green driver rows from rounds 2-3 —
+    "inter_event_deltas": inter_event_deltas_q,
+    "dominant_event_type": dominant_event_type_q,
+    "cdp_trait_fidelity": cdp_trait_fidelity_q,
+    "bigram_stats": bigram_stats_q,
+    "geo_heavy_hitters": geo_heavy_hitters_q,
+    "pack_documents": pack_documents_q,
+    "label_centroids": label_centroids_q,
+    "inverted_index": inverted_index_q,
+    "token_length_histogram": token_length_histogram_q,
+    "audio_features": audio_features_q,
+    "video_frame_features": video_frame_features_q,
+    "embedding_decontamination": embedding_decontamination_q,
+    "value_histogram": value_histogram_q,
+    "doc_hash_sample": doc_hash_sample_q,
+    "frame_sample_plan": frame_sample_plan_q,
+    "corpus_mixture": corpus_mixture_q,
+    "corpus_summary": corpus_summary_q,
+    "label_noise_suspects": label_noise_suspects_q,
+    "lang_confusion": lang_confusion_q,
+    "ngram_novelty": ngram_novelty_q,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "doc_fingerprint": doc_fingerprint_q,
+    "token_stats": token_stats_q,
+    "top_terms_per_lang": top_terms_per_lang_q,
+    "term_df_idf": term_df_idf_q,
+    "term_cooccurrence": term_cooccurrence_q,
+    "doc_split_assign": doc_split_assign_q,
+    "bpe_merge_candidates": bpe_merge_candidates_q,
+    "media_text_pairs": media_text_pairs_q,
+    "value_mad_outliers": value_mad_outliers_q,
+    "hourly_trending": hourly_trending_q,
+    "rfm_scores": rfm_scores_q,
+    "value_drift_psi": value_drift_psi_q,
+    "seasonal_deviation": seasonal_deviation_q,
+    "lineitem_profile": lineitem_profile_q,
+    "stratified_doc_sample": stratified_doc_sample_q,
+    "multimodal_features": multimodal_features_q,
+    "resize_media": resize_media_q,
+    "pii_scrub": pii_scrub_q,
+    "decontamination": decontamination_q,
     # — green driver rows from round 1 —
     "tpch_q1_pricing_summary": tpch_q1,
     "tpch_q3_shipping_priority": tpch_q3,

@@ -971,9 +971,11 @@ class TestPagerank:
         for k in want:
             assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
         assert abs(sum(got.values()) - 1.0) < 1e-9, "ranks must sum to 1"
-        # hub a outranks every leaf; isolated d sits at the teleport floor
-        assert got["a"] == max(got.values())
-        assert got["d"] == min(got.values())
+        # a/b/c tie at the top (symmetric triangle), isolated d sits at
+        # the teleport floor — ties compared with the documented ~1e-11
+        # decimal-quantization tolerance, not bitwise
+        assert got["a"] >= max(got.values()) - 1e-9
+        assert got["d"] <= min(got.values()) + 1e-9
 
     def test_checkpoint_cadence_same_answer(self, spark):
         from pulseboard_spark.operators.identity import pagerank

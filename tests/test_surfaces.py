@@ -1,0 +1,43 @@
+"""Driver-surface contract: every registry query must present a SCALAR
+surface.
+
+The correctness driver canonicalizes both engines' results through pandas
+``sort_values`` → ``astype(str)``; an ArrayType or MapType column images as
+ndarray/dict cells and crashes the sort (round-2 Class B; round 3's only
+driver crash was exactly this — ``approx_value_quantiles`` surfacing the
+raw ``percentile_approx`` array, CORRECTNESS_r03).  The strict oracle
+parity sweep enforces scalar surfaces for every ORACLE_SQL query, but
+rows-only queries sit OUTSIDE that sweep — which is precisely where the
+r03 crash hid.  This test closes the gap mechanically: it walks ALL
+registry entries (oracle-checked and rows-only alike) and asserts no
+container-typed column at the output schema, so an array surface can
+never again reach the driver from any direction.
+
+Schema-only: each query's plan is BUILT (analysis resolves the schema)
+but never executed — except the EAGER_QUERIES, whose plan construction
+inherently runs jobs (iterative trainers, index builds); at sf0.001 those
+are cheap and already exercised elsewhere in the suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+from pulseboard_spark.registry import QUERIES
+
+
+def test_no_container_columns_at_any_driver_surface(spark, sf_dir):
+    offenders: list[str] = []
+    for name, fn in QUERIES.items():
+        schema = fn(spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, (
+        "container-typed driver surfaces (would crash the driver's pandas "
+        "canonicalizer — string-encode or scalarize them): " + "; ".join(offenders)
+    )
