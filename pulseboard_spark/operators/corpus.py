@@ -212,6 +212,100 @@ def boilerplate_lines(documents: DataFrame, line_tokens: int = LINE_TOKENS) -> D
     )
 
 
+def doc_repetition(documents: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame:
+    """Within-document repetition signals — the Gopher repetition family
+    (Rae et al. 2021 §A1.1: documents dominated by repeated lines or a
+    single n-gram are boilerplate/spam and poison LLM training):
+
+    * ``dup_line_ppm``        — fraction of the doc's lines that are
+      repeats of an earlier identical line in the SAME doc;
+    * ``dup_line_char_ppm``   — fraction of line characters inside those
+      repeats (chars beyond each line's first occurrence);
+    * ``top_bigram_ppm``      — share of the doc's word-bigram instances
+      taken by its single most frequent bigram.
+
+    All surfaces are exact integer rationals (counts + truncating-div
+    ppm) — no float at any decision boundary, so the DuckDB oracle
+    replays them verbatim.
+
+    Scale: per-doc grouped aggs keyed on (doc_id, line) / (doc_id,
+    bigram) — map-side partial combine collapses each doc's repeats
+    before the shuffle, so shuffled rows are bounded by DISTINCT
+    (doc, line|bigram) mass, never token mass; output is |docs| rows.
+    Docs shorter than one line / two tokens surface zero-denominators as
+    0 ppm via the guarded div."""
+    lines = doc_lines(documents, line_tokens)
+    per_line = lines.groupBy("doc_id", "line").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.length(F.first("line")).cast("long").alias("len"),
+    )
+    line_stats = per_line.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.col("c") - 1).alias("n_dup_lines"),
+        F.sum(F.col("c") * F.col("len")).alias("_tot_chars"),
+        F.sum((F.col("c") - 1) * F.col("len")).alias("_dup_chars"),
+    )
+    toks = ws_tokens(F.lower(F.col("text")))
+    with_toks = documents.select("doc_id", toks.alias("_t")).filter(F.size("_t") >= 2)
+    bigram = F.explode(
+        F.expr("transform(slice(_t, 1, size(_t) - 1), (x, i) -> concat(x, ' ', _t[i + 1]))")
+    )
+    per_bigram = (
+        with_toks.select("doc_id", bigram.alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bigram_stats = per_bigram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n")
+    )
+    return (
+        line_stats.join(bigram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_dup_lines",
+            F.expr(
+                "CASE WHEN n_lines > 0 THEN (n_dup_lines * 1000000) div n_lines ELSE 0 END"
+            ).alias("dup_line_ppm"),
+            F.expr(
+                "CASE WHEN _tot_chars > 0 THEN (_dup_chars * 1000000) div _tot_chars ELSE 0 END"
+            ).alias("dup_line_char_ppm"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            F.expr(
+                "CASE WHEN n_bigrams > 0 THEN (top_bigram_n * 1000000) div n_bigrams ELSE 0 END"
+            ).alias("top_bigram_ppm"),
+        )
+    )
+
+
+def source_length_bands(documents: DataFrame) -> DataFrame:
+    """Per-source document-length envelope: lower-discrete P10/P50/P90 of
+    ``n_chars`` plus count and total — the governance table that catches
+    a feed shipping truncated or concatenated documents before those
+    poison downstream packing/quality stages (the per-source companion of
+    ``daily_value_bands``'s per-day envelope).
+
+    Quantiles are the repo's cumulative-count discrete convention —
+    actual data values, integer-exact on both engines.  Scale: the
+    (source, n_chars) histogram collapses corpus mass before any window;
+    cum/tot windows run over ≤ |sources|·|distinct lengths| rows."""
+    hist = documents.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wp = Window.partitionBy("source")
+    cum = hist.withColumn("cum", F.sum("c").over(wp.orderBy("n_chars"))).withColumn(
+        "tot", F.sum("c").over(wp)
+    )
+    return cum.groupBy("source").agg(
+        F.max("tot").alias("n_docs"),
+        F.sum(F.col("c") * F.col("n_chars")).alias("total_chars"),
+        F.min(F.when(F.expr("cum * 10 >= tot"), F.col("n_chars"))).alias("p10_chars"),
+        F.min(F.when(F.expr("cum * 2 >= tot"), F.col("n_chars"))).alias("p50_chars"),
+        F.min(F.when(F.expr("cum * 10 >= tot * 9"), F.col("n_chars"))).alias("p90_chars"),
+    )
+
+
 def build_corpus(
     spark,
     sf_dir: str,

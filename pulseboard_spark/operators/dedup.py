@@ -165,6 +165,61 @@ def ngram_jaccard_dedup(
     )
 
 
+def split_leakage(
+    documents: DataFrame,
+    splits: DataFrame,
+    threshold_bp: int = 8000,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Train/eval contamination audit: near-dup pairs that STRADDLE the
+    train/val/test split — the leak an LLM pipeline must catch before a
+    benchmark number means anything (a test doc whose near-duplicate sits
+    in train inflates eval; random splits leak precisely because dedup
+    runs before splitting or not at all).
+
+    ``splits``: (doc_id, split) assignment (e.g. sampling.
+    train_val_test_split).  Output: one row per unordered split-pair
+    class — split_a <= split_b lexicographically — with the verified
+    near-dup pair count and the distinct-doc reach of those pairs; the
+    cross-split rows (train/test, train/val, test/val) are the leakage,
+    the diagonal rows are ordinary within-split redundancy for scale.
+
+    Scale: rides the shared verified pair graph (the expensive stage,
+    built once per corpus); two co-partitioned joins attach each side's
+    split label; the class rollup is ≤ |splits|² rows and the doc-reach
+    count shuffles (class, doc_id) pairs — bounded by 2·|pairs|, never
+    by corpus mass.
+    """
+    if pairs is None:
+        pairs = minhash_near_dups(documents)
+    pairs = pairs.filter(_jaccard_at_least(threshold_bp))
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb"))
+    classed = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+    )
+    n_pairs = classed.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    reach = (
+        classed.select("split_a", "split_b", F.col("doc_a").alias("doc_id"))
+        .unionByName(classed.select("split_a", "split_b", F.col("doc_b").alias("doc_id")))
+        .groupBy("split_a", "split_b")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_leaky_docs"))
+    )
+    return n_pairs.join(reach, ["split_a", "split_b"]).select(
+        "split_a", "split_b", "n_pairs", "n_leaky_docs",
+        (F.col("split_a") != F.col("split_b")).alias("is_cross_split"),
+    )
+
+
 def near_dup_clusters(
     documents: DataFrame, threshold_bp: int = 8000, pairs: DataFrame | None = None
 ) -> DataFrame:

@@ -552,3 +552,42 @@ def triangle_counts(cvalid: DataFrame) -> DataFrame:
     return nodes.join(per_node, "id", "left").select(
         "id", F.coalesce(F.col("n"), F.lit(0)).alias("n_triangles")
     )
+
+
+def edge_support(cvalid: DataFrame) -> DataFrame:
+    """Per-EDGE triangle support over the identity graph — the edge-grain
+    refinement of :func:`triangle_counts`: support(a,b) = number of
+    triangles the alias edge (a,b) participates in, i.e. the count of
+    identifiers linked to BOTH endpoints.  A zero-support edge is a
+    graph bridge — the single uncorroborated event gluing two otherwise
+    unrelated identity cliques, the classic wrong-merge to quarantine —
+    while high support means independent corroboration (this is exactly
+    the truss/support notion from k-truss decomposition, at one level).
+
+    Same oriented wedge join as :func:`triangle_counts` (two shuffles on
+    edge keys, fan-out bounded by per-profile id-set width); each closed
+    triangle {x<y<z} credits its three edges (x,y)(y,z)(x,z) once, and
+    the full (a < b) edge list left-joins the credits so bridges surface
+    with 0.
+    """
+    e = identity_edges(cvalid)
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(closing, ["x", "z"])
+    tri_edges = F.array(
+        F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+        F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+        F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+    )
+    per_edge = (
+        tri.select(F.explode(tri_edges).alias("e"))
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return e.join(per_edge, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("support"),
+        (F.coalesce(F.col("n"), F.lit(0)) == 0).alias("is_bridge"),
+    )

@@ -493,3 +493,27 @@ def value_drift_psi(ev: DataFrame, n_bins: int = 10) -> DataFrame:
         F.min("n_b").alias("n_b"),
         F.round(F.sum(term).cast("double"), 4).alias("psi"),
     )
+
+
+def label_balance(embeddings: DataFrame) -> DataFrame:
+    """Class-balance report over a labeled training set: per-label count,
+    corpus share, and the inverse-frequency class weight a trainer feeds
+    its loss (weight ∝ n_total / (n_classes · n_label), the scikit-learn
+    "balanced" convention) — the first table anyone reads before
+    training on labeled embeddings, and the input to re-sampling plans.
+
+    All surfaces are exact integer rationals (ppm via truncating div) —
+    the 1-row totals ride a broadcast stat join, never a driver count.
+    Scale: one map-side-combined rollup to |labels| rows."""
+    per_label = embeddings.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = per_label.agg(
+        F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("_k")
+    )
+    return per_label.join(F.broadcast(totals)).select(
+        "label",
+        "n",
+        F.expr("(n * 1000000) div _tot").alias("share_ppm"),
+        F.expr("(_tot * 1000000) div (_k * n)").alias("weight_ppm"),
+    )

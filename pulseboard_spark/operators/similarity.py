@@ -692,6 +692,48 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension embedding QA: n, mean, variance, min, max of every
+    coordinate across the corpus — the table that catches dead dimensions
+    (zero variance), saturated ones (extreme means), and scale drift
+    between embedding-model versions before they poison ANN recall.
+
+    All in integer micro-units (the ``label_centroids`` quantization):
+    variance = (n·Σx² − (Σx)²) // n² in micro², computed in DECIMAL(38,0)
+    / HUGEINT so nothing overflows int64 even at 1e9+ vectors where
+    Σx² ≈ 1e21 — the same silent-wrap class the basket-lift fix closed.
+
+    Scale: posexplode to (dim, value) triples, ONE map-side-combined
+    rollup to exactly ``dim`` rows — no window, no second pass."""
+    triples = embeddings.select(F.posexplode("embedding").alias("pos", "v")).select(
+        "pos",
+        duck_round(F.col("v").cast("double") * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("vu"),
+    )
+    dec = F.col("vu").cast("decimal(38,0)")
+    return (
+        triples.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec).alias("_s"),
+            F.sum(dec * F.col("vu")).alias("_ssq"),
+            F.min("vu").alias("min_micro"),
+            F.max("vu").alias("max_micro"),
+        )
+        .select(
+            F.col("pos").alias("dim"),
+            "n",
+            F.expr("CAST(_s div n AS BIGINT)").alias("mean_micro"),
+            F.expr("CAST((n * _ssq - _s * _s) div (n * n) AS BIGINT)").alias(
+                "var_micro2"
+            ),
+            "min_micro",
+            "max_micro",
+        )
+    )
+
+
 def label_noise_suspects(embeddings: DataFrame, top_n: int = 10) -> DataFrame:
     """Mislabel candidates: per label, the ``top_n`` vectors FURTHEST
     (squared euclidean) from their own label's centroid — the standard

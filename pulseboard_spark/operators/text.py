@@ -374,6 +374,47 @@ def doc_lm_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def doc_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document unigram entropy + type-token ratio — the two classic
+    lexical-diversity quality signals (low entropy = a doc dominated by
+    few repeated words: keyword stuffing, logs, boilerplate; used
+    alongside the Gopher repetition screens).
+
+    ``token_entropy`` = Σ (c/n)·(ln n − ln c) over the doc's word
+    histogram, each term rounded then summed through DECIMAL (the
+    ``doc_lm_score`` convention) so partition order cannot perturb the
+    float sum and the DuckDB oracle replays it bit-for-bit;
+    ``ttr_ppm`` = distinct-word share as an exact integer rational.
+
+    Scale: one corpus scan explodes words; per-(doc, word) counts
+    map-side combine before the shuffle; the per-doc total rides a
+    same-key window over the already-aggregated histogram (no second
+    corpus scan); output is |docs| rows."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    per_word = (
+        documents.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    term = (F.col("c").cast("double") / F.col("n")) * (
+        F.log(F.col("n").cast("double")) - F.log(F.col("c").cast("double"))
+    )
+    return (
+        per_word.withColumn("n", n)
+        .withColumn("_t", F.round(term, 10).cast("decimal(27,12)"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.expr("(count(1) * 1000000) div max(n)").alias("ttr_ppm"),
+            # unrounded cast: the decimal sum is engine-identical, so its
+            # double image is bit-identical (doc_lm_score precedent)
+            F.sum("_t").cast("double").alias("token_entropy"),
+        )
+    )
+
+
 def token_length_histogram(documents: DataFrame, bucket: int = 64) -> DataFrame:
     """Per-source token-length distribution in fixed buckets — the
     mixture-planning census (which sources skew short/long before

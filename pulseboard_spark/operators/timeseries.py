@@ -527,6 +527,69 @@ def daily_value_bands(ev: DataFrame) -> DataFrame:
     )
 
 
+def burst_windows(ev: DataFrame, factor: int = 2) -> DataFrame:
+    """Hourly burst detection per event type: an hour is a burst when its
+    event count reaches ``factor``× the mean hourly rate of the previous
+    24 hour-slots (absent hours count as zero traffic — a burst after a
+    quiet day must fire, so the divisor is the 24-slot span, not the
+    observed-hour count).  The volume companion to the value-based CUSUM
+    change-points.
+
+    The decision is the exact integer cross-multiplication
+    ``n·24 ≥ factor·prev24_sum`` — no float rate at the boundary.
+
+    Scale: events collapse to the (type, hour) count grid first (map-side
+    combine), so the RANGE window runs over ≤ |types|·|hours| rows —
+    never raw events; one shuffle for the rollup, the window rides the
+    same type partitioning."""
+    hours = ev.groupBy(
+        "type", F.expr("ts_ms div 3600000").alias("hour_idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = (
+        Window.partitionBy("type")
+        .orderBy("hour_idx")
+        .rangeBetween(-24, -1)
+    )
+    prev = F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long")
+    return hours.withColumn("prev24_sum", prev).select(
+        "type",
+        "hour_idx",
+        "n_events",
+        "prev24_sum",
+        (
+            (F.col("prev24_sum") > 0)
+            & (F.col("n_events") * 24 >= F.lit(int(factor)) * F.col("prev24_sum"))
+        ).alias("is_burst"),
+    )
+
+
+def weekly_seasonality(ev: DataFrame) -> DataFrame:
+    """Per-(type, hour-of-week) traffic profile: event count and its
+    parts-per-million share of the type's total — the 168-bucket weekly
+    fingerprint behind "is this Tuesday 3am spike normal for Tuesday
+    3am?" seasonal baselining (the profile :func:`seasonal_deviation`
+    compares against, published as its own table).
+
+    ``hour_of_week`` = epoch-hour mod 168 (bucket 0 = Thursday 00:00
+    UTC — the epoch anchor; a pure integer both engines compute
+    identically, no calendar functions at the hash boundary).  Shares
+    are exact integer rationals.
+
+    Scale: one map-side-combined rollup to ≤ |types|·168 rows; the
+    per-type total rides a same-key window over that tiny table."""
+    hw = F.expr("(ts_ms div 3600000) % 168")
+    counts = ev.groupBy("type", hw.alias("hour_of_week")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    tot = F.sum("n_events").over(Window.partitionBy("type"))
+    return counts.withColumn("_tot", tot).select(
+        "type",
+        "hour_of_week",
+        "n_events",
+        F.expr("(n_events * 1000000) div _tot").alias("share_ppm"),
+    )
+
+
 def holt_forecast(
     ev: DataFrame, alpha: float = 0.2, beta: float = 0.1
 ) -> DataFrame:

@@ -1759,6 +1759,194 @@ FROM lines GROUP BY line
 HAVING count(DISTINCT doc_id) >= 2
 """
 
+# Hourly burst detection (operators/timeseries.py::burst_windows):
+# integer cross-multiplied 2x-of-trailing-24h-mean decision.
+ORACLE_SQL["burst_windows"] = f"""
+WITH {ENT_CTE},
+hours AS (
+  SELECT type, ts_ms // 3600000 AS hour_idx, CAST(count(*) AS BIGINT) AS n_events
+  FROM ent GROUP BY 1, 2
+),
+win AS (
+  SELECT type, hour_idx, n_events,
+         CAST(coalesce(sum(n_events) OVER (
+           PARTITION BY type ORDER BY hour_idx
+           RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev24_sum
+  FROM hours
+)
+SELECT type, CAST(hour_idx AS BIGINT) AS hour_idx, n_events, prev24_sum,
+       prev24_sum > 0 AND n_events * 24 >= 2 * prev24_sum AS is_burst
+FROM win
+"""
+
+
+# Class balance + inverse-frequency weights (operators/mlprep.py::
+# label_balance): exact integer rationals.
+ORACLE_SQL["label_balance"] = """
+WITH per_label AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+totals AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS k FROM per_label)
+SELECT label, n,
+       CAST((n * 1000000) // tot AS BIGINT) AS share_ppm,
+       CAST((tot * 1000000) // (k * n) AS BIGINT) AS weight_ppm
+FROM per_label CROSS JOIN totals
+"""
+
+
+# Per-dimension embedding QA (operators/similarity.py::
+# embedding_dim_stats): micro-unit mean/variance in HUGEINT — no int64
+# overflow at production vector counts.
+ORACLE_SQL["embedding_dim_stats"] = """
+WITH triples AS (
+  SELECT i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vu
+  FROM embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
+),
+agg AS (
+  SELECT dim, count(*) AS n, sum(CAST(vu AS HUGEINT)) AS s,
+         sum(CAST(vu AS HUGEINT) * vu) AS ssq,
+         min(vu) AS min_micro, max(vu) AS max_micro
+  FROM triples GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+       CAST(s // n AS BIGINT) AS mean_micro,
+       CAST((n * ssq - s * s) // (n * n) AS BIGINT) AS var_micro2,
+       min_micro, max_micro
+FROM agg
+"""
+
+
+# Weekly traffic fingerprint (operators/timeseries.py::
+# weekly_seasonality): epoch-hour mod 168 buckets, integer ppm shares.
+ORACLE_SQL["weekly_seasonality"] = f"""
+WITH {ENT_CTE},
+counts AS (
+  SELECT type, (ts_ms // 3600000) % 168 AS hour_of_week,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ent GROUP BY 1, 2
+)
+SELECT type, CAST(hour_of_week AS BIGINT) AS hour_of_week, n_events,
+       CAST((n_events * 1000000) // sum(n_events) OVER (PARTITION BY type) AS BIGINT) AS share_ppm
+FROM counts
+"""
+
+
+# Per-source length envelope (operators/corpus.py::source_length_bands):
+# lower-discrete P10/P50/P90 over the (source, n_chars) histogram.
+ORACLE_SQL["source_length_bands"] = """
+WITH h AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT source, n_chars, c,
+         sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+         sum(c) OVER (PARTITION BY source) AS tot
+  FROM h
+)
+SELECT source,
+       CAST(max(tot) AS BIGINT) AS n_docs,
+       CAST(sum(c * n_chars) AS BIGINT) AS total_chars,
+       CAST(min(CASE WHEN cum * 10 >= tot THEN n_chars END) AS BIGINT) AS p10_chars,
+       CAST(min(CASE WHEN cum * 2 >= tot THEN n_chars END) AS BIGINT) AS p50_chars,
+       CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN n_chars END) AS BIGINT) AS p90_chars
+FROM cum GROUP BY source
+"""
+
+
+# Lexical diversity (operators/text.py::doc_entropy): unigram entropy via
+# round-10 → DECIMAL term sums (the doc_lm_score recipe) + integer TTR.
+ORACLE_SQL["doc_entropy"] = """
+WITH pw AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY doc_id, w
+),
+wn AS (SELECT doc_id, w, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM pw)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST((count(*) * 1000000) // max(n) AS BIGINT) AS ttr_ppm,
+       CAST(sum(CAST(round((CAST(c AS DOUBLE) / n)
+                           * (ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE))), 10)
+                     AS DECIMAL(27,12))) AS DOUBLE) AS token_entropy
+FROM wn GROUP BY doc_id
+"""
+
+
+# Train/eval contamination audit (operators/dedup.py::split_leakage):
+# verified near-dup pairs classed by the split assignment they straddle.
+ORACLE_SQL["split_leakage"] = f"""
+WITH {_MINHASH_BODY},
+verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE i.i * 10000 >= 8000 * (na.n + nb.n - i.i)
+),
+assign AS (
+  SELECT doc_id,
+         CASE WHEN b < 10 THEN 'test' WHEN b < 20 THEN 'val' ELSE 'train' END AS split
+  FROM (SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT) AS b
+        FROM documents)
+),
+classed AS (
+  SELECT v.doc_a, v.doc_b,
+         least(a.split, b.split) AS split_a, greatest(a.split, b.split) AS split_b
+  FROM verified v
+  JOIN assign a ON a.doc_id = v.doc_a
+  JOIN assign b ON b.doc_id = v.doc_b
+),
+np AS (
+  SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM classed GROUP BY 1, 2
+),
+reach AS (
+  SELECT split_a, split_b, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_leaky_docs
+  FROM (SELECT split_a, split_b, doc_a AS doc_id FROM classed
+        UNION ALL SELECT split_a, split_b, doc_b FROM classed)
+  GROUP BY 1, 2
+)
+SELECT np.split_a, np.split_b, np.n_pairs, reach.n_leaky_docs,
+       np.split_a <> np.split_b AS is_cross_split
+FROM np JOIN reach USING (split_a, split_b)
+"""
+
+
+# Within-doc repetition (operators/corpus.py::doc_repetition): Gopher
+# repetition family — duplicate-line share, duplicate-line char share,
+# top-bigram dominance; all integer ppm.
+ORACLE_SQL["doc_repetition"] = f"""
+WITH {_LINES_CTE},
+per_line AS (
+  SELECT doc_id, line, count(*) AS c, len(line) AS l
+  FROM lines GROUP BY doc_id, line
+),
+line_stats AS (
+  SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS n_dup,
+         sum(c * l) AS tot_chars, sum((c - 1) * l) AS dup_chars
+  FROM per_line GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bgram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM ltoks WHERE len(t) >= 2)
+),
+per_bg AS (SELECT doc_id, bgram, count(*) AS c FROM bg GROUP BY doc_id, bgram),
+bg_stats AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_n
+  FROM per_bg GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(l.n_lines AS BIGINT) AS n_lines,
+       CAST(l.n_dup AS BIGINT) AS n_dup_lines,
+       CAST(CASE WHEN l.n_lines > 0 THEN (l.n_dup * 1000000) // l.n_lines ELSE 0 END AS BIGINT) AS dup_line_ppm,
+       CAST(CASE WHEN l.tot_chars > 0 THEN (l.dup_chars * 1000000) // l.tot_chars ELSE 0 END AS BIGINT) AS dup_line_char_ppm,
+       CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(b.top_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(CASE WHEN b.n_bigrams > 0 THEN (b.top_n * 1000000) // b.n_bigrams ELSE 0 END AS BIGINT) AS top_bigram_ppm
+FROM line_stats l LEFT JOIN bg_stats b USING (doc_id)
+"""
+
 ORACLE_SQL["pii_scrub"] = """
 WITH injected AS (
   SELECT doc_id,
@@ -2820,6 +3008,30 @@ r0 AS MATERIALIZED (
 # Hub scores over the identity graph (operators/identity.py::pagerank):
 # deterministic decimal-routed power iteration, replayed bit-exactly.
 ORACLE_SQL["identity_pagerank"] = _pagerank_sql(10)
+
+
+# Per-edge triangle support (operators/identity.py::edge_support): each
+# closed triangle credits its three (a < b) edges; bridges surface 0.
+ORACLE_SQL["identity_edge_support"] = f"""
+WITH {GRAPH_CTE},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges0 e1
+  JOIN edges0 e2 ON e2.a = e1.b
+  JOIN edges0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_edge AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT x AS a, y AS b FROM tri
+    UNION ALL SELECT y, z FROM tri
+    UNION ALL SELECT x, z FROM tri
+  ) GROUP BY a, b
+)
+SELECT e.a, e.b,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS support,
+       coalesce(p.n, 0) = 0 AS is_bridge
+FROM edges0 e LEFT JOIN per_edge p USING (a, b)
+"""
 
 # Funnel conversion-latency stats (operators/sessions.py::funnel_latency):
 # lower-discrete quantiles of step-to-step gaps, ms.

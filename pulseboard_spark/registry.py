@@ -1744,6 +1744,51 @@ def boilerplate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.boilerplate_lines(_docs(spark, sf_dir))
 
 
+def doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.doc_repetition(_docs(spark, sf_dir))
+
+
+def burst_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.burst_windows(entity_events(spark, sf_dir))
+
+
+def label_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mlprep.label_balance(_embs(spark, sf_dir))
+
+
+def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_dim_stats(_embs(spark, sf_dir))
+
+
+def weekly_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.weekly_seasonality(entity_events(spark, sf_dir))
+
+
+def identity_edge_support_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.operators.identity import edge_support
+
+    return edge_support(_cvalid(spark, sf_dir))
+
+
+def source_length_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.source_length_bands(_docs(spark, sf_dir))
+
+
+def doc_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_entropy(_docs(spark, sf_dir))
+
+
+def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.operators.sampling import train_val_test_split
+
+    docs = _docs(spark, sf_dir)
+    return dedup.split_leakage(
+        docs,
+        train_val_test_split(docs.select("doc_id"), "doc_id"),
+        pairs=_near_dup_pairs(spark, sf_dir),
+    )
+
+
 def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents corpus carries no natural PII, so the query injects a
     deterministic synthetic email/URL/phone tail per doc (mirrored verbatim
@@ -1880,6 +1925,17 @@ QUERIES: dict[str, QueryFn] = {
     "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — recall+determinism pinned by TestPq
     "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — error bound pinned by TestHllRollup
     "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — NumPy-pinned by TestPca
+    # — new in round 4, below the window: queued for the r05 rotation;
+    #   every entry is oracle-checked and strict-parity green at sf0.01 —
+    "doc_repetition": doc_repetition_q,
+    "split_leakage": split_leakage_q,
+    "doc_entropy": doc_entropy_q,
+    "source_length_bands": source_length_bands_q,
+    "identity_edge_support": identity_edge_support_q,
+    "weekly_seasonality": weekly_seasonality_q,
+    "embedding_dim_stats": embedding_dim_stats_q,
+    "label_balance": label_balance_q,
+    "burst_windows": burst_windows_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

@@ -697,9 +697,13 @@ class TestApproxQuantiles:
         from pulseboard_spark.registry import approx_value_quantiles_q
         from pulseboard_spark.sources.tables import entity_events
 
-        approx = {r.type: r.approx_q for r in approx_value_quantiles_q(spark, sf_dir).collect()}
+        approx = {
+            r.type: (r.q50, r.q90, r.q99)
+            for r in approx_value_quantiles_q(spark, sf_dir).collect()
+        }
         # the sketch returns an actual data value with bounded RANK error
-        # (accuracy=10000 → ~n/10000), not the interpolated value — so the
+        # (accuracy=100000 → ~n/100000; exact below n=100k, where the
+        # oracle check relies on it), not the interpolated value — so the
         # correct check is: the returned value's rank sits within a small
         # neighborhood of the target quantile
         vals = {
@@ -1480,3 +1484,224 @@ class TestPca:
         assert [(r.component, r.eigenvalue) for r in got] == [
             (r.component, r.eigenvalue) for r in again
         ]
+
+
+class TestDocRepetition:
+    def test_gopher_signals(self, spark):
+        from pulseboard_spark.operators.corpus import doc_repetition
+
+        # doc 0: 10-token line repeated 3x (30 tokens = 3 identical lines);
+        # doc 1: 20 distinct tokens (2 distinct lines); doc 2: one token
+        line = "a b c d e f g h i j"
+        texts = [
+            " ".join([line] * 3),
+            "k l m n o p q r s t u v w x y z aa bb cc dd",
+            "solo",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in doc_repetition(df).collect()}
+        assert got[0].n_lines == 3 and got[0].n_dup_lines == 2
+        assert got[0].dup_line_ppm == 666666  # 2/3
+        assert got[0].dup_line_char_ppm == 666666
+        # 29 bigram instances, "j a" appears 2x, every in-line bigram 3x
+        assert got[0].n_bigrams == 29 and got[0].top_bigram_n == 3
+        assert got[1].n_dup_lines == 0 and got[1].top_bigram_n == 1
+        assert got[2].n_lines == 1 and got[2].n_bigrams == 0
+        assert got[2].top_bigram_ppm == 0
+
+    def test_repeated_bigram_dominates(self, spark):
+        from pulseboard_spark.operators.corpus import doc_repetition
+
+        df = spark.createDataFrame(
+            [(0, "spam ham " * 50)], "doc_id long, text string"
+        )
+        row = doc_repetition(df).collect()[0]
+        # 100 tokens -> 99 bigrams; "spam ham" 50, "ham spam" 49
+        assert row.n_bigrams == 99 and row.top_bigram_n == 50
+        assert row.top_bigram_ppm == 50 * 1_000_000 // 99
+
+
+class TestSplitLeakage:
+    def test_cross_split_pairs_classed(self, spark):
+        from pulseboard_spark.operators.dedup import split_leakage
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(6)], "doc_id long, text string"
+        )
+        splits = spark.createDataFrame(
+            [(0, "train"), (1, "test"), (2, "train"), (3, "train"),
+             (4, "val"), (5, "test")],
+            "doc_id long, split string",
+        )
+        # verified pairs: (0,1) train-test, (2,3) train-train, (4,5) test-val
+        pairs = spark.createDataFrame(
+            [(0, 1, 9, 10), (2, 3, 9, 10), (4, 5, 9, 10)],
+            "doc_a long, doc_b long, n_common long, n_union long",
+        )
+        got = {
+            (r.split_a, r.split_b): r
+            for r in split_leakage(docs, splits, pairs=pairs).collect()
+        }
+        assert got[("test", "train")].n_pairs == 1
+        assert got[("test", "train")].is_cross_split
+        assert got[("train", "train")].n_pairs == 1
+        assert not got[("train", "train")].is_cross_split
+        assert got[("test", "val")].n_leaky_docs == 2
+
+    def test_below_threshold_pairs_ignored(self, spark):
+        from pulseboard_spark.operators.dedup import split_leakage
+
+        docs = spark.createDataFrame([(0, "x"), (1, "x")], "doc_id long, text string")
+        splits = spark.createDataFrame(
+            [(0, "train"), (1, "test")], "doc_id long, split string"
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1, 1, 10)], "doc_a long, doc_b long, n_common long, n_union long"
+        )  # jaccard 0.1 < 0.8 threshold
+        assert split_leakage(docs, splits, pairs=pairs).count() == 0
+
+
+class TestDocEntropy:
+    def test_uniform_and_degenerate(self, spark):
+        import math
+
+        from pulseboard_spark.operators.text import doc_entropy
+
+        df = spark.createDataFrame(
+            [(0, "a b c d"), (1, "w w w w"), (2, "x x y y")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in doc_entropy(df).collect()}
+        assert abs(got[0].token_entropy - math.log(4)) < 1e-9
+        assert got[0].ttr_ppm == 1_000_000
+        assert got[1].token_entropy == 0.0 and got[1].n_types == 1
+        assert got[1].ttr_ppm == 250_000
+        assert abs(got[2].token_entropy - math.log(2)) < 1e-9
+
+
+class TestSourceLengthBands:
+    def test_discrete_quantiles(self, spark):
+        from pulseboard_spark.operators.corpus import source_length_bands
+
+        rows = [(i, "t", "en", "web", l) for i, l in enumerate(range(10, 110, 10))]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        row = source_length_bands(df).collect()[0]
+        assert row.n_docs == 10 and row.total_chars == 550
+        # lower-discrete over 10..100: p10 -> cum*10>=tot -> first value
+        assert row.p10_chars == 10 and row.p50_chars == 50 and row.p90_chars == 90
+
+
+class TestEdgeSupport:
+    def test_triangle_vs_bridge(self, spark):
+        from pulseboard_spark.operators.identity import edge_support
+
+        # one event links three ids pairwise (a triangle); a second event
+        # shares one id and adds a single corroborating-free bridge edge
+        cvalid = spark.createDataFrame(
+            [
+                ("e1", 1, "user:u1", "anon:a1", "email:e1"),
+                ("e2", 2, "user:u9", "anon:a1", None),
+            ],
+            "event_id string, ts_us long, nuser string, nanon string, nemail string",
+        )
+        got = {(r.a, r.b): r for r in edge_support(cvalid).collect()}
+        # e1 makes triangle {user:u1, anon:a1, email:e1}; e2 adds bridge
+        # (anon:a1, user:u9)
+        assert got[("anon:a1", "user:u1")].support == 1
+        assert got[("anon:a1", "email:e1")].support == 1
+        assert got[("email:e1", "user:u1")].support == 1
+        assert got[("anon:a1", "user:u9")].support == 0
+        assert got[("anon:a1", "user:u9")].is_bridge
+
+
+class TestWeeklySeasonality:
+    def test_bucketing_and_shares(self, spark):
+        from pulseboard_spark.operators.timeseries import weekly_seasonality
+
+        h = 3_600_000
+        rows = [
+            ("e1", "click", 0 * h),       # hour_of_week 0
+            ("e2", "click", 0 * h + 10),  # still 0
+            ("e3", "click", 167 * h),     # 167
+            ("e4", "click", 168 * h),     # wraps to 0
+        ]
+        df = spark.createDataFrame(rows, "event_id string, type string, ts_ms long")
+        got = {r.hour_of_week: r for r in weekly_seasonality(df).collect()}
+        assert got[0].n_events == 3 and got[167].n_events == 1
+        assert got[0].share_ppm == 750_000 and got[167].share_ppm == 250_000
+
+
+class TestEmbeddingDimStats:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from pulseboard_spark.operators.similarity import embedding_dim_stats
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(40, 4)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r.dim: r for r in embedding_dim_stats(df).collect()}
+        micro = np.round(vecs.astype("float64") * 1e6).astype("int64")
+        for d in range(4):
+            col = micro[:, d]
+            n = len(col)
+            s = int(col.sum())
+            trunc_mean = s // n if s >= 0 else -((-s) // n)  # div truncates
+            assert got[d].n == n
+            assert got[d].mean_micro == trunc_mean
+            var = (n * int((col.astype(object) ** 2).sum()) - s * s) // (n * n)
+            assert got[d].var_micro2 == var
+            assert got[d].min_micro == col.min() and got[d].max_micro == col.max()
+
+    def test_dead_dimension_zero_variance(self, spark):
+        from pulseboard_spark.operators.similarity import embedding_dim_stats
+
+        df = spark.createDataFrame(
+            [(i, [0.5, float(i)]) for i in range(5)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r.dim: r for r in embedding_dim_stats(df).collect()}
+        assert got[0].var_micro2 == 0 and got[0].mean_micro == 500_000
+        assert got[1].var_micro2 > 0
+
+
+class TestLabelBalance:
+    def test_weights_inverse_frequency(self, spark):
+        from pulseboard_spark.operators.mlprep import label_balance
+
+        df = spark.createDataFrame(
+            [(i, [0.0], 0 if i < 8 else 1) for i in range(10)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        got = {r.label: r for r in label_balance(df).collect()}
+        assert got[0].n == 8 and got[1].n == 2
+        assert got[0].share_ppm == 800_000
+        # balanced weights: tot/(k*n) -> 10/(2*8), 10/(2*2)
+        assert got[0].weight_ppm == 625_000 and got[1].weight_ppm == 2_500_000
+
+
+class TestBurstWindows:
+    def test_spike_after_quiet_day(self, spark):
+        from pulseboard_spark.operators.timeseries import burst_windows
+
+        h = 3_600_000
+        rows = []
+        eid = 0
+        # hours 0..23: 1 event each; hour 24: 4 events (4x the trailing mean)
+        for hr in range(24):
+            rows.append((f"e{(eid := eid + 1)}", "click", hr * h))
+        for _ in range(4):
+            rows.append((f"e{(eid := eid + 1)}", "click", 24 * h))
+        df = spark.createDataFrame(rows, "event_id string, type string, ts_ms long")
+        got = {r.hour_idx: r for r in burst_windows(df).collect()}
+        assert got[24].prev24_sum == 24 and got[24].n_events == 4
+        assert got[24].is_burst  # 4*24 >= 2*24
+        assert not got[23].is_burst  # 1*24 < 2*23
+        assert not got[0].is_burst  # empty window never fires

@@ -94,6 +94,12 @@ def main() -> None:
             if d.startswith("driver-green") or d.startswith("driver-rows"):
                 mark = d
                 n_green += 1
+            elif n not in ORACLE_SQL:
+                # rows-only queries are excluded from the hash window by
+                # policy (the driver records no_oracle as a fail row —
+                # r03 burned 5 slots proving it); their evidence is the
+                # pinned tests + exact-twin oracle queries
+                mark = "pinned-by-test; excluded from hash window by policy"
             elif d.startswith(("driver-FAIL", "driver-ERR")):
                 # the front-50 check is real, not assumed: a failed query
                 # accidentally left below the boundary must not claim a
