@@ -343,3 +343,134 @@ def heavy_hitters(
         .where(F.col("n") * 10000 >= F.lit(int(min_share_bp)) * F.col("n_total"))
         .select(*key, value, "n", "n_total", "share_bp")
     )
+
+
+def order_gap_bands(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Inter-purchase cadence per market segment: for every customer with
+    2+ orders, the day gaps between consecutive orders, rolled up to
+    n / lower-discrete P50 / P90 / max per segment — the repurchase-cycle
+    table behind replenishment and churn-window decisions.
+
+    Days are epoch-day integers (``epoch_ms div 86_400_000`` — no
+    calendar functions at the hash boundary); quantiles are the repo's
+    cumulative-count discrete convention, integer-exact on both engines.
+
+    Scale: one shuffle on o_custkey for the lag window; the segment
+    dimension broadcasts; the (segment, gap) histogram collapses gap
+    mass before the quantile window."""
+    day = F.expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        orders.select("o_orderkey", "o_custkey", day.alias("day"))
+        .withColumn("_prev", F.lag("day").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select("o_custkey", (F.col("day") - F.col("_prev")).alias("gap_days"))
+    )
+    seg = customer.select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    hist = (
+        gaps.join(F.broadcast(seg), "o_custkey")
+        .groupBy("c_mktsegment", "gap_days")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy("c_mktsegment")
+    cum = hist.withColumn("cum", F.sum("c").over(wp.orderBy("gap_days"))).withColumn(
+        "tot", F.sum("c").over(wp)
+    )
+    return cum.groupBy("c_mktsegment").agg(
+        F.max("tot").alias("n_gaps"),
+        F.min(F.when(F.expr("cum * 2 >= tot"), F.col("gap_days"))).alias("p50_gap_days"),
+        F.min(F.when(F.expr("cum * 10 >= tot * 9"), F.col("gap_days"))).alias("p90_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
+def supplier_concentration(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """Supply-base concentration per nation: revenue Herfindahl index
+    (HHI = Σ shareᵢ², 10 000 = monopoly) plus the top supplier's share —
+    the sourcing-risk table procurement reads before a region melts down.
+
+    Revenue is decimal-summed per supplier (the TPC-H convention), then
+    FLOORED to integer units so the share arithmetic — top share bp and
+    HHI bp — is exact integer rationals; squares are summed in
+    DECIMAL(38,0), so nothing wraps int64 even at 1e12-unit revenues.
+
+    Scale: one fact shuffle on l_suppkey (map-side combined), broadcast
+    dims, |nations| output rows."""
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+    per_supp = lineitem.groupBy("l_suppkey").agg(
+        F.floor(F.sum(rev)).cast("decimal(38,0)").alias("r")
+    )
+    dims = supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    ).join(
+        nation.select(F.col("n_nationkey").alias("s_nationkey"), "n_name"),
+        "s_nationkey",
+    )
+    return (
+        per_supp.join(F.broadcast(dims), "l_suppkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("r").alias("_tot"),
+            F.sum(F.col("r") * F.col("r")).alias("_ssq"),
+            F.max("r").alias("_top"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.expr("CAST(_tot AS BIGINT)").alias("total_revenue_units"),
+            F.expr("CASE WHEN _tot > 0 THEN CAST((_top * 10000) div _tot AS BIGINT) ELSE 0 END").alias("top_share_bp"),
+            F.expr("CASE WHEN _tot > 0 THEN CAST((_ssq * 10000) div (_tot * _tot) AS BIGINT) ELSE 0 END").alias("hhi_bp"),
+        )
+    )
+
+
+def open_orders_timeline(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Daily open-order backlog: for every day in the horizon, how many
+    orders were open (placed, not yet fully shipped), how many opened and
+    how many closed that day — the interval-overlap sweep behind
+    capacity/backlog charts.
+
+    An order is open from its order day through its LAST lineitem ship
+    day (orders with no lineitems close the day they open).  The sweep is
+    the classic +1/−1 delta trick: emit (open_day, +1) and
+    (close_day + 1, −1), collapse to per-day deltas, and take a running
+    sum — entirely integer arithmetic on epoch days.
+
+    Scale: one shuffle on l_orderkey collapses lineitems to a per-order
+    close day; the delta table is day-grain (≤ a few thousand rows for
+    any horizon), so the final ordered running sum over it is
+    metadata-sized — the fact is never globally sorted."""
+    day = F.expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
+    close = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max(F.expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000")).alias("_ship_day")
+    )
+    spans = (
+        orders.select("o_orderkey", day.alias("open_day"))
+        .join(close, "o_orderkey", "left")
+        .select(
+            "open_day",
+            F.coalesce(F.greatest("_ship_day", F.col("open_day")), F.col("open_day")).alias("close_day"),
+        )
+    )
+    deltas = (
+        spans.select(F.col("open_day").alias("day"), F.lit(1).alias("opened"), F.lit(0).alias("closed"))
+        .unionByName(
+            spans.select(
+                (F.col("close_day") + 1).alias("day"),
+                F.lit(0).alias("opened"),
+                F.lit(1).alias("closed"),
+            )
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("opened").cast("long").alias("n_opened"),
+            F.sum("closed").cast("long").alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.withColumn(
+        "n_open", (F.sum("n_opened").over(w) - F.sum("n_closed").over(w)).cast("long")
+    ).select("day", "n_opened", "n_closed", "n_open")

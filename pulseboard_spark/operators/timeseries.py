@@ -527,6 +527,100 @@ def daily_value_bands(ev: DataFrame) -> DataFrame:
     )
 
 
+def transition_entropy(ev: DataFrame) -> DataFrame:
+    """Per-from-type entropy of the first-order transition distribution —
+    how predictable the next event is given the current one (0 = a
+    deterministic flow, ln|types| = uniform chaos); the sequence-level
+    complement to :func:`event_transitions`' pairwise matrix, and the
+    signal that flags bot-like deterministic traffic.
+
+    Entropy terms route ``round(x,10) → DECIMAL(27,12)`` (the
+    ``doc_lm_score`` convention) so the float sum is order-free and
+    engine-replayable.
+
+    Scale: identical physical shape to :func:`event_transitions` — one
+    entity-key lag shuffle, a ≤ |types|² rollup, windows over that tiny
+    counts table only."""
+    w = Window.partitionBy("entity_id").orderBy("ts_ms", "event_id")
+    pairs = (
+        ev.select("entity_id", "type", "ts_ms", "event_id")
+        .withColumn("from_type", F.lag("type").over(w))
+        .where(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", F.col("type").alias("to_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    term = (F.col("n").cast("double") / F.col("_tot")) * (
+        F.log(F.col("_tot").cast("double")) - F.log(F.col("n").cast("double"))
+    )
+    return (
+        counts.withColumn("_tot", tot)
+        .withColumn("_t", F.round(term, 10).cast("decimal(27,12)"))
+        .groupBy("from_type")
+        .agg(
+            F.max("_tot").alias("n_transitions"),
+            F.count(F.lit(1)).cast("long").alias("n_successors"),
+            F.sum("_t").cast("double").alias("entropy"),
+        )
+    )
+
+
+def value_autocorr(ev: DataFrame) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly mean value per event type —
+    does this hour's level predict the next (persistence vs white
+    noise)?  The stationarity probe behind alert-threshold and forecast
+    design (a near-zero autocorrelation says Holt-style smoothing buys
+    nothing).
+
+    Integer-exact end to end: hourly means are truncated micro-unit
+    rationals, deviations are integers around the truncated grand mean,
+    and the correlation surfaces as ppm of Σd_t·d_{t+1} over Σd_t² with
+    the products summed in DECIMAL(38,0) — no int64 wrap (d ≈ 1e8
+    micro, d² ≈ 1e16, hours unbounded) and no float at any boundary.
+
+    Scale: the fact collapses to the (type, hour) mean grid first; the
+    lag + both sums are windows/aggs over ≤ |types|·|hours| rows."""
+    hourly = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("type", F.expr("ts_ms div 3600000").alias("hour_idx"))
+        .agg(
+            F.sum(micro_units(F.col("value"))).alias("_s"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .select("type", "hour_idx", F.expr("_s div _c").alias("mu"))
+    )
+    wt = Window.partitionBy("type")
+    base = (
+        hourly.withColumn("_sm", F.sum("mu").over(wt))
+        .withColumn("_cn", F.count(F.lit(1)).over(wt))
+        .withColumn("_gm", F.expr("_sm div _cn"))
+    )
+    lead = F.lead("mu").over(wt.orderBy("hour_idx"))
+    dev = base.select(
+        "type",
+        "hour_idx",
+        (F.col("mu") - F.col("_gm")).alias("d"),
+        (lead - F.col("_gm")).alias("d_next"),
+    )
+    dd = F.col("d").cast("decimal(38,0)")
+    return (
+        dev.groupBy("type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum(dd * F.col("d")).alias("_den"),
+            F.sum(F.when(F.col("d_next").isNotNull(), dd * F.col("d_next"))).alias("_num"),
+        )
+        .select(
+            "type",
+            "n_hours",
+            F.expr(
+                "CASE WHEN _den > 0 THEN CAST((_num * 1000000) div _den AS BIGINT) ELSE 0 END"
+            ).alias("autocorr_ppm"),
+        )
+    )
+
+
 def burst_windows(ev: DataFrame, factor: int = 2) -> DataFrame:
     """Hourly burst detection per event type: an hour is a burst when its
     event count reaches ``factor``× the mean hourly rate of the previous

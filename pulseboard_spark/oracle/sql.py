@@ -1581,6 +1581,141 @@ SELECT from_type, to_type,
 FROM c
 """
 
+# Per-from-type transition entropy (operators/timeseries.py::
+# transition_entropy): decimal-routed ln-term sums over the pair counts.
+ORACLE_SQL["transition_entropy"] = f"""
+WITH {ENT_CTE},
+s AS (
+  SELECT type,
+         lag(type) OVER (PARTITION BY entity_id ORDER BY ts_ms, event_id) AS from_type
+  FROM ent
+),
+c AS (
+  SELECT from_type, type AS to_type, count(*) AS n
+  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT from_type, to_type, n, sum(n) OVER (PARTITION BY from_type) AS tot FROM c)
+SELECT from_type,
+       CAST(max(tot) AS BIGINT) AS n_transitions,
+       CAST(count(*) AS BIGINT) AS n_successors,
+       CAST(sum(CAST(round((CAST(n AS DOUBLE) / tot)
+                           * (ln(CAST(tot AS DOUBLE)) - ln(CAST(n AS DOUBLE))), 10)
+                     AS DECIMAL(27,12))) AS DOUBLE) AS entropy
+FROM t GROUP BY from_type
+"""
+
+
+# Lag-1 autocorrelation of hourly mean value (operators/timeseries.py::
+# value_autocorr): integer micro-unit deviations, DECIMAL product sums.
+ORACLE_SQL["value_autocorr"] = f"""
+WITH {ENT_CTE},
+hourly AS (
+  SELECT type, ts_ms // 3600000 AS hour_idx,
+         sum(CAST(round(CAST(value AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+           // count(*) AS mu
+  FROM ent WHERE value IS NOT NULL GROUP BY 1, 2
+),
+base AS (
+  SELECT type, hour_idx, mu,
+         sum(mu) OVER (PARTITION BY type) // count(*) OVER (PARTITION BY type) AS gm,
+         lead(mu) OVER (PARTITION BY type ORDER BY hour_idx) AS mu_next
+  FROM hourly
+),
+dev AS (
+  SELECT type, CAST(mu - gm AS HUGEINT) AS d,
+         CASE WHEN mu_next IS NOT NULL THEN CAST(mu_next - gm AS HUGEINT) END AS d_next
+  FROM base
+)
+SELECT type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CASE WHEN sum(d * d) > 0
+            THEN CAST((sum(d * d_next) * 1000000) // sum(d * d) AS BIGINT)
+            ELSE 0 END AS autocorr_ppm
+FROM dev GROUP BY type
+"""
+
+
+# Inter-purchase cadence per segment (operators/relational.py::
+# order_gap_bands): epoch-day gaps, discrete quantiles.
+ORACLE_SQL["order_gap_bands"] = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) // 86400000 AS day
+  FROM orders
+),
+gaps AS (
+  SELECT o_custkey,
+         day - lag(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS gap_days
+  FROM o
+),
+h AS (
+  SELECT c.c_mktsegment, g.gap_days, count(*) AS c
+  FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+  WHERE g.gap_days IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT c_mktsegment, gap_days, c,
+         sum(c) OVER (PARTITION BY c_mktsegment ORDER BY gap_days) AS cum,
+         sum(c) OVER (PARTITION BY c_mktsegment) AS tot
+  FROM h
+)
+SELECT c_mktsegment,
+       CAST(max(tot) AS BIGINT) AS n_gaps,
+       CAST(min(CASE WHEN cum * 2 >= tot THEN gap_days END) AS BIGINT) AS p50_gap_days,
+       CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN gap_days END) AS BIGINT) AS p90_gap_days,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days
+FROM cum GROUP BY c_mktsegment
+"""
+
+
+# Supply-base concentration (operators/relational.py::
+# supplier_concentration): floored decimal revenues, HUGEINT HHI.
+ORACLE_SQL["supplier_concentration"] = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))) AS HUGEINT) AS r
+  FROM lineitem GROUP BY l_suppkey
+),
+j AS (
+  SELECT n.n_name, p.r
+  FROM per_supp p
+  JOIN supplier s ON s.s_suppkey = p.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(r) AS BIGINT) AS total_revenue_units,
+       CASE WHEN sum(r) > 0 THEN CAST((max(r) * 10000) // sum(r) AS BIGINT) ELSE 0 END AS top_share_bp,
+       CASE WHEN sum(r) > 0 THEN CAST((sum(r * r) * 10000) // (sum(r) * sum(r)) AS BIGINT) ELSE 0 END AS hhi_bp
+FROM j GROUP BY n_name
+"""
+
+
+# Daily open-order backlog (operators/relational.py::
+# open_orders_timeline): +1/-1 interval sweep on epoch days.
+ORACLE_SQL["open_orders_timeline"] = """
+WITH spans AS (
+  SELECT o.o_orderkey,
+         epoch_ms(o.o_orderdate) // 86400000 AS open_day,
+         coalesce(greatest(c.ship_day, epoch_ms(o.o_orderdate) // 86400000),
+                  epoch_ms(o.o_orderdate) // 86400000) AS close_day
+  FROM orders o
+  LEFT JOIN (SELECT l_orderkey, max(epoch_ms(l_shipdate) // 86400000) AS ship_day
+             FROM lineitem GROUP BY l_orderkey) c
+    ON c.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT day, CAST(sum(opened) AS BIGINT) AS n_opened, CAST(sum(closed) AS BIGINT) AS n_closed
+  FROM (SELECT open_day AS day, 1 AS opened, 0 AS closed FROM spans
+        UNION ALL SELECT close_day + 1, 0, 1 FROM spans)
+  GROUP BY day
+)
+SELECT CAST(day AS BIGINT) AS day, n_opened, n_closed,
+       CAST(sum(n_opened) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            - sum(n_closed) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+FROM deltas
+"""
+
+
 ORACLE_SQL["fuzzy_customer_pairs"] = """
 SELECT a.c_nationkey, a.c_custkey AS a_key, b.c_custkey AS b_key,
        levenshtein(a.c_name, b.c_name) AS dist

@@ -1748,6 +1748,34 @@ def doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.doc_repetition(_docs(spark, sf_dir))
 
 
+def transition_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.transition_entropy(entity_events(spark, sf_dir))
+
+
+def value_autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.value_autocorr(entity_events(spark, sf_dir))
+
+
+def order_gap_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.order_gap_bands(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+def supplier_concentration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.supplier_concentration(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def open_orders_timeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.open_orders_timeline(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def burst_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.burst_windows(entity_events(spark, sf_dir))
 
@@ -1936,6 +1964,11 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_dim_stats": embedding_dim_stats_q,
     "label_balance": label_balance_q,
     "burst_windows": burst_windows_q,
+    "transition_entropy": transition_entropy_q,
+    "value_autocorr": value_autocorr_q,
+    "order_gap_bands": order_gap_bands_q,
+    "supplier_concentration": supplier_concentration_q,
+    "open_orders_timeline": open_orders_timeline_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

@@ -1705,3 +1705,123 @@ class TestBurstWindows:
         assert got[24].is_burst  # 4*24 >= 2*24
         assert not got[23].is_burst  # 1*24 < 2*23
         assert not got[0].is_burst  # empty window never fires
+
+
+class TestTransitionEntropy:
+    def test_deterministic_vs_uniform(self, spark):
+        import math
+
+        from pulseboard_spark.operators.timeseries import transition_entropy
+
+        # entity 1: a->b always (deterministic); entity 2: a->b, a->c (uniform over 2)
+        rows = [
+            ("e1", "u1", "a", 1), ("e2", "u1", "b", 2), ("e3", "u1", "a", 3),
+            ("e4", "u1", "b", 4),
+            ("e5", "u2", "a", 1), ("e6", "u2", "b", 2),
+            ("e7", "u2", "a", 3), ("e8", "u2", "c", 4),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id string, entity_id string, type string, ts_ms long"
+        )
+        got = {r.from_type: r for r in transition_entropy(df).collect()}
+        # from 'a': 3x ->b, 1x ->c  => H = 0.75 ln(4/3) + 0.25 ln 4
+        want = 0.75 * math.log(4 / 3) + 0.25 * math.log(4)
+        assert abs(got["a"].entropy - want) < 1e-9
+        assert got["a"].n_transitions == 4 and got["a"].n_successors == 2
+        # from 'b': b->a twice, b->a... b appears before a: u1 b(2)->a(3), u2 b(2)->a(3)
+        assert got["b"].entropy == 0.0 and got["b"].n_successors == 1
+
+
+class TestValueAutocorr:
+    def test_alternating_and_trending(self, spark):
+        from pulseboard_spark.operators.timeseries import value_autocorr
+
+        h = 3_600_000
+        rows = []
+        # type 'alt': values alternate 0,10,0,10... -> strong negative lag-1
+        for i in range(20):
+            rows.append((f"a{i}", "u", "alt", i * h, float(0 if i % 2 == 0 else 10)))
+        # type 'ramp': monotone ramp -> strong positive lag-1
+        for i in range(20):
+            rows.append((f"r{i}", "u", "ramp", i * h, float(i)))
+        df = spark.createDataFrame(
+            rows, "event_id string, entity_id string, type string, ts_ms long, value double"
+        )
+        got = {r.type: r for r in value_autocorr(df).collect()}
+        assert got["alt"].autocorr_ppm < -900_000
+        # finite-ramp lag-1 autocorr under this normalization is exactly
+        # 1 - 3/(n+1)... = 0.85 for n=20 — deterministic, pin it
+        assert got["ramp"].autocorr_ppm == 850_000
+        assert got["alt"].n_hours == 20
+
+
+class TestOrderGapBands:
+    def test_discrete_gap_quantiles(self, spark):
+        import datetime
+
+        from pulseboard_spark.operators.relational import order_gap_bands
+
+        base = datetime.datetime(2024, 1, 1)
+        orders = spark.createDataFrame(
+            [(k, 1, base + datetime.timedelta(days=d)) for k, d in
+             [(1, 0), (2, 10), (3, 20), (4, 50)]],
+            "o_orderkey long, o_custkey long, o_orderdate timestamp",
+        )
+        customer = spark.createDataFrame(
+            [(1, "BUILDING")], "c_custkey long, c_mktsegment string"
+        )
+        row = order_gap_bands(orders, customer).collect()[0]
+        # gaps: 10, 10, 30
+        assert row.n_gaps == 3
+        assert row.p50_gap_days == 10 and row.max_gap_days == 30
+
+
+class TestSupplierConcentration:
+    def test_monopoly_vs_split(self, spark):
+        from pulseboard_spark.operators.relational import supplier_concentration
+
+        lineitem = spark.createDataFrame(
+            [(1, 1, 100.0, 0.0), (2, 2, 50.0, 0.0), (3, 3, 50.0, 0.0)],
+            "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
+        )
+        supplier = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 20)], "s_suppkey long, s_nationkey int"
+        )
+        nation = spark.createDataFrame(
+            [(10, "MONO"), (20, "DUO")], "n_nationkey int, n_name string"
+        )
+        got = {r.n_name: r for r in
+               supplier_concentration(lineitem, supplier, nation).collect()}
+        assert got["MONO"].hhi_bp == 10_000 and got["MONO"].top_share_bp == 10_000
+        assert got["DUO"].hhi_bp == 5_000 and got["DUO"].top_share_bp == 5_000
+        assert got["DUO"].n_suppliers == 2
+
+
+class TestOpenOrdersTimeline:
+    def test_backlog_sweep(self, spark):
+        import datetime
+
+        from pulseboard_spark.operators.relational import open_orders_timeline
+
+        d0 = datetime.datetime(2024, 1, 1)
+
+        def d(n):
+            return d0 + datetime.timedelta(days=n)
+
+        orders = spark.createDataFrame(
+            [(1, d(0)), (2, d(1)), (3, d(2))],
+            "o_orderkey long, o_orderdate timestamp",
+        )
+        # order 1 ships day 3; order 2 ships day 1 (same day); order 3 has
+        # no lineitems -> closes its open day
+        lineitem = spark.createDataFrame(
+            [(1, d(3)), (1, d(2)), (2, d(1))],
+            "l_orderkey long, l_shipdate timestamp",
+        )
+        got = {r.day: r for r in open_orders_timeline(orders, lineitem).collect()}
+        day0 = int(d0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000) // 86_400_000
+        assert got[day0].n_open == 1          # order 1 open
+        assert got[day0 + 1].n_open == 2      # orders 1,2 open
+        assert got[day0 + 2].n_open == 2      # order 2 closed after day1; 1,3 open
+        assert got[day0 + 3].n_open == 1      # order 3 closed; order 1 still open
+        assert got[day0 + 4].n_open == 0      # everything shipped
