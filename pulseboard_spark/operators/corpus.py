@@ -228,54 +228,61 @@ def doc_repetition(documents: DataFrame, line_tokens: int = LINE_TOKENS) -> Data
     ppm) — no float at any decision boundary, so the DuckDB oracle
     replays them verbatim.
 
-    Scale: per-doc grouped aggs keyed on (doc_id, line) / (doc_id,
-    bigram) — map-side partial combine collapses each doc's repeats
-    before the shuffle, so shuffled rows are bounded by DISTINCT
-    (doc, line|bigram) mass, never token mass; output is |docs| rows.
-    Docs shorter than one line / two tokens surface zero-denominators as
-    0 ppm via the guarded div."""
-    lines = doc_lines(documents, line_tokens)
-    per_line = lines.groupBy("doc_id", "line").agg(
-        F.count(F.lit(1)).cast("long").alias("c"),
-        F.length(F.first("line")).cast("long").alias("len"),
-    )
-    line_stats = per_line.groupBy("doc_id").agg(
-        F.sum("c").alias("n_lines"),
-        F.sum(F.col("c") - 1).alias("n_dup_lines"),
-        F.sum(F.col("c") * F.col("len")).alias("_tot_chars"),
-        F.sum((F.col("c") - 1) * F.col("len")).alias("_dup_chars"),
-    )
+    Scale: ONE corpus scan — lines and bigrams explode together as
+    kind-tagged ('L'/'B') units from the same token array (two separate
+    aggregation subtrees would each rescan the text, doubling IO where
+    text IS the mass at 100 TB); the per-(doc, kind, unit) count
+    map-side combines, so shuffled rows are bounded by DISTINCT
+    (doc, line|bigram) mass, never token mass; the per-doc rollup splits
+    the kinds back out with conditional aggregates.  Output is |docs|
+    rows; docs shorter than one line / two tokens surface
+    zero-denominators as 0 ppm via the guarded div."""
     toks = ws_tokens(F.lower(F.col("text")))
-    with_toks = documents.select("doc_id", toks.alias("_t")).filter(F.size("_t") >= 2)
-    bigram = F.explode(
-        F.expr("transform(slice(_t, 1, size(_t) - 1), (x, i) -> concat(x, ' ', _t[i + 1]))")
+    base = (
+        documents.select("doc_id", toks.alias("_t"))
+        .withColumn("_n", F.size("_t"))
+        .filter(F.col("_n") > 0)
     )
-    per_bigram = (
-        with_toks.select("doc_id", bigram.alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    bigram_stats = per_bigram.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n")
-    )
-    return (
-        line_stats.join(bigram_stats, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_lines",
-            "n_dup_lines",
-            F.expr(
-                "CASE WHEN n_lines > 0 THEN (n_dup_lines * 1000000) div n_lines ELSE 0 END"
-            ).alias("dup_line_ppm"),
-            F.expr(
-                "CASE WHEN _tot_chars > 0 THEN (_dup_chars * 1000000) div _tot_chars ELSE 0 END"
-            ).alias("dup_line_char_ppm"),
-            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
-            F.expr(
-                "CASE WHEN n_bigrams > 0 THEN (top_bigram_n * 1000000) div n_bigrams ELSE 0 END"
-            ).alias("top_bigram_ppm"),
+    units = F.expr(
+        f"""
+        concat(
+          transform(sequence(0, (_n - 1) div {line_tokens}),
+                    i -> struct('L' AS kind,
+                                array_join(slice(_t, i * {line_tokens} + 1, {line_tokens}), ' ') AS k)),
+          CASE WHEN _n >= 2
+               THEN transform(slice(_t, 1, _n - 1),
+                              (x, i) -> struct('B' AS kind, concat(x, ' ', _t[i + 1]) AS k))
+               ELSE array() END
         )
+        """
+    )
+    counts = (
+        base.select("doc_id", F.explode(units).alias("e"))
+        .groupBy("doc_id", F.col("e.kind").alias("kind"), F.col("e.k").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("_len", F.length("k").cast("long"))
+    )
+    is_l, is_b = F.col("kind") == "L", F.col("kind") == "B"
+    return counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_l, F.col("c"))).alias("n_lines"),
+        F.sum(F.when(is_l, F.col("c") - 1)).alias("n_dup_lines"),
+        F.expr(
+            "CASE WHEN sum(CASE WHEN kind = 'L' THEN c END) > 0"
+            " THEN (sum(CASE WHEN kind = 'L' THEN c - 1 END) * 1000000)"
+            " div sum(CASE WHEN kind = 'L' THEN c END) ELSE 0 END"
+        ).alias("dup_line_ppm"),
+        F.expr(
+            "CASE WHEN sum(CASE WHEN kind = 'L' THEN c * _len END) > 0"
+            " THEN (sum(CASE WHEN kind = 'L' THEN (c - 1) * _len END) * 1000000)"
+            " div sum(CASE WHEN kind = 'L' THEN c * _len END) ELSE 0 END"
+        ).alias("dup_line_char_ppm"),
+        F.coalesce(F.sum(F.when(is_b, F.col("c"))), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.max(F.when(is_b, F.col("c"))), F.lit(0)).alias("top_bigram_n"),
+        F.expr(
+            "CASE WHEN coalesce(sum(CASE WHEN kind = 'B' THEN c END), 0) > 0"
+            " THEN (max(CASE WHEN kind = 'B' THEN c END) * 1000000)"
+            " div sum(CASE WHEN kind = 'B' THEN c END) ELSE 0 END"
+        ).alias("top_bigram_ppm"),
     )
 
 

@@ -502,18 +502,23 @@ def label_balance(embeddings: DataFrame) -> DataFrame:
     "balanced" convention) — the first table anyone reads before
     training on labeled embeddings, and the input to re-sampling plans.
 
-    All surfaces are exact integer rationals (ppm via truncating div) —
-    the 1-row totals ride a broadcast stat join, never a driver count.
-    Scale: one map-side-combined rollup to |labels| rows."""
+    All surfaces are exact integer rationals (ppm via truncating div).
+    Scale: ONE map-side-combined rollup to |labels| rows; the totals are
+    an unpartitioned window over that |labels|-row table (a broadcast
+    stat join would re-aggregate the raw table for the totals side —
+    Spark does not share the duplicate subtree — so the window halves
+    the scan work; |labels| rows on one partition is metadata-sized)."""
     per_label = embeddings.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    totals = per_label.agg(
-        F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("_k")
-    )
-    return per_label.join(F.broadcast(totals)).select(
-        "label",
-        "n",
-        F.expr("(n * 1000000) div _tot").alias("share_ppm"),
-        F.expr("(_tot * 1000000) div (_k * n)").alias("weight_ppm"),
+    w = Window.partitionBy()
+    return (
+        per_label.withColumn("_tot", F.sum("n").over(w))
+        .withColumn("_k", F.count(F.lit(1)).over(w))
+        .select(
+            "label",
+            "n",
+            F.expr("(n * 1000000) div _tot").alias("share_ppm"),
+            F.expr("(_tot * 1000000) div (_k * n)").alias("weight_ppm"),
+        )
     )

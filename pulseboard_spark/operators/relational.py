@@ -440,9 +440,12 @@ def open_orders_timeline(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     sum — entirely integer arithmetic on epoch days.
 
     Scale: one shuffle on l_orderkey collapses lineitems to a per-order
-    close day; the delta table is day-grain (≤ a few thousand rows for
-    any horizon), so the final ordered running sum over it is
-    metadata-sized — the fact is never globally sorted."""
+    close day; the ±1 deltas come from ONE explode over the joined spans
+    (a union of two selects would recompute the whole orders ⋈ close
+    subtree — Spark does not share unreferenced duplicate subtrees, so
+    the explode halves the fact work); the delta table is day-grain
+    (≤ a few thousand rows for any horizon), so the final ordered running
+    sum over it is metadata-sized — the fact is never globally sorted."""
     day = F.expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
     close = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         F.max(F.expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000")).alias("_ship_day")
@@ -455,15 +458,13 @@ def open_orders_timeline(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             F.coalesce(F.greatest("_ship_day", F.col("open_day")), F.col("open_day")).alias("close_day"),
         )
     )
+    delta_pair = F.array(
+        F.struct(F.col("open_day").alias("day"), F.lit(1).alias("opened"), F.lit(0).alias("closed")),
+        F.struct((F.col("close_day") + 1).alias("day"), F.lit(0).alias("opened"), F.lit(1).alias("closed")),
+    )
     deltas = (
-        spans.select(F.col("open_day").alias("day"), F.lit(1).alias("opened"), F.lit(0).alias("closed"))
-        .unionByName(
-            spans.select(
-                (F.col("close_day") + 1).alias("day"),
-                F.lit(0).alias("opened"),
-                F.lit(1).alias("closed"),
-            )
-        )
+        spans.select(F.explode(delta_pair).alias("e"))
+        .select("e.day", "e.opened", "e.closed")
         .groupBy("day")
         .agg(
             F.sum("opened").cast("long").alias("n_opened"),
