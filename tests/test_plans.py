@@ -449,3 +449,63 @@ def test_time_to_return_rides_entity_shuffle(spark, sf_dir):
     # robust one.  The entity-attribute join itself runs on aggregated,
     # co-partitioned inputs; an SMJ there is the correct scale shape.
     assert plan.count("InMemoryTableScan") >= 2, "both consumers must read the gaps cache"
+
+
+def test_doc_repetition_single_scan(spark, sf_dir):
+    """Lines and bigrams must ride ONE corpus scan (the kind-tagged
+    explode) — a regression to two aggregation subtrees doubles text IO,
+    which is the whole cost at 100 TB."""
+    plan = _plan(spark, sf_dir, "doc_repetition")
+    assert plan.count("FileScan parquet") == 1, "documents must be scanned once"
+    assert "Join" not in plan, "kinds must split via conditional aggregates, not a join"
+    assert not PY_NODES.search(plan)
+
+
+def test_open_orders_timeline_shape(spark, sf_dir):
+    """One scan per input; the global running-sum window must sit above
+    the day-grain aggregate (SinglePartition over metadata-sized rows),
+    never above the fact."""
+    plan = _plan(spark, sf_dir, "open_orders_timeline")
+    assert plan.count("FileScan parquet") == 2, "orders + lineitem each scanned once"
+    # the single-partition exchange must consume the day rollup, not raw spans
+    sp = plan.index("SinglePartition")
+    assert "hashpartitioning(day" in plan[sp:] or "hashpartitioning(day" in plan, (
+        "running sum must run over the per-day aggregate"
+    )
+    assert not PY_NODES.search(plan)
+
+
+def test_label_balance_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "label_balance")
+    assert plan.count("FileScan parquet") == 1, "embeddings must be scanned once"
+    assert not PY_NODES.search(plan)
+
+
+def test_burst_windows_window_over_rollup(spark, sf_dir):
+    """The RANGE window must consume the (type, hour) count grid — the
+    raw fact must never reach a window frame."""
+    plan = _plan(spark, sf_dir, "burst_windows")
+    assert plan.count("FileScan parquet") <= 1 or "InMemoryTableScan" in plan
+    # exactly one aggregate below the window
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], "window must sit above the hourly rollup"
+    assert not PY_NODES.search(plan)
+
+
+def test_embedding_dim_stats_one_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_dim_stats")
+    hashparts = re.findall(r"hashpartitioning\(pos", plan)
+    assert len(hashparts) == 1, f"expected one dim shuffle, got {len(hashparts)}"
+    assert "Join" not in plan
+    assert not PY_NODES.search(plan)
+
+
+def test_split_leakage_reuses_pair_silver(spark, sf_dir):
+    """The verified pair graph is the memoized session silver — the plan
+    must read the checkpointed RDD, not rebuild MinHash from documents."""
+    plan = _plan(spark, sf_dir, "split_leakage")
+    assert "Scan ExistingRDD" in plan, "must consume the localCheckpointed pair silver"
+    # every documents scan is id-only (split hashing): a scan reading the
+    # text column would mean the MinHash pipeline is being rebuilt
+    for schema in _read_schemas(plan):
+        assert "text" not in schema, f"corpus text rescanned: {schema}"
