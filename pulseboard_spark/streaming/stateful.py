@@ -698,3 +698,92 @@ def cusum_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BURST_SCHEMA = (
+    "type string, hour_idx bigint, n_events bigint, prev24_sum bigint, is_burst boolean"
+)
+#: ring buffer of closed (hour_idx, count) pairs CSV-encoded (keyed state
+#: must be a fixed-width struct) + the still-open hour's accumulator
+_BURST_STATE_SCHEMA = "hours string, counts string, cur_hour bigint, cur_n bigint"
+
+
+def _emit_bursts(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-type hourly burst detector with O(24) state: a ring of the
+    trailing 24 closed hour-slot counts plus the open hour's counter.
+    An hour EMITS when a later hour's first event arrives (per-key
+    in-order drain, W3 — same contract as every stateful op here); the
+    verdict is the batch operator's exact integer rule
+    ``n·24 ≥ 2·prev24_sum`` over the identical 24-slot window, so closed
+    hours match `operators/timeseries.burst_windows` row-for-row."""
+    (typ,) = key
+    if state.exists:
+        hours_s, counts_s, cur_hour, cur_n = state.get
+        ring = (
+            [
+                (int(h), int(c))
+                for h, c in zip(hours_s.split(","), counts_s.split(","))
+            ]
+            if hours_s
+            else []
+        )
+    else:
+        ring, cur_hour, cur_n = [], -1, 0
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_ms", "event_id"], kind="mergesort"
+    )
+    out = {"hour_idx": [], "n_events": [], "prev24_sum": [], "is_burst": []}
+    for ts_ms in batch["ts_ms"].tolist():
+        h = ts_ms // 3_600_000
+        if cur_hour == -1:
+            cur_hour, cur_n = h, 1
+        elif h <= cur_hour:
+            # same hour (or a late straggler inside the open hour under
+            # the in-order drain contract) — accumulate
+            cur_n += 1
+        else:
+            prev = sum(c for hh, c in ring if cur_hour - 24 <= hh <= cur_hour - 1)
+            out["hour_idx"].append(cur_hour)
+            out["n_events"].append(cur_n)
+            out["prev24_sum"].append(prev)
+            out["is_burst"].append(prev > 0 and cur_n * 24 >= 2 * prev)
+            ring.append((cur_hour, cur_n))
+            ring = [(hh, c) for hh, c in ring if hh >= h - 24]
+            cur_hour, cur_n = h, 1
+    state.update(
+        (
+            ",".join(str(hh) for hh, _ in ring),
+            ",".join(str(c) for _, c in ring),
+            int(cur_hour),
+            int(cur_n),
+        )
+    )
+    if out["hour_idx"]:
+        yield pd.DataFrame(
+            {
+                "type": typ,
+                "hour_idx": pd.Series(out["hour_idx"], dtype="int64"),
+                "n_events": pd.Series(out["n_events"], dtype="int64"),
+                "prev24_sum": pd.Series(out["prev24_sum"], dtype="int64"),
+                "is_burst": pd.Series(out["is_burst"], dtype="bool"),
+            }
+        )
+
+
+def burst_stateful(entity_stream: DataFrame, set_watermark: bool = True) -> DataFrame:
+    """Streaming twin of `operators/timeseries.burst_windows`: hourly
+    volume bursts per event type, detected online with O(24) keyed state
+    instead of a 24-hour batch re-scan.  Each hour's verdict emits as
+    soon as the next hour opens (append mode); closed hours are pinned
+    row-identical to the batch operator by
+    ``test_streaming_burst_matches_batch``."""
+    if set_watermark:
+        entity_stream = entity_stream.withWatermark("ts", "120 seconds")
+    narrow = entity_stream.select("type", "ts", "ts_ms", "event_id")
+    return narrow.groupBy("type").applyInPandasWithState(
+        _emit_bursts,
+        outputStructType=BURST_SCHEMA,
+        stateStructType=_BURST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

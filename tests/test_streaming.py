@@ -818,3 +818,45 @@ def test_streaming_cusum_matches_batch(spark, sf_dir, entity_chunks_dir):
         if r.n_alarms_up or r.n_alarms_down
     }
     assert got == want
+
+
+def test_streaming_burst_matches_batch(spark, sf_dir, entity_chunks_dir):
+    """Streaming hourly burst verdicts (O(24) ring state per type) must
+    reproduce the batch operator row-for-row on every CLOSED hour — the
+    stream's only legitimate difference is each type's final hour, which
+    stays open (no later event has arrived to close it)."""
+    from pulseboard_spark.operators.timeseries import burst_windows
+    from pulseboard_spark.streaming.stateful import burst_stateful
+
+    out, schema = entity_chunks_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{out}/chunk=*")
+    )
+    q = (
+        burst_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stream_bursts")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.type, r.hour_idx): (r.n_events, r.prev24_sum, r.is_burst)
+        for r in spark.sql("SELECT * FROM stream_bursts").collect()
+    }
+    batch = burst_windows(entity_events(spark, sf_dir)).collect()
+    last_hour = {}
+    for r in batch:
+        last_hour[r.type] = max(last_hour.get(r.type, -1), r.hour_idx)
+    want = {
+        (r.type, r.hour_idx): (r.n_events, r.prev24_sum, r.is_burst)
+        for r in batch
+        if r.hour_idx != last_hour[r.type]
+    }
+    assert got == want
+    assert len(got) > 0, "replay must close at least one hour per type"
