@@ -419,3 +419,30 @@ def ngram_novelty(documents: DataFrame) -> DataFrame:
             F.expr("(n_novel * 1000000) div n_shingles").alias("novelty_ppm"),
         )
     )
+
+
+def pack_efficiency(
+    documents: DataFrame, budget: int = PACK_BUDGET, shard: str = "source"
+) -> DataFrame:
+    """Packing-efficiency rollup over :func:`pack_documents`: per shard,
+    how many context windows the corpus fills, how full they are
+    (fill ppm of the window budget), and how many documents straddle a
+    window boundary — the loader-tuning table that decides whether the
+    packing budget or the shard layout needs to change before a
+    pretraining run burns compute on padding.
+
+    All integer-exact: windows = the last token's window index + 1,
+    fill = total tokens over windows·budget.
+
+    Scale: rides pack_documents' one shard-key shuffle; the rollup is
+    |shards| rows."""
+    packed = pack_documents(documents, budget=budget, shard=shard)
+    return packed.groupBy(shard).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (F.max("pack_end").cast("long") + 1).alias("n_windows"),
+        F.expr(
+            f"(CAST(sum(n_tokens) AS BIGINT) * 1000000) div ((CAST(max(pack_end) AS BIGINT) + 1) * {budget})"
+        ).alias("fill_ppm"),
+        F.sum((F.col("pack_end") > F.col("pack_id")).cast("long")).alias("n_spanning_docs"),
+    )

@@ -457,3 +457,24 @@ def cross_source_overlap(
         .join(n_docs, ["src_a", "src_b"])
         .select("src_a", "src_b", "n_pairs", "n_docs")
     )
+
+
+def cluster_size_histogram(
+    documents: DataFrame, threshold_bp: int = 8000, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Near-dup cluster-size distribution: how many clusters of size 1
+    (unique docs), 2, 3, … the verified pair graph produces — the one
+    table that says whether dedup is removing onesie-twosie noise or
+    collapsing giant boilerplate families, and sizes the corpus shrink
+    before :func:`near_dup_clusters` is applied.
+
+    Scale: rides the memoized cluster silver (|docs| rows); two tiny
+    rollups (cluster → size, size → count)."""
+    clusters = near_dup_clusters(documents, threshold_bp=threshold_bp, pairs=pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )

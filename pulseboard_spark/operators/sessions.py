@@ -308,3 +308,41 @@ def session_basket_lift(
             ).alias("lift_ppm"),
         )
     )
+
+
+def retention_curve(ev: DataFrame, key: str = "entity_id") -> DataFrame:
+    """Aggregate day-N-style retention curve (weekly grain): for each
+    week offset k, the share of eligible cohort members still active k
+    weeks after their first week — the single curve product reviews
+    read, rolled up from the per-cohort retention matrix.
+
+    Eligibility handles the observation triangle exactly: a cohort
+    contributes to offset k only if the data horizon reaches
+    ``cohort_week + k`` (else young cohorts would drag the tail down).
+    Retention is an exact integer ppm of summed actives over summed
+    eligible cohort sizes.
+
+    Scale: rides the same (entity, week) distinct collapse as
+    :func:`retention_cohorts`; everything after is arithmetic over the
+    |cohorts|·|offsets| matrix."""
+    matrix = retention_cohorts(ev, key=key)
+    horizon = matrix.agg(
+        F.max(F.col("cohort_week") + F.col("week_offset")).alias("_max_week")
+    )
+    base = matrix.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("_base")
+    )
+    return (
+        matrix.join(base, "cohort_week")
+        .join(F.broadcast(horizon))
+        .filter(F.col("cohort_week") + F.col("week_offset") <= F.col("_max_week"))
+        .groupBy("week_offset")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cohorts"),
+            F.sum("n_active").cast("long").alias("n_active"),
+            F.sum("_base").cast("long").alias("n_eligible"),
+            F.expr(
+                "CAST((sum(n_active) * 1000000) div sum(_base) AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+    )

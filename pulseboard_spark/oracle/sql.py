@@ -1293,6 +1293,16 @@ SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical FROM dcomp
 
 ORACLE_SQL["dedup_clusters_incremental"] = ORACLE_SQL["dedup_clusters"]
 
+# Cluster-size distribution (operators/dedup.py::cluster_size_histogram).
+ORACLE_SQL["cluster_size_histogram"] = f"""
+WITH RECURSIVE {_CLUSTERS_BODY},
+csizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM dcomp GROUP BY cluster_id)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+FROM csizes GROUP BY cluster_size
+"""
+
 ORACLE_SQL["corpus_summary"] = f"""
 WITH RECURSIVE {_CLUSTERS_BODY},
 toks AS (
@@ -1393,6 +1403,64 @@ SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_active
 FROM numbered
 GROUP BY cohort_week, week - cohort_week
 """
+
+# Aggregate retention curve (operators/sessions.py::retention_curve):
+# observation-triangle-aware eligible-cohort rollup, integer ppm.
+ORACLE_SQL["retention_curve"] = f"""
+WITH {ENT_CTE},
+weekly AS (SELECT DISTINCT entity_id, ts_ms // 604800000 AS week FROM ent),
+numbered AS (
+  SELECT entity_id, week, min(week) OVER (PARTITION BY entity_id) AS cohort_week
+  FROM weekly
+),
+matrix AS (
+  SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_active
+  FROM numbered GROUP BY 1, 2
+),
+horizon AS (SELECT max(cohort_week + week_offset) AS max_week FROM matrix),
+base AS (SELECT cohort_week, n_active AS b FROM matrix WHERE week_offset = 0)
+SELECT m.week_offset,
+       CAST(count(*) AS BIGINT) AS n_cohorts,
+       CAST(sum(m.n_active) AS BIGINT) AS n_active,
+       CAST(sum(base.b) AS BIGINT) AS n_eligible,
+       CAST((sum(m.n_active) * 1000000) // sum(base.b) AS BIGINT) AS retention_ppm
+FROM matrix m
+JOIN base USING (cohort_week)
+CROSS JOIN horizon
+WHERE m.cohort_week + m.week_offset <= horizon.max_week
+GROUP BY m.week_offset
+"""
+
+
+# Packing-efficiency rollup (operators/corpus.py::pack_efficiency):
+# windows filled, fill ppm, boundary-spanning docs per shard.
+ORACLE_SQL["pack_efficiency"] = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toks
+),
+spans AS (
+  SELECT source, n_tokens,
+         CAST(floor((cum_tokens - n_tokens) / 2048.0) AS INT) AS pack_id,
+         CAST(floor((cum_tokens - 1) / 2048.0) AS INT) AS pack_end
+  FROM packed
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(max(pack_end) + 1 AS BIGINT) AS n_windows,
+       CAST((sum(n_tokens) * 1000000) // ((CAST(max(pack_end) AS BIGINT) + 1) * 2048) AS BIGINT) AS fill_ppm,
+       CAST(sum(CASE WHEN pack_end > pack_id THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning_docs
+FROM spans GROUP BY source
+"""
+
 
 ORACLE_SQL["top_parts_per_brand"] = """
 WITH per_part AS (

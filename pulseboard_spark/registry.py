@@ -1748,6 +1748,27 @@ def doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.doc_repetition(_docs(spark, sf_dir))
 
 
+def pack_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.pack_efficiency(_docs(spark, sf_dir))
+
+
+def retention_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.retention_curve(entity_events(spark, sf_dir))
+
+
+def cluster_size_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # aggregate the memoized cluster silver directly — rerunning the CC
+    # fixpoint for a histogram would repeat the expensive shared stage
+    clusters = _near_dup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )
+
+
 def transition_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.transition_entropy(entity_events(spark, sf_dir))
 
@@ -1969,6 +1990,9 @@ QUERIES: dict[str, QueryFn] = {
     "order_gap_bands": order_gap_bands_q,
     "supplier_concentration": supplier_concentration_q,
     "open_orders_timeline": open_orders_timeline_q,
+    "pack_efficiency": pack_efficiency_q,
+    "retention_curve": retention_curve_q,
+    "cluster_size_histogram": cluster_size_histogram_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

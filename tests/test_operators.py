@@ -1825,3 +1825,69 @@ class TestOpenOrdersTimeline:
         assert got[day0 + 2].n_open == 2      # order 2 closed after day1; 1,3 open
         assert got[day0 + 3].n_open == 1      # order 3 closed; order 1 still open
         assert got[day0 + 4].n_open == 0      # everything shipped
+
+
+class TestPackEfficiency:
+    def test_fill_and_spanning(self, spark):
+        from pulseboard_spark.operators.corpus import pack_efficiency
+
+        # budget 10: doc0 = tokens 0-5, doc1 = 6-11 (spans windows 0->1),
+        # doc2 = 12-19 (fits window 1) => 2 exactly-full windows
+        texts = ["a b c d e f", "g h i j k l", "m n o p q r s t"]
+        df = spark.createDataFrame(
+            [(i, t, "web") for i, t in enumerate(texts)],
+            "doc_id long, text string, source string",
+        )
+        row = pack_efficiency(df, budget=10).collect()[0]
+        assert row.n_docs == 3 and row.n_tokens == 20
+        assert row.n_windows == 2  # 20 tokens exactly fill 2 ten-token windows
+        assert row.fill_ppm == 1_000_000
+        assert row.n_spanning_docs == 1
+
+    def test_padding_shows_in_fill(self, spark):
+        from pulseboard_spark.operators.corpus import pack_efficiency
+
+        df = spark.createDataFrame(
+            [(0, "a b c", "web")], "doc_id long, text string, source string"
+        )
+        row = pack_efficiency(df, budget=10).collect()[0]
+        assert row.n_windows == 1 and row.fill_ppm == 300_000
+
+
+class TestRetentionCurve:
+    def test_triangle_eligibility(self, spark):
+        from pulseboard_spark.operators.sessions import retention_curve
+
+        wk = 604_800_000
+        rows = [
+            # cohort week 0: u1,u2 active wk0; u1 returns wk1
+            ("e1", "u1", 0), ("e2", "u2", 0), ("e3", "u1", 1 * wk),
+            # cohort week 1: u3 active wk1 only — horizon is week 1, so
+            # cohort 1 is NOT eligible for offset 1
+            ("e4", "u3", 1 * wk),
+        ]
+        df = spark.createDataFrame(rows, "event_id string, entity_id string, ts_ms long")
+        got = {r.week_offset: r for r in retention_curve(df).collect()}
+        assert got[0].n_eligible == 3 and got[0].retention_ppm == 1_000_000
+        # offset 1: only cohort 0 eligible (base 2), 1 returned
+        assert got[1].n_cohorts == 1
+        assert got[1].n_eligible == 2 and got[1].retention_ppm == 500_000
+
+
+class TestClusterSizeHistogram:
+    def test_sizes_partition_corpus(self, spark):
+        from pulseboard_spark.operators.dedup import cluster_size_histogram
+
+        texts = {
+            0: "alpha beta gamma delta epsilon zeta eta theta",
+            1: "alpha beta gamma delta epsilon zeta eta theta",  # dup of 0
+            2: "completely different text with other words entirely here",
+            3: "unrelated third document body nothing shared with others",
+        }
+        df = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+        got = {r.cluster_size: r for r in cluster_size_histogram(df).collect()}
+        assert got[2].n_clusters == 1 and got[2].n_docs == 2
+        assert got[1].n_clusters == 2 and got[1].n_docs == 2
+        assert sum(r.n_docs for r in got.values()) == 4
