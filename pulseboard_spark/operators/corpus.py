@@ -432,7 +432,10 @@ def pack_efficiency(
     pretraining run burns compute on padding.
 
     All integer-exact: windows = the last token's window index + 1,
-    fill = total tokens over windows·budget.
+    fill = total tokens over windows·budget.  A shard whose documents
+    are all token-free (digits/punctuation only) packs ZERO windows —
+    the surface stays non-null (n_windows 0, fill_ppm 0) rather than
+    leaking a divide-by-zero NULL.
 
     Scale: rides pack_documents' one shard-key shuffle; the rollup is
     |shards| rows."""
@@ -440,9 +443,14 @@ def pack_efficiency(
     return packed.groupBy(shard).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
-        (F.max("pack_end").cast("long") + 1).alias("n_windows"),
+        F.greatest(F.max("pack_end").cast("long") + 1, F.lit(0).cast("long")).alias(
+            "n_windows"
+        ),
         F.expr(
-            f"(CAST(sum(n_tokens) AS BIGINT) * 1000000) div ((CAST(max(pack_end) AS BIGINT) + 1) * {budget})"
+            "CASE WHEN max(pack_end) >= 0"
+            " THEN (CAST(sum(n_tokens) AS BIGINT) * 1000000)"
+            f" div ((CAST(max(pack_end) AS BIGINT) + 1) * {budget})"
+            " ELSE CAST(0 AS BIGINT) END"
         ).alias("fill_ppm"),
         F.sum((F.col("pack_end") > F.col("pack_id")).cast("long")).alias("n_spanning_docs"),
     )

@@ -460,7 +460,10 @@ def cross_source_overlap(
 
 
 def cluster_size_histogram(
-    documents: DataFrame, threshold_bp: int = 8000, pairs: DataFrame | None = None
+    documents: DataFrame,
+    threshold_bp: int = 8000,
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup cluster-size distribution: how many clusters of size 1
     (unique docs), 2, 3, … the verified pair graph produces — the one
@@ -468,9 +471,14 @@ def cluster_size_histogram(
     collapsing giant boilerplate families, and sizes the corpus shrink
     before :func:`near_dup_clusters` is applied.
 
-    Scale: rides the memoized cluster silver (|docs| rows); two tiny
-    rollups (cluster → size, size → count)."""
-    clusters = near_dup_clusters(documents, threshold_bp=threshold_bp, pairs=pairs)
+    ``clusters``: a precomputed :func:`near_dup_clusters` output (the
+    registry passes its memoized cluster silver, same convention as
+    ``pairs`` — never re-run the CC fixpoint for a histogram).
+
+    Scale: two tiny rollups over the |docs|-row cluster table
+    (cluster → size, size → count)."""
+    if clusters is None:
+        clusters = near_dup_clusters(documents, threshold_bp=threshold_bp, pairs=pairs)
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )

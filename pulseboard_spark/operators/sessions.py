@@ -316,15 +316,19 @@ def retention_curve(ev: DataFrame, key: str = "entity_id") -> DataFrame:
     weeks after their first week — the single curve product reviews
     read, rolled up from the per-cohort retention matrix.
 
-    Eligibility handles the observation triangle exactly: a cohort
-    contributes to offset k only if the data horizon reaches
-    ``cohort_week + k`` (else young cohorts would drag the tail down).
+    Eligibility handles the observation triangle exactly: a cohort is
+    eligible at offset k iff the data horizon reaches ``cohort_week +
+    k`` — and an eligible cohort with ZERO actives at that offset stays
+    in the denominator (the eligible grid is generated from the cohort
+    base × its reachable offsets, then the sparse activity matrix
+    left-joins on; filtering the matrix's own rows instead would
+    silently drop fully-churned cohorts and inflate the curve).
     Retention is an exact integer ppm of summed actives over summed
     eligible cohort sizes.
 
     Scale: rides the same (entity, week) distinct collapse as
-    :func:`retention_cohorts`; everything after is arithmetic over the
-    |cohorts|·|offsets| matrix."""
+    :func:`retention_cohorts`; the generated grid is
+    |cohorts|·|offsets| rows — metadata-sized."""
     matrix = retention_cohorts(ev, key=key)
     horizon = matrix.agg(
         F.max(F.col("cohort_week") + F.col("week_offset")).alias("_max_week")
@@ -332,17 +336,25 @@ def retention_curve(ev: DataFrame, key: str = "entity_id") -> DataFrame:
     base = matrix.filter(F.col("week_offset") == 0).select(
         "cohort_week", F.col("n_active").alias("_base")
     )
+    grid = (
+        base.join(F.broadcast(horizon))
+        .select(
+            "cohort_week",
+            "_base",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_max_week") - F.col("cohort_week"))
+            ).alias("week_offset"),
+        )
+    )
     return (
-        matrix.join(base, "cohort_week")
-        .join(F.broadcast(horizon))
-        .filter(F.col("cohort_week") + F.col("week_offset") <= F.col("_max_week"))
+        grid.join(matrix, ["cohort_week", "week_offset"], "left")
         .groupBy("week_offset")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_cohorts"),
-            F.sum("n_active").cast("long").alias("n_active"),
+            F.sum(F.coalesce("n_active", F.lit(0))).cast("long").alias("n_active"),
             F.sum("_base").cast("long").alias("n_eligible"),
             F.expr(
-                "CAST((sum(n_active) * 1000000) div sum(_base) AS BIGINT)"
+                "CAST((sum(coalesce(n_active, 0)) * 1000000) div sum(_base) AS BIGINT)"
             ).alias("retention_ppm"),
         )
     )

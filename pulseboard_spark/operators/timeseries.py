@@ -630,30 +630,38 @@ def burst_windows(ev: DataFrame, factor: int = 2) -> DataFrame:
     change-points.
 
     The decision is the exact integer cross-multiplication
-    ``n·24 ≥ factor·prev24_sum`` — no float rate at the boundary.
+    ``n·24 ≥ factor·prev24_sum`` — no float rate at the boundary — and
+    only fires after a full 24-slot warmup (``hour_idx ≥ first hour +
+    24``): before that, the fixed divisor counts pre-history slots as
+    quiet hours, which flags the first ~half-day of perfectly steady
+    traffic as a burst (hour h of steady c/hr has prev24 = h·c, so
+    h ≤ 12 would fire — the cold-start false-positive class).
 
     Scale: events collapse to the (type, hour) count grid first (map-side
     combine), so the RANGE window runs over ≤ |types|·|hours| rows —
-    never raw events; one shuffle for the rollup, the window rides the
-    same type partitioning."""
+    never raw events; one shuffle for the rollup, the warmup min and the
+    RANGE frame ride the same type partitioning."""
     hours = ev.groupBy(
         "type", F.expr("ts_ms div 3600000").alias("hour_idx")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    w = (
-        Window.partitionBy("type")
-        .orderBy("hour_idx")
-        .rangeBetween(-24, -1)
-    )
+    wt = Window.partitionBy("type")
+    w = wt.orderBy("hour_idx").rangeBetween(-24, -1)
     prev = F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long")
-    return hours.withColumn("prev24_sum", prev).select(
-        "type",
-        "hour_idx",
-        "n_events",
-        "prev24_sum",
-        (
-            (F.col("prev24_sum") > 0)
-            & (F.col("n_events") * 24 >= F.lit(int(factor)) * F.col("prev24_sum"))
-        ).alias("is_burst"),
+    first = F.min("hour_idx").over(wt)
+    return (
+        hours.withColumn("prev24_sum", prev)
+        .withColumn("_first", first)
+        .select(
+            "type",
+            "hour_idx",
+            "n_events",
+            "prev24_sum",
+            (
+                (F.col("hour_idx") >= F.col("_first") + 24)
+                & (F.col("prev24_sum") > 0)
+                & (F.col("n_events") * 24 >= F.lit(int(factor)) * F.col("prev24_sum"))
+            ).alias("is_burst"),
+        )
     )
 
 

@@ -1418,17 +1418,21 @@ matrix AS (
   FROM numbered GROUP BY 1, 2
 ),
 horizon AS (SELECT max(cohort_week + week_offset) AS max_week FROM matrix),
-base AS (SELECT cohort_week, n_active AS b FROM matrix WHERE week_offset = 0)
-SELECT m.week_offset,
+base AS (SELECT cohort_week, n_active AS b FROM matrix WHERE week_offset = 0),
+grid AS (
+  SELECT base.cohort_week, base.b, t.week_offset
+  FROM base CROSS JOIN horizon,
+       UNNEST(generate_series(0, horizon.max_week - base.cohort_week)) AS t(week_offset)
+)
+SELECT g.week_offset,
        CAST(count(*) AS BIGINT) AS n_cohorts,
-       CAST(sum(m.n_active) AS BIGINT) AS n_active,
-       CAST(sum(base.b) AS BIGINT) AS n_eligible,
-       CAST((sum(m.n_active) * 1000000) // sum(base.b) AS BIGINT) AS retention_ppm
-FROM matrix m
-JOIN base USING (cohort_week)
-CROSS JOIN horizon
-WHERE m.cohort_week + m.week_offset <= horizon.max_week
-GROUP BY m.week_offset
+       CAST(sum(coalesce(m.n_active, 0)) AS BIGINT) AS n_active,
+       CAST(sum(g.b) AS BIGINT) AS n_eligible,
+       CAST((sum(coalesce(m.n_active, 0)) * 1000000) // sum(g.b) AS BIGINT) AS retention_ppm
+FROM grid g
+LEFT JOIN matrix m
+  ON m.cohort_week = g.cohort_week AND m.week_offset = g.week_offset
+GROUP BY g.week_offset
 """
 
 
@@ -1455,8 +1459,10 @@ spans AS (
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       CAST(max(pack_end) + 1 AS BIGINT) AS n_windows,
-       CAST((sum(n_tokens) * 1000000) // ((CAST(max(pack_end) AS BIGINT) + 1) * 2048) AS BIGINT) AS fill_ppm,
+       CAST(greatest(max(pack_end) + 1, 0) AS BIGINT) AS n_windows,
+       CAST(CASE WHEN max(pack_end) >= 0
+                 THEN (sum(n_tokens) * 1000000) // ((CAST(max(pack_end) AS BIGINT) + 1) * 2048)
+                 ELSE 0 END AS BIGINT) AS fill_ppm,
        CAST(sum(CASE WHEN pack_end > pack_id THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning_docs
 FROM spans GROUP BY source
 """
@@ -1974,11 +1980,13 @@ win AS (
   SELECT type, hour_idx, n_events,
          CAST(coalesce(sum(n_events) OVER (
            PARTITION BY type ORDER BY hour_idx
-           RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev24_sum
+           RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev24_sum,
+         min(hour_idx) OVER (PARTITION BY type) AS first_hour
   FROM hours
 )
 SELECT type, CAST(hour_idx AS BIGINT) AS hour_idx, n_events, prev24_sum,
-       prev24_sum > 0 AND n_events * 24 >= 2 * prev24_sum AS is_burst
+       hour_idx >= first_hour + 24
+         AND prev24_sum > 0 AND n_events * 24 >= 2 * prev24_sum AS is_burst
 FROM win
 """
 

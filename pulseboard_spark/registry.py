@@ -1757,15 +1757,10 @@ def retention_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cluster_size_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # aggregate the memoized cluster silver directly — rerunning the CC
-    # fixpoint for a histogram would repeat the expensive shared stage
-    clusters = _near_dup_clusters(spark, sf_dir)
-    sizes = clusters.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("cluster_size")
-    )
-    return sizes.groupBy("cluster_size").agg(
-        F.count(F.lit(1)).cast("long").alias("n_clusters"),
-        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    # the memoized cluster silver rides in via clusters= — the CC
+    # fixpoint is never re-run for a histogram
+    return dedup.cluster_size_histogram(
+        _docs(spark, sf_dir), clusters=_near_dup_clusters(spark, sf_dir)
     )
 
 

@@ -704,8 +704,11 @@ BURST_SCHEMA = (
     "type string, hour_idx bigint, n_events bigint, prev24_sum bigint, is_burst boolean"
 )
 #: ring buffer of closed (hour_idx, count) pairs CSV-encoded (keyed state
-#: must be a fixed-width struct) + the still-open hour's accumulator
-_BURST_STATE_SCHEMA = "hours string, counts string, cur_hour bigint, cur_n bigint"
+#: must be a fixed-width struct) + the still-open hour's accumulator +
+#: the type's first-ever hour (the warmup anchor)
+_BURST_STATE_SCHEMA = (
+    "hours string, counts string, cur_hour bigint, cur_n bigint, first_hour bigint"
+)
 
 
 def _emit_bursts(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
@@ -713,12 +716,18 @@ def _emit_bursts(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> I
     trailing 24 closed hour-slot counts plus the open hour's counter.
     An hour EMITS when a later hour's first event arrives (per-key
     in-order drain, W3 — same contract as every stateful op here); the
-    verdict is the batch operator's exact integer rule
-    ``n·24 ≥ 2·prev24_sum`` over the identical 24-slot window, so closed
-    hours match `operators/timeseries.burst_windows` row-for-row."""
+    verdict is the batch operator's exact integer rule — 24-slot warmup
+    AND ``n·24 ≥ 2·prev24_sum`` — over the identical window, so closed
+    hours match `operators/timeseries.burst_windows` row-for-row.
+
+    An event whose hour is strictly BEFORE the open hour (cross-batch
+    reordering past an hour boundary, possible within the watermark) is
+    DROPPED, not folded into the open hour: its true hour has already
+    emitted, and miscounting the open hour would silently diverge from
+    the batch twin on two rows instead of one."""
     (typ,) = key
     if state.exists:
-        hours_s, counts_s, cur_hour, cur_n = state.get
+        hours_s, counts_s, cur_hour, cur_n, first_hour = state.get
         ring = (
             [
                 (int(h), int(c))
@@ -728,7 +737,7 @@ def _emit_bursts(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> I
             else []
         )
     else:
-        ring, cur_hour, cur_n = [], -1, 0
+        ring, cur_hour, cur_n, first_hour = [], -1, 0, -1
     batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
         ["ts_ms", "event_id"], kind="mergesort"
     )
@@ -736,17 +745,19 @@ def _emit_bursts(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> I
     for ts_ms in batch["ts_ms"].tolist():
         h = ts_ms // 3_600_000
         if cur_hour == -1:
-            cur_hour, cur_n = h, 1
-        elif h <= cur_hour:
-            # same hour (or a late straggler inside the open hour under
-            # the in-order drain contract) — accumulate
+            cur_hour, cur_n, first_hour = h, 1, h
+        elif h == cur_hour:
             cur_n += 1
+        elif h < cur_hour:
+            continue  # strictly late: its hour already emitted — drop
         else:
             prev = sum(c for hh, c in ring if cur_hour - 24 <= hh <= cur_hour - 1)
             out["hour_idx"].append(cur_hour)
             out["n_events"].append(cur_n)
             out["prev24_sum"].append(prev)
-            out["is_burst"].append(prev > 0 and cur_n * 24 >= 2 * prev)
+            out["is_burst"].append(
+                cur_hour >= first_hour + 24 and prev > 0 and cur_n * 24 >= 2 * prev
+            )
             ring.append((cur_hour, cur_n))
             ring = [(hh, c) for hh, c in ring if hh >= h - 24]
             cur_hour, cur_n = h, 1
@@ -756,6 +767,7 @@ def _emit_bursts(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> I
             ",".join(str(c) for _, c in ring),
             int(cur_hour),
             int(cur_n),
+            int(first_hour),
         )
     )
     if out["hour_idx"]:

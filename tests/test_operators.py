@@ -1702,9 +1702,13 @@ class TestBurstWindows:
         df = spark.createDataFrame(rows, "event_id string, type string, ts_ms long")
         got = {r.hour_idx: r for r in burst_windows(df).collect()}
         assert got[24].prev24_sum == 24 and got[24].n_events == 4
-        assert got[24].is_burst  # 4*24 >= 2*24
+        assert got[24].is_burst  # warm (24 >= 0+24) and 4*24 >= 2*24
         assert not got[23].is_burst  # 1*24 < 2*23
         assert not got[0].is_burst  # empty window never fires
+        # cold-start guard: steady traffic during warmup must NOT flag —
+        # hour h<=12 of constant-rate history has prev24 = h, so without
+        # the first_hour+24 warmup every early hour would fire
+        assert not any(got[h].is_burst for h in range(1, 24))
 
 
 class TestTransitionEntropy:
@@ -1872,6 +1876,29 @@ class TestRetentionCurve:
         # offset 1: only cohort 0 eligible (base 2), 1 returned
         assert got[1].n_cohorts == 1
         assert got[1].n_eligible == 2 and got[1].retention_ppm == 500_000
+
+    def test_zero_active_cohort_stays_in_denominator(self, spark):
+        """An ELIGIBLE cohort with no actives at an offset has no matrix
+        row — it must still count in the denominator (the inflate-the-
+        curve bug class: filtering matrix rows silently drops fully
+        churned cohorts)."""
+        from pulseboard_spark.operators.sessions import retention_curve
+
+        wk = 604_800_000
+        rows = [
+            ("e1", "u1", 0),          # cohort 0, returns week 2 only
+            ("e2", "u1", 2 * wk),
+            ("e3", "u3", 1 * wk),     # cohort 1, never returns
+        ]
+        df = spark.createDataFrame(rows, "event_id string, entity_id string, ts_ms long")
+        got = {r.week_offset: r for r in retention_curve(df).collect()}
+        # offset 1: cohorts 0 AND 1 both eligible (horizon is week 2),
+        # neither has an active -> 0 ppm over base 2, not a dropped row
+        assert got[1].n_cohorts == 2
+        assert got[1].n_eligible == 2 and got[1].n_active == 0
+        assert got[1].retention_ppm == 0
+        # offset 2: only cohort 0 eligible; u1 returned
+        assert got[2].n_eligible == 1 and got[2].retention_ppm == 1_000_000
 
 
 class TestClusterSizeHistogram:

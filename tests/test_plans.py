@@ -467,9 +467,11 @@ def test_open_orders_timeline_shape(spark, sf_dir):
     never above the fact."""
     plan = _plan(spark, sf_dir, "open_orders_timeline")
     assert plan.count("FileScan parquet") == 2, "orders + lineitem each scanned once"
-    # the single-partition exchange must consume the day rollup, not raw spans
+    # the single-partition exchange must consume the day rollup, not raw
+    # spans: the day-hash aggregate exchange must appear BELOW (after, in
+    # the printed tree) the SinglePartition window exchange
     sp = plan.index("SinglePartition")
-    assert "hashpartitioning(day" in plan[sp:] or "hashpartitioning(day" in plan, (
+    assert "hashpartitioning(day" in plan[sp:], (
         "running sum must run over the per-day aggregate"
     )
     assert not PY_NODES.search(plan)

@@ -26,6 +26,18 @@ from pyspark.sql.types import ArrayType, MapType, StructType
 from pulseboard_spark.registry import QUERIES
 
 
+def test_rows_only_queries_stay_below_hash_window():
+    """The driver records a rows-only (no-oracle) query inside the
+    front-50 as a FAIL row (r03 burned 5 slots proving it).  Enforce the
+    exclusion mechanically — QUERIES.md's label is a doc, not a gate."""
+    from pulseboard_spark.registry import ORACLE_SQL
+
+    offenders = [n for n in list(QUERIES)[:50] if n not in ORACLE_SQL]
+    assert not offenders, (
+        f"rows-only queries inside the driver hash window: {offenders}"
+    )
+
+
 def test_no_container_columns_at_any_driver_surface(spark, sf_dir):
     offenders: list[str] = []
     for name, fn in QUERIES.items():

@@ -98,8 +98,14 @@ def main() -> None:
                 # rows-only queries are excluded from the hash window by
                 # policy (the driver records no_oracle as a fail row —
                 # r03 burned 5 slots proving it); their evidence is the
-                # pinned tests + exact-twin oracle queries
-                mark = "pinned-by-test; excluded from hash window by policy"
+                # pinned tests + exact-twin oracle queries.  One that
+                # slipped INTO the window would repeat the r03 burn, so
+                # flag it loudly instead of asserting the policy holds.
+                if n in front50:
+                    mark = "rows-only IN WINDOW — will record a fail, rotate it OUT"
+                    n_window += 1
+                else:
+                    mark = "pinned-by-test; excluded from hash window by policy"
             elif d.startswith(("driver-FAIL", "driver-ERR")):
                 # the front-50 check is real, not assumed: a failed query
                 # accidentally left below the boundary must not claim a
