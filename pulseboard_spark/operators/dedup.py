@@ -165,6 +165,68 @@ def ngram_jaccard_dedup(
     )
 
 
+def containment_pairs(
+    documents: DataFrame,
+    containment_bp: int = 9000,
+    jaccard_max_bp: int = 8000,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Containment audit over the verified candidate-pair graph, flagging
+    the asymmetric partial-duplicate class: pairs where the SMALLER
+    document's shingles are ≥ ``containment_bp`` contained in the
+    larger's, yet symmetric Jaccard stays BELOW the near-dup threshold —
+    the quote-expansion / excerpt / boilerplate-wrapper class that
+    symmetric dedup structurally misses (a 100-word doc embedded in a
+    10 000-word doc has Jaccard ≈ 1 %, containment ≈ 100 %).
+
+    Containment = |A∩B| / min(|A|,|B|), decided by exact integer
+    cross-multiplication like every threshold here.  Output: EVERY
+    verified candidate pair oriented contained→container with both
+    ratios in ppm, plus ``is_partial_dup`` marking the excerpt class —
+    reporting the full graph (rather than only the flagged slice) keeps
+    the audit informative even on corpora where the class is empty, and
+    an extract-aware cleaner filters on the flag.
+
+    Scale: rides the shared verified pair graph — candidate generation
+    is still banded MinHash LSH (a contained doc shares its own shingle
+    minima with the container, so candidates surface as long as the
+    band collision fires; fully general containment search would swap
+    the symmetric signature for a bottom-k sketch of the smaller side,
+    the documented 100 TB extension); the flag and ratio arithmetic
+    are row-local on the pair table."""
+    if pairs is None:
+        pairs = minhash_near_dups(documents)
+    # the symmetric pair surface carries n_common/n_union but not the
+    # individual set sizes — join the per-doc shingle counts (a tiny
+    # aggregate) to split min/max sides
+    sh = shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    n_small = F.least(F.col("n_a"), F.col("n_b"))
+    enriched = (
+        pairs.select("doc_a", "doc_b", "n_common", "n_union", "jaccard_ppm")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+    )
+    contained_id = F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a")).otherwise(
+        F.col("doc_b")
+    )
+    container_id = F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_b")).otherwise(
+        F.col("doc_a")
+    )
+    is_partial = (F.col("n_common") * 10000 >= F.lit(int(containment_bp)) * n_small) & (
+        F.col("n_common") * 10000 < F.lit(int(jaccard_max_bp)) * F.col("n_union")
+    )
+    return enriched.select(
+        contained_id.alias("contained_doc_id"),
+        container_id.alias("container_doc_id"),
+        F.expr("(n_common * 1000000) div least(n_a, n_b)").alias("containment_ppm"),
+        "jaccard_ppm",
+        is_partial.alias("is_partial_dup"),
+    )
+
+
 def split_leakage(
     documents: DataFrame,
     splits: DataFrame,

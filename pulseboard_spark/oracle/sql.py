@@ -1293,6 +1293,30 @@ SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical FROM dcomp
 
 ORACLE_SQL["dedup_clusters_incremental"] = ORACLE_SQL["dedup_clusters"]
 
+# Containment audit (operators/dedup.py::containment_pairs): every
+# verified candidate pair oriented contained->container, flagging the
+# excerpt class (small-side containment >= 90% while Jaccard < 80%).
+ORACLE_SQL["containment_pairs"] = f"""
+WITH {_MINHASH_BODY},
+enriched AS (
+  SELECT i.doc_a, i.doc_b, i.i AS n_common,
+         na.n + nb.n - i.i AS n_union,
+         (i.i * 1000000) // (na.n + nb.n - i.i) AS jaccard_ppm,
+         na.n AS n_a, nb.n AS n_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+)
+SELECT CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained_doc_id,
+       CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS container_doc_id,
+       CAST((n_common * 1000000) // least(n_a, n_b) AS BIGINT) AS containment_ppm,
+       CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm,
+       (n_common * 10000 >= 9000 * least(n_a, n_b)
+        AND n_common * 10000 < 8000 * n_union) AS is_partial_dup
+FROM enriched
+"""
+
+
 # Cluster-size distribution (operators/dedup.py::cluster_size_histogram).
 ORACLE_SQL["cluster_size_histogram"] = f"""
 WITH RECURSIVE {_CLUSTERS_BODY},

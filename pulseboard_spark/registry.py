@@ -1748,6 +1748,12 @@ def doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.doc_repetition(_docs(spark, sf_dir))
 
 
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), pairs=_near_dup_pairs(spark, sf_dir)
+    )
+
+
 def pack_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_efficiency(_docs(spark, sf_dir))
 
@@ -1988,6 +1994,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_efficiency": pack_efficiency_q,
     "retention_curve": retention_curve_q,
     "cluster_size_histogram": cluster_size_histogram_q,
+    "containment_pairs": containment_pairs_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

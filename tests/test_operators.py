@@ -1918,3 +1918,53 @@ class TestClusterSizeHistogram:
         assert got[2].n_clusters == 1 and got[2].n_docs == 2
         assert got[1].n_clusters == 2 and got[1].n_docs == 2
         assert sum(r.n_docs for r in got.values()) == 4
+
+
+class TestContainmentPairs:
+    def test_excerpt_detected_symmetric_dedup_misses_it(self, spark):
+        from pulseboard_spark.operators.dedup import (
+            containment_pairs,
+            minhash_near_dups,
+            ngram_jaccard_dedup,
+        )
+
+        core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        # container stays ~1.75x the excerpt: big enough to push Jaccard
+        # under the symmetric threshold, small enough that the shared
+        # shingles still own some MinHash band (the docstring's candidate
+        # caveat: a 100x container needs the bottom-k sketch extension)
+        filler = "uno dos tres quatro cinco seis"
+        df = spark.createDataFrame(
+            [
+                (0, core),                      # the excerpt
+                (1, core + " " + filler),       # container: excerpt + bulk
+                (2, "totally different content body here nothing shared at all"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = minhash_near_dups(df).localCheckpoint()
+        flagged = [
+            r for r in containment_pairs(df, pairs=pairs).collect() if r.is_partial_dup
+        ]
+        assert len(flagged) == 1
+        row = flagged[0]
+        assert row.contained_doc_id == 0 and row.container_doc_id == 1
+        assert row.containment_ppm >= 900_000
+        assert row.jaccard_ppm < 800_000
+        # the symmetric near-dup decision misses exactly this pair
+        sym = ngram_jaccard_dedup(df, pairs=pairs).collect()
+        assert not any({r.doc_a, r.doc_b} == {0, 1} for r in sym)
+
+    def test_true_near_dups_reported_unflagged(self, spark):
+        from pulseboard_spark.operators.dedup import containment_pairs
+
+        text = "one two three four five six seven eight nine ten eleven twelve"
+        df = spark.createDataFrame(
+            [(0, text), (1, text)], "doc_id long, text string"
+        )
+        # identical docs: containment 100% but jaccard 100% too — the
+        # symmetric path owns them; the audit reports the pair unflagged
+        got = containment_pairs(df).collect()
+        assert len(got) == 1
+        assert got[0].containment_ppm == 1_000_000
+        assert not got[0].is_partial_dup
