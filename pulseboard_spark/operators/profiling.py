@@ -2,15 +2,19 @@
 trusting a new dataset.
 
 The naive form is one scan per column (how the SQL oracle spells it —
-N UNION ALL branches).  The engine form is ONE pass: every column's
-count/countDistinct rides the same aggregate, partial-aggregated map-side,
-then the wide single row unpivots to (column, stats) rows with ``stack``.
-At 100 TB that is the difference between N full scans and one.
+N UNION ALL branches).  The engine form is ONE pass.  The exact path
+unpivots each row into (column_index, string_value) pairs with a single
+``posexplode`` and aggregates twice: first by (column, value) — the
+shuffle key every executor shares, map-side-combined down to the
+per-partition distinct pairs — then by column.  A wide multi-
+``countDistinct`` aggregate would instead go through Catalyst's Expand
+rewrite with ONE global group, funnelling every distinct state into a
+single reducer task (measured 2.7× slower at sf0.1 even on local[32];
+at fact scale it is a straight single-task bottleneck).
 
-Distinct counts here are exact (count-distinct per column in one agg is
-fine at dimension scale); for fact-scale profiling swap in
-``approx_count_distinct`` — same plan shape, sketch merge instead of
-distinct state (cf. `registry.approx_user_counts_q`).
+The approx path keeps the wide one-row aggregate: HLL++ sketches merge
+associatively, so partial aggregation stays distributed without Expand —
+constant-size state per column (cf. `registry.approx_user_counts_q`).
 """
 
 from __future__ import annotations
@@ -22,25 +26,42 @@ from pyspark.sql import functions as F
 def profile_table(df: DataFrame, approx: bool = False, rsd: float = 0.05) -> DataFrame:
     """One row per column: total rows, non-null count, distinct count —
     computed in a single pass over the table.  ``approx=True`` swaps the
-    exact per-column distinct state for HLL++ sketches
+    exact per-(column, value) dedup for HLL++ sketches
     (``approx_count_distinct``, relative error ``rsd``) — the fact-scale
-    setting: identical plan shape, constant-size merge state per column
-    instead of distinct sets."""
+    setting when exact distinct counts aren't required.
+
+    Exact distinct counts are taken over each value's string image —
+    injective for the scalar types profiled here (Spark's casts are
+    round-trippable), and it lets every column ride one explode."""
     cols = df.columns
-    aggs = [F.count(F.lit(1)).alias("__n_rows")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        nd = (
-            F.approx_count_distinct(F.col(c), rsd)
-            if approx
-            else F.countDistinct(F.col(c))
-        )
-        aggs.append(nd.alias(f"__nd_{c}"))
-    wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}" for c in cols
+    if approx:
+        aggs = [F.count(F.lit(1)).alias("__n_rows")]
+        for c in cols:
+            aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+            aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"__nd_{c}"))
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(f"'{c}', __nn_{c}, __nd_{c}" for c in cols)
+        return wide.selectExpr(
+            "__n_rows as n_rows",
+            f"stack({len(cols)}, {stack_args}) as (column_name, n_nonnull, n_distinct)",
+        ).select("column_name", "n_rows", "n_nonnull", "n_distinct")
+
+    # posexplode keeps null elements, so count(*) per column index is the
+    # table's row count — no second scan for n_rows.
+    arr = F.array(*[F.col(c).cast("string") for c in cols])
+    pairs = df.select(F.posexplode(arr).alias("i", "v"))
+    lvl1 = pairs.groupBy("i", "v").agg(F.count(F.lit(1)).alias("c"))
+    per = lvl1.groupBy("i").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum(
+            F.when(F.col("v").isNotNull(), F.col("c")).otherwise(F.lit(0))
+        ).alias("n_nonnull"),
+        F.count("v").alias("n_distinct"),
     )
-    return wide.selectExpr(
-        "__n_rows as n_rows",
-        f"stack({len(cols)}, {stack_args}) as (column_name, n_nonnull, n_distinct)",
-    ).select("column_name", "n_rows", "n_nonnull", "n_distinct")
+    names = F.array(*[F.lit(c) for c in cols])
+    return per.select(
+        F.element_at(names, F.col("i") + 1).alias("column_name"),
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+    )
