@@ -454,3 +454,67 @@ def pack_efficiency(
         ).alias("fill_ppm"),
         F.sum((F.col("pack_end") > F.col("pack_id")).cast("long")).alias("n_spanning_docs"),
     )
+
+
+def mixture_plan(
+    documents: DataFrame,
+    target_tokens: int = 112_000,
+    max_epochs: int = 4,
+    shard: str = "source",
+) -> DataFrame:
+    """Token-budget mixture planner: split a total training-token budget
+    across sources under a per-source repeat cap — the allocation table a
+    pretraining run derives its per-source sampling weights from.
+
+    Each source starts from an equal fair share (``target_tokens div
+    n_sources``), clipped at ``max_epochs`` passes over what the source
+    actually has; the budget the caps free up is then redistributed to
+    the uncapped sources in one water-filling round (equal bonus, again
+    clipped at each source's cap).  One round is exact when at most one
+    cap binds per round and a close under-approximation otherwise — the
+    caller iterates on the residual if it needs convergence; each round
+    costs one |sources|-row pass, not a corpus scan.
+
+    ``epochs_ppm`` is the resulting repeat factor (1e6 = one full pass).
+    All integer arithmetic (``div``), so the surface is engine-exact.
+
+    Scale: one map-side-combined shuffle reduces the corpus to one row
+    per source; the fair-share / redistribution math runs as unpartitioned
+    windows over that |sources|-row table — fine while source cardinality
+    is bounded (thousands); a web-scale domain mixture would swap the
+    windows for a broadcast twin of the three scalar totals."""
+    per = documents.groupBy(shard).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(_word_count(F.col("text"))).cast("long").alias("avail_tokens"),
+    )
+    w = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tgt = F.lit(int(target_tokens)).cast("long")
+    per = (
+        per.withColumn("n_sources", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("fair_share", F.expr(f"CAST({int(target_tokens)} AS BIGINT) div n_sources"))
+        .withColumn("cap", F.col("avail_tokens") * F.lit(int(max_epochs)))
+        .withColumn("alloc1", F.least("fair_share", "cap"))
+        .withColumn("leftover", tgt - F.sum("alloc1").over(w))
+        .withColumn(
+            "n_open",
+            F.sum(
+                F.when(F.col("cap") > F.col("alloc1"), F.lit(1)).otherwise(F.lit(0))
+            ).over(w).cast("long"),
+        )
+    )
+    bonus = F.when(
+        F.col("n_open") > 0, F.expr("leftover div n_open")
+    ).otherwise(F.lit(0).cast("long"))
+    alloc = F.col("alloc1") + F.least(bonus, F.col("cap") - F.col("alloc1"))
+    return per.select(
+        F.col(shard),
+        "n_docs",
+        "avail_tokens",
+        "fair_share",
+        alloc.alias("alloc_tokens"),
+    ).withColumn(
+        "epochs_ppm",
+        F.expr("(alloc_tokens * 1000000) div greatest(avail_tokens, 1)"),
+    )

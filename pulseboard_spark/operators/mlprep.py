@@ -522,3 +522,52 @@ def label_balance(embeddings: DataFrame) -> DataFrame:
             F.expr("(_tot * 1000000) div (_k * n)").alias("weight_ppm"),
         )
     )
+
+
+def contrastive_pairs(
+    documents: DataFrame,
+    pos_min_ppm: int = 300_000,
+    pos_max_ppm: int = 950_000,
+    neg_buckets: int = 50,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Contrastive training-pair construction over the corpus: positives
+    are verified near-dup pairs whose Jaccard sits in the "similar but
+    not identical" band (paraphrase-grade, below the dedup threshold);
+    negatives are deterministic random-ish pairings — consecutive doc_ids
+    within a stable hash bucket — anti-joined against the candidate
+    graph so no accidental near-dup leaks in with a ``neg`` label.
+    The output (doc_a, doc_b, label) is the input a bi-encoder /
+    cross-encoder fine-tune consumes.
+
+    Scale: positives ride the shared MinHash pair graph (no new candidate
+    generation); negative pairing is one window over hash buckets
+    (balanced by construction) and one anti-join on the pair key.  All
+    decisions are deterministic — re-running on a grown corpus keeps
+    every previously emitted pair with the same label unless new
+    evidence (a new candidate pair) flips it out of the negative set.
+    """
+    from pyspark.sql import Window
+
+    from pulseboard_spark.operators.dedup import minhash_near_dups
+    from pulseboard_spark.operators.sampling import hash_bucket
+
+    if pairs is None:
+        pairs = minhash_near_dups(documents)
+    pos = pairs.filter(
+        (F.col("jaccard_ppm") >= int(pos_min_ppm))
+        & (F.col("jaccard_ppm") < int(pos_max_ppm))
+    ).select("doc_a", "doc_b", F.lit("pos").alias("label"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    nxt = (
+        documents.select(
+            "doc_id", hash_bucket(F.col("doc_id"), neg_buckets).alias("bucket")
+        )
+        .withColumn("doc_b", F.lead("doc_id").over(w))
+        .filter(F.col("doc_b").isNotNull())
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+    )
+    neg = nxt.join(
+        pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    ).select("doc_a", "doc_b", F.lit("neg").alias("label"))
+    return pos.unionByName(neg)

@@ -808,3 +808,35 @@ def doc_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
         F.max("score_ppm").alias("top_score_ppm"),
         F.count(F.lit(1)).alias("n_keywords"),
     )
+
+
+def quality_calibration(documents: DataFrame) -> DataFrame:
+    """Calibration table for the cheap composite quality score against the
+    Gopher rule filter: per score decile, how many documents land there
+    and what fraction survive the rules.  A well-calibrated score shows a
+    monotone pass rate — the check a pipeline runs before trusting the
+    cheap score as a pre-filter (to skip the costlier rule pass on the
+    obvious keep/drop mass at 100 TB).
+
+    Deciles are integer buckets of quality_score_ppm (1e6-capped scores
+    fold into decile 9); counts and the ppm pass rate are integer-exact.
+
+    Scale: the two per-doc feature passes share the corpus scan shape of
+    :func:`text_quality` / :func:`gopher_quality`; the join key is doc_id
+    (co-partitioned by the same hash) and the final rollup is 10 rows.
+    """
+    tq = text_quality(documents).select("doc_id", "quality_score_ppm")
+    gq = gopher_quality(documents).select("doc_id", "passes")
+    j = tq.join(gq, "doc_id")
+    decile = F.least(
+        F.lit(9).cast("long"), F.expr("(quality_score_ppm * 10) div 1000000")
+    )
+    return (
+        j.select(decile.alias("score_decile"), "passes")
+        .groupBy("score_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("long").alias("n_pass"),
+        )
+        .withColumn("pass_rate_ppm", F.expr("(n_pass * 1000000) div n_docs"))
+    )

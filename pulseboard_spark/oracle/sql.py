@@ -3731,3 +3731,94 @@ SELECT source, n_docs, n_dups,
        CAST(sq // n_docs AS BIGINT) AS mean_quality_ppm
 FROM agg
 """
+
+
+# Token-budget mixture planner (operators/corpus.py::mixture_plan):
+# equal fair share per source, clipped at max_epochs passes, one
+# water-filling redistribution round of the freed budget.
+ORACLE_SQL["mixture_plan"] = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+),
+staged AS (
+  SELECT source, n_docs, avail_tokens,
+         CAST(count(*) OVER () AS BIGINT) AS n_sources,
+         avail_tokens * 4 AS cap
+  FROM per
+),
+s2 AS (
+  SELECT *, CAST(112000 // n_sources AS BIGINT) AS fair_share,
+         least(CAST(112000 // n_sources AS BIGINT), cap) AS alloc1
+  FROM staged
+),
+s3 AS (
+  SELECT *, 112000 - sum(alloc1) OVER () AS leftover,
+         sum(CASE WHEN cap > alloc1 THEN 1 ELSE 0 END) OVER () AS n_open
+  FROM s2
+),
+s4 AS (
+  SELECT *, alloc1 + least(CASE WHEN n_open > 0 THEN leftover // n_open ELSE 0 END,
+                           cap - alloc1) AS alloc_tokens
+  FROM s3
+)
+SELECT source, n_docs, avail_tokens, CAST(fair_share AS BIGINT) AS fair_share,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST((alloc_tokens * 1000000) // greatest(avail_tokens, 1) AS BIGINT) AS epochs_ppm
+FROM s4
+"""
+
+# Quality-score calibration against the Gopher rules
+# (operators/text.py::quality_calibration).
+ORACLE_SQL["quality_calibration"] = f"""
+WITH tq AS ({ORACLE_SQL["text_quality"]}),
+gq AS ({ORACLE_SQL["gopher_quality"]})
+SELECT CAST(least(9, (q.quality_score_ppm * 10) // 1000000) AS BIGINT) AS score_decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN g.passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST((sum(CASE WHEN g.passes THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS pass_rate_ppm
+FROM tq q JOIN gq g USING (doc_id)
+GROUP BY 1
+"""
+
+# Contrastive training pairs (operators/mlprep.py::contrastive_pairs):
+# positives = paraphrase-band near-dups; negatives = consecutive doc_ids
+# within a stable hash bucket, anti-joined against the candidate graph.
+_CONTRASTIVE_TAIL = """
+pg AS (
+  SELECT i.doc_a, i.doc_b,
+         (i.i * 1000000) // (na.n + nb.n - i.i) AS jaccard_ppm
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+),
+pos AS (
+  SELECT doc_a, doc_b, 'pos' AS label FROM pg
+  WHERE jaccard_ppm >= 300000 AND jaccard_ppm < 950000
+),
+bucketed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 50 AS bucket
+  FROM documents
+),
+negc AS (
+  SELECT doc_id AS doc_a,
+         lead(doc_id) OVER (PARTITION BY bucket ORDER BY doc_id) AS doc_b
+  FROM bucketed
+),
+neg AS (
+  SELECT n.doc_a, n.doc_b, 'neg' AS label
+  FROM negc n
+  WHERE n.doc_b IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM pg p WHERE p.doc_a = n.doc_a AND p.doc_b = n.doc_b)
+)
+SELECT doc_a, doc_b, label FROM pos
+UNION ALL
+SELECT doc_a, doc_b, label FROM neg
+"""
+
+ORACLE_SQL["contrastive_pairs"] = f"""
+WITH {_MINHASH_BODY},
+{_CONTRASTIVE_TAIL}
+"""

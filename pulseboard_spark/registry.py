@@ -1758,6 +1758,24 @@ def pack_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_efficiency(_docs(spark, sf_dir))
 
 
+def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.mixture_plan(_docs(spark, sf_dir))
+
+
+def quality_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.operators.text import quality_calibration
+
+    return quality_calibration(_docs(spark, sf_dir))
+
+
+def contrastive_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.operators.mlprep import contrastive_pairs
+
+    return contrastive_pairs(
+        _docs(spark, sf_dir), pairs=_near_dup_pairs(spark, sf_dir)
+    )
+
+
 def retention_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.retention_curve(entity_events(spark, sf_dir))
 
@@ -1995,6 +2013,9 @@ QUERIES: dict[str, QueryFn] = {
     "retention_curve": retention_curve_q,
     "cluster_size_histogram": cluster_size_histogram_q,
     "containment_pairs": containment_pairs_q,
+    "mixture_plan": mixture_plan_q,
+    "quality_calibration": quality_calibration_q,
+    "contrastive_pairs": contrastive_pairs_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

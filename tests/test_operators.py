@@ -1968,3 +1968,104 @@ class TestContainmentPairs:
         assert len(got) == 1
         assert got[0].containment_ppm == 1_000_000
         assert not got[0].is_partial_dup
+
+
+class TestMixturePlan:
+    def test_cap_binds_and_leftover_redistributes(self, spark):
+        from pulseboard_spark.operators.corpus import mixture_plan
+
+        # srcA has 2 tokens -> cap 2*2=4; srcB/srcC have plenty.
+        df = spark.createDataFrame(
+            [
+                (0, "aa bb", "srcA"),
+                (1, " ".join(["w%d" % i for i in range(50)]), "srcB"),
+                (2, " ".join(["v%d" % i for i in range(50)]), "srcC"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r.source: r
+            for r in mixture_plan(df, target_tokens=60, max_epochs=2).collect()
+        }
+        # fair share = 60 div 3 = 20; srcA capped at 4, freeing 16,
+        # split 8 apiece to the open sources
+        assert got["srcA"].fair_share == 20
+        assert got["srcA"].alloc_tokens == 4
+        assert got["srcA"].epochs_ppm == 2_000_000
+        assert got["srcB"].alloc_tokens == 28
+        assert got["srcC"].alloc_tokens == 28
+        total = sum(r.alloc_tokens for r in got.values())
+        assert total == 60  # fully allocated after one round here
+
+    def test_uncapped_is_exact_fair_split(self, spark):
+        from pulseboard_spark.operators.corpus import mixture_plan
+
+        df = spark.createDataFrame(
+            [
+                (0, "a b c d e", "s1"),
+                (1, "f g h i j", "s2"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r.source: r
+            for r in mixture_plan(df, target_tokens=10, max_epochs=4).collect()
+        }
+        for s in ("s1", "s2"):
+            assert got[s].alloc_tokens == 5
+            assert got[s].epochs_ppm == 1_000_000
+
+
+class TestQualityCalibration:
+    def test_deciles_partition_corpus_and_rates_exact(self, spark, sf_dir):
+        from pulseboard_spark.operators.text import quality_calibration
+        from pulseboard_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = quality_calibration(docs).collect()
+        assert sum(r.n_docs for r in rows) == docs.count()
+        for r in rows:
+            assert 0 <= r.score_decile <= 9
+            assert 0 <= r.n_pass <= r.n_docs
+            assert r.pass_rate_ppm == (r.n_pass * 1_000_000) // r.n_docs
+
+
+class TestContrastivePairs:
+    def test_labels_partition_and_no_neardup_leaks_into_neg(self, spark, sf_dir):
+        from pulseboard_spark.operators.dedup import minhash_near_dups
+        from pulseboard_spark.operators.mlprep import contrastive_pairs
+        from pulseboard_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        graph = minhash_near_dups(docs).localCheckpoint()
+        got = contrastive_pairs(docs, pairs=graph).collect()
+        assert got, "corpus should yield at least some pairs"
+        cand = {(r.doc_a, r.doc_b) for r in graph.select("doc_a", "doc_b").collect()}
+        for r in got:
+            assert r.doc_a < r.doc_b
+            if r.label == "neg":
+                assert (r.doc_a, r.doc_b) not in cand
+            else:
+                assert r.label == "pos"
+                assert (r.doc_a, r.doc_b) in cand
+
+    def test_paraphrase_band_bounds_positives(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pulseboard_spark.operators.dedup import minhash_near_dups
+        from pulseboard_spark.operators.mlprep import contrastive_pairs
+        from pulseboard_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        graph = minhash_near_dups(docs).localCheckpoint()
+        pos = {
+            (r.doc_a, r.doc_b)
+            for r in contrastive_pairs(docs, pairs=graph).collect()
+            if r.label == "pos"
+        }
+        band = {
+            (r.doc_a, r.doc_b)
+            for r in graph.filter(
+                (F.col("jaccard_ppm") >= 300_000) & (F.col("jaccard_ppm") < 950_000)
+            ).collect()
+        }
+        assert pos == band
