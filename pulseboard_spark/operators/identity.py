@@ -17,7 +17,7 @@ connectedComponents is a drop-in upgrade when the jar is available.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pulseboard_spark.functions.ids import normalize_id
@@ -590,4 +590,51 @@ def edge_support(cvalid: DataFrame) -> DataFrame:
         "b",
         F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("support"),
         (F.coalesce(F.col("n"), F.lit(0)) == 0).alias("is_bridge"),
+    )
+
+
+def canonical_sessions(evprof: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Cross-device sessionization: gap-based sessions keyed by the
+    identity graph's canonical ``profile_id`` instead of any single raw
+    identifier — the stitched-journey view the CDP identity layer exists
+    to enable (reference semantics: `cdp/identity/IdentityGraph.kt`
+    resolution feeding per-profile processing).  ``n_identifiers`` counts
+    the distinct raw identifiers participating in each session — the
+    cross-device measure a device-keyed sessionizer cannot produce
+    (it would split this journey into one session per device).
+
+    Scale: input rides :func:`resolve_profiles` (component map is a
+    broadcast join) and the memoized component fixpoint; here one
+    shuffle on profile_id serves both the ordering window and the
+    session rollup."""
+    pid = F.coalesce(F.col("nuser"), F.col("nanon"), F.col("nemail"))
+    base = evprof.select("profile_id", "event_id", "ts_ms", pid.alias("rid"))
+    w = Window.partitionBy("profile_id").orderBy("ts_ms", "event_id")
+    prev_ts = F.lag("ts_ms").over(w)
+    is_new = (
+        prev_ts.isNull() | ((F.col("ts_ms") - prev_ts) > F.lit(int(gap_ms)))
+    ).cast("long")
+    run = Window.partitionBy("profile_id").orderBy("ts_ms", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = base.withColumn("_new", is_new).withColumn("session_no", F.sum("_new").over(run))
+    return (
+        s.groupBy("profile_id", "session_no")
+        .agg(
+            F.min("ts_ms").cast("long").alias("session_start_ms"),
+            F.max("ts_ms").cast("long").alias("session_end_ms"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("rid").cast("long").alias("n_identifiers"),
+        )
+        .select(
+            F.concat(
+                F.col("profile_id"), F.lit("#"), F.col("session_no").cast("string")
+            ).alias("session_id"),
+            "profile_id",
+            "session_start_ms",
+            "session_end_ms",
+            (F.col("session_end_ms") - F.col("session_start_ms")).alias("duration_ms"),
+            "n_events",
+            "n_identifiers",
+        )
     )

@@ -88,3 +88,42 @@ def trait_history(evprof: DataFrame, traits: Sequence[str] = ("plan", "country")
         .filter(F.col("value").isNotNull())
     )
     return changes_to_intervals(long, ["profile_id", "trait"])
+
+
+def point_in_time_trait(
+    evprof: DataFrame,
+    history: DataFrame,
+    trait: str = "plan",
+    event_ctype: str = "ALIAS",
+) -> DataFrame:
+    """Point-in-time (temporal) join — the query the SCD2 history exists
+    to answer: for each event, which trait interval was in force at the
+    event's timestamp ("what plan was this profile on when the purchase
+    happened").  Intervals are half-open ``[valid_from, valid_to)`` and
+    partition each profile's timeline, so at most one interval matches;
+    events before the profile's first recorded value keep a NULL trait
+    (left join) rather than dropping.
+
+    Scale: an equi-join on profile_id with the interval bounds as
+    residual conditions — Catalyst plans the hash/sort-merge on the
+    equi key and evaluates the range residual in place, so there is no
+    interval explosion; the history side is bounded by the number of
+    trait *changes*, not events, and broadcasts while small."""
+    ev = evprof.filter(F.col("ctype") == event_ctype).select(
+        "event_id", F.col("ts_ms").alias("event_ms"), "profile_id"
+    )
+    h = history.filter(F.col("trait") == trait).select(
+        F.col("profile_id").alias("h_profile_id"),
+        F.col("value").alias("trait_value"),
+        "valid_from_ms",
+        "valid_to_ms",
+        "version",
+    )
+    cond = (
+        (ev["profile_id"] == h["h_profile_id"])
+        & (ev["event_ms"] >= h["valid_from_ms"])
+        & (h["valid_to_ms"].isNull() | (ev["event_ms"] < h["valid_to_ms"]))
+    )
+    return ev.join(h, cond, "left").select(
+        "event_id", "profile_id", "event_ms", "trait_value", "version"
+    )

@@ -3822,3 +3822,64 @@ ORACLE_SQL["contrastive_pairs"] = f"""
 WITH {_MINHASH_BODY},
 {_CONTRASTIVE_TAIL}
 """
+
+# Cross-device sessions keyed by canonical profile
+# (operators/identity.py::canonical_sessions).
+ORACLE_SQL["canonical_sessions"] = f"""
+WITH RECURSIVE {COMPONENTS_CTE},
+evp AS (
+  SELECT v.event_id, v.ts_ms, c.component AS profile_id,
+         coalesce(v.nuser, v.nanon, v.nemail) AS rid
+  FROM cvalid v
+  JOIN comp c ON c.id = coalesce(v.nuser, v.nanon, v.nemail)
+),
+ordered AS (
+  SELECT *, lag(ts_ms) OVER (PARTITION BY profile_id ORDER BY ts_ms, event_id) AS prev_ts
+  FROM evp
+),
+numbered AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY profile_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM ordered
+)
+SELECT profile_id || '#' || CAST(session_no AS VARCHAR) AS session_id,
+       profile_id,
+       CAST(min(ts_ms) AS BIGINT) AS session_start_ms,
+       CAST(max(ts_ms) AS BIGINT) AS session_end_ms,
+       CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS duration_ms,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT rid) AS BIGINT) AS n_identifiers
+FROM numbered
+GROUP BY profile_id, session_no
+"""
+
+# Point-in-time trait join (operators/scd.py::point_in_time_trait): which
+# plan interval was in force when each purchase (ALIAS) event happened.
+ORACLE_SQL["plan_at_purchase"] = f"""
+WITH RECURSIVE {EVPROF_CTE},
+long AS (
+  SELECT profile_id, ts_ms, okey, plan AS value
+  FROM evprof WHERE ctype = 'IDENTIFY' AND plan IS NOT NULL
+),
+marked AS (
+  SELECT *, lag(value) OVER (PARTITION BY profile_id ORDER BY okey) AS prev
+  FROM long
+),
+changes AS (SELECT * FROM marked WHERE prev IS NULL OR prev <> value),
+hist AS (
+  SELECT profile_id, value, ts_ms AS valid_from_ms,
+         lead(ts_ms) OVER (PARTITION BY profile_id ORDER BY okey) AS valid_to_ms,
+         CAST(row_number() OVER (PARTITION BY profile_id ORDER BY okey) AS INTEGER) AS version
+  FROM changes
+),
+purch AS (
+  SELECT event_id, ts_ms AS event_ms, profile_id FROM evprof WHERE ctype = 'ALIAS'
+)
+SELECT p.event_id, p.profile_id, p.event_ms,
+       h.value AS trait_value, h.version
+FROM purch p
+LEFT JOIN hist h ON h.profile_id = p.profile_id
+  AND p.event_ms >= h.valid_from_ms
+  AND (h.valid_to_ms IS NULL OR p.event_ms < h.valid_to_ms)
+"""

@@ -1776,6 +1776,19 @@ def contrastive_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def canonical_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.operators.identity import canonical_sessions
+
+    return canonical_sessions(_evprof(spark, sf_dir))
+
+
+def plan_at_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.operators.scd import point_in_time_trait, trait_history
+
+    evprof = _evprof(spark, sf_dir)
+    return point_in_time_trait(evprof, trait_history(evprof))
+
+
 def retention_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.retention_curve(entity_events(spark, sf_dir))
 
@@ -2016,6 +2029,8 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_plan": mixture_plan_q,
     "quality_calibration": quality_calibration_q,
     "contrastive_pairs": contrastive_pairs_q,
+    "canonical_sessions": canonical_sessions_q,
+    "plan_at_purchase": plan_at_purchase_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

@@ -2069,3 +2069,64 @@ class TestContrastivePairs:
             ).collect()
         }
         assert pos == band
+
+
+class TestCanonicalSessions:
+    def test_stitches_devices_one_journey(self, spark):
+        from pulseboard_spark.operators.identity import canonical_sessions
+
+        # one canonical profile P seen under two raw identifiers within a
+        # 30-min gap: a device-keyed sessionizer would emit two sessions;
+        # the canonical view must emit ONE with n_identifiers = 2
+        rows = [
+            ("e1", 0, "P", "user:u1", None, None),
+            ("e2", 5 * 60 * 1000, "P", None, "anon:a1", None),
+            ("e3", 10 * 60 * 1000, "P", "user:u1", None, None),
+            # a second session after a >30-min gap
+            ("e4", 60 * 60 * 1000, "P", None, "anon:a1", None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id string, ts_ms long, profile_id string,"
+            " nuser string, nanon string, nemail string",
+        )
+        got = sorted(
+            canonical_sessions(df).collect(), key=lambda r: r.session_start_ms
+        )
+        assert len(got) == 2
+        first, second = got
+        assert first.n_events == 3 and first.n_identifiers == 2
+        assert first.duration_ms == 10 * 60 * 1000
+        assert second.n_events == 1 and second.n_identifiers == 1
+        assert first.session_id == "P#1" and second.session_id == "P#2"
+
+
+class TestPointInTimeTrait:
+    def test_interval_in_force_at_event_time(self, spark):
+        from pulseboard_spark.operators.scd import point_in_time_trait
+
+        evprof = spark.createDataFrame(
+            [
+                ("p1", 50, "ALIAS", "P"),    # before any plan -> NULL
+                ("p2", 150, "ALIAS", "P"),   # inside [100, 300) -> free v1
+                ("p3", 300, "ALIAS", "P"),   # boundary: new interval opens AT 300
+                ("p4", 999, "ALIAS", "P"),   # open interval -> pro v2
+                ("p5", 200, "IDENTIFY", "P"),  # non-ALIAS rows never enrich
+            ],
+            "event_id string, ts_ms long, ctype string, profile_id string",
+        )
+        history = spark.createDataFrame(
+            [
+                ("P", "plan", "free", 100, 300, 1),
+                ("P", "plan", "pro", 300, None, 2),
+                ("P", "country", "se", 0, None, 1),  # other trait ignored
+            ],
+            "profile_id string, trait string, value string,"
+            " valid_from_ms long, valid_to_ms long, version int",
+        )
+        got = {r.event_id: r for r in point_in_time_trait(evprof, history).collect()}
+        assert set(got) == {"p1", "p2", "p3", "p4"}
+        assert got["p1"].trait_value is None
+        assert got["p2"].trait_value == "free" and got["p2"].version == 1
+        assert got["p3"].trait_value == "pro" and got["p3"].version == 2
+        assert got["p4"].trait_value == "pro"
