@@ -358,3 +358,53 @@ def retention_curve(ev: DataFrame, key: str = "entity_id") -> DataFrame:
             ).alias("retention_ppm"),
         )
     )
+
+
+def purchase_attribution(
+    ev: DataFrame,
+    lookback_ms: int = 86_400_000,
+    target_type: str = "purchase",
+) -> DataFrame:
+    """Marketing attribution: for each conversion (``target_type``) event,
+    the FIRST-touch and LAST-touch non-conversion event type within the
+    trailing lookback window — the two classic single-touch attribution
+    models; a conversion with no touch inside the window keeps NULLs
+    (organic / outside-window).
+
+    Touches are reduced to a zero-padded sortable ``ts|event_id|type``
+    key so min/max over a RANGE frame pick the first/last touch
+    deterministically even under timestamp ties (the same tie-stable
+    trick as the LWW order key) — no IGNORE NULLS window support needed
+    on either engine, since aggregates skip NULLs natively.
+
+    Scale: one shuffle on the entity key; both attribution models ride
+    the same RANGE frame over the same sorted partition, and the frame
+    holds at most the lookback's events per entity."""
+    key = F.when(
+        F.col("type") != target_type,
+        F.concat(
+            F.lpad(F.col("ts_ms").cast("string"), 15, "0"),
+            F.lit("|"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            F.lit("|"),
+            F.col("type"),
+        ),
+    )
+    w = (
+        Window.partitionBy("entity_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-int(lookback_ms), -1)
+    )
+    enriched = (
+        ev.select("entity_id", "event_id", "ts_ms", "type", "value", key.alias("_tkey"))
+        .withColumn("first_key", F.min("_tkey").over(w))
+        .withColumn("last_key", F.max("_tkey").over(w))
+    )
+    return enriched.filter(F.col("type") == target_type).select(
+        "event_id",
+        "entity_id",
+        F.col("ts_ms").alias("purchase_ms"),
+        "value",
+        F.substring_index("first_key", "|", -1).alias("first_touch_type"),
+        F.substring_index("last_key", "|", -1).alias("last_touch_type"),
+    )

@@ -3883,3 +3883,29 @@ LEFT JOIN hist h ON h.profile_id = p.profile_id
   AND p.event_ms >= h.valid_from_ms
   AND (h.valid_to_ms IS NULL OR p.event_ms < h.valid_to_ms)
 """
+
+# Single-touch attribution (operators/sessions.py::purchase_attribution):
+# first/last non-conversion touch type in the trailing 24 h per purchase.
+ORACLE_SQL["purchase_attribution"] = f"""
+WITH {ENT_CTE},
+keyed AS (
+  SELECT entity_id, event_id, ts_ms, type, value,
+         CASE WHEN type <> 'purchase' THEN
+           lpad(CAST(ts_ms AS VARCHAR), 15, '0') || '|' ||
+           lpad(CAST(event_id AS VARCHAR), 12, '0') || '|' || type
+         END AS tkey
+  FROM ent
+),
+att AS (
+  SELECT *,
+         min(tkey) OVER (PARTITION BY entity_id ORDER BY ts_ms
+                         RANGE BETWEEN 86400000 PRECEDING AND 1 PRECEDING) AS first_key,
+         max(tkey) OVER (PARTITION BY entity_id ORDER BY ts_ms
+                         RANGE BETWEEN 86400000 PRECEDING AND 1 PRECEDING) AS last_key
+  FROM keyed
+)
+SELECT event_id, entity_id, ts_ms AS purchase_ms, value,
+       CASE WHEN first_key IS NOT NULL THEN split_part(first_key, '|', 3) END AS first_touch_type,
+       CASE WHEN last_key IS NOT NULL THEN split_part(last_key, '|', 3) END AS last_touch_type
+FROM att WHERE type = 'purchase'
+"""

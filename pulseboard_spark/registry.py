@@ -1789,6 +1789,10 @@ def plan_at_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_time_trait(evprof, trait_history(evprof))
 
 
+def purchase_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.purchase_attribution(entity_events(spark, sf_dir))
+
+
 def retention_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.retention_curve(entity_events(spark, sf_dir))
 
@@ -2031,6 +2035,7 @@ QUERIES: dict[str, QueryFn] = {
     "contrastive_pairs": contrastive_pairs_q,
     "canonical_sessions": canonical_sessions_q,
     "plan_at_purchase": plan_at_purchase_q,
+    "purchase_attribution": purchase_attribution_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

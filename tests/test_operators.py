@@ -2130,3 +2130,46 @@ class TestPointInTimeTrait:
         assert got["p2"].trait_value == "free" and got["p2"].version == 1
         assert got["p3"].trait_value == "pro" and got["p3"].version == 2
         assert got["p4"].trait_value == "pro"
+
+
+class TestPurchaseAttribution:
+    def test_first_last_touch_within_lookback(self, spark):
+        from pulseboard_spark.operators.sessions import purchase_attribution
+
+        rows = [
+            # entity A: view(10) -> click(20) -> purchase(30): first=view last=click
+            (1, 10, "A", "view", 0.0),
+            (2, 20, "A", "click", 0.0),
+            (3, 30, "A", "purchase", 9.5),
+            # entity A: second purchase at 35 — the FIRST purchase (30) is
+            # not a touch; first=view last=click still
+            (4, 35, "A", "purchase", 1.0),
+            # entity B: touch outside the lookback -> organic NULLs
+            (5, 0, "B", "view", 0.0),
+            (6, 500, "B", "purchase", 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_ms long, entity_id string, type string, value double"
+        )
+        got = {
+            r.event_id: r
+            for r in purchase_attribution(df, lookback_ms=100).collect()
+        }
+        assert set(got) == {3, 4, 6}
+        assert got[3].first_touch_type == "view" and got[3].last_touch_type == "click"
+        assert got[4].first_touch_type == "view" and got[4].last_touch_type == "click"
+        assert got[6].first_touch_type is None and got[6].last_touch_type is None
+
+    def test_timestamp_tie_resolves_by_event_id(self, spark):
+        from pulseboard_spark.operators.sessions import purchase_attribution
+
+        rows = [
+            (7, 10, "C", "view", 0.0),
+            (8, 10, "C", "click", 0.0),  # same ts: higher event_id wins last
+            (9, 20, "C", "purchase", 1.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_ms long, entity_id string, type string, value double"
+        )
+        r = purchase_attribution(df, lookback_ms=100).collect()[0]
+        assert r.first_touch_type == "view" and r.last_touch_type == "click"
