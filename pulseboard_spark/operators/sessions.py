@@ -408,3 +408,36 @@ def purchase_attribution(
         F.substring_index("first_key", "|", -1).alias("first_touch_type"),
         F.substring_index("last_key", "|", -1).alias("last_touch_type"),
     )
+
+
+def attribution_report(ev: DataFrame, lookback_ms: int = 86_400_000) -> DataFrame:
+    """Channel-credit rollup over :func:`purchase_attribution`: per
+    (attribution model, touch type), conversion count and total value —
+    the side-by-side comparison that shows how much credit moves between
+    channels when switching first-touch to last-touch.  Conversions with
+    no in-window touch report under 'organic'.
+
+    Value totals route through DECIMAL(27,6) then round-4 the double
+    image (the sessionize recipe), so the sum is shuffle-order-exact.
+
+    Scale: the per-conversion attribution subtree is computed once and
+    unpivoted to (model, touch) rows; the rollup output is bounded by
+    |models| x |event types|."""
+    att = purchase_attribution(ev, lookback_ms=lookback_ms)
+    long = att.select(
+        F.lit("first_touch").alias("model"),
+        F.coalesce("first_touch_type", F.lit("organic")).alias("touch_type"),
+        "value",
+    ).unionByName(
+        att.select(
+            F.lit("last_touch").alias("model"),
+            F.coalesce("last_touch_type", F.lit("organic")).alias("touch_type"),
+            "value",
+        )
+    )
+    return long.groupBy("model", "touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double"), 4
+        ).alias("total_value"),
+    )

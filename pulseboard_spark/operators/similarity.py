@@ -1352,3 +1352,42 @@ def embedding_pca(embeddings: DataFrame, k: int = 8) -> DataFrame:
     return embeddings.sparkSession.createDataFrame(
         rows, "component bigint, eigenvalue double, explained_bp bigint, cum_explained_bp bigint"
     )
+
+
+def centroid_distances(embeddings: DataFrame) -> DataFrame:
+    """Pairwise squared-L2 distance between label centroids — the
+    inter-class margin matrix of the embedding space.  Labels whose
+    centroids sit close are the confusable pairs (cf.
+    :func:`knn_label_agreement`'s instance-level view); a margin that
+    shrinks between embedding-model versions is regression signal before
+    any classifier is retrained.
+
+    Same integer micro-unit quantization as :func:`label_centroids`
+    (``duck_round(v·10⁶)`` per component, truncating-div mean), so the
+    distance Σ(mᵃ−mᵇ)² in micro² is integer-exact on both engines; the
+    per-pair sum rides DECIMAL(38,0) (diff² ≈ 10¹² per dim — int64-safe
+    at this dim count, but the decimal route keeps it safe at any).
+
+    Scale: the centroid table is |labels|·dim rows — the |labels|²·dim
+    pairwise expansion joins on ``pos`` with the tiny side broadcast;
+    the corpus itself is touched once by the centroid aggregate."""
+    triples = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        duck_round(F.col("v").cast("double") * F.lit(1000000.0), 0).cast("long").alias("vu"),
+    )
+    per_dim = (
+        triples.groupBy("label", "pos")
+        .agg(F.sum("vu").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("label", "pos", F.expr("s div n").alias("m"))
+    )
+    a = per_dim.select(F.col("label").alias("label_a"), "pos", F.col("m").alias("ma"))
+    b = per_dim.select(F.col("label").alias("label_b"), "pos", F.col("m").alias("mb"))
+    j = a.join(F.broadcast(b), "pos").filter(F.col("label_a") < F.col("label_b"))
+    d = F.col("ma") - F.col("mb")
+    return j.groupBy("label_a", "label_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.sum((d * d).cast("decimal(38,0)")).cast("long").alias("l2sq_micro2"),
+    )

@@ -3909,3 +3909,37 @@ SELECT event_id, entity_id, ts_ms AS purchase_ms, value,
        CASE WHEN last_key IS NOT NULL THEN split_part(last_key, '|', 3) END AS last_touch_type
 FROM att WHERE type = 'purchase'
 """
+
+# Attribution credit rollup (operators/sessions.py::attribution_report).
+ORACLE_SQL["attribution_report"] = f"""
+WITH att AS ({ORACLE_SQL["purchase_attribution"]}),
+long AS (
+  SELECT 'first_touch' AS model, coalesce(first_touch_type, 'organic') AS touch_type, value FROM att
+  UNION ALL
+  SELECT 'last_touch', coalesce(last_touch_type, 'organic'), value FROM att
+)
+SELECT model, touch_type,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 4) AS total_value
+FROM long
+GROUP BY model, touch_type
+"""
+
+# Inter-label centroid margin matrix
+# (operators/similarity.py::centroid_distances).
+ORACLE_SQL["centroid_distances"] = """
+WITH triples AS (
+  SELECT label, i - 1 AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vu
+  FROM embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
+),
+per_dim AS (
+  SELECT label, pos, sum(vu) // count(*) AS m
+  FROM triples GROUP BY label, pos
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       CAST(sum(CAST((a.m - b.m) * (a.m - b.m) AS DECIMAL(38,0))) AS BIGINT) AS l2sq_micro2
+FROM per_dim a JOIN per_dim b ON a.pos = b.pos AND a.label < b.label
+GROUP BY a.label, b.label
+"""

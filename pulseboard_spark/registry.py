@@ -1793,6 +1793,14 @@ def purchase_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.purchase_attribution(entity_events(spark, sf_dir))
 
 
+def attribution_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.attribution_report(entity_events(spark, sf_dir))
+
+
+def centroid_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.centroid_distances(_embs(spark, sf_dir))
+
+
 def retention_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.retention_curve(entity_events(spark, sf_dir))
 
@@ -2036,6 +2044,8 @@ QUERIES: dict[str, QueryFn] = {
     "canonical_sessions": canonical_sessions_q,
     "plan_at_purchase": plan_at_purchase_q,
     "purchase_attribution": purchase_attribution_q,
+    "attribution_report": attribution_report_q,
+    "centroid_distances": centroid_distances_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

@@ -2173,3 +2173,46 @@ class TestPurchaseAttribution:
         )
         r = purchase_attribution(df, lookback_ms=100).collect()[0]
         assert r.first_touch_type == "view" and r.last_touch_type == "click"
+
+
+class TestAttributionReport:
+    def test_credit_moves_between_models(self, spark):
+        from pulseboard_spark.operators.sessions import attribution_report
+
+        rows = [
+            (1, 10, "A", "view", 0.0),
+            (2, 20, "A", "click", 0.0),
+            (3, 30, "A", "purchase", 10.0),
+            (4, 500, "B", "purchase", 5.0),  # organic
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_ms long, entity_id string, type string, value double"
+        )
+        got = {(r.model, r.touch_type): r for r in attribution_report(df, lookback_ms=100).collect()}
+        assert got[("first_touch", "view")].n_conversions == 1
+        assert got[("first_touch", "view")].total_value == 10.0
+        assert got[("last_touch", "click")].total_value == 10.0
+        assert got[("first_touch", "organic")].n_conversions == 1
+        assert got[("last_touch", "organic")].n_conversions == 1
+        # each model fully accounts for every conversion
+        for model in ("first_touch", "last_touch"):
+            assert sum(r.n_conversions for k, r in got.items() if k[0] == model) == 2
+
+
+class TestCentroidDistances:
+    def test_margin_matrix_matches_hand_computation(self, spark):
+        from pulseboard_spark.operators.similarity import centroid_distances
+
+        rows = [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.0, 1.0], 1),
+            (4, [0.5, 0.5], 2),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        got = {(r.label_a, r.label_b): r for r in centroid_distances(df).collect()}
+        m = 1_000_000
+        assert got[(0, 1)].l2sq_micro2 == m * m + m * m
+        assert got[(0, 2)].l2sq_micro2 == (m // 2) ** 2 * 2
+        assert got[(1, 2)].l2sq_micro2 == (m // 2) ** 2 * 2
+        assert all(r.n_dims == 2 for r in got.values())
