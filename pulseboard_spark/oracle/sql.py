@@ -3943,3 +3943,30 @@ SELECT a.label AS label_a, b.label AS label_b,
 FROM per_dim a JOIN per_dim b ON a.pos = b.pos AND a.label < b.label
 GROUP BY a.label, b.label
 """
+
+# Cross-engine data-integrity audits (operators/integrity.py) — oracle
+# bodies are generated from the SAME table/relation lists the operator
+# uses, so the two sides cannot drift on the audited surface.
+from pulseboard_spark.operators.integrity import FK_RELATIONS, PK_COLUMNS
+
+def _hash_int_sql(col: str) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS UBIGINT)"
+
+ORACLE_SQL["table_checksums"] = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {pk}) AS BIGINT) AS n_distinct_keys,
+       CAST(count(*) - count(DISTINCT {pk}) AS BIGINT) AS n_dup_key_rows,
+       CAST(sum({_hash_int_sql(pk)} % 1000000000) AS BIGINT) AS key_checksum
+FROM {name}"""
+    for name, pk in PK_COLUMNS
+)
+
+ORACLE_SQL["fk_orphans"] = "\nUNION ALL\n".join(
+    f"""SELECT '{child}.{fk}->{parent}.{pk}' AS relation,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child_rows,
+       CAST((SELECT count(*) FROM {child} c
+             WHERE c.{fk} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) AS BIGINT) AS n_orphans"""
+    for child, fk, parent, pk in FK_RELATIONS
+)

@@ -1801,6 +1801,18 @@ def centroid_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.centroid_distances(_embs(spark, sf_dir))
 
 
+def table_checksums_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.operators import integrity
+
+    return integrity.table_checksums(integrity.load_audit_tables(spark, sf_dir))
+
+
+def fk_orphans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.operators import integrity
+
+    return integrity.fk_orphans(integrity.load_audit_tables(spark, sf_dir))
+
+
 def retention_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.retention_curve(entity_events(spark, sf_dir))
 
@@ -2046,6 +2058,8 @@ QUERIES: dict[str, QueryFn] = {
     "purchase_attribution": purchase_attribution_q,
     "attribution_report": attribution_report_q,
     "centroid_distances": centroid_distances_q,
+    "table_checksums": table_checksums_q,
+    "fk_orphans": fk_orphans_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

@@ -2216,3 +2216,48 @@ class TestCentroidDistances:
         assert got[(0, 2)].l2sq_micro2 == (m // 2) ** 2 * 2
         assert got[(1, 2)].l2sq_micro2 == (m // 2) ** 2 * 2
         assert all(r.n_dims == 2 for r in got.values())
+
+
+class TestIntegrityAudits:
+    def test_checksum_flags_dup_and_changed_key(self, spark):
+        from pulseboard_spark.operators.integrity import PK_COLUMNS, table_checksums
+
+        tables = {name: None for name, _ in PK_COLUMNS}
+        for name, pk in PK_COLUMNS:
+            tables[name] = spark.createDataFrame([(1,), (2,), (3,)], f"{pk} long")
+        clean = {r.table_name: r for r in table_checksums(tables).collect()}
+        assert all(r.n_dup_key_rows == 0 for r in clean.values())
+        # duplicate one orders key and swap a customer key: checksum moves
+        tables["orders"] = spark.createDataFrame([(1,), (2,), (2,)], "o_orderkey long")
+        tables["customer"] = spark.createDataFrame([(1,), (2,), (9,)], "c_custkey long")
+        dirty = {r.table_name: r for r in table_checksums(tables).collect()}
+        assert dirty["orders"].n_dup_key_rows == 1
+        assert dirty["orders"].n_distinct_keys == 2
+        assert dirty["customer"].key_checksum != clean["customer"].key_checksum
+        assert dirty["region"].key_checksum == clean["region"].key_checksum
+
+    def test_fk_orphans_counts_null_safe(self, spark):
+        from pulseboard_spark.operators.integrity import fk_orphans
+
+        tables = {
+            "region": spark.createDataFrame([(1,), (2,)], "r_regionkey long"),
+            "nation": spark.createDataFrame(
+                [(10, 1), (11, 2), (12, 99), (13, None)],
+                "n_nationkey long, n_regionkey long",
+            ),
+            "customer": spark.createDataFrame([(100, 10)], "c_custkey long, c_nationkey long"),
+            "supplier": spark.createDataFrame([(200, 12)], "s_suppkey long, s_nationkey long"),
+            "orders": spark.createDataFrame([(300, 100)], "o_orderkey long, o_custkey long"),
+            "part": spark.createDataFrame([(400,)], "p_partkey long"),
+            "lineitem": spark.createDataFrame(
+                [(300, 400, 200), (301, 401, 200)],
+                "l_orderkey long, l_partkey long, l_suppkey long",
+            ),
+        }
+        got = {r.relation: r for r in fk_orphans(tables).collect()}
+        rel = "nation.n_regionkey->region.r_regionkey"
+        # 99 is an orphan; the NULL FK is NOT (SQL semantics)
+        assert got[rel].n_orphans == 1 and got[rel].n_child_rows == 4
+        assert got["lineitem.l_orderkey->orders.o_orderkey"].n_orphans == 1
+        assert got["lineitem.l_partkey->part.p_partkey"].n_orphans == 1
+        assert got["lineitem.l_suppkey->supplier.s_suppkey"].n_orphans == 0
