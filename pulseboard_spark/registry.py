@@ -2016,9 +2016,20 @@ QUERIES: dict[str, QueryFn] = {
     "event_transitions": event_transitions_q,
     "component_sizes": component_sizes_q,
     # ---- driver window boundary (50) ----
-    # Everything below has >= 1 green driver row (r01-r03) or is
-    # rows-only by design.  After r04 lands green, the rotation backlog
-    # is EMPTY: all oracle-checked queries carry driver evidence.
+    # Everything below has >= 1 green driver row (r01-r03), is queued
+    # for the r05 rotation, or is rows-only by design.
+    #
+    # R05 ROTATION PLAN (apply as round 5's opening move, exactly like
+    # r04's): move the "new in round 4, below the window" block — the
+    # wave-1-3 queue (doc_repetition .. cluster_size_histogram) PLUS the
+    # session-2 wave (containment_pairs, mixture_plan,
+    # quality_calibration, contrastive_pairs, canonical_sessions,
+    # plan_at_purchase, purchase_attribution, attribution_report,
+    # centroid_distances, table_checksums, fk_orphans) — into the
+    # front-50, topped up with r03/r04-green anchors.  All of them are
+    # oracle-checked and strict-parity green at sf0.01 AND sf0.1 on this
+    # tree; rows-only queries NEVER take window slots (the driver records
+    # them as no_oracle errs — the r03 lesson).
     # — rows-only (approximate / iterative; pinned by tests + exact
     #   twins, deliberately kept out of the hash window) —
     "ann_topk": ann_topk_q,  # approximate — exact twin is similarity_topk
