@@ -83,6 +83,8 @@ HEADLINE = [
     "video_frame_features",
     "doc_lm_score",
     "cdp_trait_fidelity",
+    "purchase_attribution",
+    "canonical_sessions",
 ]
 
 

@@ -26,6 +26,7 @@ by watermark downstream.
 
 from __future__ import annotations
 
+import bisect
 from collections.abc import Iterator
 from typing import Any
 
@@ -796,6 +797,101 @@ def burst_stateful(entity_stream: DataFrame, set_watermark: bool = True) -> Data
         _emit_bursts,
         outputStructType=BURST_SCHEMA,
         stateStructType=_BURST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ATTRIBUTION_SCHEMA = (
+    "entity_id string, event_id bigint, purchase_ms bigint, value double,"
+    " first_touch_type string, last_touch_type string"
+)
+#: CSV of zero-padded "ts|event_id|type" touch keys still inside the
+#: lookback horizon of the newest event seen (lexicographic order on the
+#: padded keys == (ts, event_id) order, the batch operator's tie-break).
+_ATTRIBUTION_STATE_SCHEMA = "touch_keys string, max_ts bigint"
+
+_ATTR_LOOKBACK_MS = 86_400_000
+
+
+def _touch_key(ts_ms: int, event_id: int, typ: str) -> str:
+    return f"{ts_ms:015d}|{event_id:012d}|{typ}"
+
+
+def _emit_attribution(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-entity online first/last-touch attribution with the batch
+    operator's exact RANGE-frame semantics: a purchase is attributed to
+    the min/max zero-padded touch key with ts in
+    ``[purchase_ts - lookback, purchase_ts - 1]`` — strictly before the
+    purchase's own timestamp, ties resolved by event_id via the padded
+    key, identical to `operators/sessions.purchase_attribution`.
+
+    State is the touch keys inside the lookback of the newest event seen
+    (O(events-in-window) per entity, the same bound as W5's exact
+    trailing windows); pruning against the NEWEST ts keeps a within-
+    watermark late purchase attributable, since the watermark (120 s) is
+    far inside the 24 h lookback."""
+    (entity_id,) = key
+    if state.exists:
+        keys_s, max_ts = state.get
+        touches = keys_s.split(",") if keys_s else []
+        max_ts = int(max_ts)
+    else:
+        touches, max_ts = [], -1
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_ms", "event_id"], kind="mergesort"
+    )
+    out = {"event_id": [], "purchase_ms": [], "value": [],
+           "first_touch_type": [], "last_touch_type": []}
+    for ts_ms, event_id, typ, value in zip(
+        batch["ts_ms"].tolist(), batch["event_id"].tolist(),
+        batch["type"].tolist(), batch["value"].tolist(),
+    ):
+        if typ == "purchase":
+            lo = f"{max(ts_ms - _ATTR_LOOKBACK_MS, 0):015d}|"
+            hi = f"{ts_ms:015d}|"
+            eligible = [k for k in touches if lo <= k < hi]
+            first = eligible[0] if eligible else None
+            last = eligible[-1] if eligible else None
+            out["event_id"].append(event_id)
+            out["purchase_ms"].append(ts_ms)
+            out["value"].append(value)
+            out["first_touch_type"].append(first.rsplit("|", 1)[1] if first else None)
+            out["last_touch_type"].append(last.rsplit("|", 1)[1] if last else None)
+        else:
+            # insert in sorted position (a within-watermark late touch
+            # lands mid-list, still visible to future purchases)
+            bisect.insort(touches, _touch_key(ts_ms, event_id, typ))
+        max_ts = max(max_ts, ts_ms)
+    horizon = f"{max(max_ts - _ATTR_LOOKBACK_MS, 0):015d}|"
+    touches = [k for k in touches if k >= horizon]
+    state.update((",".join(touches), int(max_ts)))
+    if out["event_id"]:
+        yield pd.DataFrame(
+            {
+                "entity_id": entity_id,
+                "event_id": pd.Series(out["event_id"], dtype="int64"),
+                "purchase_ms": pd.Series(out["purchase_ms"], dtype="int64"),
+                "value": pd.Series(out["value"], dtype="float64"),
+                "first_touch_type": pd.Series(out["first_touch_type"], dtype="object"),
+                "last_touch_type": pd.Series(out["last_touch_type"], dtype="object"),
+            }
+        )
+
+
+def attribution_stateful(entity_stream: DataFrame, set_watermark: bool = True) -> DataFrame:
+    """Streaming twin of `operators/sessions.purchase_attribution`:
+    first/last-touch attribution emitted per purchase as it arrives,
+    with keyed touch state bounded by the lookback window.  Pinned
+    row-identical to the batch operator by
+    ``test_streaming_attribution_matches_batch``."""
+    if set_watermark:
+        entity_stream = entity_stream.withWatermark("ts", "120 seconds")
+    narrow = entity_stream.select("entity_id", "ts", "ts_ms", "event_id", "type", "value")
+    return narrow.groupBy("entity_id").applyInPandasWithState(
+        _emit_attribution,
+        outputStructType=ATTRIBUTION_SCHEMA,
+        stateStructType=_ATTRIBUTION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -860,3 +860,39 @@ def test_streaming_burst_matches_batch(spark, sf_dir, entity_chunks_dir):
     }
     assert got == want
     assert len(got) > 0, "replay must close at least one hour per type"
+
+
+def test_streaming_attribution_matches_batch(spark, sf_dir, entity_chunks_dir):
+    """Streaming first/last-touch attribution (touch-key state bounded by
+    the lookback) must reproduce the batch RANGE-frame operator
+    row-for-row: every purchase is attributed once, with identical
+    first/last touch types, across chunked delivery."""
+    from pulseboard_spark.operators.sessions import purchase_attribution
+    from pulseboard_spark.streaming.stateful import attribution_stateful
+
+    out, schema = entity_chunks_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{out}/chunk=*")
+    )
+    q = (
+        attribution_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stream_attr")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.event_id: (r.entity_id, r.purchase_ms, r.first_touch_type, r.last_touch_type)
+        for r in spark.sql("SELECT * FROM stream_attr").collect()
+    }
+    want = {
+        r.event_id: (r.entity_id, r.purchase_ms, r.first_touch_type, r.last_touch_type)
+        for r in purchase_attribution(entity_events(spark, sf_dir)).collect()
+    }
+    assert got == want
