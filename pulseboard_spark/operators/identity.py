@@ -638,3 +638,27 @@ def canonical_sessions(evprof: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataF
             "n_identifiers",
         )
     )
+
+
+def dup_audit(cdp: DataFrame) -> DataFrame:
+    """Duplicate-event audit over the RAW (pre-dedup) CDP stream: per
+    event class, how many rows arrive, how many distinct eventIds they
+    carry, and the duplicate rate in ppm — the observability W1's dedup
+    layer needs (the reference's simulator injects ~5% duplicate
+    eventIds by design, `ingest/Simulator.kt:392-398`; this table is how
+    an operator verifies the pipeline actually sees and absorbs them).
+
+    One map-side-combined aggregate; the distinct-event count keys the
+    shuffle on (ctype, event_id), the same distributed shape as
+    profile_table's census."""
+    per = cdp.groupBy("ctype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("event_id").cast("long").alias("n_distinct_events"),
+    )
+    return per.select(
+        "ctype",
+        "n_rows",
+        "n_distinct_events",
+        (F.col("n_rows") - F.col("n_distinct_events")).alias("n_dup_rows"),
+        F.expr("((n_rows - n_distinct_events) * 1000000) div n_rows").alias("dup_rate_ppm"),
+    )

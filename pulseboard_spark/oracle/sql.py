@@ -3970,3 +3970,17 @@ ORACLE_SQL["fk_orphans"] = "\nUNION ALL\n".join(
                AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) AS BIGINT) AS n_orphans"""
     for child, fk, parent, pk in FK_RELATIONS
 )
+
+# Raw-stream duplicate audit (operators/identity.py::dup_audit): the
+# reference injects ~5% duplicate eventIds (Simulator.kt:392-398); this
+# measures what W1's dedup actually absorbs, per event class.
+ORACLE_SQL["cdp_dup_audit"] = f"""
+WITH {CDP_CTE}
+SELECT ctype,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dup_rows,
+       CAST(((count(*) - count(DISTINCT event_id)) * 1000000) // count(*) AS BIGINT) AS dup_rate_ppm
+FROM cdp
+GROUP BY ctype
+"""

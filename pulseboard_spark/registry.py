@@ -1813,6 +1813,12 @@ def fk_orphans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return integrity.fk_orphans(integrity.load_audit_tables(spark, sf_dir))
 
 
+def cdp_dup_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.operators.identity import dup_audit
+
+    return dup_audit(cdp_events(spark, sf_dir))
+
+
 def retention_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.retention_curve(entity_events(spark, sf_dir))
 
@@ -2071,6 +2077,7 @@ QUERIES: dict[str, QueryFn] = {
     "centroid_distances": centroid_distances_q,
     "table_checksums": table_checksums_q,
     "fk_orphans": fk_orphans_q,
+    "cdp_dup_audit": cdp_dup_audit_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

@@ -2261,3 +2261,19 @@ class TestIntegrityAudits:
         assert got["lineitem.l_orderkey->orders.o_orderkey"].n_orphans == 1
         assert got["lineitem.l_partkey->part.p_partkey"].n_orphans == 1
         assert got["lineitem.l_suppkey->supplier.s_suppkey"].n_orphans == 0
+
+
+class TestDupAudit:
+    def test_injected_duplicates_measured(self, spark, sf_dir):
+        from pulseboard_spark.operators.identity import dup_audit
+        from pulseboard_spark.sources.tables import cdp_events
+
+        rows = {r.ctype: r for r in dup_audit(cdp_events(spark, sf_dir)).collect()}
+        total = sum(r.n_rows for r in rows.values())
+        dups = sum(r.n_dup_rows for r in rows.values())
+        # generator injects k%20==0 twice: ~5% of the raw stream, the
+        # reference simulator's design rate
+        assert 0.02 <= dups / total <= 0.08
+        for r in rows.values():
+            assert r.n_rows == r.n_distinct_events + r.n_dup_rows
+            assert r.dup_rate_ppm == (r.n_dup_rows * 1_000_000) // r.n_rows
