@@ -192,8 +192,13 @@ def containment_pairs(
     minima with the container, so candidates surface as long as the
     band collision fires; fully general containment search would swap
     the symmetric signature for a bottom-k sketch of the smaller side,
-    the documented 100 TB extension); the flag and ratio arithmetic
-    are row-local on the pair table."""
+    the documented 100 TB extension).  The flag and ratio arithmetic are
+    row-local on the pair table, but splitting min/max sides needs the
+    per-doc shingle counts, which the pair surface doesn't carry — that
+    re-derives the shingle aggregate (warm via minhash_near_dups'
+    session cache; cold if ``pairs`` came from disk).  Surfacing n_a/n_b
+    on the pair graph would make this fully row-local, at the cost of
+    changing the driver-hashed dedup_minhash surface — deferred."""
     if pairs is None:
         pairs = minhash_near_dups(documents)
     # the symmetric pair surface carries n_common/n_union but not the

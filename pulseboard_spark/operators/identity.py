@@ -607,17 +607,11 @@ def canonical_sessions(evprof: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataF
     broadcast join) and the memoized component fixpoint; here one
     shuffle on profile_id serves both the ordering window and the
     session rollup."""
+    from pulseboard_spark.operators.sessions import session_numbers
+
     pid = F.coalesce(F.col("nuser"), F.col("nanon"), F.col("nemail"))
     base = evprof.select("profile_id", "event_id", "ts_ms", pid.alias("rid"))
-    w = Window.partitionBy("profile_id").orderBy("ts_ms", "event_id")
-    prev_ts = F.lag("ts_ms").over(w)
-    is_new = (
-        prev_ts.isNull() | ((F.col("ts_ms") - prev_ts) > F.lit(int(gap_ms)))
-    ).cast("long")
-    run = Window.partitionBy("profile_id").orderBy("ts_ms", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    s = base.withColumn("_new", is_new).withColumn("session_no", F.sum("_new").over(run))
+    s = session_numbers(base, "profile_id", gap_ms)
     return (
         s.groupBy("profile_id", "session_no")
         .agg(

@@ -21,29 +21,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pulseboard_spark.audit_spec import FK_RELATIONS, PK_COLUMNS
 from pulseboard_spark.operators.sampling import hash_int
 
-#: (table, primary-key column) — every relational table in the contract.
-PK_COLUMNS = [
-    ("region", "r_regionkey"),
-    ("nation", "n_nationkey"),
-    ("customer", "c_custkey"),
-    ("supplier", "s_suppkey"),
-    ("part", "p_partkey"),
-    ("orders", "o_orderkey"),
-    ("documents", "doc_id"),
-    ("embeddings", "vec_id"),
-]
-
-#: (child table, FK column, parent table, PK column).
-FK_RELATIONS = [
-    ("nation", "n_regionkey", "region", "r_regionkey"),
-    ("customer", "c_nationkey", "nation", "n_nationkey"),
-    ("supplier", "s_nationkey", "nation", "n_nationkey"),
-    ("orders", "o_custkey", "customer", "c_custkey"),
-    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+__all__ = [
+    "FK_RELATIONS",
+    "PK_COLUMNS",
+    "fk_orphans",
+    "load_audit_tables",
+    "table_checksums",
 ]
 
 

@@ -543,9 +543,11 @@ def contrastive_pairs(
     Scale: positives ride the shared MinHash pair graph (no new candidate
     generation); negative pairing is one window over hash buckets
     (balanced by construction) and one anti-join on the pair key.  All
-    decisions are deterministic — re-running on a grown corpus keeps
-    every previously emitted pair with the same label unless new
-    evidence (a new candidate pair) flips it out of the negative set.
+    decisions are deterministic given a corpus: the same input always
+    yields the same pairs.  Positives are append-stable under corpus
+    growth; NEGATIVES are not — a new doc landing between two bucket
+    neighbors rewires the lead() pairing — so a consumer that needs a
+    frozen training set snapshots this output rather than re-deriving it.
     """
     from pyspark.sql import Window
 

@@ -58,10 +58,21 @@ def profile_table(df: DataFrame, approx: bool = False, rsd: float = 0.05) -> Dat
         ).alias("n_nonnull"),
         F.count("v").alias("n_distinct"),
     )
-    names = F.array(*[F.lit(c) for c in cols])
-    return per.select(
-        F.element_at(names, F.col("i") + 1).alias("column_name"),
-        "n_rows",
-        "n_nonnull",
-        "n_distinct",
+    # names scaffold (|columns| literal rows, broadcast-joined): an EMPTY
+    # table explodes to zero pairs, but the census contract — like the
+    # wide-agg form, the approx path, and the oracle's N UNION branches —
+    # is one all-zeros row per column, not a vanishing schema.
+    names_df = df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cols)], "i int, column_name string"
+    )
+    return (
+        # broadcast the aggregated (right) side — the preserved side of a
+        # left join cannot be the broadcast side
+        names_df.join(F.broadcast(per), "i", "left")
+        .select(
+            "column_name",
+            F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce("n_nonnull", F.lit(0)).cast("long").alias("n_nonnull"),
+            F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        )
     )

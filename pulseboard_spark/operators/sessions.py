@@ -30,6 +30,30 @@ from pyspark.sql import functions as F
 DAY_MS = 86_400_000
 
 
+def session_numbers(
+    df: DataFrame, key: str, gap_ms: int
+) -> DataFrame:
+    """THE gap-session boundary definition, single-sourced: a new session
+    opens when the gap to the key's previous event (ordered by
+    (ts_ms, event_id)) is STRICTLY greater than ``gap_ms``.  Adds a
+    per-key 1-based ``session_no``.  Shared by :func:`sessionize` and
+    `operators/identity.canonical_sessions` so the boundary rule cannot
+    drift between the device-keyed and identity-stitched views."""
+    w = Window.partitionBy(key).orderBy("ts_ms", "event_id")
+    prev_ts = F.lag("ts_ms").over(w)
+    is_new = (
+        prev_ts.isNull() | ((F.col("ts_ms") - prev_ts) > F.lit(int(gap_ms)))
+    ).cast("long")
+    run = Window.partitionBy(key).orderBy("ts_ms", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.withColumn("_new", is_new)
+        .withColumn("session_no", F.sum("_new").over(run))
+        .drop("_new")
+    )
+
+
 def sessionize(
     ev: DataFrame,
     key: str = "entity_id",
@@ -42,17 +66,7 @@ def sessionize(
     session: session_id, entity_id, session_start_ms, session_end_ms,
     duration_ms, n_events, sum_value.
     """
-    w = Window.partitionBy(key).orderBy("ts_ms", "event_id")
-    prev_ts = F.lag("ts_ms").over(w)
-    is_new = (
-        prev_ts.isNull() | ((F.col("ts_ms") - prev_ts) > F.lit(gap_ms))
-    ).cast("long")
-    run = Window.partitionBy(key).orderBy("ts_ms", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    with_sess = ev.withColumn("_new", is_new).withColumn(
-        "session_no", F.sum("_new").over(run)
-    )
+    with_sess = session_numbers(ev, key, gap_ms)
     return (
         with_sess.groupBy(key, "session_no")
         .agg(
@@ -400,13 +414,17 @@ def purchase_attribution(
         .withColumn("first_key", F.min("_tkey").over(w))
         .withColumn("last_key", F.max("_tkey").over(w))
     )
+    # 3rd '|'-field (not "after the last pipe"), so a type that ever
+    # contained the delimiter would parse identically to the oracle's
+    # split_part(key, '|', 3) — same cross-engine image either way
+    touch_type = lambda c: F.element_at(F.split(F.col(c), "\\|"), 3)  # noqa: E731
     return enriched.filter(F.col("type") == target_type).select(
         "event_id",
         "entity_id",
         F.col("ts_ms").alias("purchase_ms"),
         "value",
-        F.substring_index("first_key", "|", -1).alias("first_touch_type"),
-        F.substring_index("last_key", "|", -1).alias("last_touch_type"),
+        touch_type("first_key").alias("first_touch_type"),
+        touch_type("last_key").alias("last_touch_type"),
     )
 
 
@@ -424,16 +442,24 @@ def attribution_report(ev: DataFrame, lookback_ms: int = 86_400_000) -> DataFram
     unpivoted to (model, touch) rows; the rollup output is bounded by
     |models| x |event types|."""
     att = purchase_attribution(ev, lookback_ms=lookback_ms)
-    long = att.select(
-        F.lit("first_touch").alias("model"),
-        F.coalesce("first_touch_type", F.lit("organic")).alias("touch_type"),
-        "value",
-    ).unionByName(
-        att.select(
-            F.lit("last_touch").alias("model"),
-            F.coalesce("last_touch_type", F.lit("organic")).alias("touch_type"),
-            "value",
+    # unpivot via explode so the attribution window subtree executes
+    # ONCE — a union of two selects would duplicate the whole
+    # scan+window plan (Catalyst reuses identical Exchanges, not
+    # arbitrary common subtrees)
+    models = F.explode(
+        F.array(
+            F.struct(
+                F.lit("first_touch").alias("model"),
+                F.coalesce("first_touch_type", F.lit("organic")).alias("touch_type"),
+            ),
+            F.struct(
+                F.lit("last_touch").alias("model"),
+                F.coalesce("last_touch_type", F.lit("organic")).alias("touch_type"),
+            ),
         )
+    )
+    long = att.select(models.alias("m"), "value").select(
+        F.col("m.model").alias("model"), F.col("m.touch_type").alias("touch_type"), "value"
     )
     return long.groupBy("model", "touch_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_conversions"),

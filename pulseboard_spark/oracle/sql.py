@@ -3946,8 +3946,9 @@ GROUP BY a.label, b.label
 
 # Cross-engine data-integrity audits (operators/integrity.py) — oracle
 # bodies are generated from the SAME table/relation lists the operator
-# uses, so the two sides cannot drift on the audited surface.
-from pulseboard_spark.operators.integrity import FK_RELATIONS, PK_COLUMNS
+# uses (audit_spec is dependency-free, so this module stays importable
+# without pyspark), so the two sides cannot drift on the audited surface.
+from pulseboard_spark.audit_spec import FK_RELATIONS, PK_COLUMNS
 
 def _hash_int_sql(col: str) -> str:
     return f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS UBIGINT)"

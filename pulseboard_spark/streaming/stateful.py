@@ -828,9 +828,13 @@ def _emit_attribution(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState)
 
     State is the touch keys inside the lookback of the newest event seen
     (O(events-in-window) per entity, the same bound as W5's exact
-    trailing windows); pruning against the NEWEST ts keeps a within-
-    watermark late purchase attributable, since the watermark (120 s) is
-    far inside the 24 h lookback."""
+    trailing windows).  The prune horizon is ``newest ts − lookback −
+    watermark``: a purchase may arrive up to the watermark (120 s) late,
+    and its own window reaches ``its`` ts − lookback — pruning against
+    the newest ts alone would drop exactly that watermark-wide sliver of
+    old touches.  A late TOUCH arriving after a newer purchase already
+    emitted cannot retro-change it (append mode) — the one documented
+    batch/stream difference, bounded by the watermark."""
     (entity_id,) = key
     if state.exists:
         keys_s, max_ts = state.get
@@ -856,14 +860,18 @@ def _emit_attribution(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState)
             out["event_id"].append(event_id)
             out["purchase_ms"].append(ts_ms)
             out["value"].append(value)
-            out["first_touch_type"].append(first.rsplit("|", 1)[1] if first else None)
-            out["last_touch_type"].append(last.rsplit("|", 1)[1] if last else None)
+            # 3rd '|'-field, matching the batch Spark expression and the
+            # DuckDB oracle's split_part(key, '|', 3) exactly
+            out["first_touch_type"].append(first.split("|")[2] if first else None)
+            out["last_touch_type"].append(last.split("|")[2] if last else None)
         else:
             # insert in sorted position (a within-watermark late touch
             # lands mid-list, still visible to future purchases)
             bisect.insort(touches, _touch_key(ts_ms, event_id, typ))
         max_ts = max(max_ts, ts_ms)
-    horizon = f"{max(max_ts - _ATTR_LOOKBACK_MS, 0):015d}|"
+    # keep a watermark of slack past the lookback so a late purchase
+    # (<= 120 s, the stream's watermark) still finds its window's head
+    horizon = f"{max(max_ts - _ATTR_LOOKBACK_MS - 120_000, 0):015d}|"
     touches = [k for k in touches if k >= horizon]
     state.update((",".join(touches), int(max_ts)))
     if out["event_id"]:

@@ -2277,3 +2277,14 @@ class TestDupAudit:
         for r in rows.values():
             assert r.n_rows == r.n_distinct_events + r.n_dup_rows
             assert r.dup_rate_ppm == (r.n_dup_rows * 1_000_000) // r.n_rows
+
+
+class TestProfileEmptyTable:
+    def test_empty_table_keeps_one_row_per_column(self, spark):
+        from pulseboard_spark.operators.profiling import profile_table
+
+        df = spark.createDataFrame([], "a long, b string, c double")
+        got = {r.column_name: r for r in profile_table(df).collect()}
+        assert set(got) == {"a", "b", "c"}
+        for r in got.values():
+            assert (r.n_rows, r.n_nonnull, r.n_distinct) == (0, 0, 0)

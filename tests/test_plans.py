@@ -511,3 +511,26 @@ def test_split_leakage_reuses_pair_silver(spark, sf_dir):
     # text column would mean the MinHash pipeline is being rebuilt
     for schema in _read_schemas(plan):
         assert "text" not in schema, f"corpus text rescanned: {schema}"
+
+
+def test_mixture_plan_single_corpus_scan(spark, sf_dir):
+    """mixture_plan reduces the corpus once; every later step (fair share,
+    caps, water-filling) must run over the |sources|-row table only."""
+    plan = _plan(spark, sf_dir, "mixture_plan")
+    assert plan.count("FileScan parquet") == 1, "allocation math must not rescan the corpus"
+    assert not PY_NODES.search(plan)
+
+
+def test_contrastive_pairs_no_cartesian(spark, sf_dir):
+    """Negative mining must stay a window + anti-join — never a cross
+    product over documents."""
+    plan = _plan(spark, sf_dir, "contrastive_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not PY_NODES.search(plan)
+
+
+def test_quality_calibration_rollup_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "quality_calibration")
+    assert "CartesianProduct" not in plan
+    assert not PY_NODES.search(plan)
