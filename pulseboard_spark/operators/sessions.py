@@ -467,3 +467,51 @@ def attribution_report(ev: DataFrame, lookback_ms: int = 86_400_000) -> DataFram
             F.sum(F.col("value").cast("decimal(27,6)")).cast("double"), 4
         ).alias("total_value"),
     )
+
+
+def cohort_ltv(ev: DataFrame, week_ms: int = 604_800_000) -> DataFrame:
+    """Cohort lifetime-value curve: users are cohorted by their first-ever
+    event week; for each (cohort_week, week_offset) the table reports how
+    many cohort members were active that week, the week's purchase
+    revenue, and the cohort's CUMULATIVE revenue up to that offset — the
+    LTV curve a growth model reads off directly (pairs with
+    `retention_curve`'s activity-only view).
+
+    Revenue sums ride DECIMAL(27,6) end-to-end — including the cumulative
+    window — and only the final surface rounds to a double image, so the
+    running totals are shuffle-order-exact on both engines.
+
+    Scale: one shuffle keys (entity, week) partial sums; the cohort join
+    broadcasts the |users|-row first-week table; every window after that
+    runs over the |cohorts|x|offsets| grid, never the event stream."""
+    week = F.expr(f"ts_ms div {int(week_ms)}").alias("week")
+    per_uw = (
+        ev.select("entity_id", week, "type", "value")
+        .groupBy("entity_id", "week")
+        .agg(
+            F.sum(
+                F.when(F.col("type") == "purchase", F.col("value"))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(27,6)")
+            ).alias("wk_value")
+        )
+    )
+    firsts = per_uw.groupBy("entity_id").agg(F.min("week").alias("cohort_week"))
+    grid = (
+        per_uw.join(F.broadcast(firsts), "entity_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(
+            F.countDistinct("entity_id").cast("long").alias("n_active"),
+            F.sum("wk_value").alias("_rev"),
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+        F.round(F.sum("_rev").over(w).cast("double"), 4).alias("cum_revenue"),
+    )

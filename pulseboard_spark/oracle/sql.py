@@ -3985,3 +3985,29 @@ SELECT ctype,
 FROM cdp
 GROUP BY ctype
 """
+
+# Cohort LTV curve (operators/sessions.py::cohort_ltv): cumulative
+# revenue per first-week cohort by week offset; decimal-routed sums.
+ORACLE_SQL["cohort_ltv"] = f"""
+WITH {ENT_CTE},
+per_uw AS (
+  SELECT entity_id, ts_ms // 604800000 AS week,
+         sum(CAST(CASE WHEN type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(27,6))) AS wk_value
+  FROM ent GROUP BY entity_id, ts_ms // 604800000
+),
+firsts AS (SELECT entity_id, min(week) AS cohort_week FROM per_uw GROUP BY entity_id),
+grid AS (
+  SELECT f.cohort_week, p.week - f.cohort_week AS week_offset,
+         count(DISTINCT p.entity_id) AS n_active,
+         sum(p.wk_value) AS rev
+  FROM per_uw p JOIN firsts f USING (entity_id)
+  GROUP BY f.cohort_week, p.week - f.cohort_week
+)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       round(CAST(rev AS DOUBLE), 4) AS revenue,
+       round(CAST(sum(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS cum_revenue
+FROM grid
+"""

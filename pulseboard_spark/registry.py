@@ -1819,6 +1819,10 @@ def cdp_dup_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_audit(cdp_events(spark, sf_dir))
 
 
+def cohort_ltv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.cohort_ltv(entity_events(spark, sf_dir))
+
+
 def retention_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.retention_curve(entity_events(spark, sf_dir))
 
@@ -2078,6 +2082,7 @@ QUERIES: dict[str, QueryFn] = {
     "table_checksums": table_checksums_q,
     "fk_orphans": fk_orphans_q,
     "cdp_dup_audit": cdp_dup_audit_q,
+    "cohort_ltv": cohort_ltv_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

@@ -2288,3 +2288,27 @@ class TestProfileEmptyTable:
         assert set(got) == {"a", "b", "c"}
         for r in got.values():
             assert (r.n_rows, r.n_nonnull, r.n_distinct) == (0, 0, 0)
+
+
+class TestCohortLtv:
+    def test_cumulative_curve_and_cohorting(self, spark):
+        from pulseboard_spark.operators.sessions import cohort_ltv
+
+        wk = 604_800_000
+        rows = [
+            # user A: first week 0; buys in weeks 0 and 2
+            (1, 0, "A", "purchase", 10.0),
+            (2, 1 * wk, "A", "view", 0.0),
+            (3, 2 * wk, "A", "purchase", 5.0),
+            # user B: first week 1 (its own cohort); buys in week 1
+            (4, 1 * wk, "B", "purchase", 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_ms long, entity_id string, type string, value double"
+        )
+        got = {(r.cohort_week, r.week_offset): r for r in cohort_ltv(df).collect()}
+        assert got[(0, 0)].revenue == 10.0 and got[(0, 0)].cum_revenue == 10.0
+        assert got[(0, 1)].revenue == 0.0 and got[(0, 1)].cum_revenue == 10.0
+        assert got[(0, 2)].revenue == 5.0 and got[(0, 2)].cum_revenue == 15.0
+        assert got[(1, 0)].revenue == 7.0 and got[(1, 0)].cum_revenue == 7.0
+        assert got[(0, 0)].n_active == 1 and got[(1, 0)].n_active == 1
