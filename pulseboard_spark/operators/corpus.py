@@ -518,3 +518,41 @@ def mixture_plan(
         "epochs_ppm",
         F.expr("(alloc_tokens * 1000000) div greatest(avail_tokens, 1)"),
     )
+
+
+def doc_chunks(
+    documents: DataFrame, chunk_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """RAG-indexing chunk plan: split each document into overlapping
+    token windows (``chunk_tokens`` wide, ``stride`` apart — the standard
+    sliding-window chunker an embedding index ingests).  Surfaces chunk
+    METADATA plus a deterministic md5 of the chunk text (the join key an
+    index builder / dedup pass uses), not the text itself — the driver
+    surface stays narrow and scalar.
+
+    Chunks start at every ``k·stride < n_tokens``, so every token is
+    covered and the final chunk may be short: n_chunks =
+    ``(n−1) div stride + 1``.  Token-free docs emit nothing.
+
+    Scale: one narrow pass — tokens, a per-row ``sequence`` explode, and
+    row-local slicing/hashing; no shuffle at all (the chunker is the
+    map side of whatever index build follows)."""
+    toks = ws_tokens(F.lower(F.col("text")))
+    base = documents.select("doc_id", toks.alias("_t")).withColumn(
+        "_n", F.size("_t")
+    ).filter(F.col("_n") > 0)
+    chunk_no = F.explode(
+        F.sequence(F.lit(0), F.expr(f"(_n - 1) div {int(stride)}"))
+    )
+    start = F.col("chunk_no") * stride
+    piece = F.slice(F.col("_t"), start + 1, chunk_tokens)
+    return (
+        base.select("doc_id", chunk_no.alias("chunk_no"), "_t", "_n")
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            start.cast("long").alias("start_token"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - start).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+        )
+    )

@@ -4011,3 +4011,23 @@ SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS cum_revenue
 FROM grid
 """
+
+# RAG chunk plan (operators/corpus.py::doc_chunks): 64-token windows at
+# stride 48, metadata + md5 of the chunk text.
+ORACLE_SQL["doc_chunks"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, t, len(t) AS n, u.i AS chunk_no
+  FROM toks, UNNEST(generate_series(0, (len(t) - 1) // 48)) AS u(i)
+  WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(chunk_no AS BIGINT) AS chunk_no,
+       CAST(chunk_no * 48 AS BIGINT) AS start_token,
+       CAST(least(64, n - chunk_no * 48) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(t, chunk_no * 48 + 1, chunk_no * 48 + 64), ' ')) AS chunk_hash
+FROM ex
+"""

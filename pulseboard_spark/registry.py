@@ -1823,6 +1823,10 @@ def cohort_ltv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.cohort_ltv(entity_events(spark, sf_dir))
 
 
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.doc_chunks(_docs(spark, sf_dir))
+
+
 def retention_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.retention_curve(entity_events(spark, sf_dir))
 
@@ -2083,6 +2087,7 @@ QUERIES: dict[str, QueryFn] = {
     "fk_orphans": fk_orphans_q,
     "cdp_dup_audit": cdp_dup_audit_q,
     "cohort_ltv": cohort_ltv_q,
+    "doc_chunks": doc_chunks_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

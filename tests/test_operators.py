@@ -2312,3 +2312,31 @@ class TestCohortLtv:
         assert got[(0, 2)].revenue == 5.0 and got[(0, 2)].cum_revenue == 15.0
         assert got[(1, 0)].revenue == 7.0 and got[(1, 0)].cum_revenue == 7.0
         assert got[(0, 0)].n_active == 1 and got[(1, 0)].n_active == 1
+
+
+class TestDocChunks:
+    def test_windows_cover_with_overlap(self, spark):
+        from pulseboard_spark.operators.corpus import doc_chunks
+
+        words = " ".join(f"w{i}" for i in range(100))
+        df = spark.createDataFrame(
+            [(1, words), (2, "short text"), (3, "")],
+            "doc_id long, text string",
+        )
+        got = [
+            r for r in doc_chunks(df, chunk_tokens=64, stride=48).collect()
+        ]
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # 100 tokens, stride 48 -> starts at 0, 48, 96 -> 3 chunks
+        d1 = sorted(by_doc[1], key=lambda r: r.chunk_no)
+        assert [r.start_token for r in d1] == [0, 48, 96]
+        assert [r.n_tokens for r in d1] == [64, 52, 4]
+        # neighbouring chunks overlap by chunk-stride = 16 tokens
+        assert d1[0].start_token + 64 - d1[1].start_token == 16
+        # a 2-token doc yields one short chunk; empty docs yield nothing
+        assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
+        assert 3 not in by_doc
+        # hashes are per-content deterministic
+        assert len({r.chunk_hash for r in d1}) == 3
