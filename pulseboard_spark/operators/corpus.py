@@ -537,6 +537,11 @@ def doc_chunks(
     Scale: one narrow pass — tokens, a per-row ``sequence`` explode, and
     row-local slicing/hashing; no shuffle at all (the chunker is the
     map side of whatever index build follows)."""
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            "doc_chunks needs 0 < stride <= chunk_tokens for full token "
+            f"coverage, got stride={stride}, chunk_tokens={chunk_tokens}"
+        )
     toks = ws_tokens(F.lower(F.col("text")))
     base = documents.select("doc_id", toks.alias("_t")).withColumn(
         "_n", F.size("_t")

@@ -278,13 +278,8 @@ def session_basket_lift(
     pair join is per session-key (bounded fan-out: ≤ |types|² per
     basket) and the rollup is map-side combined to ≤ |types|² rows.
     """
-    w = Window.partitionBy(key).orderBy("ts_ms", "event_id")
-    prev_ts = F.lag("ts_ms").over(w)
-    new_sess = (prev_ts.isNull() | ((F.col("ts_ms") - prev_ts) > F.lit(gap_ms))).cast("long")
     sess = (
-        ev.select(key, "type", "ts_ms", "event_id")
-        .withColumn("_n", new_sess)
-        .withColumn("session_no", F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        session_numbers(ev.select(key, "type", "ts_ms", "event_id"), key, gap_ms)
         .select(
             F.concat(F.col(key), F.lit("#"), F.col("session_no").cast("string")).alias("sid"),
             "type",
@@ -481,8 +476,10 @@ def cohort_ltv(ev: DataFrame, week_ms: int = 604_800_000) -> DataFrame:
     window — and only the final surface rounds to a double image, so the
     running totals are shuffle-order-exact on both engines.
 
-    Scale: one shuffle keys (entity, week) partial sums; the cohort join
-    broadcasts the |users|-row first-week table; every window after that
+    Scale: one shuffle keys (entity, week) partial sums; the cohort week
+    is a window-min over the per-(entity, week) rows — the
+    retention_cohorts pattern, NOT a broadcast of the |users|-row
+    first-week table (unbounded at fact scale); the cumulative window
     runs over the |cohorts|x|offsets| grid, never the event stream."""
     week = F.expr(f"ts_ms div {int(week_ms)}").alias("week")
     per_uw = (
@@ -496,12 +493,17 @@ def cohort_ltv(ev: DataFrame, week_ms: int = 604_800_000) -> DataFrame:
             ).alias("wk_value")
         )
     )
-    firsts = per_uw.groupBy("entity_id").agg(F.min("week").alias("cohort_week"))
+    with_cohort = per_uw.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("entity_id"))
+    )
     grid = (
-        per_uw.join(F.broadcast(firsts), "entity_id")
+        with_cohort
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(
-            F.countDistinct("entity_id").cast("long").alias("n_active"),
+            # per_uw is unique per (entity, week) and offset is injective
+            # per entity, so plain count == distinct entities — no
+            # two-stage distinct rewrite over the user-week rows
+            F.count(F.lit(1)).cast("long").alias("n_active"),
             F.sum("wk_value").alias("_rev"),
         )
     )

@@ -2039,8 +2039,11 @@ QUERIES: dict[str, QueryFn] = {
     # session-2 wave (containment_pairs, mixture_plan,
     # quality_calibration, contrastive_pairs, canonical_sessions,
     # plan_at_purchase, purchase_attribution, attribution_report,
-    # centroid_distances, table_checksums, fk_orphans, cdp_dup_audit) —
-    # into the front-50, topped up with r03/r04-green anchors.  All of them are
+    # centroid_distances, table_checksums, fk_orphans, cdp_dup_audit,
+    # cohort_ltv, doc_chunks) — into the front-50, topped up with
+    # r03/r04-green anchors.  The parity claim covers this WHOLE list:
+    # every enumerated query was individually compare()'d at sf0.01 AND
+    # sf0.1 when it was added (see the per-commit messages).  All of them are
     # oracle-checked and strict-parity green at sf0.01 AND sf0.1 on this
     # tree; rows-only queries NEVER take window slots (the driver records
     # them as no_oracle errs — the r03 lesson).

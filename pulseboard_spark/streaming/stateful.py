@@ -812,6 +812,10 @@ ATTRIBUTION_SCHEMA = (
 _ATTRIBUTION_STATE_SCHEMA = "touch_keys string, max_ts bigint"
 
 _ATTR_LOOKBACK_MS = 86_400_000
+#: single source for BOTH the stream's withWatermark duration and the
+#: state-prune slack — they must move together, or touches get pruned
+#: before a maximally-late purchase can reach back for them
+_ATTR_WATERMARK_MS = 120_000
 
 
 def _touch_key(ts_ms: int, event_id: int, typ: str) -> str:
@@ -870,8 +874,8 @@ def _emit_attribution(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState)
             bisect.insort(touches, _touch_key(ts_ms, event_id, typ))
         max_ts = max(max_ts, ts_ms)
     # keep a watermark of slack past the lookback so a late purchase
-    # (<= 120 s, the stream's watermark) still finds its window's head
-    horizon = f"{max(max_ts - _ATTR_LOOKBACK_MS - 120_000, 0):015d}|"
+    # (bounded by the stream's watermark) still finds its window's head
+    horizon = f"{max(max_ts - _ATTR_LOOKBACK_MS - _ATTR_WATERMARK_MS, 0):015d}|"
     touches = [k for k in touches if k >= horizon]
     state.update((",".join(touches), int(max_ts)))
     if out["event_id"]:
@@ -894,7 +898,9 @@ def attribution_stateful(entity_stream: DataFrame, set_watermark: bool = True) -
     row-identical to the batch operator by
     ``test_streaming_attribution_matches_batch``."""
     if set_watermark:
-        entity_stream = entity_stream.withWatermark("ts", "120 seconds")
+        entity_stream = entity_stream.withWatermark(
+            "ts", f"{_ATTR_WATERMARK_MS // 1000} seconds"
+        )
     narrow = entity_stream.select("entity_id", "ts", "ts_ms", "event_id", "type", "value")
     return narrow.groupBy("entity_id").applyInPandasWithState(
         _emit_attribution,
