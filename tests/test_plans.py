@@ -534,3 +534,32 @@ def test_quality_calibration_rollup_shape(spark, sf_dir):
     plan = _plan(spark, sf_dir, "quality_calibration")
     assert "CartesianProduct" not in plan
     assert not PY_NODES.search(plan)
+
+
+def test_doc_chunks_zero_shuffle(spark, sf_dir):
+    """The chunker is pure map-side work: no hash/range shuffle and no
+    aggregation — the only allowed Exchange is the loader's round-robin
+    input spread (sources/tables._SPREAD_TABLES), which exists for every
+    documents consumer."""
+    plan = _plan(spark, sf_dir, "doc_chunks")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert not PY_NODES.search(plan)
+
+
+def test_purchase_attribution_single_entity_shuffle(spark, sf_dir):
+    """Both attribution models ride ONE RANGE frame over one entity-key
+    partitioning — a second hashpartitioning exchange means the models
+    stopped sharing the sort."""
+    plan = _plan(spark, sf_dir, "purchase_attribution")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert not PY_NODES.search(plan)
+
+
+def test_cohort_ltv_no_broadcast_of_user_table(spark, sf_dir):
+    """The cohort week is a window-min, not a broadcast of the unbounded
+    per-user first-week table."""
+    plan = _plan(spark, sf_dir, "cohort_ltv")
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    assert not PY_NODES.search(plan)
