@@ -425,3 +425,51 @@ def test_dsl_random_specs_match_python_eval(spark):
         got = {r.id for r in df.filter(compile_predicate(spec)).select("id").collect()}
         want = {r["id"] for r in rows if py_pred(spec, r)}
         assert got == want, spec
+
+
+# --- attribution vs brute-force model ----------------------------------------
+
+
+def test_attribution_matches_brute_force(spark):
+    """purchase_attribution vs an O(n²) python model over a random stream
+    with timestamp ties, same-ts purchase/touch collisions, boundary-exact
+    lookback gaps, and multi-purchase entities."""
+    from pulseboard_spark.operators.sessions import purchase_attribution
+
+    rng = random.Random(11)
+    LB = 1_000
+    rows = []
+    for i in range(400):
+        ent = f"E{rng.randint(0, 5)}"
+        typ = rng.choice(["view", "click", "error", "purchase", "purchase"])
+        ts = rng.choice(
+            [rng.randrange(0, 5_000), rng.randrange(0, 5_000, LB)]  # boundary hits
+        )
+        rows.append((i, ts, ent, typ, float(i)))
+    # exact-ts collisions: purchase and touch at the same instant
+    rows += [(1000 + i, rows[i][1], rows[i][2], "view", 0.0) for i in range(15)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_ms long, entity_id string, type string, value double"
+    )
+    got = {
+        r.event_id: (r.first_touch_type, r.last_touch_type)
+        for r in purchase_attribution(df, lookback_ms=LB).collect()
+    }
+
+    def key(r):
+        return (f"{r[1]:015d}", f"{r[0]:012d}", r[3])
+
+    for r in rows:
+        if r[3] != "purchase":
+            continue
+        window = [
+            key(t)
+            for t in rows
+            if t[2] == r[2]
+            and t[3] != "purchase"
+            and r[1] - LB <= t[1] < r[1]
+        ]
+        want = (
+            (min(window)[2], max(window)[2]) if window else (None, None)
+        )
+        assert got[r[0]] == want, (r, got[r[0]], want)
