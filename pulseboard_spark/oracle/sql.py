@@ -4031,3 +4031,39 @@ SELECT doc_id,
        md5(array_to_string(list_slice(t, chunk_no * 48 + 1, chunk_no * 48 + 64), ' ')) AS chunk_hash
 FROM ex
 """
+
+# Z-order layout audit (sources/layout.py::zorder_layout_audit): Morton
+# key over (user, hour), 16 bits each; bucket spans show 2-D locality.
+ORACLE_SQL["zorder_layout_audit"] = f"""
+WITH {ENT_CTE},
+base AS (
+  SELECT entity_id, CAST(entity_id AS BIGINT) AS u, ts_ms // 3600000 AS h
+  FROM ent
+),
+stats AS (
+  SELECT min(u) AS umin, max(u) AS umax, min(h) AS hmin, max(h) AS hmax FROM base
+),
+norm AS (
+  SELECT entity_id, h,
+         ((u - umin) * 65535) // greatest(umax - umin, 1) AS un,
+         ((h - hmin) * 65535) // greatest(hmax - hmin, 1) AS hn
+  FROM base, stats
+),
+sp0 AS (SELECT entity_id, h, (un & 65535) AS ux, (hn & 65535) AS hx FROM norm),
+sp1 AS (SELECT entity_id, h, ((ux | (ux << 8)) & 16711935) AS ux,
+               ((hx | (hx << 8)) & 16711935) AS hx FROM sp0),
+sp2 AS (SELECT entity_id, h, ((ux | (ux << 4)) & 252645135) AS ux,
+               ((hx | (hx << 4)) & 252645135) AS hx FROM sp1),
+sp3 AS (SELECT entity_id, h, ((ux | (ux << 2)) & 858993459) AS ux,
+               ((hx | (hx << 2)) & 858993459) AS hx FROM sp2),
+sp4 AS (SELECT entity_id, h, ((ux | (ux << 1)) & 1431655765) AS ux,
+               ((hx | (hx << 1)) & 1431655765) AS hx FROM sp3),
+zk AS (SELECT entity_id, h, (ux | (hx << 1)) AS z FROM sp4)
+SELECT CAST((z * 64) // 4294967296 AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT entity_id) AS BIGINT) AS n_users,
+       CAST(min(h) AS BIGINT) AS min_hour,
+       CAST(max(h) AS BIGINT) AS max_hour
+FROM zk
+GROUP BY 1
+"""

@@ -1827,6 +1827,12 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.doc_chunks(_docs(spark, sf_dir))
 
 
+def zorder_layout_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulseboard_spark.sources.layout import zorder_layout_audit
+
+    return zorder_layout_audit(entity_events(spark, sf_dir))
+
+
 def retention_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.retention_curve(entity_events(spark, sf_dir))
 
@@ -2091,6 +2097,7 @@ QUERIES: dict[str, QueryFn] = {
     "cdp_dup_audit": cdp_dup_audit_q,
     "cohort_ltv": cohort_ltv_q,
     "doc_chunks": doc_chunks_q,
+    "zorder_layout_audit": zorder_layout_audit_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

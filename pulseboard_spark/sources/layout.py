@@ -71,3 +71,82 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     from the catalog, so reads must go through the table name, not the
     path — a raw ``spark.read.parquet(path)`` loses bucket info)."""
     return spark.table(table)
+
+
+def _spread_bits16(x):
+    """Spread the low 16 bits of ``x`` so bit i lands at position 2i —
+    classic Morton magic-number twiddling, pure int64 arithmetic that is
+    bit-identical on any engine (the DuckDB oracle mirrors each step)."""
+    from pyspark.sql import functions as F
+
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_key(a, b):
+    """Z-order (Morton) key interleaving the low 16 bits of two columns —
+    the multi-dimensional clustering primitive: sorting/range-partitioning
+    a fact by this key co-locates rows that are close in BOTH dimensions,
+    so a (user ∧ time) predicate prunes row groups on both axes at once,
+    where a single-column sort only ever prunes one.  This is exactly what
+    Delta's OPTIMIZE ZORDER BY computes; here it is a plain deterministic
+    Column any writer can sortWithinPartitions / repartitionByRange on."""
+    from pyspark.sql import functions as F
+
+    return _spread_bits16(a).bitwiseOR(F.shiftleft(_spread_bits16(b), 1)).cast("long")
+
+
+def zorder_layout_audit(ev, n_buckets: int = 64) -> "DataFrame":
+    """Layout audit for a Z-ordered (user, hour) clustering of the event
+    fact: bucket the Morton key space evenly and report, per bucket, the
+    row count and the spans it would confine a reader to — distinct
+    users and the hour range.  Tight per-bucket spans on BOTH dimensions
+    are the locality a z-layout buys (a pure time-sort shows one tight
+    and one full-width column here).
+
+    Each dimension is min/max-normalized into the full 16-bit space
+    before interleaving (a 1-row broadcast stat join) — raw values
+    cluster in a sliver of the key space (epoch-hours share their high
+    bits), which would degenerate every row into one bucket.  All
+    integer arithmetic; the rollup is one map-side-combined aggregate
+    on the bucket id."""
+    from pyspark.sql import functions as F
+
+    base = ev.select(
+        F.col("entity_id"),
+        F.col("entity_id").cast("long").alias("_u"),
+        F.expr("ts_ms div 3600000").alias("_hour"),
+    )
+    stats = base.agg(
+        F.min("_u").alias("umin"),
+        F.max("_u").alias("umax"),
+        F.min("_hour").alias("hmin"),
+        F.max("_hour").alias("hmax"),
+    )
+    norm = base.crossJoin(F.broadcast(stats)).select(
+        "entity_id",
+        "_hour",
+        F.expr("((_u - umin) * 65535) div greatest(umax - umin, 1)").alias("_un"),
+        F.expr("((_hour - hmin) * 65535) div greatest(hmax - hmin, 1)").alias("_hn"),
+    )
+    bucketed = norm.select(
+        zorder_key(F.col("_un"), F.col("_hn")).alias("_z"),
+        "entity_id",
+        "_hour",
+    ).select(
+        # integer div keeps the bucket id engine-exact (the key space is
+        # 32 bits wide: two interleaved 16-bit dimensions)
+        F.expr(f"(_z * {int(n_buckets)}) div {1 << 32}").cast("long").alias("z_bucket"),
+        "entity_id",
+        "_hour",
+    )
+    return bucketed.groupBy("z_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("entity_id").cast("long").alias("n_users"),
+        F.min("_hour").cast("long").alias("min_hour"),
+        F.max("_hour").cast("long").alias("max_hour"),
+    )

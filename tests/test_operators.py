@@ -2340,3 +2340,46 @@ class TestDocChunks:
         assert 3 not in by_doc
         # hashes are per-content deterministic
         assert len({r.chunk_hash for r in d1}) == 3
+
+
+class TestZorderLayout:
+    def test_morton_key_interleaves_bits(self, spark):
+        from pyspark.sql import functions as F
+        from pulseboard_spark.sources.layout import zorder_key
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "a long, b long"
+        )
+        got = [
+            r.z for r in df.select(zorder_key(F.col("a"), F.col("b")).alias("z"))
+            .collect()
+        ]
+
+        def morton(a, b):
+            z = 0
+            for i in range(16):
+                z |= ((a >> i) & 1) << (2 * i)
+                z |= ((b >> i) & 1) << (2 * i + 1)
+            return z
+
+        want = [morton(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+        assert got == want
+        assert want[-1] == (1 << 32) - 1  # full 32-bit key space
+
+    def test_audit_buckets_are_locality_bounded(self, spark, sf_dir):
+        from pulseboard_spark.registry import QUERIES
+
+        rows = QUERIES["zorder_layout_audit"](spark, sf_dir).collect()
+        assert sum(r.n_events for r in rows) > 0
+        # normalization must spread the key space — the un-normalized
+        # form degenerated every row into ONE bucket (epoch-hours share
+        # their high bits)
+        assert len(rows) > 16
+        span = max(r.max_hour for r in rows) - min(r.min_hour for r in rows)
+        for r in rows:
+            assert 0 <= r.z_bucket < 64
+            assert r.min_hour <= r.max_hour
+        # 2-D locality: most buckets confine the reader to well under the
+        # full time span
+        tight = sum(1 for r in rows if (r.max_hour - r.min_hour) * 2 <= span)
+        assert tight >= len(rows) // 2
