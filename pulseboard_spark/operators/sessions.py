@@ -517,3 +517,51 @@ def cohort_ltv(ev: DataFrame, week_ms: int = 604_800_000) -> DataFrame:
         F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
         F.round(F.sum("_rev").over(w).cast("double"), 4).alias("cum_revenue"),
     )
+
+
+def session_funnel(
+    ev: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    key: str = "entity_id",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Funnel denominated in SESSIONS: a session converts step i when an
+    event of ``steps[i]`` occurs strictly after its step-(i-1) time
+    WITHIN THE SAME SESSION — the per-visit view of intent
+    (:func:`funnel` spans an entity's whole history, so a view today and
+    a purchase next month still "convert"; this one doesn't).  Reuses
+    the single-sourced session boundary (:func:`session_numbers`) and
+    step semantics (:func:`_step_times` keyed by session id).
+
+    Output per step: step_no, step, n_sessions, share_ppm of step-1
+    sessions — integer-exact.
+
+    Scale: the session-number window shuffles once on the entity key;
+    the step windows shuffle once on the session id (finer than the
+    entity key, so no skew regression); the final rollup is k rows."""
+    sid = F.concat(F.col(key), F.lit("#"), F.col("session_no").cast("string"))
+    s = session_numbers(
+        ev.select(key, "type", "ts_ms", "event_id"), key, gap_ms
+    ).select(sid.alias("sid"), "type", "ts_ms")
+    per = _step_times(s, steps, "sid")
+    counts = per.agg(
+        *[
+            F.sum(F.col(f"t{i}").isNotNull().cast("long")).alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    stack_args = ", ".join(f"{i}, '{s_}', n{i}" for i, s_ in enumerate(steps, start=1))
+    return (
+        counts.selectExpr(
+            f"n1 AS _n1",
+            f"stack({len(steps)}, {stack_args}) AS (step_no, step, n_sessions)",
+        )
+        .select(
+            F.col("step_no").cast("int").alias("step_no"),
+            "step",
+            F.coalesce(F.col("n_sessions"), F.lit(0)).cast("long").alias("n_sessions"),
+            F.expr(
+                "CAST((coalesce(n_sessions, 0) * 1000000) div greatest(_n1, 1) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

@@ -4067,3 +4067,38 @@ SELECT CAST((z * 64) // 4294967296 AS BIGINT) AS z_bucket,
 FROM zk
 GROUP BY 1
 """
+
+# Session-scoped funnel (operators/sessions.py::session_funnel): ordered
+# step match within gap-session boundaries, denominated in sessions.
+ORACLE_SQL["session_funnel"] = f"""
+WITH {ENT_CTE},
+ordered AS (
+  SELECT entity_id, event_id, ts_ms, type,
+         lag(ts_ms) OVER (PARTITION BY entity_id ORDER BY ts_ms, event_id) AS prev_ts
+  FROM ent
+),
+numbered AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY entity_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM ordered
+),
+sess AS (
+  SELECT entity_id || '#' || CAST(session_no AS VARCHAR) AS sid, type, ts_ms FROM numbered
+),
+t1 AS (SELECT sid, min(ts_ms) AS t FROM sess WHERE type = 'view' GROUP BY sid),
+t2 AS (SELECT s.sid, min(s.ts_ms) AS t FROM sess s JOIN t1 ON s.sid = t1.sid AND s.ts_ms > t1.t
+       WHERE s.type = 'click' GROUP BY s.sid),
+t3 AS (SELECT s.sid, min(s.ts_ms) AS t FROM sess s JOIN t2 ON s.sid = t2.sid AND s.ts_ms > t2.t
+       WHERE s.type = 'purchase' GROUP BY s.sid),
+c AS (SELECT (SELECT count(*) FROM t1) AS n1, (SELECT count(*) FROM t2) AS n2,
+             (SELECT count(*) FROM t3) AS n3)
+SELECT CAST(1 AS INTEGER) AS step_no, 'view' AS step, CAST(n1 AS BIGINT) AS n_sessions,
+       CAST((n1 * 1000000) // greatest(n1, 1) AS BIGINT) AS share_ppm FROM c
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'click', CAST(n2 AS BIGINT),
+       CAST((n2 * 1000000) // greatest(n1, 1) AS BIGINT) FROM c
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase', CAST(n3 AS BIGINT),
+       CAST((n3 * 1000000) // greatest(n1, 1) AS BIGINT) FROM c
+"""

@@ -1827,6 +1827,10 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.doc_chunks(_docs(spark, sf_dir))
 
 
+def session_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.session_funnel(entity_events(spark, sf_dir))
+
+
 def zorder_layout_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulseboard_spark.sources.layout import zorder_layout_audit
 
@@ -2098,6 +2102,7 @@ QUERIES: dict[str, QueryFn] = {
     "cohort_ltv": cohort_ltv_q,
     "doc_chunks": doc_chunks_q,
     "zorder_layout_audit": zorder_layout_audit_q,
+    "session_funnel": session_funnel_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

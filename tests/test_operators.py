@@ -2383,3 +2383,31 @@ class TestZorderLayout:
         # full time span
         tight = sum(1 for r in rows if (r.max_hour - r.min_hour) * 2 <= span)
         assert tight >= len(rows) // 2
+
+
+class TestSessionFunnel:
+    def test_in_session_ordering_required(self, spark):
+        from pulseboard_spark.operators.sessions import funnel, session_funnel
+
+        GAP = 30 * 60 * 1000
+        rows = [
+            # entity A, session 1: full ordered funnel
+            (1, 0, "A", "view", 0.0),
+            (2, 10, "A", "click", 0.0),
+            (3, 20, "A", "purchase", 0.0),
+            # entity B: view in session 1, click+purchase in session 2 —
+            # converts the HISTORY funnel but not the session funnel
+            (4, 0, "B", "view", 0.0),
+            (5, 2 * GAP, "B", "click", 0.0),
+            (6, 2 * GAP + 10, "B", "purchase", 0.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_ms long, entity_id string, type string, value double"
+        )
+        sf = {r.step_no: r for r in session_funnel(df).collect()}
+        # sessions with a view: A#1 and B#1 -> n1 = 2; only A#1 converts
+        assert sf[1].n_sessions == 2 and sf[1].share_ppm == 1_000_000
+        assert sf[2].n_sessions == 1 and sf[2].share_ppm == 500_000
+        assert sf[3].n_sessions == 1
+        hist = {r.step_no: r for r in funnel(df).collect()}
+        assert hist[3].n_entities == 2  # history funnel counts B too
