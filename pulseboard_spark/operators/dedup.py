@@ -553,3 +553,73 @@ def cluster_size_histogram(
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
     )
+
+
+def lsh_recall_audit(
+    documents: DataFrame, sample_pct: int = 10, band_width_ppm: int = 100_000
+) -> DataFrame:
+    """Measured recall of the banded MinHash candidate generator, per
+    Jaccard band: on a stable hash sample of the corpus, compute EXACT
+    all-pairs Jaccard (every pair sharing ≥1 shingle — zero-overlap pairs
+    are never dedup-relevant) and check which of those pairs the 4×2 LSH
+    banding actually surfaces.  The output — (jaccard band, true pairs,
+    caught pairs, recall ppm) — is the tuning table for the banding
+    scheme: recall should be ~1 above the dedup threshold and is ALLOWED
+    to fall off below it (that miss rate is the whole point of banding).
+
+    Scale: the sample is a deterministic hash slice (the doc_hash_sample
+    contract), so the audit costs O(sample²) worst case but in practice
+    the shingle equi-join only touches pairs with shared shingles; the
+    sample shingle table is cached once and feeds the exact pairs, the
+    sizes, and the signature aggregate."""
+    from pulseboard_spark.operators.sampling import hash_bucket
+
+    sample = (
+        documents.withColumn("_b", hash_bucket(F.col("doc_id")))
+        .filter(F.col("_b") < int(sample_pct))
+        .select("doc_id", "text")
+    )
+    sh = shingles(sample)
+    sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter_all = (
+        sa.join(
+            sb,
+            (F.col("sa.s") == F.col("sb.s"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = (
+        inter_all.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(i * 1000000) div (na + nb - i)").alias("jaccard_ppm"),
+        )
+    )
+    caught = (
+        minhash_candidates(minhash_signatures(sh))
+        .select("doc_a", "doc_b")
+        .withColumn("_c", F.lit(1))
+    )
+    joined = exact.join(caught, ["doc_a", "doc_b"], "left")
+    return (
+        joined.groupBy(
+            F.expr(f"jaccard_ppm div {int(band_width_ppm)}").alias("jaccard_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long").alias("n_caught"),
+        )
+        .withColumn(
+            "recall_ppm", F.expr("(n_caught * 1000000) div n_pairs")
+        )
+    )

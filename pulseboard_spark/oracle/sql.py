@@ -4102,3 +4102,56 @@ UNION ALL
 SELECT CAST(3 AS INTEGER), 'purchase', CAST(n3 AS BIGINT),
        CAST((n3 * 1000000) // greatest(n1, 1) AS BIGINT) FROM c
 """
+
+# LSH recall audit (operators/dedup.py::lsh_recall_audit): exact all-pairs
+# on a 10% hash sample vs the 4x2 banded candidate set, per Jaccard band.
+ORACLE_SQL["lsh_recall_audit"] = """
+WITH samp AS (
+  SELECT doc_id, text FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 < 10
+),
+ssh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+    FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+          FROM samp)
+  )
+),
+minh AS (
+  SELECT doc_id,
+         min(substr(md5('0:' || s), 1, 8))  AS h0, min(substr(md5('0:' || s), 9, 8))  AS h1,
+         min(substr(md5('0:' || s), 17, 8)) AS h2, min(substr(md5('0:' || s), 25, 8)) AS h3,
+         min(substr(md5('1:' || s), 1, 8))  AS h4, min(substr(md5('1:' || s), 9, 8))  AS h5,
+         min(substr(md5('1:' || s), 17, 8)) AS h6, min(substr(md5('1:' || s), 25, 8)) AS h7
+  FROM ssh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS bi, h0 || h1 AS band FROM minh
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM minh
+  UNION ALL SELECT doc_id, 2, h4 || h5 FROM minh
+  UNION ALL SELECT doc_id, 3, h6 || h7 FROM minh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bi = b.bi AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id),
+inter_all AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ssh a JOIN ssh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.doc_a, i.doc_b, (i.i * 1000000) // (na.n + nb.n - i.i) AS j
+  FROM inter_all i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+)
+SELECT CAST(e.j // 100000 AS BIGINT) AS jaccard_band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+       CAST((sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+FROM exact e LEFT JOIN cand c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+GROUP BY 1
+"""

@@ -1827,6 +1827,10 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.doc_chunks(_docs(spark, sf_dir))
 
 
+def lsh_recall_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_recall_audit(_docs(spark, sf_dir))
+
+
 def session_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.session_funnel(entity_events(spark, sf_dir))
 
@@ -2103,6 +2107,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_chunks": doc_chunks_q,
     "zorder_layout_audit": zorder_layout_audit_q,
     "session_funnel": session_funnel_q,
+    "lsh_recall_audit": lsh_recall_audit_q,
     # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,

@@ -2411,3 +2411,19 @@ class TestSessionFunnel:
         assert sf[3].n_sessions == 1
         hist = {r.step_no: r for r in funnel(df).collect()}
         assert hist[3].n_entities == 2  # history funnel counts B too
+
+
+class TestLshRecallAudit:
+    def test_high_band_recall_full_low_band_allowed_to_miss(self, spark, sf_dir):
+        from pulseboard_spark.operators.dedup import lsh_recall_audit
+        from pulseboard_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = {r.jaccard_band: r for r in lsh_recall_audit(docs).collect()}
+        assert rows, "the hash sample should yield shared-shingle pairs"
+        for band, r in rows.items():
+            assert 0 <= r.n_caught <= r.n_pairs
+            assert r.recall_ppm == (r.n_caught * 1_000_000) // r.n_pairs
+            # at/above the dedup threshold the banding must be lossless
+            if band >= 8:
+                assert r.recall_ppm == 1_000_000, (band, r)
