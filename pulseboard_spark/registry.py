@@ -2054,7 +2054,8 @@ QUERIES: dict[str, QueryFn] = {
     # quality_calibration, contrastive_pairs, canonical_sessions,
     # plan_at_purchase, purchase_attribution, attribution_report,
     # centroid_distances, table_checksums, fk_orphans, cdp_dup_audit,
-    # cohort_ltv, doc_chunks) — into the front-50, topped up with
+    # cohort_ltv, doc_chunks, zorder_layout_audit, session_funnel,
+    # lsh_recall_audit) — into the front-50, topped up with
     # r03/r04-green anchors.  The parity claim covers this WHOLE list:
     # every enumerated query was individually compare()'d at sf0.01 AND
     # sf0.1 when it was added (see the per-commit messages).  All of them are
