@@ -473,3 +473,53 @@ def test_attribution_matches_brute_force(spark):
             (min(window)[2], max(window)[2]) if window else (None, None)
         )
         assert got[r[0]] == want, (r, got[r[0]], want)
+
+
+# --- mixture planner invariants ----------------------------------------------
+
+
+def test_mixture_plan_invariants(spark):
+    """Random corpora: allocations never exceed the epoch cap, never go
+    negative, total allocation never exceeds the target, and with no
+    binding caps every source gets exactly the fair share."""
+    from pulseboard_spark.operators.corpus import mixture_plan
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n_sources = rng.randint(2, 6)
+        rows = []
+        did = 0
+        for s in range(n_sources):
+            for _ in range(rng.randint(1, 4)):
+                n_words = rng.randint(1, 30)
+                rows.append((did, " ".join("w%d" % i for i in range(n_words)), f"s{s}"))
+                did += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        target = rng.randint(10, 500)
+        max_epochs = rng.randint(1, 3)
+        got = mixture_plan(df, target_tokens=target, max_epochs=max_epochs).collect()
+        assert len(got) == n_sources
+        total = 0
+        for r in got:
+            assert 0 <= r.alloc_tokens <= r.avail_tokens * max_epochs, r
+            assert r.fair_share == target // n_sources
+            total += r.alloc_tokens
+        assert total <= target
+        if all(r.avail_tokens * max_epochs >= target // n_sources for r in got):
+            # no caps bind in round 1: every source holds its fair share
+            # (round-2 bonus only redistributes freed budget, which is 0)
+            assert all(r.alloc_tokens == target // n_sources for r in got)
+
+
+# --- containment dominates jaccard -------------------------------------------
+
+
+def test_containment_at_least_jaccard(spark, sf_dir):
+    """|A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| for every pair — the audit's two
+    ratios must respect the set inequality on real data."""
+    from pulseboard_spark.operators.dedup import containment_pairs
+    from pulseboard_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for r in containment_pairs(docs).collect():
+        assert r.containment_ppm >= r.jaccard_ppm, r
