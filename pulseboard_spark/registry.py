@@ -55,21 +55,38 @@ def _dsum(expr) -> F.Column:
     return F.sum(expr.cast("decimal(27,6)")).cast("double")
 
 
+def _silver_cache_enabled() -> bool:
+    """Bench-scale posture switch for the silver views.
+
+    Default (unset / ``1``): ``cache()`` the silver — ~25 behavioral /
+    rule / time-series queries scan it per session and the projection
+    (regexp tag extraction, geo/device derivation, the degenerate-parquet
+    spread exchange) is worth paying once.  Set ``PB_SILVER_CACHE=0`` when
+    pointing the engine at a cluster-scale directory: at 100 TB you do
+    NOT cache the fact table — the correct twin is a materialized silver
+    table refreshed per corpus snapshot (same posture as ``_cvalid`` for
+    the CDP family), with each query scanning parquet directly so
+    predicate pushdown / partition pruning reach the files instead of an
+    all-columns InMemoryRelation."""
+    import os
+
+    return os.environ.get("PB_SILVER_CACHE", "1") != "0"
+
+
 def entity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cached entity silver: ~25 behavioral/rule/time-series queries scan
-    this view, and the projection (regexp tag extraction, geo/device
-    derivation, the degenerate-parquet spread exchange) is worth paying
-    once per session, not once per scan.  ``cache()`` is lazy — nothing
-    plans or runs at registration — and Spark's CacheManager matches by
-    canonicalized plan, so the one entry serves every query.  The 100 TB
-    twin is a materialized silver table refreshed per corpus snapshot
-    (same posture as ``_cvalid`` for the CDP family)."""
-    return _entity_events_raw(spark, sf_dir).cache()
+    """Entity silver; cached per-session unless ``PB_SILVER_CACHE=0``
+    (see :func:`_silver_cache_enabled` for the 100 TB rationale).
+    ``cache()`` is lazy — nothing plans or runs at registration — and
+    Spark's CacheManager matches by canonicalized plan, so the one entry
+    serves every query."""
+    df = _entity_events_raw(spark, sf_dir)
+    return df.cache() if _silver_cache_enabled() else df
 
 
 def cdp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cached raw-CDP silver (see :func:`entity_events`)."""
-    return _cdp_events_raw(spark, sf_dir).cache()
+    """Raw-CDP silver (caching posture as :func:`entity_events`)."""
+    df = _cdp_events_raw(spark, sf_dir)
+    return df.cache() if _silver_cache_enabled() else df
 
 
 # --- TPC-H-ish batch layer ---------------------------------------------------
@@ -1977,20 +1994,95 @@ def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Registry ----------------------------------------------------------------
 
 # Ordering policy: the correctness driver hash-checks the FIRST 50 entries
-# of this dict per round.  Rounds 1-3 accumulated >= 1 green driver row
-# for every query registered before round 3 (112/117 green cumulative).
-# Round 4 therefore leads with (a) the 24 round-3 oracle queries that have
-# never been driver-checked, (b) the two promotions — approx_value_
-# quantiles (scalarized q50/q90/q99 surface, exact at driver scale with
-# accuracy=100k) and identity_pagerank (decimal-routed deterministic
-# iteration + unrolled-CTE oracle) — then (c) r03-green anchors to fill
-# the window.  ROWS-ONLY queries NEVER take window slots: the driver
-# records a no_oracle entry as a FAIL row (r03 proved it — 5 burned
-# slots), so their evidence is the in-repo pinned tests + exact-twin
-# oracle queries, and they live strictly below the boundary.
+# of this dict per round.  Rounds 1-4 accumulated >= 1 green driver row
+# for every query that has ever sat in a window (138/142 cumulative; the
+# 4 never-green entries are r03's rows-only no_oracle slots).  Round 5
+# leads with the 34 round-4 oracle queries that have never been
+# driver-checked (the wave-1-3 queue plus the session-2 wave), topped up
+# with 16 r03/r04-green anchors — after r05 grades, every oracle-checked
+# query in the registry has driver evidence (172/172).  ROWS-ONLY queries
+# NEVER take window slots: the driver records a no_oracle entry as a FAIL
+# row (r03 proved it — 5 burned slots), so their evidence is the in-repo
+# pinned tests + exact-twin oracle queries, and they live strictly below
+# the boundary.
 QUERIES: dict[str, QueryFn] = {
-    # — round-4 rotation: oracle-checked, never driver-checked before;
-    #   all strict-parity green at the driver's exact sf0.01 scale —
+    # — round-5 rotation: oracle-checked, never driver-checked before;
+    #   every entry was individually compare()'d (strict driver-replica
+    #   parity) at sf0.01 AND sf0.1 when it was added in round 4 —
+    # wave 1-3 of the round-4 additions:
+    "doc_repetition": doc_repetition_q,
+    "split_leakage": split_leakage_q,
+    "doc_entropy": doc_entropy_q,
+    "source_length_bands": source_length_bands_q,
+    "identity_edge_support": identity_edge_support_q,
+    "weekly_seasonality": weekly_seasonality_q,
+    "embedding_dim_stats": embedding_dim_stats_q,
+    "label_balance": label_balance_q,
+    "burst_windows": burst_windows_q,
+    "transition_entropy": transition_entropy_q,
+    "value_autocorr": value_autocorr_q,
+    "order_gap_bands": order_gap_bands_q,
+    "supplier_concentration": supplier_concentration_q,
+    "open_orders_timeline": open_orders_timeline_q,
+    "pack_efficiency": pack_efficiency_q,
+    "retention_curve": retention_curve_q,
+    "cluster_size_histogram": cluster_size_histogram_q,
+    # session-2 wave of the round-4 additions:
+    "containment_pairs": containment_pairs_q,
+    "mixture_plan": mixture_plan_q,
+    "quality_calibration": quality_calibration_q,
+    "contrastive_pairs": contrastive_pairs_q,
+    "canonical_sessions": canonical_sessions_q,
+    "plan_at_purchase": plan_at_purchase_q,
+    "purchase_attribution": purchase_attribution_q,
+    "attribution_report": attribution_report_q,
+    "centroid_distances": centroid_distances_q,
+    "table_checksums": table_checksums_q,
+    "fk_orphans": fk_orphans_q,
+    "cdp_dup_audit": cdp_dup_audit_q,
+    "cohort_ltv": cohort_ltv_q,
+    "doc_chunks": doc_chunks_q,
+    "zorder_layout_audit": zorder_layout_audit_q,
+    "session_funnel": session_funnel_q,
+    "lsh_recall_audit": lsh_recall_audit_q,
+    # — r03/r04-green anchors (fill the window to 50) —
+    "cdp_validation": cdp_validation_q,
+    "identity_normalize": identity_normalize_q,
+    "identity_components": identity_components_q,
+    "rolling_counter_24h": rolling_counter_q,
+    "segment_events": segment_events_q,
+    "trait_history": trait_history_q,
+    "cdp_profiles": cdp_profiles_q,
+    "cdp_segments": cdp_segments_q,
+    "top20_profiles": top20_profiles_q,
+    "dedup_exact": dedup_exact_q,
+    "dedup_minhash": dedup_minhash_q,
+    "text_quality": text_quality_q,
+    "lang_id": lang_id_q,
+    "gopher_quality": gopher_quality_q,
+    "event_transitions": event_transitions_q,
+    "component_sizes": component_sizes_q,
+    # ---- driver window boundary (50) ----
+    # Everything below has >= 1 green driver row (r01-r04) or is
+    # rows-only by design.  With this rotation applied, every
+    # oracle-checked query in the registry has been inside a driver
+    # window at least once (172/172 after r05 grades).  NEW queries
+    # added in round 5+ queue directly below this comment and rotate
+    # into the front-50 next round, topped up with green anchors;
+    # rows-only queries NEVER take window slots (the driver records
+    # them as no_oracle FAILURES — the r03 lesson: 5 burned slots).
+    # — rows-only (approximate / iterative; pinned by tests + exact
+    #   twins, deliberately kept out of the hash window) —
+    "ann_topk": ann_topk_q,  # approximate — exact twin is similarity_topk
+    "ivf_topk": ivf_topk_q,  # approximate — full-probe==exact pinned by test
+    "approx_user_counts": approx_user_counts_q,  # HLL sketch — error bound pinned by test
+    "bpe_learned_merges": bpe_learned_merges_q,  # iterative — pinned vs sequential reference
+    "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — pinned by TestBpeEncode
+    "pq_codes": pq_codes_q,  # iterative k-means trainer — pinned by TestPq
+    "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — recall+determinism pinned by TestPq
+    "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — error bound pinned by TestHllRollup
+    "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — NumPy-pinned by TestPca
+    # — green driver rows from rounds 1-4 —
     "line_dedup": line_dedup_q,
     "boilerplate_lines": boilerplate_lines_q,
     "event_paths_topk": event_paths_topk_q,
@@ -2015,101 +2107,16 @@ QUERIES: dict[str, QueryFn] = {
     "session_basket_lift": session_basket_lift_q,
     "source_quality_report": source_quality_report_q,
     "dedup_clusters_incremental": dedup_clusters_incremental_q,
-    # — round-4 promotions: rows-only → oracle-checked —
     "approx_value_quantiles": approx_value_quantiles_q,
     "identity_pagerank": identity_pagerank_q,
-    # — r03-green anchors (fill the window to 50) —
-    "cdp_validation": cdp_validation_q,
-    "identity_normalize": identity_normalize_q,
-    "identity_components": identity_components_q,
     "identity_components_incremental": identity_components_incremental_q,
-    "rolling_counter_24h": rolling_counter_q,
-    "segment_events": segment_events_q,
-    "trait_history": trait_history_q,
-    "cdp_profiles": cdp_profiles_q,
-    "cdp_segments": cdp_segments_q,
-    "top20_profiles": top20_profiles_q,
-    "dedup_exact": dedup_exact_q,
-    "dedup_minhash": dedup_minhash_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_embedding": dedup_embedding_q,
     "dedup_clusters": dedup_clusters_q,
     "similarity_topk": similarity_topk_q,
     "knn_label_agreement": knn_label_agreement_q,
     "hard_negatives": hard_negatives_q,
-    "text_quality": text_quality_q,
-    "lang_id": lang_id_q,
-    "gopher_quality": gopher_quality_q,
     "doc_lm_score": doc_lm_score_q,
-    "event_transitions": event_transitions_q,
-    "component_sizes": component_sizes_q,
-    # ---- driver window boundary (50) ----
-    # Everything below has >= 1 green driver row (r01-r03), is queued
-    # for the r05 rotation, or is rows-only by design.
-    #
-    # R05 ROTATION PLAN (apply as round 5's opening move, exactly like
-    # r04's): move the "new in round 4, below the window" block — the
-    # wave-1-3 queue (doc_repetition .. cluster_size_histogram) PLUS the
-    # session-2 wave (containment_pairs, mixture_plan,
-    # quality_calibration, contrastive_pairs, canonical_sessions,
-    # plan_at_purchase, purchase_attribution, attribution_report,
-    # centroid_distances, table_checksums, fk_orphans, cdp_dup_audit,
-    # cohort_ltv, doc_chunks, zorder_layout_audit, session_funnel,
-    # lsh_recall_audit) — into the front-50, topped up with
-    # r03/r04-green anchors.  The parity claim covers this WHOLE list:
-    # every enumerated query was individually compare()'d at sf0.01 AND
-    # sf0.1 when it was added (see the per-commit messages).  All of them are
-    # oracle-checked and strict-parity green at sf0.01 AND sf0.1 on this
-    # tree; rows-only queries NEVER take window slots (the driver records
-    # them as no_oracle errs — the r03 lesson).
-    # — rows-only (approximate / iterative; pinned by tests + exact
-    #   twins, deliberately kept out of the hash window) —
-    "ann_topk": ann_topk_q,  # approximate — exact twin is similarity_topk
-    "ivf_topk": ivf_topk_q,  # approximate — full-probe==exact pinned by test
-    "approx_user_counts": approx_user_counts_q,  # HLL sketch — error bound pinned by test
-    "bpe_learned_merges": bpe_learned_merges_q,  # iterative — pinned vs sequential reference
-    "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — pinned by TestBpeEncode
-    "pq_codes": pq_codes_q,  # iterative k-means trainer — pinned by TestPq
-    "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — recall+determinism pinned by TestPq
-    "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — error bound pinned by TestHllRollup
-    "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — NumPy-pinned by TestPca
-    # — new in round 4, below the window: queued for the r05 rotation;
-    #   every entry is oracle-checked and strict-parity green at sf0.01 —
-    "doc_repetition": doc_repetition_q,
-    "split_leakage": split_leakage_q,
-    "doc_entropy": doc_entropy_q,
-    "source_length_bands": source_length_bands_q,
-    "identity_edge_support": identity_edge_support_q,
-    "weekly_seasonality": weekly_seasonality_q,
-    "embedding_dim_stats": embedding_dim_stats_q,
-    "label_balance": label_balance_q,
-    "burst_windows": burst_windows_q,
-    "transition_entropy": transition_entropy_q,
-    "value_autocorr": value_autocorr_q,
-    "order_gap_bands": order_gap_bands_q,
-    "supplier_concentration": supplier_concentration_q,
-    "open_orders_timeline": open_orders_timeline_q,
-    "pack_efficiency": pack_efficiency_q,
-    "retention_curve": retention_curve_q,
-    "cluster_size_histogram": cluster_size_histogram_q,
-    "containment_pairs": containment_pairs_q,
-    "mixture_plan": mixture_plan_q,
-    "quality_calibration": quality_calibration_q,
-    "contrastive_pairs": contrastive_pairs_q,
-    "canonical_sessions": canonical_sessions_q,
-    "plan_at_purchase": plan_at_purchase_q,
-    "purchase_attribution": purchase_attribution_q,
-    "attribution_report": attribution_report_q,
-    "centroid_distances": centroid_distances_q,
-    "table_checksums": table_checksums_q,
-    "fk_orphans": fk_orphans_q,
-    "cdp_dup_audit": cdp_dup_audit_q,
-    "cohort_ltv": cohort_ltv_q,
-    "doc_chunks": doc_chunks_q,
-    "zorder_layout_audit": zorder_layout_audit_q,
-    "session_funnel": session_funnel_q,
-    "lsh_recall_audit": lsh_recall_audit_q,
-    # — green driver rows from rounds 2-3 —
     "inter_event_deltas": inter_event_deltas_q,
     "dominant_event_type": dominant_event_type_q,
     "cdp_trait_fidelity": cdp_trait_fidelity_q,
@@ -2150,7 +2157,6 @@ QUERIES: dict[str, QueryFn] = {
     "resize_media": resize_media_q,
     "pii_scrub": pii_scrub_q,
     "decontamination": decontamination_q,
-    # — green driver rows from round 1 —
     "tpch_q1_pricing_summary": tpch_q1,
     "tpch_q3_shipping_priority": tpch_q3,
     "tpch_q5_region_revenue": tpch_q5,

@@ -563,3 +563,24 @@ def test_cohort_ltv_no_broadcast_of_user_table(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cohort_ltv")
     assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
     assert not PY_NODES.search(plan)
+
+
+def test_silver_cache_opt_out(spark, sf_dir, monkeypatch):
+    """PB_SILVER_CACHE=0 must yield a silver plan with NO InMemoryRelation:
+    the 100 TB posture scans parquet directly (materialized-silver twin)
+    instead of pinning the fact table in executor memory.  Spark's
+    CacheManager substitutes cached fragments by canonicalized-plan match,
+    so the cache must be dropped for the uncached plan to be observable."""
+    from pulseboard_spark import registry
+
+    spark.catalog.clearCache()
+    monkeypatch.setenv("PB_SILVER_CACHE", "0")
+    df = registry.entity_events(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan and "InMemoryRelation" not in plan
+    assert "FileScan parquet" in plan, "uncached silver must scan parquet directly"
+
+    monkeypatch.setenv("PB_SILVER_CACHE", "1")
+    cached = registry.entity_events(spark, sf_dir)
+    cached_plan = cached._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in cached_plan, "default posture stays cached"
