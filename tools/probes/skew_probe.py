@@ -59,7 +59,12 @@ def build(spark: SparkSession):
             ),
         )
         .withColumn("ts", (F.col("id") % 86_400).cast("long"))
-        .withColumn("value", (F.abs(F.xxhash64("id", F.lit("v"))) % 1_000).cast("double"))
+        # full-entropy values: AQE's skew detector operates on COMPRESSED
+        # map-output bytes, and a low-entropy synthetic column (e.g.
+        # hash % 1000) lz4-compresses a 2M-row hot partition under 1 MB —
+        # below any realistic threshold, so the splitter never fires on
+        # data real events would trigger (measured; see SCALE.md)
+        .withColumn("value", (F.xxhash64("id", F.lit("v")).cast("double") / F.lit(1e9)))
     )
     return df.localCheckpoint()  # pin the input so probes time the operator, not the generator
 
@@ -124,21 +129,33 @@ def main() -> None:
         .localCheckpoint()
     )
 
-    def smj(skew_on: bool):
+    def smj(skew_on: bool) -> bool:
+        """Returns whether the splitter actually fired (plan-verified —
+        a wall-clock delta without the marker proves nothing).
+
+        The aggregate MUST carry `value` through the join: with a
+        count-only rollup, column pruning shuffles the fact side as the
+        bare join key, and 2M identical hot-key rows lz4-compress under
+        1 MB — the skew detector (which reads compressed map-output
+        sizes) then sees nothing to split (measured; see SCALE.md)."""
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
         # let the splitter see local-scale partitions (defaults: 256 MB)
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        (
+        df = (
             fact.join(dim, "key")
             .groupBy("attr")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .write.format("noop").mode("overwrite").save()
+            .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("c"))
         )
+        df.collect()  # collect, not write: keeps the executed QueryExecution inspectable
+        return "skew=true" in df._jdf.queryExecution().executedPlan().toString()
 
-    c1 = bench("C. skewed SMJ, AQE skew split OFF", lambda: smj(False))
-    c2 = bench("C. skewed SMJ, AQE skew split ON", lambda: smj(True))
+    fired = {}
+    c1 = bench("C. skewed SMJ, AQE skew split OFF", lambda: fired.setdefault(False, smj(False)))
+    c2 = bench("C. skewed SMJ, AQE skew split ON", lambda: fired.setdefault(True, smj(True)))
+    print(f"   skew split fired: off={fired[False]} on={fired[True]}")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
 
     print("\nsummary:")
