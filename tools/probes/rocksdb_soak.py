@@ -29,8 +29,9 @@ import shutil
 import sys
 import tempfile
 import time
+from pathlib import Path
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_PASSES = 10
@@ -64,34 +65,41 @@ def soak(provider: str) -> dict:
             .option("checkpointLocation", f"{work}/ckpt")
             .start()
         )
-        q.processAllAvailable()  # warm-up: state-store init, codegen, workers
-        parts = sorted(glob.glob(f"{src}/part-*.parquet"))
-        for rep in range(N_PASSES):
-            staged = []
-            for i, f in enumerate(parts):
-                tmp = f"{src}/.replay-{rep}-{i}.parquet"
-                shutil.copy(f, tmp)
-                staged.append((tmp, f"{src}/replay-{rep}-{i}.parquet"))
-            t0 = time.monotonic()
-            for tmp, final in staged:
-                os.rename(tmp, final)
-            q.processAllAvailable()
-            dt = time.monotonic() - t0
-            prog = q.lastProgress
-            ops = (prog or {}).get("stateOperators") or [{}]
-            rows = ops[0].get("numRowsTotal")
-            mem = ops[0].get("customMetrics", {}).get(
-                "rocksdbTotalMemoryUsageBytes"
-            ) or ops[0].get("memoryUsedBytes", 0)
-            out["passes"].append(round(n / dt))
-            out["state_rows"].append(rows)
-            out["state_mem_mb"].append(round((mem or 0) / 1e6, 1))
-            print(
-                f"  [{provider}] pass {rep + 1:2d}/{N_PASSES}: {n / dt:8.0f} eps, "
-                f"state rows={rows}, mem={out['state_mem_mb'][-1]} MB",
-                flush=True,
-            )
-        q.stop()
+        try:
+            q.processAllAvailable()  # warm-up: state-store init, codegen, workers
+            parts = sorted(glob.glob(f"{src}/part-*.parquet"))
+            for rep in range(N_PASSES):
+                staged = []
+                for i, f in enumerate(parts):
+                    tmp = f"{src}/.replay-{rep}-{i}.parquet"
+                    shutil.copy(f, tmp)
+                    staged.append((tmp, f"{src}/replay-{rep}-{i}.parquet"))
+                t0 = time.monotonic()
+                for tmp, final in staged:
+                    os.rename(tmp, final)
+                q.processAllAvailable()
+                dt = time.monotonic() - t0
+                prog = q.lastProgress
+                ops = (prog or {}).get("stateOperators") or [{}]
+                rows = ops[0].get("numRowsTotal")
+                # memoryUsedBytes covers both providers in Spark 4.1: heap
+                # reports the loaded-map estimate, RocksDB its tracked total
+                # (block cache + memtables + pinned blocks).  The provider's
+                # customMetrics expose finer slices (rocksdbSstFileSize,
+                # rocksdbPinnedBlocksMemoryUsage, ...) but no single total.
+                mem = ops[0].get("memoryUsedBytes", 0)
+                out["passes"].append(round(n / dt))
+                out["state_rows"].append(rows)
+                out["state_mem_mb"].append(round((mem or 0) / 1e6, 1))
+                print(
+                    f"  [{provider}] pass {rep + 1:2d}/{N_PASSES}: {n / dt:8.0f} eps, "
+                    f"state rows={rows}, mem={out['state_mem_mb'][-1]} MB",
+                    flush=True,
+                )
+        finally:
+            # stop BEFORE the rmtree below: deleting the source/checkpoint
+            # under a running query buries the original error in stream traces
+            q.stop()
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
