@@ -96,7 +96,10 @@ def _full_probe(df: DataFrame, n_cells: int) -> DataFrame:
     with one vectorized numpy take, not a per-element Python loop."""
 
     def probe(batches):
-        for pdf in batches:
+        # replication factor is n_cells, so budget the input rows as if
+        # each were n_cells×dim cells wide — keeps the emitted frame
+        # (rows × n_cells replicated vectors) tens of MB, not GB
+        for pdf in _budgeted(batches, n_cells * 64):
             m = len(pdf)
             rep = np.repeat(np.arange(m), n_cells)
             emb = pdf["embedding"].to_numpy()
@@ -120,8 +123,7 @@ def _chunked_pairs_above(left: pd.DataFrame, right: pd.DataFrame, threshold: flo
     hit is emitted."""
     M = _batch_matrix(right["embedding"])
     m_ids = right["vec_id"].to_numpy(np.int64)
-    for lo in range(0, len(left), _SCORE_CHUNK):
-        chunk = left.iloc[lo : lo + _SCORE_CHUNK]
+    for chunk in _query_chunks(left, M.shape[0], cap=_SCORE_CHUNK):
         A = _batch_matrix(chunk["embedding"])
         a_ids = chunk["vec_id"].to_numpy(np.int64)
         C = _cosine_block(A, M)
@@ -142,6 +144,36 @@ MAX_BROADCAST_INDEX_ROWS = 200_000
 #: matrix at ~CHUNK × |cell| doubles regardless of how many queries probe
 #: the cell (at full probe that is ALL of them).
 _SCORE_CHUNK = 4096
+
+#: Per-task score-matrix budget (float64 cells) for EVERY gram-matrix
+#: kernel: the query side is re-chunked so each `_seq_gram` block tops out
+#: at ~64 MB (plus one same-shape temp inside the fold).  Without this an
+#: Arrow batch of 10k query rows against a ceiling-sized 200k-row index
+#: plans a 16 GB matrix PER TASK — tools/probes/amplified_bench.py at 128k
+#: vectors (well inside the broadcast ceiling) had 32 concurrent workers
+#: OOM-kill the local[32] JVM.  The fixed `_SCORE_CHUNK` alone is not
+#: enough either: 4096 probe rows against a skewed 100k-member cell is a
+#: 3.3 GB block, so cell kernels take min(_SCORE_CHUNK, budget).
+_BLOCK_ELEMS = 8_000_000
+
+
+def _chunk_step(m_rows: int, cap: int | None = None) -> int:
+    """Query rows per gram block so rows × ``m_rows`` ≤ `_BLOCK_ELEMS`."""
+    step = max(1, _BLOCK_ELEMS // max(m_rows, 1))
+    return min(step, cap) if cap else step
+
+
+def _query_chunks(pdf: pd.DataFrame, m_rows: int, cap: int | None = None):
+    step = _chunk_step(m_rows, cap)
+    for lo in range(0, len(pdf), step):
+        yield pdf.iloc[lo : lo + step]
+
+
+def _budgeted(batches, m_rows: int):
+    """Re-chunk an Arrow batch iterator to the score-matrix budget — the
+    one-line guard every broadcast block kernel runs its loop over."""
+    for pdf in batches:
+        yield from _query_chunks(pdf, m_rows)
 
 
 def _index_too_big(embeddings: DataFrame, max_rows: int | None) -> bool:
@@ -198,7 +230,7 @@ def cosine_topk(
 
     def block(batches):
         ids, M, norms = b.value
-        for pdf in batches:
+        for pdf in _budgeted(batches, M.shape[0]):
             A = _batch_matrix(pdf["embedding"])
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             C = np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
@@ -270,7 +302,7 @@ def cosine_pairs_above(
 
     def block(batches):
         ids, M, norms = b.value
-        for pdf in batches:
+        for pdf in _budgeted(batches, M.shape[0]):
             A = _batch_matrix(pdf["embedding"])
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             C = np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
@@ -339,7 +371,7 @@ def embedding_decontamination(
 
         def block(batches):
             ids, M, norms = b.value
-            for pdf in batches:
+            for pdf in _budgeted(batches, M.shape[0]):
                 A = _batch_matrix(pdf["embedding"])
                 a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
                 C = np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
@@ -424,10 +456,11 @@ def ivf_index(
 
     def assign(batches):
         _ids, CM, cn = cent_bc.value
-        for pdf in batches:
+        for pdf in _budgeted(batches, CM.shape[0]):
             A = _batch_matrix(pdf["embedding"])
             an = _safe_norms(A)
             S = _seq_gram(A, CM) / (an[:, None] * cn[None, :])
+            pdf = pdf.copy()
             pdf["cell"] = np.argmax(S, axis=1).astype(np.int64)  # first max wins: lowest cell id
             yield pdf[["vec_id", "embedding", "cell"]]
 
@@ -494,7 +527,7 @@ def _ivf_knn(
     def probe(batches):
         _ids, CM, cn = cent_bc.value
         npb = CM.shape[0] if nprobe is None else min(nprobe, CM.shape[0])
-        for pdf in batches:
+        for pdf in _budgeted(batches, CM.shape[0]):
             A = _batch_matrix(pdf["embedding"])
             an = _safe_norms(A)
             S = _seq_gram(A, CM) / (an[:, None] * cn[None, :])
@@ -531,9 +564,9 @@ def _ivf_knn(
         m_lbl = right["label"].to_numpy(np.int64) if cross_label else None
         out = {c: [] for c in empty_cols}
         # chunk the probe side: at full probe the left frame holds every
-        # query — chunking bounds the score matrix per task
-        for lo in range(0, len(left), _SCORE_CHUNK):
-            chunk = left.iloc[lo : lo + _SCORE_CHUNK]
+        # query — chunking bounds the score matrix per task (budget-capped:
+        # a skewed 100k-member cell would make 4096 fixed rows a 3 GB block)
+        for chunk in _query_chunks(left, M.shape[0], cap=_SCORE_CHUNK):
             A = _batch_matrix(chunk["embedding"])
             a_ids = chunk["vec_id"].to_numpy(np.int64)
             a_lbl = chunk["label"].to_numpy(np.int64) if cross_label else None
@@ -812,7 +845,7 @@ def hard_negatives_broadcast(embeddings: DataFrame, k: int = 3) -> DataFrame:
 
     def block(batches):
         ids_, M_, norms, labels_ = b.value
-        for pdf in batches:
+        for pdf in _budgeted(batches, M_.shape[0]):
             A = _batch_matrix(pdf["embedding"])
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_labels = pdf["label"].to_numpy(dtype=np.int64)
@@ -1106,7 +1139,8 @@ def pq_topk(
 
     def partial(batches):
         ids_q, TT = t_bc.value
-        for pdf in batches:
+        # budgeted over the corpus side: D is |queries| × |batch rows|
+        for pdf in _budgeted(batches, len(ids_q)):
             if not len(pdf):
                 continue
             CM = np.stack(pdf["codes"].to_numpy())  # (n, m)
