@@ -54,8 +54,22 @@ def _seq_gram(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     C = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
     if A.size == 0 or B.size == 0:  # empty side: 0×m / n×0 — nothing to fold
         return C
-    for j in range(A.shape[1]):
-        C += A[:, j][:, None] * B[:, j][None, :]
+    # Cache-blocked over B rows: the d rank-1 updates re-touch the whole
+    # (n, m) accumulator each pass, so an unblocked fold streams
+    # d × n × m × 8 B of traffic through DRAM (16 TB for one 128k-vector
+    # top-k — measured 4.8 s per 62-row block).  A ~1k-column block keeps
+    # the accumulator and temp L2-resident (~4× faster, measured) while
+    # C[i, j] still accumulates in the identical j-order — bit-identical
+    # results, only the memory layout of the walk changes.
+    blk = 1024
+    tmp = np.empty((A.shape[0], min(blk, B.shape[0])), dtype=np.float64)
+    for lo in range(0, B.shape[0], blk):
+        Bb = B[lo : lo + blk]
+        Cb = C[:, lo : lo + Bb.shape[0]]
+        t = tmp[:, : Bb.shape[0]]
+        for j in range(A.shape[1]):
+            np.multiply(A[:, j][:, None], Bb[:, j][None, :], out=t)
+            Cb += t
     return C
 
 
@@ -84,9 +98,23 @@ def _cosine_block(A: np.ndarray, M: np.ndarray) -> np.ndarray:
 
 def _topk_order(row: np.ndarray, ids: np.ndarray, k: int, keep: np.ndarray) -> np.ndarray:
     """The ONE selection contract: (cosine desc, neighbor id asc), masked
-    by ``keep``, truncated to k."""
-    order = np.lexsort((ids, -row))
-    return order[keep[order]][:k]
+    by ``keep``, truncated to k.
+
+    O(n) candidate cut before the sort: only elements whose (already
+    rounded) score ties or beats the k-th largest can appear in the
+    top-k, so ``np.partition`` finds that threshold and the O(n log n)
+    lexsort runs on the survivors only — at 128k neighbors per query the
+    full-row lexsort was ~¼ of the exact-knn runtime.  Ties AT the
+    threshold are all kept, so id-ordered tie-breaking sees every
+    contender and the selection is exactly the unpartitioned ordering."""
+    idx = np.flatnonzero(keep)
+    vals = row[idx]
+    if idx.size > 4 * k + 64:
+        kth = np.partition(vals, idx.size - k)[idx.size - k]
+        cand = vals >= kth
+        idx, vals = idx[cand], vals[cand]
+    order = np.lexsort((ids[idx], -vals))[:k]
+    return idx[order]
 
 
 def _full_probe(df: DataFrame, n_cells: int) -> DataFrame:
