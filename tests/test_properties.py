@@ -523,3 +523,51 @@ def test_containment_at_least_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     for r in containment_pairs(docs).collect():
         assert r.containment_ppm >= r.jaccard_ppm, r
+
+
+# --- exact-cosine kernel internals vs their naive references -----------------
+
+
+def test_blocked_seq_gram_bitwise_equals_naive_fold():
+    """The cache-blocked gram walk must reproduce the unblocked
+    dimension-major fold BITWISE on wild-scale inputs — the blocking is a
+    memory-layout change only, and the DuckDB-parity contract rides on
+    that (pre-round sums feed a round-to-6 whose hash the driver checks)."""
+    import numpy as np
+
+    from pulseboard_spark.operators.similarity import _seq_gram
+
+    rng = np.random.default_rng(11)
+    for n, m, d in [(1, 1, 1), (7, 3000, 64), (62, 5000, 17), (5, 1024, 8)]:
+        A = rng.standard_normal((n, d)) * 10.0 ** rng.integers(-8, 8, (n, 1))
+        B = rng.standard_normal((m, d)) * 10.0 ** rng.integers(-8, 8, (m, 1))
+        A[0] = 0.0  # zero vector must survive the walk too
+        naive = np.zeros((n, m))
+        for j in range(d):
+            naive += A[:, j][:, None] * B[:, j][None, :]
+        assert np.array_equal(_seq_gram(A, B), naive), (n, m, d)
+
+
+def test_topk_order_partition_cut_equals_full_lexsort():
+    """The O(n) candidate cut before the lexsort must select exactly the
+    unpartitioned (score desc, id asc) ordering — including heavy-tie rows
+    where the cut keeps MORE than k candidates and degenerate all-equal
+    rows where it keeps everything."""
+    import numpy as np
+
+    from pulseboard_spark.operators.similarity import _topk_order
+
+    rng = np.random.default_rng(13)
+    for trial in range(200):
+        n = int(rng.integers(1, 2000))
+        k = int(rng.integers(1, 12))
+        # coarse grid => plenty of exact ties at the threshold
+        row = np.round(rng.integers(-3, 4, n) / 3.0, 6)
+        if trial % 5 == 0:
+            row[:] = row[0]  # all-equal: ordering is purely id-driven
+        ids = rng.permutation(n).astype(np.int64) * 7
+        keep = rng.random(n) > 0.2
+        reference = np.lexsort((ids, -row))
+        reference = reference[keep[reference]][:k]
+        got = _topk_order(row, ids, k, keep)
+        assert np.array_equal(got, reference), (trial, n, k)
