@@ -584,3 +584,28 @@ def test_silver_cache_opt_out(spark, sf_dir, monkeypatch):
     cached = registry.entity_events(spark, sf_dir)
     cached_plan = cached._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in cached_plan, "default posture stays cached"
+
+
+def test_amplified_tier_builder_smoke(spark, tmp_path):
+    """tools/probes/amplified_bench.py must keep building runnable
+    amplified directories: 2x sf0.001, two registry queries re-run
+    against it, row counts scale exactly (replica keys are disjoint, so
+    per-doc outputs double and identity components double)."""
+    import sys as _sys
+    from pathlib import Path as _P
+
+    _sys.path.insert(0, str(_P(__file__).resolve().parents[1] / "tools" / "probes"))
+    import amplified_bench as ab
+
+    from pulseboard_spark.registry import QUERIES
+
+    amp_dir = str(tmp_path / "amp2")
+    ab.build_amp_dir(spark, base="/root/testdata/sf0.001", amp_dir=amp_dir, amp=2)
+    base_tq = QUERIES["text_quality"](spark, "/root/testdata/sf0.001").count()
+    assert QUERIES["text_quality"](spark, amp_dir).count() == 2 * base_tq
+    # doc-grain output doubles exactly (replica doc_ids are disjoint);
+    # identity components deliberately do NOT double — the 7 anon hub ids
+    # are shared across replicas by the CDP derivation, which makes the
+    # amplified graph a hub-skew stressor rather than 2x the components
+    base_de = QUERIES["dedup_exact"](spark, "/root/testdata/sf0.001").count()
+    assert QUERIES["dedup_exact"](spark, amp_dir).count() == 2 * base_de

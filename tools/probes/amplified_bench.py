@@ -51,7 +51,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-AMP = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+AMP = 64  # CLI overrides in main(); argv is NOT parsed at import time
 AMP_DIR = f"/tmp/pb_amp{AMP}"
 
 # Unchanged registry queries, chosen to cover every plan family the repo
@@ -77,20 +77,20 @@ SLICE = [
 COPY = ["region", "nation", "customer", "supplier", "part"]
 
 
-def build_amp_dir(spark) -> None:
+def build_amp_dir(spark, base: str = BASE, amp_dir: str = AMP_DIR, amp: int = AMP) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(AMP_DIR, "_DONE")):
-        print(f"# reusing {AMP_DIR}", file=sys.stderr)
+    if os.path.exists(os.path.join(amp_dir, "_DONE")):
+        print(f"# reusing {amp_dir}", file=sys.stderr)
         return
-    shutil.rmtree(AMP_DIR, ignore_errors=True)
-    os.makedirs(AMP_DIR, exist_ok=True)
+    shutil.rmtree(amp_dir, ignore_errors=True)
+    os.makedirs(amp_dir, exist_ok=True)
     for t in COPY:
-        shutil.copy(os.path.join(BASE, f"{t}.parquet"), os.path.join(AMP_DIR, f"{t}.parquet"))
+        shutil.copy(os.path.join(base, f"{t}.parquet"), os.path.join(amp_dir, f"{t}.parquet"))
 
-    rep = spark.range(AMP).withColumnRenamed("id", "r")
+    rep = spark.range(amp).withColumnRenamed("id", "r")
 
-    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    ev = spark.read.parquet(os.path.join(base, "events.parquet"))
     (
         ev.crossJoin(rep)
         .select(
@@ -102,27 +102,27 @@ def build_amp_dir(spark) -> None:
             "props",
         )
         .write.mode("overwrite")
-        .parquet(os.path.join(AMP_DIR, "events.parquet"))
+        .parquet(os.path.join(amp_dir, "events.parquet"))
     )
 
     for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        df = spark.read.parquet(os.path.join(BASE, f"{t}.parquet"))
+        df = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
         cols = [
             (F.col(key) + F.col("r") * F.lit(10**9)).alias(key) if c == key else F.col(c)
             for c in df.columns
         ]
         df.crossJoin(rep).select(*cols).write.mode("overwrite").parquet(
-            os.path.join(AMP_DIR, f"{t}.parquet")
+            os.path.join(amp_dir, f"{t}.parquet")
         )
 
     # documents: per-replica Caesar rotation of the letters (identity for
     # r=0).  Built as a union of per-replica selects because translate()
     # needs a constant mapping; |union| = AMP branches over a 5k-row scan
     # is a one-time materialization cost, not a query under test.
-    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
     lower, upper = string.ascii_lowercase, string.ascii_uppercase
     parts = []
-    for r in range(AMP):
+    for r in range(amp):
         k = r % 25 + 1 if r else 0
         src, dst = lower + upper, lower[k:] + lower[:k] + upper[k:] + upper[:k]
         parts.append(
@@ -137,9 +137,9 @@ def build_amp_dir(spark) -> None:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out.repartition(32).write.mode("overwrite").parquet(os.path.join(AMP_DIR, "documents.parquet"))
+    out.repartition(32).write.mode("overwrite").parquet(os.path.join(amp_dir, "documents.parquet"))
 
-    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
     (
         emb.crossJoin(rep)
         .select(
@@ -150,17 +150,17 @@ def build_amp_dir(spark) -> None:
             "label",
         )
         .write.mode("overwrite")
-        .parquet(os.path.join(AMP_DIR, "embeddings.parquet"))
+        .parquet(os.path.join(amp_dir, "embeddings.parquet"))
     )
-    Path(os.path.join(AMP_DIR, "_DONE")).touch()
-    print(f"# built {AMP_DIR}", file=sys.stderr)
+    Path(os.path.join(amp_dir, "_DONE")).touch()
+    print(f"# built {amp_dir}", file=sys.stderr)
 
 
-def run_slice(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+def run_slice(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, dict[str, float]]:
     from pulseboard_spark.registry import QUERIES
 
     res: dict[str, dict[str, float]] = {}
-    for name in SLICE:
+    for name in names or SLICE:
         cold = warm = None
         for run in range(2):
             t0 = time.monotonic()
@@ -177,9 +177,12 @@ def run_slice(spark, sf_dir: str) -> dict[str, dict[str, float]]:
 def main() -> None:
     from pulseboard_spark.session import get_spark
 
+    amp = int(sys.argv[1]) if len(sys.argv) > 1 else AMP
+    amp_dir = f"/tmp/pb_amp{amp}"
+
     spark = get_spark("pb-amp-build")
     spark.sparkContext.setLogLevel("ERROR")
-    build_amp_dir(spark)
+    build_amp_dir(spark, BASE, amp_dir, amp)
     spark.stop()
 
     # Fresh context per side so silver caches / Python workers from the 1x
@@ -191,22 +194,22 @@ def main() -> None:
 
     spark = get_spark("pb-amp-amp")
     spark.sparkContext.setLogLevel("ERROR")
-    amp = run_slice(spark, AMP_DIR)
+    amped = run_slice(spark, amp_dir)
     spark.stop()
 
-    print(f"\n| query | 1x warm | {AMP}x warm | ratio | 1x cold | {AMP}x cold |")
+    print(f"\n| query | 1x warm | {amp}x warm | ratio | 1x cold | {amp}x cold |")
     print("|---|---|---|---|---|---|")
     worst = 0.0
     for name in SLICE:
-        b, a = base[name], amp[name]
+        b, a = base[name], amped[name]
         ratio = a["warm"] / max(b["warm"], 1e-9)
         worst = max(worst, ratio)
         print(
             f"| {name} | {b['warm']:.2f}s | {a['warm']:.2f}s | {ratio:.1f}x "
             f"| {b['cold']:.2f}s | {a['cold']:.2f}s |"
         )
-    verdict = "PASS (sub-linear everywhere)" if worst <= AMP else "ATTENTION: super-linear query above"
-    print(f"\nworst warm ratio {worst:.1f}x at {AMP}x data -> {verdict}")
+    verdict = "PASS (sub-linear everywhere)" if worst <= amp else "ATTENTION: super-linear query above"
+    print(f"\nworst warm ratio {worst:.1f}x at {amp}x data -> {verdict}")
 
 
 if __name__ == "__main__":
