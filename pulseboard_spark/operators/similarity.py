@@ -247,13 +247,16 @@ def cosine_topk(
     only k rows per query ever leave the kernel.
 
     Size-guarded: above ``max_broadcast_rows`` (default
-    :data:`MAX_BROADCAST_INDEX_ROWS`) the driver-collected index would be
-    a scale-killer, so the call routes to the distributed full-probe IVF
-    kernel — same exact answer (identical scoring/rounding/tie-break),
-    no driver materialization.
+    :data:`MAX_BROADCAST_INDEX_ROWS`) a single driver-collected index
+    would be a scale-killer, so the call routes to the sliced-broadcast
+    exact path (:func:`_sliced_exact_topk`) — same exact answer
+    (identical scoring/rounding/tie-break), one bounded broadcast per
+    index slice.  (The earlier over-ceiling route, full-probe IVF,
+    replicated every query to every cell — ~√n data amplification that
+    OOMed the 64x-amplified tier at 128k vectors.)
     """
     if _index_too_big(embeddings, max_broadcast_rows):
-        return _ivf_knn(embeddings, k=k, nprobe=None)
+        return _sliced_exact_topk(embeddings, k=k, slice_rows=max_broadcast_rows)
     b = _broadcast_index(embeddings)
 
     def block(batches):
@@ -284,13 +287,156 @@ def cosine_topk(
     )
 
 
+def _index_slices(embeddings: DataFrame, cross_label: bool, slice_rows: int):
+    """Hash-slice the index side into broadcast-class pieces and collect
+    them one at a time; yields one executor broadcast per non-empty slice.
+
+    Slice count targets 3/4 fill so xxhash imbalance stays under the
+    ceiling.  Slice membership cannot affect results: every index row is
+    scored against every query exactly once regardless of which slice
+    holds it.  Driver holds all slice broadcasts for the plan's lifetime
+    (~100 MB per 200k-row slice) — the honest bound on this exact path is
+    driver memory, a few million index rows; beyond that exact all-pairs
+    is the wrong tool and the IVF/LSH approximate paths are the answer."""
+    import math
+
+    n = embeddings.select(F.lit(1)).count()
+    n_slices = max(2, math.ceil(n / max(slice_rows * 3 // 4, 1)))
+    cols = ["vec_id", "embedding"] + (["label"] if cross_label else [])
+    sliced = embeddings.select(*cols).withColumn(
+        "_slice", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_slices))
+    )
+    sc = embeddings.sparkSession.sparkContext
+    for s in range(n_slices):
+        rows = sliced.filter(F.col("_slice") == s).drop("_slice").collect()
+        if not rows:
+            continue
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        labels = np.array([r[2] for r in rows], dtype=np.int64) if cross_label else None
+        yield sc.broadcast((ids, M, _safe_norms(M), labels))
+
+
+def _sliced_exact_topk(
+    embeddings: DataFrame,
+    k: int,
+    cross_label: bool = False,
+    slice_rows: int | None = None,
+) -> DataFrame:
+    """Exact kNN above the broadcast ceiling WITHOUT probe amplification.
+
+    The index is scored one broadcast-class slice at a time through the
+    same budgeted block kernel as :func:`cosine_topk`; each slice emits
+    at most k candidates per query, and one window keeps the global
+    (cosine desc, neighbor id asc) top-k — any global top-k member is by
+    definition inside its own slice's top-k, so the union is a lossless
+    candidate set.  Shuffled data: n_slices × k rows per query, versus
+    the retired full-probe IVF route's √n full-vector copies per query
+    (which OOMed the 64x-amplified tier at 128k vectors)."""
+    slice_rows = slice_rows or MAX_BROADCAST_INDEX_ROWS
+    qcols = ["vec_id", "embedding"] + (["label"] if cross_label else [])
+    lbl_out = ", label bigint, neighbor_label bigint" if cross_label else ""
+    parts = []
+    for b in _index_slices(embeddings, cross_label, slice_rows):
+
+        def block(batches, _b=b):
+            ids_, M_, norms, lbl = _b.value
+            cols = ["vec_id", "neighbor_id", "cosine"] + (
+                ["label", "neighbor_label"] if lbl is not None else []
+            )
+            for pdf in _budgeted(batches, M_.shape[0]):
+                A = _batch_matrix(pdf["embedding"])
+                a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                a_lbl = pdf["label"].to_numpy(dtype=np.int64) if lbl is not None else None
+                C = np.round(_seq_gram(A, M_) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
+                out = {c: [] for c in cols}
+                for i in range(A.shape[0]):
+                    row = C[i]
+                    keep = ids_ != a_ids[i]
+                    if lbl is not None:
+                        keep &= lbl != a_lbl[i]
+                    order = _topk_order(row, ids_, k, keep)
+                    out["vec_id"].extend([a_ids[i]] * len(order))
+                    out["neighbor_id"].extend(ids_[order])
+                    out["cosine"].extend(row[order])
+                    if lbl is not None:
+                        out["label"].extend([a_lbl[i]] * len(order))
+                        out["neighbor_label"].extend(lbl[order])
+                yield pd.DataFrame(
+                    {c: pd.Series(out[c], dtype="float64" if c == "cosine" else "int64") for c in cols}
+                )
+
+        parts.append(
+            embeddings.select(*qcols).mapInPandas(
+                block, schema=f"vec_id bigint, neighbor_id bigint, cosine double{lbl_out}"
+            )
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out_cols = (
+        ["vec_id", "label", "neighbor_id", "neighbor_label"]
+        if cross_label
+        else ["vec_id", "neighbor_id"]
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*out_cols, "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _sliced_pairs_above(
+    embeddings: DataFrame, threshold: float, slice_rows: int | None = None
+) -> DataFrame:
+    """Exact pairs-above-threshold above the ceiling: score every query
+    against one index slice at a time; the canonical a<b mask means each
+    unordered pair is emitted exactly once — in the slice holding b — so
+    the union needs no dedup and no merge window."""
+    slice_rows = slice_rows or MAX_BROADCAST_INDEX_ROWS
+    parts = []
+    for b in _index_slices(embeddings, False, slice_rows):
+
+        def block(batches, _b=b):
+            ids_, M_, norms, _lbl = _b.value
+            for pdf in _budgeted(batches, M_.shape[0]):
+                A = _batch_matrix(pdf["embedding"])
+                a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                C = np.round(_seq_gram(A, M_) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
+                ii, jj = np.nonzero((C >= threshold) & (a_ids[:, None] < ids_[None, :]))
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pd.Series(a_ids[ii], dtype="int64"),
+                        "vec_b": pd.Series(ids_[jj], dtype="int64"),
+                        "cosine": pd.Series(C[ii, jj], dtype="float64"),
+                    }
+                )
+
+        parts.append(
+            embeddings.select("vec_id", "embedding").mapInPandas(
+                block, schema="vec_a bigint, vec_b bigint, cosine double"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _ivf_pairs_above(
     embeddings: DataFrame, threshold: float, n_cells: int | None = None, iters: int = 0
 ) -> DataFrame:
     """Distributed twin of :func:`cosine_pairs_above`: full-probe IVF
     cogroup, pairs emitted inside the cell kernel with the a<b canonical
     filter (each unordered pair scored exactly once: when a probes b's
-    home cell).  No driver collect; exact ≡ the broadcast kernel."""
+    home cell).  No driver collect; exact ≡ the broadcast kernel.
+
+    Kept as a test-pinned equivalence twin, NOT a routing target: the
+    full probe replicates every vector to every cell (~√n data
+    amplification), which the 64x-amplified tier measured as fatal at
+    128k vectors — over-ceiling exact routing goes through
+    :func:`_sliced_pairs_above` instead."""
     assigned, cent_bc = ivf_index(embeddings, n_cells=n_cells, iters=iters)
     probes = _full_probe(embeddings, cent_bc.value[1].shape[0])
 
@@ -322,10 +468,11 @@ def cosine_pairs_above(
     """All pairs (vec_a < vec_b) with rounded cosine ≥ threshold — the
     exact kernel behind embedding-cosine near-dup.  Same broadcast block
     shape as :func:`cosine_topk`; same size guard — above the broadcast
-    ceiling the call routes to the distributed full-probe IVF twin
-    (:func:`_ivf_pairs_above`) instead of collecting to the driver."""
+    ceiling the call routes to the sliced-broadcast twin
+    (:func:`_sliced_pairs_above`) instead of collecting the whole index
+    to the driver (or replicating every query to every IVF cell)."""
     if _index_too_big(embeddings, max_broadcast_rows):
-        return _ivf_pairs_above(embeddings, threshold)
+        return _sliced_pairs_above(embeddings, threshold, slice_rows=max_broadcast_rows)
     b = _broadcast_index(embeddings)
 
     def block(batches):
@@ -363,37 +510,41 @@ def embedding_decontamination(
 
     Physical shape: the eval set (a few percent) is the broadcast index;
     training vectors stream through the shared block kernel.  Size guard
-    as everywhere — an over-ceiling eval set routes through the chunked
-    IVF cell kernel.
+    as everywhere — an over-ceiling eval set is scored one broadcast-class
+    slice at a time (asymmetric :func:`_index_slices` over the EVAL side
+    only: scoring all-pairs over the full table and filtering after would
+    waste ~5× the compute on train×train and eval×eval cosines nobody
+    reads; each (train, eval) pair is seen in exactly one slice, so the
+    union needs no dedup).
     """
     evals = embeddings.filter(F.col("vec_id") % eval_mod == 0)
     train = embeddings.filter(F.col("vec_id") % eval_mod != 0)
     if _index_too_big(evals, max_broadcast_rows):
-        # asymmetric cell kernel: cells index ONLY the eval side, train
-        # vectors probe them — scoring all-pairs over the full table and
-        # filtering after would waste ~5× the compute on train×train and
-        # eval×eval cosines nobody reads
-        assigned, cent_bc = ivf_index(evals, iters=0)
-        probes = _full_probe(train, cent_bc.value[1].shape[0])
+        parts = []
+        for sb in _index_slices(evals, False, max_broadcast_rows or MAX_BROADCAST_INDEX_ROWS):
 
-        def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            out_a, out_c = [], []
-            if len(left) and len(right):
-                for a_ids, _b_ids, cos in _chunked_pairs_above(left, right, threshold, canonical=False):
-                    out_a.append(a_ids)
-                    out_c.append(cos)
-            return pd.DataFrame(
-                {
-                    "vec_id": pd.Series(np.concatenate(out_a) if out_a else [], dtype="int64"),
-                    "cosine": pd.Series(np.concatenate(out_c) if out_c else [], dtype="float64"),
-                }
+            def sblock(batches, _b=sb):
+                ids, M, norms, _lbl = _b.value
+                for pdf in _budgeted(batches, M.shape[0]):
+                    A = _batch_matrix(pdf["embedding"])
+                    a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                    C = np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
+                    ii, jj = np.nonzero(C >= threshold)
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pd.Series(a_ids[ii], dtype="int64"),
+                            "cosine": pd.Series(C[ii, jj], dtype="float64"),
+                        }
+                    )
+
+            parts.append(
+                train.select("vec_id", "embedding").mapInPandas(
+                    sblock, schema="vec_id bigint, cosine double"
+                )
             )
-
-        hits = (
-            probes.groupBy("cell")
-            .cogroup(assigned.groupBy("cell"))
-            .applyInPandas(score_cell, schema="vec_id bigint, cosine double")
-        )
+        hits = parts[0]
+        for p in parts[1:]:
+            hits = hits.unionByName(p)
     else:
         b = _broadcast_index(evals)
 
@@ -848,7 +999,14 @@ def hard_negatives(
     default ``nprobe=None`` probes every cell, making the result exactly
     the broadcast answer (pinned by test and by the DuckDB oracle); at
     true scale set ``nprobe`` ≪ n_cells for the approximate fast path.
+
+    Above the broadcast ceiling the exact default reroutes to the
+    sliced-broadcast kernel (:func:`_sliced_exact_topk` with the label
+    mask): full-probe's every-query-to-every-cell replication is ~√n data
+    amplification, measured fatal at 128k vectors in the amplified tier.
     """
+    if nprobe is None and index is None and _index_too_big(embeddings, None):
+        return _sliced_exact_topk(embeddings, k=k, cross_label=True)
     return _ivf_knn(
         embeddings, k=k, n_cells=n_cells, nprobe=nprobe, iters=iters,
         cross_label=True, index=index,

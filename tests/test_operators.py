@@ -1090,16 +1090,21 @@ class TestHardNegatives:
 
 
 class TestBroadcastSizeGuard:
-    def test_exact_kernels_route_to_ivf_above_ceiling(self, spark, sf_dir, monkeypatch):
+    def test_exact_kernels_route_to_slices_above_ceiling(self, spark, sf_dir, monkeypatch):
         """Above the broadcast ceiling the exact kernels must never collect
-        the index to the driver — they route to the distributed IVF twin
-        and still return the exact answer."""
+        the whole index to the driver — they route to the sliced-broadcast
+        path (one bounded collect per slice, NO full-probe cell
+        replication) and still return the exact answer.  Ceiling pinned to
+        10 rows => ~29 slices over the sf0.001 embeddings, so slice-union
+        plus the global merge window is genuinely exercised."""
         from pulseboard_spark.operators import similarity
         from pulseboard_spark.sources.tables import load_table
 
         embs = load_table(spark, sf_dir, "embeddings")
         want_topk = {tuple(r) for r in similarity.cosine_topk(embs, 5).collect()}
         want_pairs = {tuple(r) for r in similarity.cosine_pairs_above(embs, 0.35).collect()}
+        want_hn = {tuple(r) for r in similarity.hard_negatives(embs, k=3).collect()}
+        want_dc = {tuple(r) for r in similarity.embedding_decontamination(embs).collect()}
 
         def boom(*a, **kw):  # the guard must keep this path unreachable
             raise AssertionError("broadcast index collected above the ceiling")
@@ -1108,8 +1113,12 @@ class TestBroadcastSizeGuard:
         monkeypatch.setattr(similarity, "_broadcast_index", boom)
         got_topk = {tuple(r) for r in similarity.cosine_topk(embs, 5).collect()}
         got_pairs = {tuple(r) for r in similarity.cosine_pairs_above(embs, 0.35).collect()}
+        got_hn = {tuple(r) for r in similarity.hard_negatives(embs, k=3).collect()}
+        got_dc = {tuple(r) for r in similarity.embedding_decontamination(embs).collect()}
         assert got_topk == want_topk
         assert got_pairs == want_pairs
+        assert got_hn == want_hn
+        assert got_dc == want_dc
 
 
 class TestSeasonal:
