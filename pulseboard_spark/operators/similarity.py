@@ -843,17 +843,24 @@ def ann_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
     e = simhash_buckets(embeddings, n_planes).select("vec_id", F.col("v").alias("embedding"), "bucket")
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        A = _batch_matrix(pdf["embedding"])
+        M = _batch_matrix(pdf["embedding"])
         ids = pdf["vec_id"].to_numpy(np.int64)
-        C = _cosine_block(A, A)
+        norms = _safe_norms(M)
         out_q, out_n, out_c, out_r = [], [], [], []
-        for i in range(A.shape[0]):
-            row = C[i]
-            order = _topk_order(row, ids, k, ids != ids[i])
-            out_q.extend([ids[i]] * len(order))
-            out_n.extend(ids[order])
-            out_c.extend(row[order])
-            out_r.extend(range(1, len(order) + 1))
+        # budget the query side against the whole bucket: a skewed bucket
+        # (near-duplicate-heavy corpora collapse hyperplane signs) would
+        # otherwise plan an unbounded |bucket|^2 matrix in one shot
+        for chunk in _query_chunks(pdf, M.shape[0]):
+            A = _batch_matrix(chunk["embedding"])
+            a_ids = chunk["vec_id"].to_numpy(np.int64)
+            C = np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
+            for i in range(A.shape[0]):
+                row = C[i]
+                order = _topk_order(row, ids, k, ids != a_ids[i])
+                out_q.extend([a_ids[i]] * len(order))
+                out_n.extend(ids[order])
+                out_c.extend(row[order])
+                out_r.extend(range(1, len(order) + 1))
         return pd.DataFrame(
             {
                 "vec_id": pd.Series(out_q, dtype="int64"),
