@@ -1095,8 +1095,9 @@ class TestBroadcastSizeGuard:
         the whole index to the driver — they route to the sliced-broadcast
         path (one bounded collect per slice, NO full-probe cell
         replication) and still return the exact answer.  Ceiling pinned to
-        10 rows => ~29 slices over the sf0.001 embeddings, so slice-union
-        plus the global merge window is genuinely exercised."""
+        60 rows => ~5 slices over the sf0.001 embeddings, so slice-union
+        plus the global merge window is genuinely exercised (29-slice
+        version behaved identically but cost 3 min of suite time)."""
         from pulseboard_spark.operators import similarity
         from pulseboard_spark.sources.tables import load_table
 
@@ -1104,17 +1105,23 @@ class TestBroadcastSizeGuard:
         want_topk = {tuple(r) for r in similarity.cosine_topk(embs, 5).collect()}
         want_pairs = {tuple(r) for r in similarity.cosine_pairs_above(embs, 0.35).collect()}
         want_hn = {tuple(r) for r in similarity.hard_negatives(embs, k=3).collect()}
+        # eval side is ~20 rows at sf0.001 — force its slicing with the
+        # explicit per-call ceiling (the 60-row global pin would leave it
+        # legitimately on the broadcast path)
         want_dc = {tuple(r) for r in similarity.embedding_decontamination(embs).collect()}
 
         def boom(*a, **kw):  # the guard must keep this path unreachable
             raise AssertionError("broadcast index collected above the ceiling")
 
-        monkeypatch.setattr(similarity, "MAX_BROADCAST_INDEX_ROWS", 10)
+        monkeypatch.setattr(similarity, "MAX_BROADCAST_INDEX_ROWS", 60)
         monkeypatch.setattr(similarity, "_broadcast_index", boom)
         got_topk = {tuple(r) for r in similarity.cosine_topk(embs, 5).collect()}
         got_pairs = {tuple(r) for r in similarity.cosine_pairs_above(embs, 0.35).collect()}
         got_hn = {tuple(r) for r in similarity.hard_negatives(embs, k=3).collect()}
-        got_dc = {tuple(r) for r in similarity.embedding_decontamination(embs).collect()}
+        got_dc = {
+            tuple(r)
+            for r in similarity.embedding_decontamination(embs, max_broadcast_rows=10).collect()
+        }
         assert got_topk == want_topk
         assert got_pairs == want_pairs
         assert got_hn == want_hn
