@@ -1011,8 +1011,12 @@ def hard_negatives(
     sliced-broadcast kernel (:func:`_sliced_exact_topk` with the label
     mask): full-probe's every-query-to-every-cell replication is ~√n data
     amplification, measured fatal at 128k vectors in the amplified tier.
+    A precomputed ``index`` does not override the reroute — the index is
+    a candidate-generation artifact with no bearing on the exact answer,
+    and at full probe it cannot rescue the replication cost (callers that
+    really want cell-cogrouped full probe call :func:`_ivf_knn`).
     """
-    if nprobe is None and index is None and _index_too_big(embeddings, None):
+    if nprobe is None and _index_too_big(embeddings, None):
         return _sliced_exact_topk(embeddings, k=k, cross_label=True)
     return _ivf_knn(
         embeddings, k=k, n_cells=n_cells, nprobe=nprobe, iters=iters,
