@@ -59,8 +59,8 @@ AMP_DIR = f"/tmp/pb_amp{AMP}"
 # sessionization, the CDP profile pipeline (2 shuffles + as-of), identity
 # CC iteration, MinHash banding, Arrow text kernels, and the guarded
 # broadcast similarity kernel (128k vectors at 64x — still under the 200k
-# ceiling; the >ceiling IVF path is exercised separately by passing
-# AMP=128 or by similarity.py's own tests).
+# ceiling; the >ceiling sliced-broadcast route fires naturally at AMP=128
+# and is checksum-pinned against the broadcast answer in SCALE.md).
 SLICE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
