@@ -99,7 +99,7 @@ def main() -> None:
     # phase gets a clean context.
     spark = get_spark("pulseboard-bench-stream")
     spark.sparkContext.setLogLevel("ERROR")
-    stream_eps = _stream_throughput(spark, sf_dir)
+    stream_eps, stream_pass_eps = _stream_throughput(spark, sf_dir)
     print(f"# streaming_rules_eps: {stream_eps:.0f} events/sec (baseline target 10000)", file=sys.stderr)
     spark.stop()
 
@@ -139,6 +139,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in timings.items()},
                 "stream_eps": round(stream_eps),
+                "stream_eps_passes": [round(e) for e in stream_pass_eps],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             separators=(",", ":"),
@@ -184,11 +185,17 @@ def _stream_throughput(spark, sf_dir: str) -> float:
         # two: each pass is only seconds of work at this SF, so a single
         # straggler batch/GC pause was swinging the recorded rate ~2×
         # run-to-run (observed 35.4k vs 15.2k same-day); per-pass rates go
-        # to stderr so a skewed record is diagnosable.
+        # to stderr so a skewed record is diagnosable.  One extra WARM
+        # replay pass runs un-timed between batch 0 and the timed passes:
+        # the RocksDB soak showed the first replay still pays residual
+        # state-store/JIT warmth (~10%), which is startup cost, not
+        # sustained throughput — the r05 driver artifact recorded 29,968
+        # eps against an idle-machine 32.5k for exactly this reason.
         elapsed = 0.0
         replays = 4
         parts = sorted(glob.glob(f"{src}/part-*.parquet"))
-        for rep in range(replays):
+        pass_eps: list[float] = []
+        for rep in range(-1, replays):
             # Stage the replay batch as dot-prefixed files (invisible to
             # Spark's file listing) and expose it with instant renames —
             # copying in place races the RUNNING stream, which picks up a
@@ -209,10 +216,14 @@ def _stream_throughput(spark, sf_dir: str) -> float:
                 os.rename(tmp, final)
             q.processAllAvailable()
             dt = _t.monotonic() - t0
+            if rep < 0:  # warm replay: absorbs residual state-store/JIT cost
+                print(f"# stream warm pass: {n / dt:.0f} eps (untimed)", file=sys.stderr)
+                continue
             elapsed += dt
+            pass_eps.append(n / dt)
             print(f"# stream pass {rep}: {n / dt:.0f} eps", file=sys.stderr)
         q.stop()
-        return replays * n / elapsed
+        return replays * n / elapsed, pass_eps
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

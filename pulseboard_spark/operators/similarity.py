@@ -21,6 +21,8 @@ pair count is already bucket-bounded.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -107,6 +109,8 @@ def _topk_order(row: np.ndarray, ids: np.ndarray, k: int, keep: np.ndarray) -> n
     full-row lexsort was ~¼ of the exact-knn runtime.  Ties AT the
     threshold are all kept, so id-ordered tie-breaking sees every
     contender and the selection is exactly the unpartitioned ordering."""
+    if k <= 0:  # degenerate selection: np.partition's kth would be out of bounds
+        return np.empty(0, dtype=np.int64)
     idx = np.flatnonzero(keep)
     vals = row[idx]
     if idx.size > 4 * k + 64:
@@ -126,18 +130,24 @@ def _full_probe(df: DataFrame, n_cells: int) -> DataFrame:
     def probe(batches):
         # replication factor is n_cells, so budget the input rows as if
         # each were n_cells×dim cells wide — keeps the emitted frame
-        # (rows × n_cells replicated vectors) tens of MB, not GB
-        for pdf in _budgeted(batches, n_cells * 64):
-            m = len(pdf)
-            rep = np.repeat(np.arange(m), n_cells)
-            emb = pdf["embedding"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), n_cells),
-                    "embedding": list(emb[rep]),
-                    "cell": np.tile(np.arange(n_cells, dtype=np.int64), m),
-                }
-            )
+        # (rows × n_cells replicated vectors) tens of MB, not GB.  dim is
+        # read off the batch itself (a hardcoded 64 under-budgets wider
+        # embedding columns proportionally).
+        for raw in batches:
+            if not len(raw):
+                continue
+            dim = len(raw["embedding"].iloc[0])
+            for pdf in _query_chunks(raw, n_cells * max(dim, 1)):
+                m = len(pdf)
+                rep = np.repeat(np.arange(m), n_cells)
+                emb = pdf["embedding"].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), n_cells),
+                        "embedding": list(emb[rep]),
+                        "cell": np.tile(np.arange(n_cells, dtype=np.int64), m),
+                    }
+                )
 
     return df.select("vec_id", "embedding").mapInPandas(
         probe, schema="vec_id bigint, embedding array<float>, cell bigint"
@@ -1017,6 +1027,15 @@ def hard_negatives(
     really want cell-cogrouped full probe call :func:`_ivf_knn`).
     """
     if nprobe is None and _index_too_big(embeddings, None):
+        if index is not None:
+            # documented in the docstring, but a caller who BUILT an index
+            # expecting reuse deserves a runtime signal, not silence
+            warnings.warn(
+                "hard_negatives: exact (nprobe=None) over-ceiling input routes to "
+                "the sliced-broadcast kernel; the precomputed IVF index is unused. "
+                "Pass an explicit nprobe to use the index.",
+                stacklevel=2,
+            )
         return _sliced_exact_topk(embeddings, k=k, cross_label=True)
     return _ivf_knn(
         embeddings, k=k, n_cells=n_cells, nprobe=nprobe, iters=iters,

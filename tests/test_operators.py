@@ -1127,6 +1127,45 @@ class TestBroadcastSizeGuard:
         assert got_hn == want_hn
         assert got_dc == want_dc
 
+    def test_over_ceiling_precomputed_index_warns_and_stays_exact(self, spark, sf_dir, monkeypatch):
+        """A caller-built IVF index cannot rescue the exact over-ceiling
+        path (full-probe replication is the cost, not candidate gen) — the
+        reroute must emit a runtime warning instead of silently dropping
+        the index, and the answer stays the exact one."""
+        import warnings as _w
+
+        from pulseboard_spark.operators import similarity
+        from pulseboard_spark.sources.tables import load_table
+
+        embs = load_table(spark, sf_dir, "embeddings")
+        want = {tuple(r) for r in similarity.hard_negatives(embs, k=3).collect()}
+        idx = similarity.ivf_index(embs, n_cells=4)
+        monkeypatch.setattr(similarity, "MAX_BROADCAST_INDEX_ROWS", 60)
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            got = {tuple(r) for r in similarity.hard_negatives(embs, k=3, index=idx).collect()}
+        assert got == want
+        assert any("precomputed IVF index is unused" in str(w.message) for w in caught)
+
+    def test_full_probe_budget_uses_actual_dim(self, spark):
+        """_full_probe's replication budget must derive the embedding dim
+        from the batch (a hardcoded 64 under-budgets wide vectors); the
+        exploded frame is exactly rows x n_cells with vectors intact."""
+        import numpy as np
+
+        from pulseboard_spark.operators.similarity import _full_probe
+
+        dim = 256
+        rows = [(i, [float(i)] * dim) for i in range(7)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = _full_probe(df, n_cells=5).collect()
+        assert len(out) == 7 * 5
+        by_vec = {}
+        for r in out:
+            by_vec.setdefault(r["vec_id"], set()).add(r["cell"])
+            assert len(r["embedding"]) == dim and r["embedding"][0] == float(r["vec_id"])
+        assert all(cells == set(range(5)) for cells in by_vec.values())
+
 
 class TestSeasonal:
     def test_planted_spike_flagged_against_hod_baseline(self, spark):

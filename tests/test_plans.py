@@ -586,7 +586,7 @@ def test_silver_cache_opt_out(spark, sf_dir, monkeypatch):
     assert "InMemoryTableScan" in cached_plan, "default posture stays cached"
 
 
-def test_amplified_tier_builder_smoke(spark, tmp_path):
+def test_amplified_tier_builder_smoke(spark, tmp_path, sf_dir):
     """tools/probes/amplified_bench.py must keep building runnable
     amplified directories: 2x sf0.001, two registry queries re-run
     against it, row counts scale exactly (replica keys are disjoint, so
@@ -600,12 +600,12 @@ def test_amplified_tier_builder_smoke(spark, tmp_path):
     from pulseboard_spark.registry import QUERIES
 
     amp_dir = str(tmp_path / "amp2")
-    ab.build_amp_dir(spark, base="/root/testdata/sf0.001", amp_dir=amp_dir, amp=2)
-    base_tq = QUERIES["text_quality"](spark, "/root/testdata/sf0.001").count()
+    ab.build_amp_dir(spark, base=sf_dir, amp_dir=amp_dir, amp=2)
+    base_tq = QUERIES["text_quality"](spark, sf_dir).count()
     assert QUERIES["text_quality"](spark, amp_dir).count() == 2 * base_tq
     # doc-grain output doubles exactly (replica doc_ids are disjoint);
     # identity components deliberately do NOT double — the 7 anon hub ids
     # are shared across replicas by the CDP derivation, which makes the
     # amplified graph a hub-skew stressor rather than 2x the components
-    base_de = QUERIES["dedup_exact"](spark, "/root/testdata/sf0.001").count()
+    base_de = QUERIES["dedup_exact"](spark, sf_dir).count()
     assert QUERIES["dedup_exact"](spark, amp_dir).count() == 2 * base_de

@@ -571,3 +571,19 @@ def test_topk_order_partition_cut_equals_full_lexsort():
         reference = reference[keep[reference]][:k]
         got = _topk_order(row, ids, k, keep)
         assert np.array_equal(got, reference), (trial, n, k)
+
+
+def test_topk_order_k_zero_returns_empty():
+    """k<=0 must return an empty selection (the old full-lexsort code did;
+    the partition cut's kth index would be out of bounds) — regression
+    pin for the round-5 advice item."""
+    import numpy as np
+
+    from pulseboard_spark.operators.similarity import _topk_order
+
+    row = np.linspace(0.0, 1.0, 500)
+    ids = np.arange(500, dtype=np.int64)
+    keep = np.ones(500, dtype=bool)
+    for k in (0, -1):
+        got = _topk_order(row, ids, k, keep)
+        assert got.size == 0 and got.dtype == np.int64
