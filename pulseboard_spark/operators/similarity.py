@@ -810,25 +810,39 @@ def ivf_topk(
     return _ivf_knn(embeddings, k=k, n_cells=n_cells, nprobe=nprobe, iters=iters)
 
 
-def simhash_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+def simhash_buckets(embeddings: DataFrame, n_planes: int = 8, seed: int = 0) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets.
 
     Deterministic "random" hyperplanes: plane j's component for dimension i
     is derived from md5(j:i) — reproducible across engines and runs without
     a driver-side RNG.  Vectors sharing a bucket signature are candidate
     neighbors; expected bucket size n/2^planes keeps the per-bucket join
-    quadratic cost bounded."""
+    quadratic cost bounded.
+
+    ``seed`` selects an independent plane family (the multi-table LSH
+    recall knob — :func:`ann_topk` with ``n_tables``>1 unions tables
+    seeded 0..T-1).  Seed 0 keeps the historical md5("j:i") key exactly,
+    so every pre-existing bucket assignment and recall record is
+    bit-stable."""
     e = with_norm(embeddings)
     sig = None
+
+    def plane_sign(key: str):
+        # closure factory, NOT a default arg: pyspark derives the number of
+        # lambda variables from the callable's arity, so `lambda _x, i,
+        # key=key` would bind THREE higher-order variables and fail analysis
+        return lambda _x, i: F.when(
+            (F.conv(F.substring(F.md5(F.concat(F.lit(key), i.cast("string"))), 1, 6), 16, 10).cast("long") % 2) == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
     for j in range(n_planes):
+        key = f"{j}:" if seed == 0 else f"t{seed}:{j}:"
         # hash-derived ±1 pattern per dimension, folded against the vector
         proj = F.aggregate(
             F.zip_with(
                 F.col("v"),
-                F.transform(F.col("v"), lambda _x, i: F.when(
-                    (F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), i.cast("string"))), 1, 6), 16, 10).cast("long") % 2) == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))),
+                F.transform(F.col("v"), plane_sign(key)),
                 lambda x, s: x * s,
             ),
             F.lit(0.0),
@@ -839,7 +853,7 @@ def simhash_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     return e.withColumn("bucket", sig).select("vec_id", "v", "norm", "bucket")
 
 
-def ann_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
+def ann_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6, n_tables: int = 1) -> DataFrame:
     """Approximate top-k: exact cosine ranking within LSH buckets only.
 
     Recall < 1 by construction (documented approximation); the exact twin
@@ -849,8 +863,37 @@ def ann_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
     window, no per-pair Catalyst expression evaluation (the earlier
     bucket self-join scored each pair with a per-row array fold: ~6×
     slower at sf0.1).  Scoring/rounding/tie-break identical to
-    :func:`cosine_topk`, so results within a bucket are exact."""
-    e = simhash_buckets(embeddings, n_planes).select("vec_id", F.col("v").alias("embedding"), "bucket")
+    :func:`cosine_topk`, so results within a bucket are exact.
+
+    ``n_tables`` is the standard multi-table LSH recall knob: T
+    independent plane families (seeds 0..T-1) each produce per-bucket
+    top-k lists, merged by (cosine desc, neighbor_id) over the union.
+    Recall is deterministically monotone in T — a true top-k neighbor
+    found by ANY table survives the merge, because at most k-1 corpus
+    vectors outscore it (pinned by test).  Cost: T bucket shuffles plus
+    one merge shuffle over ≤ n·k·T rows; n_tables=1 is byte-identical to
+    the historical single-table output (no merge stage in the plan)."""
+    if n_tables > 1:
+        tables = [_ann_topk_single(embeddings, k, n_planes, seed=t) for t in range(n_tables)]
+        u = tables[0]
+        for t in tables[1:]:
+            u = u.unionByName(t)
+        # same (vec, neighbor) pair scores identically in every table, so
+        # any-value dedupe is exact; re-rank with the one selection contract
+        merged = u.groupBy("vec_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        return (
+            merged.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id", "cosine", "rank")
+        )
+    return _ann_topk_single(embeddings, k, n_planes, seed=0)
+
+
+def _ann_topk_single(embeddings: DataFrame, k: int, n_planes: int, seed: int) -> DataFrame:
+    e = simhash_buckets(embeddings, n_planes, seed=seed).select(
+        "vec_id", F.col("v").alias("embedding"), "bucket"
+    )
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         M = _batch_matrix(pdf["embedding"])

@@ -52,7 +52,10 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     sweep aborting, since DuckDB binds read_parquet views eagerly)."""
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        path = os.path.join(sf_dir, f"{t}.parquet").replace("'", "''")
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):  # Spark-written table (e.g. the amplified tier)
+            path = os.path.join(path, "*.parquet")
+        path = path.replace("'", "''")
         try:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
         except duckdb.Error:

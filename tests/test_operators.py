@@ -1330,6 +1330,31 @@ class TestAnnTopk:
             assert cos == sorted(cos, reverse=True)
             assert len(ranks) <= 5
 
+    def test_multi_table_recall_monotone_and_single_table_unchanged(self, spark, sf_dir):
+        """n_tables is the recall knob: (a) n_tables=1 must stay identical
+        to the historical single-table output (seed-0 planes untouched);
+        (b) the recall harness (tools/probes/ann_recall.py::measure_recall)
+        runs end-to-end, and recall@k is deterministically monotone in T —
+        a true top-k neighbor surfaced by ANY table survives the merge."""
+        import sys as _sys
+        from pathlib import Path as _P
+
+        _sys.path.insert(0, str(_P(__file__).resolve().parents[1] / "tools" / "probes"))
+        import ann_recall as ar
+
+        from pulseboard_spark.operators.similarity import ann_topk
+        from pulseboard_spark.sources.tables import load_table
+
+        embs = load_table(spark, sf_dir, "embeddings")
+        single = {tuple(r) for r in ann_topk(embs, k=5, n_planes=6).collect()}
+        explicit = {tuple(r) for r in ann_topk(embs, k=5, n_planes=6, n_tables=1).collect()}
+        assert single == explicit and single
+
+        rows = ar.measure_recall(embs, k=5, configs=[(6, 1), (6, 3)])
+        by_tables = {tables: recall for _p, tables, recall, _w in rows}
+        assert by_tables[3] >= by_tables[1]
+        assert 0.0 < by_tables[1] <= 1.0 and by_tables[3] <= 1.0
+
 
 @pytest.mark.parametrize("max_local_edges", [None, 0], ids=["local", "distributed"])
 def test_connected_components_ignores_foreign_endpoints(spark, max_local_edges):
