@@ -84,7 +84,11 @@ def main() -> None:
     spark = get_spark("pb-ann-recall")
     spark.sparkContext.setLogLevel("ERROR")
     ab.build_amp_dir(spark, ab.BASE, amp_dir, amp)
-    embs = spark.read.parquet(f"{amp_dir}/embeddings.parquet")
+    # spread across the executor threads: the amplified parquet lands as 2
+    # row groups, and a raw read hands the Arrow kernels 2 partitions — the
+    # truth pass then runs on one core (the `_spread` lesson from the r5
+    # bench tier).  One up-front shuffle, amortized across every config.
+    embs = spark.read.parquet(f"{amp_dir}/embeddings.parquet").repartition(64).cache()
     n = embs.count()
     print(f"# corpus: {n} vectors", file=sys.stderr)
 
