@@ -479,6 +479,43 @@ ORACLE_SQL["r3_geo_device_mismatch"] = _r3_sql()
 ORACLE_SQL["r4_exfil"] = _r4_sql()
 ORACLE_SQL["alerts"] = _alerts_sql()
 
+# Rule-firing fixture twin (registry::rule_firing_alerts_q): the driver
+# testdata never trips R1/R2/R4 (every alert at every SF is R3), so the
+# `alerts` oracle only ever checks the NEGATIVE path of those rules.  This
+# query replays the same alert union over the engineered 50-row fixture of
+# sources/generator.py::rule_firing_events — three scenarios calibrated to
+# fire R1 (6×MEDIUM), R2 (1×LOW) and R4 (5×HIGH) with margin — generated
+# here from generate_series so the oracle stays table-independent.  The
+# fixture ent CTE is substituted for ENT_CTE verbatim inside the assembled
+# alerts SQL (each rule subquery embeds it), covered by
+# tests/test_rule_firing.py.
+FIRING_ENT_CTE = """
+ent AS (
+  SELECT CAST(1000 + i AS BIGINT) AS event_id,
+         CAST(1704067200000000 + i * 2000000 AS BIGINT) AS ts_us,
+         CAST(1704067200000 + i * 2000 AS BIGINT) AS ts_ms,
+         'fire-r1' AS entity_id, 'IGAMING' AS profile, 'BET_PLACED' AS type,
+         1.0 AS value, 'US' AS geo, 'desktop' AS device
+  FROM generate_series(0, 24) t(i)
+  UNION ALL
+  SELECT CAST(2000 + i AS BIGINT),
+         CAST(1704067200000000 + i * 5000000 AS BIGINT),
+         CAST(1704067200000 + i * 5000 AS BIGINT),
+         'fire-r2', 'IGAMING', 'CASHIN',
+         CASE WHEN i = 9 THEN 100.0 ELSE 1.0 END, 'US', 'desktop'
+  FROM generate_series(0, 9) t(i)
+  UNION ALL
+  SELECT CAST(3000 + i AS BIGINT),
+         CAST(1704067200000000 + i * 2000000 AS BIGINT),
+         CAST(1704067200000 + i * 2000 AS BIGINT),
+         'fire-r4', 'SASE', 'CONN_BYTES', 200.0, 'US', 'desktop'
+  FROM generate_series(0, 14) t(i)
+)
+"""
+
+ORACLE_SQL["rule_firing_alerts"] = _alerts_sql().replace(ENT_CTE, FIRING_ENT_CTE)
+assert "FROM events" not in ORACLE_SQL["rule_firing_alerts"]  # substitution took
+
 # Any-typed trait fidelity (registry::cdp_trait_fidelity_q): Spark parses
 # int/bool traits out of the traits_json column with from_json; the oracle
 # reproduces the parsed VALUES arithmetically from k (the JSON text never

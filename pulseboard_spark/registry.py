@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from pulseboard_spark.oracle.sql import ORACLE_SQL
 from pulseboard_spark.session import tune
+from pulseboard_spark.sources.generator import rule_firing_events
 from pulseboard_spark.sources.tables import load_table
 from pulseboard_spark.sources.tables import cdp_events as _cdp_events_raw
 from pulseboard_spark.sources.tables import entity_events as _entity_events_raw
@@ -940,6 +941,17 @@ def r4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.alerts(entity_events(spark, sf_dir))
+
+
+def rule_firing_alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rule union over the engineered firing fixture (sf_dir unused —
+    the fixture is self-contained).  The driver testdata never trips
+    R1/R2/R4 (`alerts` is 100% R3 at every SF), so this is the only
+    oracle-checked query exercising those rules' POSITIVE path: 12 alerts
+    (6 R1 MEDIUM / 1 R2 LOW / 5 R4 HIGH), hand-derived in
+    tests/test_rule_firing.py and mirrored in DuckDB from generate_series
+    (oracle/sql.py::FIRING_ENT_CTE)."""
+    return rules.alerts(rule_firing_events(spark))
 
 
 # --- CDP ---------------------------------------------------------------------
@@ -2017,7 +2029,13 @@ QUERIES: dict[str, QueryFn] = {
     "knn_label_agreement": knn_label_agreement_q,
     "label_cohesion": label_cohesion_q,
     "dedup_simhash": dedup_simhash_q,
-    # Tail: 44 of the 48 queries whose only driver green is r01 — the
+    # New this round: the only oracle-checked query that exercises the
+    # R1/R2/R4 POSITIVE path (the driver testdata never fires them — every
+    # alert at every SF is R3).  Self-contained fixture, so it costs the
+    # window nothing in oracle budget; takes the slot tpch_q22 vacates
+    # (tpch_q22 re-queues for r07 with the other three r01-only anchors).
+    "rule_firing_alerts": rule_firing_alerts_q,
+    # Tail: 43 of the 48 queries whose only driver green is r01 — the
     # oldest evidence in the registry, and the rules/window/ewma block
     # additionally rides the r05 opt-out silver-cache change.
     "alerts": alerts_q,
@@ -2063,7 +2081,6 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
     "tpch_q20_half_volume_suppliers": tpch_q20_half_volume_suppliers,
     "tpch_q21_fault_attribution": tpch_q21_fault_attribution,
-    "tpch_q22_dormant_customers": tpch_q22_dormant_customers,
     # ---- driver window boundary (50) ----
     # Everything below has >= 1 green driver row (r01-r05) or is
     # rows-only by design.  After r06 grades, the only queries whose
@@ -2072,6 +2089,7 @@ QUERIES: dict[str, QueryFn] = {
     # records them as no_oracle FAILURES — the r03 lesson: 5 burned
     # slots).
     # — r07 queue (r01-only evidence, deferred by the 50-slot cap) —
+    "tpch_q22_dormant_customers": tpch_q22_dormant_customers,
     "fuzzy_customer_pairs": fuzzy_customer_pairs_q,
     "orders_without_lineitems": orders_without_lineitems,
     "event_type_pivot": event_type_pivot_q,

@@ -184,3 +184,72 @@ def cdp_event_generator(
         plan.alias("plan"),
         country.alias("country"),
     )
+
+
+#: Epoch base for the rule-firing fixture: 2024-01-01T00:00:00Z, micros.
+_FIRING_BASE_US = 1_704_067_200_000_000
+
+#: (entity_id, profile, type, event_id base, n events, spacing s, values)
+#: Three engineered scenarios, one per stateful rule, each with margin:
+#:
+#: - ``fire-r1``: 25 events 2 s apart, value 1.0 — rate_1m reaches 20-25
+#:   while avg_5m stays 1.0 (threshold 3.0), so events 20-25 fire
+#:   R1_VELOCITY_SPIKE at MEDIUM (ratio 6.7-8.3).
+#: - ``fire-r2``: 9 events of value 1.0 then one of 100.0, 5 s apart —
+#:   EWMA(α=0.1, current included) is ~10.9 at the spike, threshold ~43.6,
+#:   count_60s=10 ≥ 5, so exactly the last event fires R2_VALUE_SPIKE at
+#:   LOW (ratio ~2.3).
+#: - ``fire-r4`` (SASE): 15 events of value 200.0, 2 s apart — sum_30s
+#:   grows 200·(i+1) past p95_threshold = max(floor(avg_1h·10), 1000)
+#:   = 2000, so events 11-15 fire R4_EXFIL at HIGH.
+#:
+#: geo/device are constant per entity, so R3 never fires — the fixture
+#: isolates the R1/R2/R4 positive paths the driver testdata never trips
+#: (every alert in sf0.001-0.1 is R3; see tests/test_rule_firing.py).
+_FIRING_SCENARIOS = [
+    ("fire-r1", "IGAMING", "BET_PLACED", 1000, 25, 2, None),
+    ("fire-r2", "IGAMING", "CASHIN", 2000, 10, 5, {9: 100.0}),
+    ("fire-r4", "SASE", "CONN_BYTES", 3000, 15, 2, None),
+]
+
+
+def rule_firing_events(spark: SparkSession) -> DataFrame:
+    """Deterministic 50-row entity-event fixture that FIRES R1, R2 and R4.
+
+    The reference thresholds (`core/Rules.kt:37-200`) are calibrated for
+    sustained real-time traffic; the driver's batch testdata never trips
+    them, so every batch-vs-streaming alert comparison over testdata is
+    trivially empty for R1/R2/R4.  This fixture is the non-vacuous input:
+    the same frame feeds the batch union (`operators/rules.alerts`), the
+    stateful twin (`streaming/stateful.alert_rules_stateful`) and the
+    DuckDB oracle twin (``rule_firing_alerts``), and all three must land
+    on the same 12 alerts.
+
+    Schema matches ``sources.tables.entity_events`` exactly.
+    """
+    rows = []
+    for entity_id, profile, etype, eid_base, n, spacing_s, overrides in _FIRING_SCENARIOS:
+        base_value = 200.0 if entity_id == "fire-r4" else 1.0
+        for i in range(n):
+            ts_us = _FIRING_BASE_US + i * spacing_s * 1_000_000
+            value = (overrides or {}).get(i, base_value)
+            rows.append(
+                (eid_base + i, ts_us // 1000, entity_id, profile, etype, value, "US", "desktop")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_ms long, entity_id string, profile string, "
+        "type string, value double, geo string, device string",
+    )
+    return df.select(
+        "event_id",
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        (F.col("ts_ms") * 1000).alias("ts_us"),
+        "ts_ms",
+        "entity_id",
+        "profile",
+        "type",
+        "value",
+        "geo",
+        "device",
+    )

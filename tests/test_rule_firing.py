@@ -1,0 +1,113 @@
+"""Positive-path coverage for the R1/R2/R4 rules.
+
+The driver testdata never trips these rules — every alert at every SF is
+R3_GEO_DEVICE_MISMATCH — so until round 6 every batch-vs-streaming alert
+comparison and every `alerts` oracle row checked only the NEGATIVE path
+(fired=false everywhere).  These tests run the engineered firing fixture
+(sources/generator.py::rule_firing_events) through all three engines and
+pin them to the same HAND-DERIVED 12-alert set:
+
+- batch union (operators/rules.alerts),
+- stateful streaming twin (streaming/stateful.alert_rules_stateful),
+- DuckDB oracle (oracle/sql.py::rule_firing_alerts, generate_series-based).
+
+The expected set below is derived by hand from the reference rule
+constants (`core/Rules.kt:37-200`, severity :220-231), NOT from running
+the code — see the arithmetic in sources/generator.py::_FIRING_SCENARIOS.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pulseboard_spark.operators import rules
+from pulseboard_spark.sources.generator import rule_firing_events
+from pulseboard_spark.streaming.stateful import alert_rules_stateful
+
+_BASE_MS = 1_704_067_200_000
+
+#: (rule, entity_id, ts_ms, severity, event_id) — hand-derived.
+EXPECTED_ALERTS = frozenset(
+    # R1: rate_1m = i+1 events in 60 s vs threshold 3·avg_5m = 3.0; fires
+    # once rate ≥ 20 → events i=19..24; ratio 6.7-8.3 → MEDIUM.
+    {
+        ("R1_VELOCITY_SPIKE", "fire-r1", _BASE_MS + 2_000 * i, "MEDIUM", 1000 + i)
+        for i in range(19, 25)
+    }
+    # R2: EWMA (current included) ≈ 10.9 at the 100.0 spike → threshold
+    # ≈ 43.6; only event i=9 fires; ratio ≈ 2.3 → LOW.
+    | {("R2_VALUE_SPIKE", "fire-r2", _BASE_MS + 5_000 * 9, "LOW", 2009)}
+    # R4: sum_30s = 200·(i+1) vs p95 = max(floor(200·10), 1000) = 2000;
+    # fires once the trailing 30 s holds ≥ 11 events → i=10..14; HIGH.
+    | {
+        ("R4_EXFIL", "fire-r4", _BASE_MS + 2_000 * i, "HIGH", 3000 + i)
+        for i in range(10, 15)
+    }
+)
+
+
+def _alert_set(df) -> set[tuple]:
+    return {
+        (r.rule, r.entity_id, r.ts_ms, r.severity, r.event_id)
+        for r in df.select("rule", "entity_id", "ts_ms", "severity", "event_id").collect()
+    }
+
+
+def test_batch_alerts_fire_hand_derived_set(spark):
+    got = _alert_set(rules.alerts(rule_firing_events(spark)))
+    assert got == EXPECTED_ALERTS
+    assert {r for r, *_ in got} == {"R1_VELOCITY_SPIKE", "R2_VALUE_SPIKE", "R4_EXFIL"}
+
+
+def test_duckdb_oracle_fires_same_set():
+    from pulseboard_spark.oracle.sql import ORACLE_SQL
+
+    sql = ORACLE_SQL["rule_firing_alerts"]
+    # the ENT_CTE substitution must have taken: the oracle is self-contained
+    assert "FROM events" not in sql and "generate_series" in sql
+    df = duckdb.connect().execute(sql).fetchdf()
+    got = {tuple(r) for r in df[["rule", "entity_id", "ts_ms", "severity", "event_id"]].itertuples(index=False)}
+    assert got == EXPECTED_ALERTS
+
+
+def test_streaming_twin_fires_same_set(spark, tmp_path):
+    """The stateful engine must EMIT the 12 alerts when fed the fixture in
+    time-ordered chunks — the first non-vacuous streaming-vs-batch alert
+    equality in the repo (all prior comparisons were empty==empty)."""
+    fx = rule_firing_events(spark).orderBy("ts_us", "event_id")
+    rows = fx.collect()
+    chunk = (len(rows) + 3) // 4
+    out = str(tmp_path / "firing_stream")
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, fx.schema).coalesce(1).write.parquet(
+                f"{out}/chunk={i}"
+            )
+    stream = (
+        spark.readStream.schema(fx.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{out}/chunk=*")
+    )
+    q = (
+        alert_rules_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("firing_alerts")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _alert_set(spark.sql("SELECT * FROM firing_alerts"))
+    assert got == EXPECTED_ALERTS
+
+
+@pytest.mark.parity
+def test_registry_parity_rule_firing(spark, sf_dir):
+    from pulseboard_spark.parity import duck_connection, compare
+
+    res = compare(spark, duck_connection(sf_dir), "rule_firing_alerts", sf_dir)
+    assert res.ok, res.detail
