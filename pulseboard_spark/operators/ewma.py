@@ -17,7 +17,11 @@ itself is trivial.
 Only (key, order, event_id, value) crosses the Python seam and only
 (event_id, ewma) comes back; null-value rows never enter Python at all
 (the reference skips them — `core/Rules.kt:66` — and the left join
-re-attaches them with null ewma).
+re-attaches them with null ewma).  The re-attach join keys on event_id
+ALONE, which is correct under the stream contract (event_id is the
+stream-wide unique id — W1 dedups on it) and cheaper than a composite
+key; inputs that violate the contract with duplicate ids will
+cross-contaminate here, by design surfaced rather than masked.
 
 Scale posture: shuffle on (entity_id, type) only; each key's scan is
 sequential (inherent), keys parallelize across partitions.  The per-row

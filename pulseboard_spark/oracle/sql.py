@@ -491,21 +491,21 @@ ORACLE_SQL["alerts"] = _alerts_sql()
 # tests/test_rule_firing.py.
 FIRING_ENT_CTE = """
 ent AS (
-  SELECT CAST(1000 + i AS BIGINT) AS event_id,
+  SELECT CAST(9000000001000 + i AS BIGINT) AS event_id,
          CAST(1704067200000000 + i * 2000000 AS BIGINT) AS ts_us,
          CAST(1704067200000 + i * 2000 AS BIGINT) AS ts_ms,
          'fire-r1' AS entity_id, 'IGAMING' AS profile, 'BET_PLACED' AS type,
          1.0 AS value, 'US' AS geo, 'desktop' AS device
   FROM generate_series(0, 24) t(i)
   UNION ALL
-  SELECT CAST(2000 + i AS BIGINT),
+  SELECT CAST(9000000002000 + i AS BIGINT),
          CAST(1704067200000000 + i * 5000000 AS BIGINT),
          CAST(1704067200000 + i * 5000 AS BIGINT),
          'fire-r2', 'IGAMING', 'CASHIN',
          CASE WHEN i = 9 THEN 100.0 ELSE 1.0 END, 'US', 'desktop'
   FROM generate_series(0, 9) t(i)
   UNION ALL
-  SELECT CAST(3000 + i AS BIGINT),
+  SELECT CAST(9000000003000 + i AS BIGINT),
          CAST(1704067200000000 + i * 2000000 AS BIGINT),
          CAST(1704067200000 + i * 2000 AS BIGINT),
          'fire-r4', 'SASE', 'CONN_BYTES', 200.0, 'US', 'desktop'

@@ -206,10 +206,16 @@ _FIRING_BASE_US = 1_704_067_200_000_000
 #: geo/device are constant per entity, so R3 never fires — the fixture
 #: isolates the R1/R2/R4 positive paths the driver testdata never trips
 #: (every alert in sf0.001-0.1 is R3; see tests/test_rule_firing.py).
+#:
+#: Event ids sit on a 9e12 base so the fixture can be UNIONED with real
+#: testdata without violating the stream-wide event_id uniqueness contract
+#: (W1 dedup keys on event_id; operators may re-join computed columns on it
+#: — duplicate ids cross-contaminate per-event state across entities).
+_FIRING_EID_BASE = 9_000_000_000_000
 _FIRING_SCENARIOS = [
-    ("fire-r1", "IGAMING", "BET_PLACED", 1000, 25, 2, None),
-    ("fire-r2", "IGAMING", "CASHIN", 2000, 10, 5, {9: 100.0}),
-    ("fire-r4", "SASE", "CONN_BYTES", 3000, 15, 2, None),
+    ("fire-r1", "IGAMING", "BET_PLACED", _FIRING_EID_BASE + 1000, 25, 2, None),
+    ("fire-r2", "IGAMING", "CASHIN", _FIRING_EID_BASE + 2000, 10, 5, {9: 100.0}),
+    ("fire-r4", "SASE", "CONN_BYTES", _FIRING_EID_BASE + 3000, 15, 2, None),
 ]
 
 

@@ -26,22 +26,23 @@ from pulseboard_spark.sources.generator import rule_firing_events
 from pulseboard_spark.streaming.stateful import alert_rules_stateful
 
 _BASE_MS = 1_704_067_200_000
+_EID = 9_000_000_000_000  # collision-proof id base (see _FIRING_SCENARIOS)
 
 #: (rule, entity_id, ts_ms, severity, event_id) — hand-derived.
 EXPECTED_ALERTS = frozenset(
     # R1: rate_1m = i+1 events in 60 s vs threshold 3·avg_5m = 3.0; fires
     # once rate ≥ 20 → events i=19..24; ratio 6.7-8.3 → MEDIUM.
     {
-        ("R1_VELOCITY_SPIKE", "fire-r1", _BASE_MS + 2_000 * i, "MEDIUM", 1000 + i)
+        ("R1_VELOCITY_SPIKE", "fire-r1", _BASE_MS + 2_000 * i, "MEDIUM", _EID + 1000 + i)
         for i in range(19, 25)
     }
     # R2: EWMA (current included) ≈ 10.9 at the 100.0 spike → threshold
     # ≈ 43.6; only event i=9 fires; ratio ≈ 2.3 → LOW.
-    | {("R2_VALUE_SPIKE", "fire-r2", _BASE_MS + 5_000 * 9, "LOW", 2009)}
+    | {("R2_VALUE_SPIKE", "fire-r2", _BASE_MS + 5_000 * 9, "LOW", _EID + 2009)}
     # R4: sum_30s = 200·(i+1) vs p95 = max(floor(200·10), 1000) = 2000;
     # fires once the trailing 30 s holds ≥ 11 events → i=10..14; HIGH.
     | {
-        ("R4_EXFIL", "fire-r4", _BASE_MS + 2_000 * i, "HIGH", 3000 + i)
+        ("R4_EXFIL", "fire-r4", _BASE_MS + 2_000 * i, "HIGH", _EID + 3000 + i)
         for i in range(10, 15)
     }
 )

@@ -39,6 +39,10 @@ def entity_chunks_dir(spark, sf_dir, tmp_path_factory):
 
 
 def test_streaming_alerts_match_batch(spark, sf_dir, entity_chunks_dir):
+    """On REAL testdata this equality is no-spurious-alerts only: the
+    driver data never trips R1/R2/R4 (every alert is R3), so both sides
+    are empty.  The non-vacuous positive-path twin equality runs on the
+    engineered firing fixture in tests/test_rule_firing.py."""
     out, schema = entity_chunks_dir
     stream = (
         spark.readStream.schema(schema)

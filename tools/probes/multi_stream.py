@@ -47,10 +47,13 @@ def _write_sources(spark, work: str):
     """Materialize the three real inputs; returns {name: (src_dir, schema, n_rows)}."""
     from pulseboard_spark.operators.segments import segment_membership, with_segments_array
     from pulseboard_spark.registry import _evprof
+    from pulseboard_spark.sources.generator import rule_firing_events
     from pulseboard_spark.sources.tables import entity_events
 
     out = {}
-    ev = entity_events(spark, SF_DIR)
+    # Union the engineered firing fixture: the testdata alone never trips
+    # R1/R2/R4, so without it the phase-1 alert equality is empty==empty.
+    ev = entity_events(spark, SF_DIR).unionByName(rule_firing_events(spark))
     ev.write.parquet(f"{work}/entity")
     out["alerts"] = (f"{work}/entity", ev.schema, ev.count())
 
@@ -121,11 +124,15 @@ def phase1_equality(spark, work: str, sources, bounds) -> None:
         for q in queries:
             q.stop()
 
+    from pulseboard_spark.sources.generator import rule_firing_events
+
     got_alerts = {tuple(r) for r in spark.sql(
         "SELECT rule, entity_id, ts_ms, severity, event_id FROM mq_alerts").collect()}
-    want_alerts = {tuple(r) for r in rules.alerts(entity_events(spark, SF_DIR))
+    want_alerts = {tuple(r) for r in
+                   rules.alerts(entity_events(spark, SF_DIR).unionByName(rule_firing_events(spark)))
                    .filter(F.col("rule") != "R3_GEO_DEVICE_MISMATCH")
                    .select("rule", "entity_id", "ts_ms", "severity", "event_id").collect()}
+    assert want_alerts, "firing fixture missing: alert equality would be empty==empty"
     assert got_alerts == want_alerts, (
         f"alerts diverged under concurrency: missing={list(want_alerts - got_alerts)[:3]} "
         f"extra={list(got_alerts - want_alerts)[:3]}")
@@ -206,6 +213,8 @@ def main() -> None:
         for n, (_, _, cnt) in sources.items():
             print(f"# source {n}: {cnt} rows", flush=True)
         phase1_equality(spark, work, sources, bounds)
+        if "--phase1-only" in sys.argv:
+            return
         res = phase2_throughput(spark, work, sources)
         solo, conc = res["solo"], res["concurrent"]
         # alerts' share of the concurrent aggregate, rows-weighted

@@ -104,6 +104,17 @@ def _image(df):
     return _canon_frame(df.toPandas())
 
 
+def _clear_memo_caches():
+    """The registry memoizes localCheckpointed artifacts (components,
+    near-dup pairs, IVF index) per (app, sf_dir); without clearing them the
+    injected phase would reuse the clean phase's checkpoint and never
+    re-read parquet through the patched reader."""
+    from pulseboard_spark import registry
+
+    for cache in ("_COMP_CACHE", "_PAIR_CACHE", "_CLUSTER_CACHE", "_IVF_CACHE"):
+        getattr(registry, cache).clear()
+
+
 def run_batch(spark) -> list[tuple[str, bool, bool, int, int]]:
     """Returns (name, scan_ok, reduce_ok, scan_fired, reduce_fired)."""
     import pyspark.sql.readwriter as rw
@@ -114,6 +125,7 @@ def run_batch(spark) -> list[tuple[str, bool, bool, int, int]]:
     orig_parquet = rw.DataFrameReader.parquet
     for name in BATCH_QUERIES:
         q = QUERIES[name]
+        _clear_memo_caches()
         clean = _image(q(spark, SF_DIR))
 
         # Phase 1: fail-and-retry every third leaf task of every scan.
@@ -124,6 +136,7 @@ def run_batch(spark) -> list[tuple[str, bool, bool, int, int]]:
 
         rw.DataFrameReader.parquet = patched
         try:
+            _clear_memo_caches()
             scan_img = _image(q(spark, SF_DIR))
         finally:
             rw.DataFrameReader.parquet = orig_parquet
@@ -131,6 +144,7 @@ def run_batch(spark) -> list[tuple[str, bool, bool, int, int]]:
 
         # Phase 2: fail-and-retry the final stage's tasks.
         tag_r = f"reduce-{name}"
+        _clear_memo_caches()
         reduce_img = _image(_failing_passthrough(q(spark, SF_DIR), tag_r))
         reduce_ok = reduce_img.equals(clean)
 
@@ -144,16 +158,27 @@ def run_batch(spark) -> list[tuple[str, bool, bool, int, int]]:
 
 
 def run_streaming(spark) -> tuple[bool, int]:
-    """Alert twin with retries injected inside the stateful stage."""
+    """Alert twin with retries injected inside the stateful stage.
+
+    The input unions the engineered rule-firing fixture into the real
+    entity events — without it the testdata yields zero R1/R2/R4 alerts
+    and the set-equality would be an empty==empty no-op; with it, a
+    retried stateful task that double-emits or loses buffered state shows
+    up as a concrete missing/extra alert."""
     from pyspark.sql import functions as F
 
     from pulseboard_spark.operators import rules
+    from pulseboard_spark.sources.generator import rule_firing_events
     from pulseboard_spark.sources.tables import entity_events
     from pulseboard_spark.streaming.stateful import alert_rules_stateful
 
     work = tempfile.mkdtemp(prefix="pb_retry_stream_")
     try:
-        ev = entity_events(spark, SF_DIR).orderBy("ts_us")
+        ev = (
+            entity_events(spark, SF_DIR)
+            .unionByName(rule_firing_events(spark))
+            .orderBy("ts_us")
+        )
         rows = ev.collect()
         chunk = (len(rows) + 3) // 4
         for i in range(4):
@@ -186,11 +211,11 @@ def run_streaming(spark) -> tuple[bool, int]:
                 f"SELECT rule, entity_id, ts_ms, severity, event_id FROM {qname}"
             ).collect()
         }
-        batch = rules.alerts(entity_events(spark, SF_DIR)).filter(
-            F.col("rule") != "R3_GEO_DEVICE_MISMATCH"
-        )
+        batch = rules.alerts(
+            entity_events(spark, SF_DIR).unionByName(rule_firing_events(spark))
+        ).filter(F.col("rule") != "R3_GEO_DEVICE_MISMATCH")
         want = {tuple(r) for r in batch.collect()}
-        ok = got == want
+        ok = got == want and len(want) > 0
         print(
             f"streaming alerts: {'SET-EQUAL' if ok else 'DIVERGED'} "
             f"({len(got)} streamed vs {len(want)} batch; {_fired(tag)} injected fails; "
