@@ -108,7 +108,7 @@ def test_segment_diff_stateful(spark, tmp_path):
         ("p1", "pro_plan", "EXIT", 3_000),
         ("p2", "reengage", "ENTER", 2_500),
     }
-    assert got == want
+    assert got == want and got, f"empty or diverged: got={sorted(got)[:5]}"
 
 
 def test_profile_apply_stateful_matches_batch(spark, sf_dir, tmp_path):
@@ -256,21 +256,31 @@ def test_incremental_identity_stage(spark, sf_dir, tmp_path):
 
     got = {(r.id, r.component) for r in stage.components().collect()}
     want = {(r.id, r.component) for r in components_for(valid_cdp_events(raw)).collect()}
-    assert got == want
+    assert got == want and got, f"empty or diverged: got={sorted(got)[:5]}"
 
     resolved_ids = {r.event_id for r in stage.resolved().select("event_id").collect()}
     valid_ids = {r.event_id for r in valid_cdp_events(raw).select("event_id").collect()}
     assert resolved_ids == valid_ids
 
 
-def test_entity_alert_stream_facade(spark, sf_dir, entity_chunks_dir):
+def test_entity_alert_stream_facade(spark, sf_dir, tmp_path):
     """§3.1 facade (admission -> dedup -> stateful rules) must equal the
-    batch alerts on replayed chunks."""
+    batch alerts on replayed chunks.  The real testdata exercises the
+    admission/dedup volume path but never fires R1/R2/R4, so the firing
+    fixture is unioned in to make the equality non-vacuous."""
+    from pulseboard_spark.sources.generator import rule_firing_events
     from pulseboard_spark.streaming.pipeline import entity_alert_stream
 
-    out, schema = entity_chunks_dir
+    ev = entity_events(spark, sf_dir).unionByName(rule_firing_events(spark)).orderBy("ts_us")
+    rows = ev.collect()
+    out = str(tmp_path / "facade_stream")
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(f"{out}/chunk={i}")
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{out}/chunk=*")
     )
@@ -289,9 +299,11 @@ def test_entity_alert_stream_facade(spark, sf_dir, entity_chunks_dir):
         tuple(r)
         for r in spark.sql("SELECT rule, entity_id, ts_ms, severity, event_id FROM facade_alerts").collect()
     }
-    batch = rules.alerts(entity_events(spark, sf_dir)).filter(F.col("rule") != "R3_GEO_DEVICE_MISMATCH")
+    batch = rules.alerts(
+        entity_events(spark, sf_dir).unionByName(rule_firing_events(spark))
+    ).filter(F.col("rule") != "R3_GEO_DEVICE_MISMATCH")
     want = {tuple(r) for r in batch.collect()}
-    assert got == want
+    assert got == want and got, f"empty or diverged: got={sorted(got)[:5]}"
 
 
 def test_r3_stateful_matches_batch(spark, sf_dir, entity_chunks_dir):
@@ -357,7 +369,7 @@ def test_streaming_minute_counts_match_batch(spark, sf_dir, entity_chunks_dir):
         q.stop()
     got = {tuple(r) for r in spark.sql("SELECT minute_ms, n_events FROM stream_minutes").collect()}
     want = {tuple(r) for r in minute_counts(entity_events(spark, sf_dir)).collect()}
-    assert got == want
+    assert got == want and got, f"empty or diverged: got={sorted(got)[:5]}"
 
 
 def test_streaming_sessions_match_batch(spark, sf_dir, entity_chunks_dir):
@@ -394,7 +406,7 @@ def test_streaming_sessions_match_batch(spark, sf_dir, entity_chunks_dir):
         (r.entity_id, r.session_start_ms, r.session_end_ms, r.n_events)
         for r in sessionize(entity_events(spark, sf_dir)).collect()
     }
-    assert got == want
+    assert got == want and got, f"empty or diverged: got={sorted(got)[:5]}"
 
 
 def test_admission_observed_metrics(spark):
@@ -455,7 +467,7 @@ def test_minute_counts_on_rocksdb_state(spark, sf_dir, entity_chunks_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     got = {tuple(r) for r in spark.sql("SELECT minute_ms, n_events FROM rocksdb_minutes").collect()}
     want = {tuple(r) for r in minute_counts(entity_events(spark, sf_dir)).collect()}
-    assert got == want
+    assert got == want and got, f"empty or diverged: got={sorted(got)[:5]}"
 
 
 def test_checkpoint_restart_recovery(spark, sf_dir, entity_chunks_dir, tmp_path):
@@ -716,7 +728,7 @@ def test_streaming_transitions_match_batch(spark, sf_dir, entity_chunks_dir):
         (r.from_type, r.to_type): r.n
         for r in event_transitions(entity_events(spark, sf_dir)).collect()
     }
-    assert got == want
+    assert got == want and got, f"empty or diverged: got={sorted(got)[:5]}"
 
 
 def _has_protobuf() -> bool:
@@ -778,7 +790,7 @@ def test_transitions_tws_matches_legacy_and_batch(spark, sf_dir, entity_chunks_d
         (r.from_type, r.to_type): r.n
         for r in event_transitions(entity_events(spark, sf_dir)).collect()
     }
-    assert got == want
+    assert got == want and got, f"empty or diverged: got={sorted(got)[:5]}"
 
 
 def test_streaming_cusum_matches_batch(spark, sf_dir, entity_chunks_dir):
@@ -821,7 +833,7 @@ def test_streaming_cusum_matches_batch(spark, sf_dir, entity_chunks_dir):
         for r in cusum_changepoints(batch_ev).collect()
         if r.n_alarms_up or r.n_alarms_down
     }
-    assert got == want
+    assert got == want and got, f"empty or diverged: got={sorted(got)[:5]}"
 
 
 def test_streaming_burst_matches_batch(spark, sf_dir, entity_chunks_dir):
@@ -899,7 +911,7 @@ def test_streaming_attribution_matches_batch(spark, sf_dir, entity_chunks_dir):
         r.event_id: (r.entity_id, r.purchase_ms, r.first_touch_type, r.last_touch_type)
         for r in purchase_attribution(entity_events(spark, sf_dir)).collect()
     }
-    assert got == want
+    assert got == want and got, f"empty or diverged: got={sorted(got)[:5]}"
 
 
 def test_checkpoint_restart_recovery_on_rocksdb(spark, sf_dir, entity_chunks_dir, tmp_path):
