@@ -57,6 +57,12 @@ SLICE = [
     "cdp_segments",              # segment predicates over profiles
     "user_sessions",             # keyed sessionization
     "text_quality",              # Arrow text kernel, per-doc output
+    # round-6 session-2 extension: the sessions/attribution/timeseries
+    # families (r05-green at sf0.01, unchecked above it until now)
+    "canonical_sessions",        # shared session-number subtree + RANGE frame
+    "purchase_attribution",      # first/last-touch over lookback frames
+    "burst_windows",             # hourly bucket verdicts, per-hour output
+    "value_autocorr",            # lag-join autocovariance aggregate
 ]
 
 #: DuckDB resource caps for the 64x oracles: a blown-up oracle plan must

@@ -39,11 +39,19 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 CONFIGS = {
     "A32": {"spark.sql.shuffle.partitions": "32",
-            "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024)},
+            "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+            "spark.sql.adaptive.enabled": "true"},
     "B7tiny": {"spark.sql.shuffle.partitions": "7",
-               "spark.sql.files.maxPartitionBytes": str(1024 * 1024)},
+               "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+               "spark.sql.adaptive.enabled": "true"},
     "C61": {"spark.sql.shuffle.partitions": "61",
-            "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024)},
+            "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+            "spark.sql.adaptive.enabled": "true"},
+    # AQE off: coalescing, skew-split and broadcast-demotion all disabled —
+    # a different physical plan for every shuffle-bearing query.
+    "D_noAQE": {"spark.sql.shuffle.partitions": "32",
+                "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+                "spark.sql.adaptive.enabled": "false"},
 }
 
 
@@ -62,10 +70,16 @@ def main() -> int:
     spark = get_spark("pb-layout-invariance")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pulseboard_spark.session import RUNTIME_CONFS
+
     images: dict[str, dict[str, object]] = {name: {} for name in QUERIES}
     t0 = time.time()
     for cfg_name, confs in CONFIGS.items():
+        # Mutate RUNTIME_CONFS, not just the session: every registry query
+        # calls tune(), which re-applies RUNTIME_CONFS — setting the session
+        # conf alone would be silently clobbered on the first query.
         for k, v in confs.items():
+            RUNTIME_CONFS[k] = v
             spark.conf.set(k, v)
         _clear_caches()
         spark.catalog.clearCache()
