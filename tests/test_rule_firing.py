@@ -106,6 +106,56 @@ def test_streaming_twin_fires_same_set(spark, tmp_path):
     assert got == EXPECTED_ALERTS
 
 
+def test_restart_recovers_rule_state_and_emits_once(spark, tmp_path):
+    """Kill-and-restart across the firing boundary: the query stops after
+    the first two chunks (trailing buffers and the fire-r2 EWMA are
+    state-only — nothing has fired yet), restarts from the checkpoint
+    with all four chunks, and the file sink must hold EXACTLY the 12
+    hand-derived alerts — the post-restart firings depend on pre-restart
+    keyed state, so a lost buffer shows as missing alerts and a replayed
+    batch as duplicates."""
+    fx = rule_firing_events(spark).orderBy("ts_us", "event_id")
+    rows = fx.collect()
+    chunk = (len(rows) + 3) // 4
+    out = str(tmp_path / "restart_stream")
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, fx.schema).coalesce(1).write.parquet(
+                f"{out}/chunk={i}"
+            )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def start(glob):
+        stream = (
+            spark.readStream.schema(fx.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(glob)
+        )
+        return (
+            alert_rules_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start(f"{out}/chunk={{0,1}}")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q = start(f"{out}/chunk=*")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _alert_set(spark.read.parquet(sink))
+    assert got == EXPECTED_ALERTS
+
+
 @pytest.mark.parity
 def test_registry_parity_rule_firing(spark, sf_dir):
     from pulseboard_spark.parity import duck_connection, compare
