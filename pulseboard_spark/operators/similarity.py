@@ -639,8 +639,20 @@ def ivf_index(
         .limit(n_cells)
         .collect()
     )
-    C = np.array([list(r[1]) for r in seeds], dtype=np.float64)
     sc = embeddings.sparkSession.sparkContext
+    if not seeds:
+        # Empty corpus (an empty slice is routine at warehouse scale):
+        # a zero-cell index — downstream kNN probes nothing and returns
+        # empty, instead of the 1-D seed matrix crashing the norm kernel.
+        C = np.zeros((0, 1))
+        cent_bc = sc.broadcast((np.arange(0), C, _safe_norms(C)))
+        empty = (
+            embeddings.select("vec_id", "embedding")
+            .withColumn("cell", F.lit(0).cast("bigint"))
+            .limit(0)
+        )
+        return empty, cent_bc
+    C = np.array([list(r[1]) for r in seeds], dtype=np.float64)
     cent_bc = sc.broadcast((np.arange(len(C)), C, _safe_norms(C)))
 
     def assign(batches):
@@ -1211,6 +1223,11 @@ def pq_train_codebooks(
         .limit(k)
         .collect()
     )
+    if not seeds:
+        # Empty corpus: degenerate (m, k, 1) codebook — assignment and
+        # search over zero rows never slice it, and pq_topk's empty-query
+        # early return produces the empty result.
+        return np.zeros((m, k, 1))
     S = np.array([list(r[1]) for r in seeds], dtype=np.float64)
     d = S.shape[1]
     if d % m != 0:
