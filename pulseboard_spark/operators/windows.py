@@ -47,6 +47,16 @@ def with_trailing_aggs(
     rate_1m (A2), sum_30s (A3), count_60s (A4), avg_5m / avg_1h (A5).
     All windows are inclusive of the current row, matching
     ``countInRange``'s closed interval (`WindowStore.kt:184-191`).
+
+    Tie semantics: the reference evaluates PER ARRIVAL — an event never
+    sees a later-arriving event, even at the same timestamp — and the
+    engine's total order for arrival is (ts_us, event_id) (the same order
+    the EWMA scan, LWW merges and the streaming in-order drain use).  A
+    bare RANGE frame ordered by ts_us includes all timestamp PEERS, i.e.
+    lets an event see same-ts events that arrive after it (found by
+    tests/test_fuzz_rules.py), so each aggregate subtracts the
+    contribution of peers with a larger event_id.  At zero ties the
+    adjustments are identically 0/0.0 and every value is bit-unchanged.
     """
     cols = list(partition_cols)
     w60 = trailing_window(cols, 60)
@@ -54,18 +64,30 @@ def with_trailing_aggs(
     w5m = trailing_window(cols, 300)
     w1h = trailing_window(cols, 3600)
     v = F.col(value_col)
+    # later-peer contributions: whole peer group minus the running
+    # (event_id-ordered) prefix — same hash partitioning, one extra sort
+    peers = Window.partitionBy(*cols, "ts_us")
+    peer_run = (
+        Window.partitionBy(*cols, "ts_us")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rows_after = F.count(F.lit(1)).over(peers) - F.count(F.lit(1)).over(peer_run)
+    cnt_after = F.count(v).over(peers) - F.count(v).over(peer_run)
+    sum_after = F.coalesce(F.sum(v).over(peers), F.lit(0.0)) - F.coalesce(
+        F.sum(v).over(peer_run), F.lit(0.0)
+    )
+
+    def adj_avg(w: WindowSpec) -> Column:
+        cnt = F.count(v).over(w) - cnt_after
+        return F.when(cnt > 0, (F.sum(v).over(w) - sum_after) / cnt).otherwise(0.0)
+
     return (
-        df.withColumn("rate_1m", F.count(F.lit(1)).over(w60).cast("double"))
-        .withColumn("sum_30s", F.sum(v).over(w30))
-        .withColumn("count_60s", F.count(v).over(w60))
-        .withColumn(
-            "avg_5m",
-            F.coalesce(F.sum(v).over(w5m) / F.count(v).over(w5m), F.lit(0.0)),
-        )
-        .withColumn(
-            "avg_1h",
-            F.coalesce(F.sum(v).over(w1h) / F.count(v).over(w1h), F.lit(0.0)),
-        )
+        df.withColumn("rate_1m", (F.count(F.lit(1)).over(w60) - rows_after).cast("double"))
+        .withColumn("sum_30s", F.sum(v).over(w30) - sum_after)
+        .withColumn("count_60s", F.count(v).over(w60) - cnt_after)
+        .withColumn("avg_5m", adj_avg(w5m))
+        .withColumn("avg_1h", adj_avg(w1h))
     )
 
 

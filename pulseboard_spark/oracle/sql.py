@@ -236,22 +236,49 @@ members_{tag} AS (
 # Window / rule CTEs over ent
 # ---------------------------------------------------------------------------
 
+# Tie semantics mirror operators/windows.py::with_trailing_aggs: RANGE
+# frames include same-ts PEERS, but the engine's arrival order is
+# (ts_us, event_id) — an event must not see later-arriving peers — so each
+# aggregate subtracts the later-peer contribution (peer-group total minus
+# the event_id-ordered running prefix).  At zero ties the adjustments are
+# identically 0/0.0.
 WINDOWS_CTE = (
     ENT_CTE
     + """,
 win AS (
   SELECT event_id, entity_id, type, profile, ts_us, ts_ms, value, geo, device,
-         CAST(count(*) OVER w60 AS DOUBLE) AS rate_1m,
-         sum(value) OVER w30 AS sum_30s,
-         count(value) OVER w60 AS count_60s,
-         coalesce(sum(value) OVER w5m / count(value) OVER w5m, 0.0) AS avg_5m,
-         coalesce(sum(value) OVER w1h / count(value) OVER w1h, 0.0) AS avg_1h
+         CAST(count(*) OVER w60
+              - (count(*) OVER peers - count(*) OVER peer_run) AS DOUBLE) AS rate_1m,
+         sum(value) OVER w30
+              - (coalesce(sum(value) OVER peers, 0.0)
+                 - coalesce(sum(value) OVER peer_run, 0.0)) AS sum_30s,
+         count(value) OVER w60
+              - (count(value) OVER peers - count(value) OVER peer_run) AS count_60s,
+         CASE WHEN count(value) OVER w5m
+                   - (count(value) OVER peers - count(value) OVER peer_run) > 0
+              THEN (sum(value) OVER w5m
+                    - (coalesce(sum(value) OVER peers, 0.0)
+                       - coalesce(sum(value) OVER peer_run, 0.0)))
+                   / (count(value) OVER w5m
+                      - (count(value) OVER peers - count(value) OVER peer_run))
+              ELSE 0.0 END AS avg_5m,
+         CASE WHEN count(value) OVER w1h
+                   - (count(value) OVER peers - count(value) OVER peer_run) > 0
+              THEN (sum(value) OVER w1h
+                    - (coalesce(sum(value) OVER peers, 0.0)
+                       - coalesce(sum(value) OVER peer_run, 0.0)))
+                   / (count(value) OVER w1h
+                      - (count(value) OVER peers - count(value) OVER peer_run))
+              ELSE 0.0 END AS avg_1h
   FROM ent
   WINDOW
     w30 AS (PARTITION BY entity_id, type ORDER BY ts_us RANGE BETWEEN 30000000 PRECEDING AND CURRENT ROW),
     w60 AS (PARTITION BY entity_id, type ORDER BY ts_us RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW),
     w5m AS (PARTITION BY entity_id, type ORDER BY ts_us RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW),
-    w1h AS (PARTITION BY entity_id, type ORDER BY ts_us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    w1h AS (PARTITION BY entity_id, type ORDER BY ts_us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+    peers AS (PARTITION BY entity_id, type, ts_us),
+    peer_run AS (PARTITION BY entity_id, type, ts_us ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 """
 )

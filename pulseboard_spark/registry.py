@@ -944,11 +944,12 @@ def alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rule_firing_alerts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The rule union over the engineered firing fixture (sf_dir unused —
-    the fixture is self-contained).  The driver testdata never trips
-    R1/R2/R4 (`alerts` is 100% R3 at every SF), so this is the only
-    oracle-checked query exercising those rules' POSITIVE path: 12 alerts
-    (6 R1 MEDIUM / 1 R2 LOW / 5 R4 HIGH), hand-derived in
+    """Rule union over the engineered firing fixture — the R1/R2/R4 positive path.
+
+    sf_dir is unused: the fixture is self-contained.  The driver testdata
+    never trips R1/R2/R4 (`alerts` is 100% R3 at every SF), so this is the
+    only oracle-checked query exercising those rules' POSITIVE path: 12
+    alerts (6 R1 MEDIUM / 1 R2 LOW / 5 R4 HIGH), hand-derived in
     tests/test_rule_firing.py and mirrored in DuckDB from generate_series
     (oracle/sql.py::FIRING_ENT_CTE)."""
     return rules.alerts(rule_firing_events(spark))

@@ -98,23 +98,32 @@ def _eval_rules(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> It
     all_val = np.concatenate([buf_val, n_val])
     order = np.argsort(all_ts, kind="mergesort")
     all_ts, all_val = all_ts[order], all_val[order]
-    csum = np.concatenate([[0.0], np.cumsum(all_val)])
+    # Null-value events (NaN) stay IN the buffer — they count toward the
+    # event rate (batch rate_1m counts all rows) — but are SKIPPED by the
+    # value aggregates, exactly like the batch twin's sum(v)/count(v): a
+    # raw cumsum would let one NaN poison every later window sum for the
+    # key (found by tests/test_fuzz_rules.py).
+    valid_all = ~np.isnan(all_val)
+    csum = np.concatenate([[0.0], np.cumsum(np.where(valid_all, all_val, 0.0))])
+    vcnt = np.concatenate([[0], np.cumsum(valid_all.astype(np.int64))])
 
     base = len(buf_ts)
     upto = base + np.arange(1, n + 1)  # points processed so far, current included
 
-    def win(dur_us: int) -> tuple[np.ndarray, np.ndarray]:
+    def win(dur_us: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(all-row count, null-skipped sum, non-null count) per event."""
         lo = np.minimum(np.searchsorted(all_ts, n_ts - dur_us, side="left"), upto)
         hi = np.minimum(np.searchsorted(all_ts, n_ts, side="right"), upto)
-        return hi - lo, csum[hi] - csum[lo]
+        return hi - lo, csum[hi] - csum[lo], vcnt[hi] - vcnt[lo]
 
-    c60, _ = win(60 * US)
-    c5m, s5m = win(300 * US)
-    c1h, s1h = win(3600 * US)
-    _, s30 = win(30 * US)
+    c60, _, v60 = win(60 * US)
+    _, s5m, v5m = win(300 * US)
+    _, s1h, v1h = win(3600 * US)
+    _, s30, _ = win(30 * US)
     rate_1m = c60.astype(np.float64)
-    avg_5m = s5m / c5m  # trailing windows include the current event: c ≥ 1
-    avg_1h = s1h / c1h
+    # batch: coalesce(sum(v)/count(v), 0.0) — empty value window → 0.0
+    avg_5m = np.where(v5m > 0, s5m / np.maximum(v5m, 1), 0.0)
+    avg_1h = np.where(v1h > 0, s1h / np.maximum(v1h, 1), 0.0)
 
     # R1 velocity spike
     thr1 = avg_5m * 3.0
@@ -136,9 +145,10 @@ def _eval_rules(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> It
         ew[vidx] = evals
         ewma, has_ewma = e, he
     thr2 = ew * 4.0
-    r2 = valid & (n_val > thr2) & (c60 >= 5)  # NaN comparisons are False
+    # count_60s is the NON-NULL count, like the batch count(v) frame
+    r2 = valid & (n_val > thr2) & (v60 >= 5)  # NaN comparisons are False
 
-    # R4 exfil (SASE only); NaN avg_1h → NaN p95 → never fires (as scalar max)
+    # R4 exfil (SASE only); empty value window → avg 0 → the 1000 floor
     p95 = np.maximum(np.floor(avg_1h * 10), 1000.0)
     r4 = (profile == "SASE") & valid & (s30 > p95)
 

@@ -1,0 +1,138 @@
+"""Property fuzz: the stateful rule kernel ≡ the batch rule union.
+
+Until round 6 the only non-empty comparison between
+`streaming/stateful._eval_rules` and `operators/rules.alerts` was the
+three-scenario firing fixture; this fuzz feeds RANDOM event histories
+through both and requires identical alert sets — entity counts, event
+spacing, value spikes, nulls, chunking, and the chunk boundaries
+themselves are all hypothesis-chosen.
+
+Two deliberate constraints keep the comparison exact rather than flaky:
+
+- values come from a DYADIC alphabet (0.25 … 512.0): window sums and
+  averages of dyadic rationals are exact in float64 regardless of
+  summation order, so JVM window frames and numpy prefix sums cannot
+  differ by an ulp and flip a strict `>` at the threshold.  The EWMA is
+  not dyadic but both engines run the same scalar recurrence in the same
+  order (alpha*v + 0.9*prev), so it is bit-identical by construction.
+- chunks split the TIME-ORDERED global stream (what the watermark +
+  in-order drain guarantee the kernel sees); within a chunk the kernel
+  re-sorts, so intra-chunk order is irrelevant.
+
+The kernel side runs in-process against a fake GroupState — no Spark
+stream per example — so the fuzz affords dozens of histories in seconds;
+the batch side is the oracle-checked Spark plan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from pulseboard_spark.operators import rules
+from pulseboard_spark.streaming.stateful import _eval_rules
+
+VALUES = [0.25, 0.5, 1.0, 2.0, 4.0, 8.0, 64.0, 100.0, 256.0, 512.0, None]
+BASE_US = 1_704_067_200_000_000
+
+
+class FakeState:
+    """The three GroupState members _eval_rules touches."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+@st.composite
+def histories(draw):
+    n_entities = draw(st.integers(1, 3))
+    rows = []
+    eid = 0
+    for e in range(n_entities):
+        profile = draw(st.sampled_from(["SASE", "IGAMING"]))
+        n_types = draw(st.integers(1, 2))
+        for t in range(n_types):
+            n = draw(st.integers(3, 30))
+            # bursty keys (tight gaps) make R1/R4 firings common — without
+            # the bias almost every random history is alert-free and the
+            # fuzz only exercises the negative path
+            hi = draw(st.sampled_from([3, 20, 180]))
+            gaps = draw(st.lists(st.integers(0, hi), min_size=n, max_size=n))
+            ts = BASE_US
+            for g in gaps:
+                ts += g * 1_000_000
+                rows.append(
+                    (eid, ts, f"ent{e}", profile, f"type{t}",
+                     draw(st.sampled_from(VALUES)))
+                )
+                eid += 1
+    rows.sort(key=lambda r: (r[1], r[0]))  # global time order
+    n_chunks = draw(st.integers(1, 4))
+    cuts = sorted(draw(st.lists(st.integers(0, len(rows)), min_size=n_chunks - 1,
+                                max_size=n_chunks - 1)))
+    return rows, cuts
+
+
+def kernel_alerts(rows, cuts) -> set[tuple]:
+    """Replay time-ordered chunks through _eval_rules per key."""
+    bounds = [0, *cuts, len(rows)]
+    states: dict = {}
+    out = []
+    for i in range(len(bounds) - 1):
+        chunk = rows[bounds[i]: bounds[i + 1]]
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(
+            chunk, columns=["event_id", "ts_us", "entity_id", "profile", "type", "value"]
+        )
+        pdf["ts_ms"] = pdf["ts_us"] // 1000
+        pdf["value"] = pdf["value"].astype("float64")
+        for key, grp in pdf.groupby(["entity_id", "type"], sort=False):
+            state = states.setdefault(key, FakeState())
+            out.extend(_eval_rules(key, iter([grp]), state))
+    if not out:
+        return set()
+    res = pd.concat(out, ignore_index=True)
+    return {tuple(r) for r in res.itertuples(index=False)}
+
+
+def batch_alerts(spark, rows) -> set[tuple]:
+    df = spark.createDataFrame(
+        [(e, ts, ent, prof, typ, v) for e, ts, ent, prof, typ, v in rows],
+        "event_id long, ts_us long, entity_id string, profile string, type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "ts_us",
+        (F.col("ts_us") / 1000).cast("long").alias("ts_ms"),
+        "entity_id", "profile", "type", "value",
+        F.lit("US").alias("geo"), F.lit("desktop").alias("device"),
+    )
+    got = rules.alerts(df).filter(F.col("rule") != "R3_GEO_DEVICE_MISMATCH")
+    return {tuple(r) for r in got.select("rule", "entity_id", "ts_ms", "severity", "event_id").collect()}
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(hist=histories())
+def test_kernel_equals_batch_on_random_histories(spark, hist):
+    rows, cuts = hist
+    want = batch_alerts(spark, rows)
+    got = kernel_alerts(rows, cuts)
+    assert got == want
