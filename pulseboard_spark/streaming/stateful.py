@@ -894,7 +894,13 @@ def _emit_attribution(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState)
                 "entity_id": entity_id,
                 "event_id": pd.Series(out["event_id"], dtype="int64"),
                 "purchase_ms": pd.Series(out["purchase_ms"], dtype="int64"),
-                "value": pd.Series(out["value"], dtype="float64"),
+                # nullable Float64, NaN mapped back to null: a null-valued
+                # purchase must emit null like the batch twin, not the NaN
+                # the Arrow float64 input coerced it to
+                "value": pd.array(
+                    [None if v is None or v != v else v for v in out["value"]],
+                    dtype="Float64",
+                ),
                 "first_touch_type": pd.Series(out["first_touch_type"], dtype="object"),
                 "last_touch_type": pd.Series(out["last_touch_type"], dtype="object"),
             }

@@ -971,3 +971,42 @@ def test_checkpoint_restart_recovery_on_rocksdb(spark, sf_dir, entity_chunks_dir
     assert got, "no windows finalized"
     for r in got:
         assert want[r.minute_ms] == r.n_events
+
+
+def test_attribution_null_value_purchase_emits_null(spark, tmp_path):
+    """A null-valued purchase must emit a NULL value like the batch twin —
+    the Arrow float64 input coerces null to NaN inside the kernel, and an
+    unmapped NaN diverges from batch in any collected comparison."""
+    from pulseboard_spark.operators.sessions import purchase_attribution
+    from pulseboard_spark.streaming.stateful import attribution_stateful
+
+    base = 1_704_067_200_000
+    rows = [(1, base, "e0", "view", 1.0), (2, base + 1000, "e0", "purchase", None)]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, ts_ms long, entity_id string, type string, value double"
+        )
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withColumn("ts_us", F.col("ts_ms") * 1000)
+    )
+    path = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        attribution_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("attr_nullv")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [tuple(r) for r in spark.sql(
+        "SELECT event_id, purchase_ms, value, first_touch_type, last_touch_type FROM attr_nullv"
+    ).collect()]
+    want = [tuple(r) for r in purchase_attribution(df).select(
+        "event_id", "purchase_ms", "value", "first_touch_type", "last_touch_type"
+    ).collect()]
+    assert got == want == [(2, base + 1000, None, "view", "view")]
