@@ -242,3 +242,81 @@ def test_transitions_kernel_equals_batch(spark, hist):
         for r in res.itertuples(index=False):
             got[(r.from_type, r.to_type)] = got.get((r.from_type, r.to_type), 0) + 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# R3 geo/device kernel vs the range-bucketed batch self-join
+# ---------------------------------------------------------------------------
+
+from pulseboard_spark.streaming.stateful import _eval_r3  # noqa: E402
+
+GEOS = ["US", "UK", None]
+DEVICES = ["desktop", "mobile", None]
+
+
+@st.composite
+def r3_histories(draw):
+    """Tag-flapping histories: short gaps around the 2-minute window edge,
+    nullable tags, timestamp ties — everything the conflict join must
+    tie-break deterministically."""
+    n_entities = draw(st.integers(1, 2))
+    rows, eid = [], 0
+    for e in range(n_entities):
+        n = draw(st.integers(2, 20))
+        ts = BASE_US
+        for _ in range(n):
+            ts += draw(st.integers(0, 150)) * 1_000_000
+            rows.append((eid, ts, f"ent{e}", "SASE", "LOGIN",
+                         draw(st.sampled_from(GEOS)), draw(st.sampled_from(DEVICES))))
+            eid += 1
+    rows.sort(key=lambda r: (r[1], r[0]))
+    n_chunks = draw(st.integers(1, 3))
+    cuts = sorted(draw(st.lists(st.integers(0, len(rows)), min_size=n_chunks - 1,
+                                max_size=n_chunks - 1)))
+    return rows, cuts
+
+
+def _r3_kernel_set(rows, cuts) -> set[tuple]:
+    bounds = [0, *cuts, len(rows)]
+    states: dict = {}
+    out = []
+    for i in range(len(bounds) - 1):
+        chunk = rows[bounds[i]: bounds[i + 1]]
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(
+            chunk,
+            columns=["event_id", "ts_us", "entity_id", "profile", "type", "geo", "device"],
+        )
+        pdf["ts_ms"] = pdf["ts_us"] // 1000
+        for key, grp in pdf.groupby(["entity_id"], sort=False):
+            state = states.setdefault(key, FakeState())
+            out.extend(_eval_r3(key, iter([grp]), state))
+    res = pd.concat(out, ignore_index=True) if out else None
+    got = set()
+    if res is not None:
+        for r in res.itertuples(index=False):
+            got.add((r.event_id, r.entity_id, r.ts_ms, r.geo_conflict, r.device_conflict,
+                     r.prev_geo, r.prev_device, r.n_conflicts, r.severity))
+    return got
+
+
+@pytest.mark.parity  # clean at introduction; gate-budget keeps it in the parity sweep
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(hist=r3_histories())
+def test_r3_kernel_equals_batch(spark, hist):
+    rows, cuts = hist
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, entity_id string, profile string, "
+        "type string, geo string, device string",
+    ).select("*", (F.col("ts_us") / 1000).cast("long").alias("ts_ms"))
+    want = {
+        (r.event_id, r.entity_id, r.ts_ms, r.geo_conflict, r.device_conflict,
+         r.prev_geo, r.prev_device, r.n_conflicts, r.severity)
+        for r in rules.r3_geo_device_eval(df).collect()
+    }
+    got = _r3_kernel_set(rows, cuts)
+    assert got == want
