@@ -44,7 +44,14 @@ def build_profiles(evprof: DataFrame) -> DataFrame:
     # of three, and the silver table is scanned once here instead of 3×.
     as_of = evprof.agg(F.max("ts_ms").alias("as_of_ms"))
     cutoff = _bucket_ms(F.col("as_of_ms") - DAY_MS)
-    ident_okey = F.when(F.col("ctype") == "IDENTIFY", okey)
+    # per-TRAIT ordering key: the reference merges only traits PRESENT on
+    # the event (`cdp/store/ProfileStore.kt:82-118` — mergedTraits[key] set
+    # per present key), so a later IDENTIFY with a null plan must NOT
+    # overwrite an earlier non-null one.  A shared IDENTIFY-only key would
+    # let max_by return that null (the streaming kernel skips nulls —
+    # keeping both engines on the reference's semantics).
+    plan_okey = F.when((F.col("ctype") == "IDENTIFY") & F.col("plan").isNotNull(), okey)
+    country_okey = F.when((F.col("ctype") == "IDENTIFY") & F.col("country").isNotNull(), okey)
     feat = (
         (F.col("ctype") == "TRACK")
         & (F.col("name") == "Feature Used")
@@ -54,8 +61,8 @@ def build_profiles(evprof: DataFrame) -> DataFrame:
         evprof.crossJoin(F.broadcast(as_of))
         .groupBy("profile_id")
         .agg(
-            F.max_by("plan", ident_okey).alias("plan"),
-            F.max_by("country", ident_okey).alias("country"),
+            F.max_by("plan", plan_okey).alias("plan"),
+            F.max_by("country", country_okey).alias("country"),
             F.max("ts_ms").alias("last_seen_ms"),
             F.sum(feat.cast("long")).cast("long").alias("feature_used_24h"),
         )

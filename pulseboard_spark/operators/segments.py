@@ -58,7 +58,9 @@ def segment_membership(evprof: DataFrame, as_of_ms, segments: dict | None = None
     # a conditional sum — one shuffle instead of three and one scan of the
     # silver table per snapshot.
     cutoff = _bucket_ms(F.col("as_of_ms") - DAY_MS)
-    ident_okey = F.when(F.col("ctype") == "IDENTIFY", okey)
+    # plan-present-only ordering key: a null trait never overwrites
+    # (reference semantics — see profiles.build_profiles)
+    ident_okey = F.when((F.col("ctype") == "IDENTIFY") & F.col("plan").isNotNull(), okey)
     feat = (
         (F.col("ctype") == "TRACK")
         & (F.col("name") == "Feature Used")
@@ -121,8 +123,8 @@ def segment_events(evprof: DataFrame, segments: dict | None = None) -> DataFrame
         F.first("mid_ms").alias("as_of_ms_mid"),
         F.max("ts_ms").alias("last_seen_ms_end"),
         F.max(F.when(at_mid, F.col("ts_ms"))).alias("last_seen_ms_mid"),
-        F.max_by("plan", F.when(ident, okey)).alias("plan_end"),
-        F.max_by("plan", F.when(ident & at_mid, okey)).alias("plan_mid"),
+        F.max_by("plan", F.when(ident & F.col("plan").isNotNull(), okey)).alias("plan_end"),
+        F.max_by("plan", F.when(ident & at_mid & F.col("plan").isNotNull(), okey)).alias("plan_mid"),
         F.sum((feat & (_bucket_ms(F.col("ts_ms")) >= cut_end)).cast("long")).alias("cnt_end"),
         F.sum((feat & at_mid & (_bucket_ms(F.col("ts_ms")) >= cut_mid)).cast("long")).alias("cnt_mid"),
     )

@@ -162,9 +162,11 @@ prof_id_lists AS (
   FROM prof_ids GROUP BY profile_id
 ),
 prof_traits AS (
+  -- per-trait null filter: a null trait never overwrites (the reference
+  -- merges only traits present on the event, ProfileStore.kt:82-118)
   SELECT profile_id,
-         arg_max(plan, okey) AS plan,
-         arg_max(country, okey) AS country
+         arg_max(plan, okey) FILTER (WHERE plan IS NOT NULL) AS plan,
+         arg_max(country, okey) FILTER (WHERE country IS NOT NULL) AS country
   FROM evprof WHERE ctype = 'IDENTIFY' GROUP BY profile_id
 ),
 as_of AS (SELECT max(ts_ms) AS as_of_ms FROM evprof),
@@ -212,7 +214,8 @@ snap_{tag} AS (
   FROM (SELECT profile_id, max(ts_ms) AS last_seen_ms
         FROM evprof WHERE ts_ms <= ({as_of_expr}) GROUP BY profile_id) p
   LEFT JOIN (SELECT profile_id, arg_max(plan, okey) AS plan
-             FROM evprof WHERE ctype = 'IDENTIFY' AND ts_ms <= ({as_of_expr})
+             FROM evprof
+             WHERE ctype = 'IDENTIFY' AND plan IS NOT NULL AND ts_ms <= ({as_of_expr})
              GROUP BY profile_id) t USING (profile_id)
   LEFT JOIN (SELECT profile_id, count(*) AS cnt
              FROM evprof

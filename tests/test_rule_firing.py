@@ -162,3 +162,58 @@ def test_registry_parity_rule_firing(spark, sf_dir):
 
     res = compare(spark, duck_connection(sf_dir), "rule_firing_alerts", sf_dir)
     assert res.ok, res.detail
+
+
+def test_null_trait_never_overwrites(spark):
+    """Reference LWW merges only traits PRESENT on the event
+    (`cdp/store/ProfileStore.kt:82-118`): a later IDENTIFY with a null
+    plan/country must not erase the earlier non-null value — in the batch
+    builder, the segment snapshot, and the streaming kernel alike."""
+    import pandas as pd
+
+    from pulseboard_spark.operators.profiles import build_profiles
+    from pulseboard_spark.operators.segments import segment_membership
+    from pulseboard_spark.streaming.stateful import _apply_profiles
+
+    from pyspark.sql import functions as F
+
+    base = 1_704_067_200_000
+    rows = [
+        # event_id, ts_ms, ctype, plan, country
+        ("e1", base, "IDENTIFY", "pro", "US"),
+        ("e2", base + 1000, "IDENTIFY", None, None),  # later, traits absent
+        ("e3", base + 2000, "TRACK", None, None),
+    ]
+    df = spark.createDataFrame(
+        [(p, t, c, pl, co) for p, t, c, pl, co in rows],
+        "event_id string, ts_ms long, ctype string, plan string, country string",
+    ).select(
+        F.lit("p0").alias("profile_id"),
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        (F.col("ts_ms") * 1000).alias("ts_us"),
+        "ts_ms", "event_id", "ctype",
+        F.lit(None).cast("string").alias("name"),
+        "plan", "country",
+        # valid events carry >= 1 identifier (P1)
+        F.lit("user:u0").alias("nuser"),
+        F.lit(None).cast("string").alias("nanon"),
+        F.lit(None).cast("string").alias("nemail"),
+    )
+    got = build_profiles(df).collect()[0]
+    assert got.plan == "pro" and got.country == "US"
+
+    seg = segment_membership(df, F.lit(base + 2000).cast("long")).collect()[0]
+    assert seg.pro_plan is True
+
+    class FakeState:
+        def __init__(self): self._v = None
+        @property
+        def exists(self): return self._v is not None
+        @property
+        def get(self): return self._v
+        def update(self, v): self._v = v
+
+    pdf = df.toPandas()
+    out = list(_apply_profiles(("p0",), iter([pdf]), FakeState()))
+    snap = out[-1].iloc[0]
+    assert snap["plan"] == "pro" and snap["country"] == "US"
