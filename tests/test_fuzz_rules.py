@@ -320,3 +320,107 @@ def test_r3_kernel_equals_batch(spark, hist):
     }
     got = _r3_kernel_set(rows, cuts)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDP profiles kernel vs build_profiles (LWW traits, id sets, 24h counter)
+# ---------------------------------------------------------------------------
+
+from pulseboard_spark.operators.profiles import DAY_MS, MINUTE_MS, build_profiles  # noqa: E402
+from pulseboard_spark.streaming.stateful import _apply_profiles  # noqa: E402
+
+BASE_MS = BASE_US // 1000
+
+
+@st.composite
+def profile_histories(draw):
+    """IDENTIFY/TRACK/ALIAS mixes with nullable traits, sparse identifiers,
+    Feature-Used tracks, and gaps up to ~30 h (crossing the 24 h counter
+    window); ties and chunk boundaries as in the other fuzzes."""
+    n_profiles = draw(st.integers(1, 2))
+    rows, eid = [], 0
+    for p in range(n_profiles):
+        n = draw(st.integers(3, 15))
+        gap_hi = draw(st.sampled_from([60, 7200, 108_000]))
+        ts = BASE_MS
+        for _ in range(n):
+            ts += draw(st.integers(0, gap_hi)) * 1000
+            ctype = draw(st.sampled_from(["IDENTIFY", "TRACK", "ALIAS"]))
+            plan = draw(st.sampled_from(["pro", "basic", None])) if ctype == "IDENTIFY" else None
+            country = draw(st.sampled_from(["US", "DE", None])) if ctype == "IDENTIFY" else None
+            name = draw(st.sampled_from(["Feature Used", "Sign In", None])) if ctype == "TRACK" else None
+            has_u, has_a, has_m = (draw(st.booleans()) for _ in range(3))
+            if not (has_u or has_a or has_m):
+                has_u = True  # P1: valid events carry >= 1 identifier
+            rows.append((
+                f"e{eid}", ts, f"p{p}", ctype, name, plan, country,
+                f"user:u{p}" if has_u else None,
+                f"anon:a{p}" if has_a else None,
+                f"email:m{p}" if has_m else None,
+            ))
+            eid += 1
+    rows.sort(key=lambda r: (r[1], r[0]))
+    n_chunks = draw(st.integers(1, 3))
+    cuts = sorted(draw(st.lists(st.integers(0, len(rows)), min_size=n_chunks - 1,
+                                max_size=n_chunks - 1)))
+    return rows, cuts
+
+
+_PROFILE_COLS = ["event_id", "ts_ms", "profile_id", "ctype", "name",
+                 "plan", "country", "nuser", "nanon", "nemail"]
+
+
+@pytest.mark.parity  # clean at introduction; gate-budget keeps it in the parity sweep
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(hist=profile_histories())
+def test_profiles_kernel_equals_batch(spark, hist):
+    rows, cuts = hist
+    df = spark.createDataFrame(
+        rows,
+        "event_id string, ts_ms long, profile_id string, ctype string, name string, "
+        "plan string, country string, nuser string, nanon string, nemail string",
+    ).select(
+        "profile_id",
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        (F.col("ts_ms") * 1000).alias("ts_us"),
+        "ts_ms", "event_id", "ctype", "name", "plan", "country",
+        "nuser", "nanon", "nemail",
+    )
+    batch = {r.profile_id: r for r in build_profiles(df).collect()}
+
+    # kernel: last emitted snapshot per profile (change-suppressed stream)
+    bounds = [0, *cuts, len(rows)]
+    states: dict = {}
+    last: dict = {}
+    for i in range(len(bounds) - 1):
+        chunk = rows[bounds[i]: bounds[i + 1]]
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(chunk, columns=_PROFILE_COLS)
+        pdf["ts_us"] = pdf["ts_ms"] * 1000
+        for key, grp in pdf.groupby(["profile_id"], sort=False):
+            state = states.setdefault(key, FakeState())
+            for out in _apply_profiles(key, iter([grp]), state):
+                last[out.iloc[0]["profile_id"]] = out.iloc[0]
+
+    assert set(last) == set(batch)
+    # the 24h counter's "now" differs by design: batch uses the global max
+    # ts, the kernel each profile's own last event — recompute per profile
+    per_profile_counts: dict = {}
+    for e, ts, p, ctype, name, *_ in rows:
+        if ctype == "TRACK" and name == "Feature Used":
+            per_profile_counts.setdefault(p, []).append(ts)
+    for pid, b in batch.items():
+        s = last[pid]
+        assert list(s["user_ids"]) == sorted(b.user_ids), pid
+        assert list(s["emails"]) == sorted(b.emails), pid
+        assert list(s["anonymous_ids"]) == sorted(b.anonymous_ids), pid
+        assert s["plan"] == b.plan and s["country"] == b.country, pid
+        assert s["last_seen_ms"] == b.last_seen_ms, pid
+        as_of = b.last_seen_ms
+        cutoff = (as_of - DAY_MS) - (as_of - DAY_MS) % MINUTE_MS
+        want_cnt = sum(1 for t in per_profile_counts.get(pid, [])
+                       if t - t % MINUTE_MS >= cutoff)
+        assert s["feature_used_24h"] == want_cnt, pid
