@@ -34,11 +34,21 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
     return out
 
 
-@pytest.mark.parametrize("name", REGRESSION + REPRESENTATIVES)
-def test_zero_row_input_does_not_crash(spark, empty_dir, name, monkeypatch):
+def _run_empty(spark, empty_dir, name):
     # memo caches would hand back another test's sf-dir artifacts
     from pulseboard_spark import registry
 
     for cache in ("_COMP_CACHE", "_PAIR_CACHE", "_CLUSTER_CACHE", "_IVF_CACHE"):
         getattr(registry, cache).clear()
     assert QUERIES[name](spark, empty_dir).count() == 0
+
+
+@pytest.mark.parametrize("name", REGRESSION)
+def test_zero_row_input_does_not_crash(spark, empty_dir, name):
+    _run_empty(spark, empty_dir, name)
+
+
+@pytest.mark.parity  # family representatives; the probe sweeps all 182
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_zero_row_input_representatives(spark, empty_dir, name):
+    _run_empty(spark, empty_dir, name)
