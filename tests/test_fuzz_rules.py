@@ -424,3 +424,69 @@ def test_profiles_kernel_equals_batch(spark, hist):
         want_cnt = sum(1 for t in per_profile_counts.get(pid, [])
                        if t - t % MINUTE_MS >= cutoff)
         assert s["feature_used_24h"] == want_cnt, pid
+
+
+# ---------------------------------------------------------------------------
+# Burst hour-ring kernel vs the batch hourly-window operator
+# ---------------------------------------------------------------------------
+
+from pulseboard_spark.operators.timeseries import burst_windows  # noqa: E402
+from pulseboard_spark.streaming.stateful import _emit_bursts  # noqa: E402
+
+
+@st.composite
+def burst_histories(draw):
+    """Hour-granular event streams: dense and sparse hour gaps (warmup
+    boundary at 24 closed slots), multiple types, in-hour ties."""
+    n_types = draw(st.integers(1, 2))
+    rows, eid = [], 0
+    for t in range(n_types):
+        n = draw(st.integers(5, 60))
+        gap_hi = draw(st.sampled_from([600, 5400, 90_000]))  # sec: sub-hour .. multi-day
+        ts = BASE_MS
+        for _ in range(n):
+            ts += draw(st.integers(0, gap_hi)) * 1000
+            rows.append((eid, ts, "e0", f"type{t}"))
+            eid += 1
+    rows.sort(key=lambda r: (r[1], r[0]))
+    n_chunks = draw(st.integers(1, 3))
+    cuts = sorted(draw(st.lists(st.integers(0, len(rows)), min_size=n_chunks - 1,
+                                max_size=n_chunks - 1)))
+    return rows, cuts
+
+
+@pytest.mark.parity  # clean at introduction; gate-budget keeps it in the parity sweep
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(hist=burst_histories())
+def test_burst_kernel_equals_batch_on_closed_hours(spark, hist):
+    rows, cuts = hist
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_ms long, entity_id string, type string"
+    ).select("*", F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+             (F.col("ts_ms") * 1000).alias("ts_us"),
+             F.lit(1.0).alias("value"))
+    batch = burst_windows(df).collect()
+    last_hour: dict = {}
+    for r in batch:
+        last_hour[r.type] = max(last_hour.get(r.type, -1), r.hour_idx)
+    want = {
+        (r.type, r.hour_idx): (r.n_events, r.prev24_sum, r.is_burst)
+        for r in batch if r.hour_idx != last_hour[r.type]
+    }
+
+    bounds = [0, *cuts, len(rows)]
+    states: dict = {}
+    got: dict = {}
+    for i in range(len(bounds) - 1):
+        chunk = rows[bounds[i]: bounds[i + 1]]
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(chunk, columns=["event_id", "ts_ms", "entity_id", "type"])
+        for key, grp in pdf.groupby(["type"], sort=False):
+            state = states.setdefault(key, FakeState())
+            for out in _emit_bursts(key, iter([grp]), state):
+                for r in out.itertuples(index=False):
+                    got[(r.type, r.hour_idx)] = (r.n_events, r.prev24_sum, r.is_burst)
+    assert got == want
