@@ -432,12 +432,29 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataF
     return pairs.withColumn("canonical_vec_id", F.least("vec_a", "vec_b"))
 
 
+def _deletion_neighborhood(name_col: str):
+    """Array of FastSS candidate keys for ``max_dist=1``: the string itself
+    plus every single-character-deletion variant.  Any two strings at edit
+    distance ≤ 1 share at least one key: a deletion pair shares the deleted
+    variant, an insertion pair shares the shorter string itself, and a
+    substitution pair shares the variant that deletes the edited position.
+    All JVM-side (``transform``/``sequence``/``substring``) — no Python seam.
+    """
+    dels = (
+        f"transform(sequence(1, length({name_col})), "
+        f"i -> concat(substring({name_col}, 1, i - 1), "
+        f"substring({name_col}, i + 1, length({name_col}) - i)))"
+    )
+    return F.array_distinct(F.concat(F.array(F.col(name_col)), F.expr(dels)))
+
+
 def blocked_fuzzy_pairs(
     df: DataFrame,
     key: str,
     name: str,
     block: str,
     max_dist: int = 1,
+    neighborhood: bool = False,
 ) -> DataFrame:
     """Fuzzy string-match pairs (edit distance ≤ ``max_dist``) within a
     blocking key — the classic entity-resolution primitive the hash-based
@@ -448,11 +465,25 @@ def blocked_fuzzy_pairs(
     `levenshtein` is JVM-side in Spark and built into DuckDB, so the whole
     operator stays codegen'd — no Python seam.
 
-    Scale: the self-join is quadratic WITHIN a block and linear across
-    blocks — block choice is the knob.  One shuffle on the block key
-    (broadcast when one side is small); n² cost bounded by the largest
-    block, so pick blocks like (nation, name-length, first-char) to keep
-    the hot block's n small, and let AQE split stragglers.
+    Scale: with ``neighborhood=False`` the self-join is quadratic WITHIN a
+    block and linear across blocks — block choice is the knob, and
+    composites like (nation, name-length, first-char) keep the hot block
+    small ONLY when those attributes discriminate.  For uniform-prefix
+    identifiers (TPC-H ``Customer#000000001``: constant first char,
+    constant length, constant 9-char prefix) every such composite
+    degenerates back to the base block and the hot block's n² survives.
+    ``neighborhood=True`` (``max_dist=1`` only) is the scale path that
+    doesn't depend on attribute luck: FastSS/SymSpell deletion-neighborhood
+    keys — each row fans out to len+1 variants, the join key becomes
+    (block, variant), and only true near-matches (plus a bounded set of
+    dist-2 collisions, removed by the residual levenshtein filter) ever
+    meet.  Worst block size is the near-dup cluster size, not the block's
+    row count, so per-block cost is O(cluster²) instead of O(n_block²) —
+    at 64× sf0.1 the nation block is ~38k rows (≈1.5 G pairs each) while
+    the largest neighborhood block stays O(1) (measured in SCALE.md).
+    The fan-out costs len+1 shuffle rows per input row — the standard
+    SymSpell trade, linear and bounded by max name length.  Results are
+    identical to the naive plan (pinned by the all-pairs DuckDB oracle).
     """
     # Spread the probe side: when `df` comes from a few (or one) parquet
     # file(s) and the block join broadcasts, the n² levenshtein work would
@@ -460,6 +491,31 @@ def blocked_fuzzy_pairs(
     # no constraint on probe-side partitioning, so this shuffle (tiny: the
     # pre-explosion rows) buys full-cluster parallelism for the kernel.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if neighborhood:
+        if max_dist != 1:
+            raise ValueError("neighborhood blocking implements max_dist=1 only")
+        nbr = df.select(
+            F.col(block).alias("blk"),
+            F.col(key).alias("k"),
+            F.col(name).alias("nm"),
+            F.explode(_deletion_neighborhood(name)).alias("variant"),
+        )
+        a = nbr.select("blk", "variant", F.col("k").alias("a_key"), F.col("nm").alias("a_name"))
+        b = nbr.select("blk", "variant", F.col("k").alias("b_key"), F.col("nm").alias("b_name"))
+        pairs = (
+            a.repartition(n_parts, "blk", "variant")
+            .join(b, ["blk", "variant"])
+            .where(F.col("a_key") < F.col("b_key"))
+            # a pair can share several variants (equal strings share them
+            # all) — dedup BEFORE the levenshtein so the kernel runs once
+            .select("blk", "a_key", "b_key", "a_name", "b_name")
+            .distinct()
+        )
+        return (
+            pairs.withColumn("dist", F.levenshtein("a_name", "b_name"))
+            .where(F.col("dist") <= max_dist)
+            .select(F.col("blk").alias(block), "a_key", "b_key", "dist")
+        )
     a = df.select(
         F.col(block).alias("blk"),
         F.col(key).alias("a_key"),

@@ -57,6 +57,25 @@ def with_trailing_aggs(
     tests/test_fuzz_rules.py), so each aggregate subtracts the
     contribution of peers with a larger event_id.  At zero ties the
     adjustments are identically 0/0.0 and every value is bit-unchanged.
+
+    Empty value windows are uniformly 0.0: ``sumInRange`` returns 0 when
+    nothing (non-null) is in range (`WindowStore.kt:72-84`), so sum_30s
+    coalesces the frame total before the peer subtraction — otherwise a
+    window whose only rows are null-valued would be NULL while a window
+    whose only non-null rows are later peers would be 0.0 (inconsistent,
+    and neither matches the reference or the streaming kernel's prefix
+    sums, which are 0.0 in both cases).
+
+    Known tolerance (documented, fuzz-masked by a dyadic value alphabet):
+    the batch side computes per-arrival sums as frame-total MINUS the
+    later-peer suffix, while the streaming kernel sums the arrival-ordered
+    prefix directly.  For non-dyadic float values the two roundings can
+    differ by ulps and flip a strict ``>`` at a rule threshold.  This is
+    inherent to any subtract-vs-accumulate pair of float plans (the same
+    class as Spark partial-agg reordering); rules round evidence columns
+    before comparison, and at zero same-ts ties (the driver testdata and
+    every real CDP feed keyed by event_id) the subtraction is exactly 0.0
+    and the plans are bit-identical.
     """
     cols = list(partition_cols)
     w60 = trailing_window(cols, 60)
@@ -84,7 +103,7 @@ def with_trailing_aggs(
 
     return (
         df.withColumn("rate_1m", (F.count(F.lit(1)).over(w60) - rows_after).cast("double"))
-        .withColumn("sum_30s", F.sum(v).over(w30) - sum_after)
+        .withColumn("sum_30s", F.coalesce(F.sum(v).over(w30), F.lit(0.0)) - sum_after)
         .withColumn("count_60s", F.count(v).over(w60) - cnt_after)
         .withColumn("avg_5m", adj_avg(w5m))
         .withColumn("avg_1h", adj_avg(w1h))

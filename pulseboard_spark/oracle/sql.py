@@ -252,7 +252,7 @@ win AS (
   SELECT event_id, entity_id, type, profile, ts_us, ts_ms, value, geo, device,
          CAST(count(*) OVER w60
               - (count(*) OVER peers - count(*) OVER peer_run) AS DOUBLE) AS rate_1m,
-         sum(value) OVER w30
+         coalesce(sum(value) OVER w30, 0.0)
               - (coalesce(sum(value) OVER peers, 0.0)
                  - coalesce(sum(value) OVER peer_run, 0.0)) AS sum_30s,
          count(value) OVER w60
@@ -544,7 +544,10 @@ ent AS (
 """
 
 ORACLE_SQL["rule_firing_alerts"] = _alerts_sql().replace(ENT_CTE, FIRING_ENT_CTE)
-assert "FROM events" not in ORACLE_SQL["rule_firing_alerts"]  # substitution took
+# hard failure, not assert: assert is stripped under `python -O`, and a
+# silently un-substituted fixture oracle would read the real events table
+if "FROM events" in ORACLE_SQL["rule_firing_alerts"]:
+    raise ValueError("rule_firing_alerts oracle: ENT_CTE substitution failed")
 
 # Any-typed trait fidelity (registry::cdp_trait_fidelity_q): Spark parses
 # int/bool traits out of the traits_json column with from_json; the oracle

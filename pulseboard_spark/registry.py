@@ -854,12 +854,20 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fuzzy_customer_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # neighborhood=True: FastSS deletion-variant blocking.  The naive
+    # nation block is quadratic in the hot nation (~38k rows at 64× →
+    # ~1.5 G levenshtein pairs PER nation); composite attribute blocks
+    # (nation, length, first-char) degenerate on TPC-H's uniform-prefix
+    # names.  The deletion-neighborhood join bounds per-block cost by the
+    # near-dup cluster size instead — same output (all-pairs oracle
+    # unchanged), measured in SCALE.md ("fuzzy-pairs hot-block budget").
     return dedup.blocked_fuzzy_pairs(
         load_table(spark, sf_dir, "customer"),
         key="c_custkey",
         name="c_name",
         block="c_nationkey",
         max_dist=1,
+        neighborhood=True,
     )
 
 
@@ -2007,45 +2015,113 @@ def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Registry ----------------------------------------------------------------
 
 # Ordering policy: the correctness driver hash-checks the FIRST 50 entries
-# of this dict per round.  Rounds 1-5 accumulated >= 1 green driver row
-# for every oracle-checked query in the registry (172/172 after r05).
-# With full coverage achieved, the window's job becomes EVIDENCE
-# FRESHNESS: round 6 leads with the 6 similarity/dedup queries whose
-# driver evidence predates the round-5 kernel surgery, then spends the
-# remaining 44 slots on the oldest anchors (queries whose only green is
-# r01 — 48 of them; the 4 that don't fit queue first for r07).  ROWS-ONLY
-# queries NEVER take window slots: the driver records a no_oracle entry
-# as a FAIL row (r03 proved it — 5 burned slots), so their evidence is
-# the in-repo pinned tests + exact-twin oracle queries, and they live
-# strictly below the boundary.
+# of this dict per round.  All 173 oracle-checked queries have >= 1 green
+# driver row (100% after r06), so the window's job is EVIDENCE FRESHNESS:
+# round 7 leads with the 5 queries whose plan or oracle changed after
+# their last green (the r06 LWW/attribution fixes touched the CDP
+# family's r05 evidence; this round's sum_30s empty-window coalesce
+# re-stales win_trailing_aggs), then retires ALL remaining old evidence —
+# the 5 r01-only stragglers, the 19 r02-latest, and the 21 r03-latest —
+# so after r07 no green predates r04.  ROWS-ONLY queries NEVER take
+# window slots: the driver records a no_oracle entry as a FAIL row (r03
+# proved it — 5 burned slots), so their evidence is the in-repo pinned
+# tests + exact-twin oracle queries, and they live strictly below the
+# boundary.
 QUERIES: dict[str, QueryFn] = {
-    # — round-6 rotation (driver hash window = first 50) —
-    # Head: the 6 similarity/dedup queries whose driver evidence (r04)
-    # predates the round-5 gram-kernel surgery (_BLOCK_ELEMS budget +
-    # sliced-broadcast over-ceiling routing) — in-repo equivalence tests
-    # pin them; the window externalizes that on the post-surgery tree.
+    # — round-7 rotation (driver hash window = first 50) —
+    # Head (5): the queries whose batch plan or oracle changed AFTER
+    # their last driver green — the r06 LWW null-trait fix
+    # (operators/profiles.py:40-54) and attribution NULL fix touched the
+    # CDP family's r05 evidence, and this round's empty-window sum_30s
+    # coalesce (operators/windows.py) re-stales win_trailing_aggs' r06
+    # green.  In-repo parity covers all five; the window externalizes it.
+    "cdp_profiles": cdp_profiles_q,
+    "cdp_segments": cdp_segments_q,
+    "trait_history": trait_history_q,
+    "purchase_attribution": purchase_attribution_q,
+    "win_trailing_aggs": win_trailing_aggs,
+    # The 5 queries whose ONLY driver green is r01 (queued since the r06
+    # comment; fuzzy_customer_pairs additionally switches to the FastSS
+    # deletion-neighborhood block this round — output unchanged, oracle
+    # is the blocking-independent all-pairs ground truth).
+    "tpch_q22_dormant_customers": tpch_q22_dormant_customers,
+    "fuzzy_customer_pairs": fuzzy_customer_pairs_q,
+    "orders_without_lineitems": orders_without_lineitems,
+    "event_type_pivot": event_type_pivot_q,
+    "gap_fill_hours": gap_fill_hours_q,
+    # The 19 queries whose latest green is r02 …
+    "bpe_merge_candidates": bpe_merge_candidates_q,
+    "decontamination": decontamination_q,
+    "doc_fingerprint": doc_fingerprint_q,
+    "doc_split_assign": doc_split_assign_q,
+    "hourly_trending": hourly_trending_q,
+    "lineitem_profile": lineitem_profile_q,
+    "media_text_pairs": media_text_pairs_q,
+    "multimodal_features": multimodal_features_q,
+    "pii_scrub": pii_scrub_q,
+    "resize_media": resize_media_q,
+    "rfm_scores": rfm_scores_q,
+    "seasonal_deviation": seasonal_deviation_q,
+    "stratified_doc_sample": stratified_doc_sample_q,
+    "term_cooccurrence": term_cooccurrence_q,
+    "term_df_idf": term_df_idf_q,
+    "token_stats": token_stats_q,
+    "top_terms_per_lang": top_terms_per_lang_q,
+    "value_drift_psi": value_drift_psi_q,
+    "value_mad_outliers": value_mad_outliers_q,
+    # … and the 21 whose latest green is r03.  After r07 grades, no
+    # oracle-checked query's latest green predates r04.
+    "audio_features": audio_features_q,
+    "bigram_stats": bigram_stats_q,
+    "cdp_trait_fidelity": cdp_trait_fidelity_q,
+    "corpus_mixture": corpus_mixture_q,
+    "corpus_summary": corpus_summary_q,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "doc_hash_sample": doc_hash_sample_q,
+    "dominant_event_type": dominant_event_type_q,
+    "embedding_decontamination": embedding_decontamination_q,
+    "frame_sample_plan": frame_sample_plan_q,
+    "geo_heavy_hitters": geo_heavy_hitters_q,
+    "inter_event_deltas": inter_event_deltas_q,
+    "inverted_index": inverted_index_q,
+    "label_centroids": label_centroids_q,
+    "label_noise_suspects": label_noise_suspects_q,
+    "lang_confusion": lang_confusion_q,
+    "ngram_novelty": ngram_novelty_q,
+    "pack_documents": pack_documents_q,
+    "token_length_histogram": token_length_histogram_q,
+    "value_histogram": value_histogram_q,
+    "video_frame_features": video_frame_features_q,
+    # ---- driver window boundary (50) ----
+    # Everything below has a green driver row from r04-r06 or is
+    # rows-only by design.  Rows-only queries NEVER take window slots
+    # (the driver records a no_oracle entry as a FAIL row — the r03
+    # lesson: 5 burned slots).
+    # — rows-only (approximate / iterative; pinned by tests + exact
+    #   twins, deliberately kept out of the hash window) —
+    "ann_topk": ann_topk_q,  # approximate — exact twin is similarity_topk
+    "ivf_topk": ivf_topk_q,  # approximate — full-probe==exact pinned by test
+    "approx_user_counts": approx_user_counts_q,  # HLL sketch — error bound pinned by test
+    "bpe_learned_merges": bpe_learned_merges_q,  # iterative — pinned vs sequential reference
+    "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — pinned by TestBpeEncode
+    "pq_codes": pq_codes_q,  # iterative k-means trainer — pinned by TestPq
+    "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — recall+determinism pinned by TestPq
+    "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — error bound pinned by TestHllRollup
+    "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — NumPy-pinned by TestPca
+    # — green driver rows from rounds 4-6 —
     "similarity_topk": similarity_topk_q,
     "hard_negatives": hard_negatives_q,
     "dedup_embedding": dedup_embedding_q,
     "knn_label_agreement": knn_label_agreement_q,
     "label_cohesion": label_cohesion_q,
     "dedup_simhash": dedup_simhash_q,
-    # New this round: the only oracle-checked query that exercises the
-    # R1/R2/R4 POSITIVE path (the driver testdata never fires them — every
-    # alert at every SF is R3).  Self-contained fixture, so it costs the
-    # window nothing in oracle budget; takes the slot tpch_q22 vacates
-    # (tpch_q22 re-queues for r07 with the other three r01-only anchors).
     "rule_firing_alerts": rule_firing_alerts_q,
-    # Tail: 43 of the 48 queries whose only driver green is r01 — the
-    # oldest evidence in the registry, and the rules/window/ewma block
-    # additionally rides the r05 opt-out silver-cache change.
     "alerts": alerts_q,
     "r1_velocity_spike": r1_q,
     "r2_value_spike": r2_q,
     "r3_geo_device_mismatch": r3_q,
     "r4_exfil": r4_q,
     "ewma": ewma_q,
-    "win_trailing_aggs": win_trailing_aggs,
     "win_p95_1h": win_p95_1h,
     "events_per_min": events_per_min_q,
     "sliding_rate_5m": sliding_rate_5m_q,
@@ -2082,31 +2158,6 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
     "tpch_q20_half_volume_suppliers": tpch_q20_half_volume_suppliers,
     "tpch_q21_fault_attribution": tpch_q21_fault_attribution,
-    # ---- driver window boundary (50) ----
-    # Everything below has >= 1 green driver row (r01-r05) or is
-    # rows-only by design.  After r06 grades, the only queries whose
-    # latest green predates r02 are the 4 queued here for the r07
-    # front-50; rows-only queries NEVER take window slots (the driver
-    # records them as no_oracle FAILURES — the r03 lesson: 5 burned
-    # slots).
-    # — r07 queue (r01-only evidence, deferred by the 50-slot cap) —
-    "tpch_q22_dormant_customers": tpch_q22_dormant_customers,
-    "fuzzy_customer_pairs": fuzzy_customer_pairs_q,
-    "orders_without_lineitems": orders_without_lineitems,
-    "event_type_pivot": event_type_pivot_q,
-    "gap_fill_hours": gap_fill_hours_q,
-    # — rows-only (approximate / iterative; pinned by tests + exact
-    #   twins, deliberately kept out of the hash window) —
-    "ann_topk": ann_topk_q,  # approximate — exact twin is similarity_topk
-    "ivf_topk": ivf_topk_q,  # approximate — full-probe==exact pinned by test
-    "approx_user_counts": approx_user_counts_q,  # HLL sketch — error bound pinned by test
-    "bpe_learned_merges": bpe_learned_merges_q,  # iterative — pinned vs sequential reference
-    "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — pinned by TestBpeEncode
-    "pq_codes": pq_codes_q,  # iterative k-means trainer — pinned by TestPq
-    "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — recall+determinism pinned by TestPq
-    "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — error bound pinned by TestHllRollup
-    "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — NumPy-pinned by TestPca
-    # — green driver rows from rounds 1-5 —
     "doc_repetition": doc_repetition_q,
     "split_leakage": split_leakage_q,
     "doc_entropy": doc_entropy_q,
@@ -2130,7 +2181,6 @@ QUERIES: dict[str, QueryFn] = {
     "contrastive_pairs": contrastive_pairs_q,
     "canonical_sessions": canonical_sessions_q,
     "plan_at_purchase": plan_at_purchase_q,
-    "purchase_attribution": purchase_attribution_q,
     "attribution_report": attribution_report_q,
     "centroid_distances": centroid_distances_q,
     "table_checksums": table_checksums_q,
@@ -2146,9 +2196,6 @@ QUERIES: dict[str, QueryFn] = {
     "identity_components": identity_components_q,
     "rolling_counter_24h": rolling_counter_q,
     "segment_events": segment_events_q,
-    "trait_history": trait_history_q,
-    "cdp_profiles": cdp_profiles_q,
-    "cdp_segments": cdp_segments_q,
     "top20_profiles": top20_profiles_q,
     "dedup_exact": dedup_exact_q,
     "dedup_minhash": dedup_minhash_q,
@@ -2185,46 +2232,6 @@ QUERIES: dict[str, QueryFn] = {
     "identity_components_incremental": identity_components_incremental_q,
     "dedup_clusters": dedup_clusters_q,
     "doc_lm_score": doc_lm_score_q,
-    "inter_event_deltas": inter_event_deltas_q,
-    "dominant_event_type": dominant_event_type_q,
-    "cdp_trait_fidelity": cdp_trait_fidelity_q,
-    "bigram_stats": bigram_stats_q,
-    "geo_heavy_hitters": geo_heavy_hitters_q,
-    "pack_documents": pack_documents_q,
-    "label_centroids": label_centroids_q,
-    "inverted_index": inverted_index_q,
-    "token_length_histogram": token_length_histogram_q,
-    "audio_features": audio_features_q,
-    "video_frame_features": video_frame_features_q,
-    "embedding_decontamination": embedding_decontamination_q,
-    "value_histogram": value_histogram_q,
-    "doc_hash_sample": doc_hash_sample_q,
-    "frame_sample_plan": frame_sample_plan_q,
-    "corpus_mixture": corpus_mixture_q,
-    "corpus_summary": corpus_summary_q,
-    "label_noise_suspects": label_noise_suspects_q,
-    "lang_confusion": lang_confusion_q,
-    "ngram_novelty": ngram_novelty_q,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-    "doc_fingerprint": doc_fingerprint_q,
-    "token_stats": token_stats_q,
-    "top_terms_per_lang": top_terms_per_lang_q,
-    "term_df_idf": term_df_idf_q,
-    "term_cooccurrence": term_cooccurrence_q,
-    "doc_split_assign": doc_split_assign_q,
-    "bpe_merge_candidates": bpe_merge_candidates_q,
-    "media_text_pairs": media_text_pairs_q,
-    "value_mad_outliers": value_mad_outliers_q,
-    "hourly_trending": hourly_trending_q,
-    "rfm_scores": rfm_scores_q,
-    "value_drift_psi": value_drift_psi_q,
-    "seasonal_deviation": seasonal_deviation_q,
-    "lineitem_profile": lineitem_profile_q,
-    "stratified_doc_sample": stratified_doc_sample_q,
-    "multimodal_features": multimodal_features_q,
-    "resize_media": resize_media_q,
-    "pii_scrub": pii_scrub_q,
-    "decontamination": decontamination_q,
 }
 
 

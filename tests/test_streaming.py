@@ -25,7 +25,10 @@ from pulseboard_spark.streaming.stateful import (
 def entity_chunks_dir(spark, sf_dir, tmp_path_factory):
     """Entity view split into 4 time-ordered parquet chunks."""
     out = str(tmp_path_factory.mktemp("entity_stream"))
-    df = entity_events(spark, sf_dir).orderBy("ts_us")
+    # (ts_us, event_id) is the engine's arrival order — ordering by ts_us
+    # alone is unstable across same-ts peers, and a reversed-peer chunk
+    # split would let the kernel see a "later" arrival batch excludes
+    df = entity_events(spark, sf_dir).orderBy("ts_us", "event_id")
     n = df.count()
     chunk = (n + 3) // 4
     rows = df.collect()
@@ -271,7 +274,13 @@ def test_entity_alert_stream_facade(spark, sf_dir, tmp_path):
     from pulseboard_spark.sources.generator import rule_firing_events
     from pulseboard_spark.streaming.pipeline import entity_alert_stream
 
-    ev = entity_events(spark, sf_dir).unionByName(rule_firing_events(spark)).orderBy("ts_us")
+    # order by the full arrival key (ts_us, event_id): same-ts peers split
+    # across chunks in reversed id order would diverge from batch ties
+    ev = (
+        entity_events(spark, sf_dir)
+        .unionByName(rule_firing_events(spark))
+        .orderBy("ts_us", "event_id")
+    )
     rows = ev.collect()
     out = str(tmp_path / "facade_stream")
     chunk = (len(rows) + 3) // 4

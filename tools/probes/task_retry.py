@@ -177,7 +177,8 @@ def run_streaming(spark) -> tuple[bool, int]:
         ev = (
             entity_events(spark, SF_DIR)
             .unionByName(rule_firing_events(spark))
-            .orderBy("ts_us")
+            # full arrival key: ts_us alone is unstable across same-ts peers
+            .orderBy("ts_us", "event_id")
         )
         rows = ev.collect()
         chunk = (len(rows) + 3) // 4
