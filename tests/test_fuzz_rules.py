@@ -490,3 +490,281 @@ def test_burst_kernel_equals_batch_on_closed_hours(spark, hist):
                 for r in out.itertuples(index=False):
                     got[(r.type, r.hour_idx)] = (r.n_events, r.prev24_sum, r.is_burst)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Segment differ (G4) + reengage timers vs the batch dual-snapshot diff
+# ---------------------------------------------------------------------------
+
+from pulseboard_spark.operators.segments import (  # noqa: E402
+    REENGAGE_MS,
+    POWER_USER_THRESHOLD,
+    segment_events,
+    segment_membership,
+)
+from pulseboard_spark.streaming.stateful import (  # noqa: E402
+    _diff_segments,
+    _lww_key,
+    _reengage,
+)
+
+_PROFILE_SCHEMA = (
+    "event_id string, ts_ms long, profile_id string, ctype string, name string, "
+    "plan string, country string, nuser string, nanon string, nemail string"
+)
+
+
+@st.composite
+def segment_histories(draw):
+    """CDP histories biased so every segment rule crosses its boundary:
+    Feature-Used bursts (power_user threshold 5), plan flips pro/basic/null
+    with ts ties (LWW + null-never-overwrites), and gaps straddling the
+    10-minute reengage edge and the 24 h counter cutoff."""
+    n_profiles = draw(st.integers(1, 3))
+    rows, eid = [], 0
+    for p in range(n_profiles):
+        n = draw(st.integers(4, 18))
+        # gap alphabet in seconds: ties, sub-minute, the exact 10-min edge,
+        # just-over, and day-scale (crosses the 24 h bucket cutoff)
+        gap_hi = draw(st.sampled_from([30, 599, 601, 90_000]))
+        ts = BASE_MS
+        for _ in range(n):
+            ts += draw(st.integers(0, gap_hi)) * 1000
+            ctype = draw(st.sampled_from(["IDENTIFY", "TRACK", "TRACK", "ALIAS"]))
+            plan = draw(st.sampled_from(["pro", "basic", None])) if ctype == "IDENTIFY" else None
+            name = (
+                draw(st.sampled_from(["Feature Used", "Feature Used", "Sign In"]))
+                if ctype == "TRACK"
+                else None
+            )
+            rows.append((f"{eid:06d}", ts, f"p{p}", ctype, name, plan, None,
+                         f"user:u{p}", None, None))
+            eid += 1
+    rows.sort(key=lambda r: (r[1], r[0]))
+    cuts = sorted(draw(st.lists(st.integers(0, len(rows)), min_size=0, max_size=2)))
+    return rows, cuts
+
+
+def _membership_py(rows, as_of_ms) -> dict[str, set]:
+    """Independent Python model of segment_membership's snapshot rules
+    (reference `cdp/segments/SegmentEngine.kt:125-151`): LWW plan over
+    present-plan IDENTIFYs (ties by the zero-padded (ts_us, event_id) key),
+    bucketed trailing Feature-Used count, strict 10-min reengage gap."""
+    per: dict = {}
+    for (eid, ts, pid, ctype, name, plan, *_rest) in rows:
+        if ts > as_of_ms:
+            continue
+        d = per.setdefault(pid, {"last": None, "plan": None, "pkey": None, "feat": []})
+        d["last"] = ts if d["last"] is None else max(d["last"], ts)
+        if ctype == "IDENTIFY" and plan is not None:
+            k = _lww_key(ts * 1000, eid)
+            if d["pkey"] is None or k >= d["pkey"]:
+                d["plan"], d["pkey"] = plan, k
+        if ctype == "TRACK" and name == "Feature Used":
+            d["feat"].append(ts)
+    cutoff = (as_of_ms - DAY_MS) - (as_of_ms - DAY_MS) % MINUTE_MS
+    out = {}
+    for pid, d in per.items():
+        cnt = sum(1 for t in d["feat"] if t - t % MINUTE_MS >= cutoff)
+        segs = set()
+        if cnt >= POWER_USER_THRESHOLD:
+            segs.add("power_user")
+        if d["plan"] == "pro":
+            segs.add("pro_plan")
+        if as_of_ms - d["last"] > REENGAGE_MS:
+            segs.add("reengage")
+        out[pid] = segs
+    return out
+
+
+@pytest.mark.parity  # clean at introduction; gate-budget keeps it in the parity sweep
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(hist=segment_histories())
+def test_segment_differ_kernel_equals_batch(spark, hist):
+    """The _diff_segments kernel fed independently-modelled mid/end
+    snapshots (chunk boundaries hypothesis-chosen) must emit exactly the
+    batch segment_events ENTER/EXIT set — including profiles unseen at
+    mid, whose previous membership is the empty set."""
+    rows, cuts = hist
+    df = spark.createDataFrame(rows, _PROFILE_SCHEMA).select(
+        "profile_id", (F.col("ts_ms") * 1000).alias("ts_us"),
+        "ts_ms", "event_id", "ctype", "name", "plan", "country",
+        "nuser", "nanon", "nemail",
+    )
+    want = {
+        (r.profile_id, r.segment, r.action)
+        for r in segment_events(df).collect()
+    }
+
+    all_ts = [r[1] for r in rows]
+    end_ms, mn = max(all_ts), min(all_ts)
+    mid_ms = mn + (end_ms - mn) // 2
+    mid = _membership_py(rows, mid_ms)
+    end = _membership_py(rows, end_ms)
+
+    # snapshot stream: one row per (profile, snapshot time it exists at)
+    snaps = [(pid, sorted(segs), mid_ms) for pid, segs in mid.items()]
+    snaps += [(pid, sorted(segs), end_ms) for pid, segs in end.items()]
+    snaps.sort(key=lambda r: (r[2], r[0]))
+    bounds = [0, *[min(c, len(snaps)) for c in cuts], len(snaps)]
+    states: dict = {}
+    got = set()
+    for i in range(len(bounds) - 1):
+        chunk = snaps[bounds[i]: bounds[i + 1]]
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(chunk, columns=["profile_id", "segments", "ts_ms"])
+        for key, grp in pdf.groupby(["profile_id"], sort=False):
+            state = states.setdefault(key, FakeState())
+            for out in _diff_segments(key, iter([grp]), state):
+                for r in out.itertuples(index=False):
+                    # the mid->end (or, for profiles unseen at mid,
+                    # empty->end) diff is what batch segment_events
+                    # computes.  When every event ties on one timestamp
+                    # mid == end: the two snapshots coincide, batch is
+                    # empty by construction, and the kernel's empty->first
+                    # ENTERs are the stream's initial memberships, not a
+                    # mid->end change — excluded from the comparison.
+                    if r.ts_ms == end_ms and (mid_ms < end_ms or r.profile_id not in mid):
+                        got.add((r.profile_id, r.segment, r.action))
+    assert got == want
+
+
+class FakeTimerState(FakeState):
+    """FakeState + the event-time-timer members _reengage touches."""
+
+    def __init__(self):
+        super().__init__()
+        self.timeout_ms = None
+        self.hasTimedOut = False
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+@pytest.mark.parity  # clean at introduction; gate-budget keeps it in the parity sweep
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(hist=segment_histories())
+def test_reengage_timer_final_state_equals_batch(spark, hist):
+    """Replay _reengage with emulated event-time timers (Spark fires a
+    timer when `timeout < watermark`; the final watermark passes the last
+    event, i.e. end+1) — the final in-reengage set must equal the batch
+    end-snapshot's strict `now - lastSeen > 10 m` membership.  Intermediate
+    watermarks lag one chunk (delay-conservative), so ENTER->EXIT flaps
+    around the 10-minute edge are exercised, not just the final state."""
+    rows, cuts = hist
+    df = spark.createDataFrame(rows, _PROFILE_SCHEMA).select(
+        "profile_id", (F.col("ts_ms") * 1000).alias("ts_us"),
+        "ts_ms", "event_id", "ctype", "name", "plan", "country",
+        "nuser", "nanon", "nemail",
+    )
+    memb = segment_membership(df, F.max("ts_ms"))
+    want = {r.profile_id for r in memb.filter("reengage").collect()}
+
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    bounds = [0, *[min(c, len(ordered)) for c in cuts], len(ordered)]
+    states: dict[tuple, FakeTimerState] = {}
+    wm = None  # event-time watermark: max ts of fully-processed chunks
+
+    def fire_timers(watermark_ms, skip: set):
+        for key, state in states.items():
+            if key in skip or state.timeout_ms is None:
+                continue
+            if state.timeout_ms < watermark_ms:
+                state.hasTimedOut = True
+                state.timeout_ms = None
+                list(_reengage(key, iter([]), state))
+                state.hasTimedOut = False
+
+    for i in range(len(bounds) - 1):
+        chunk = ordered[bounds[i]: bounds[i + 1]]
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(chunk, columns=[
+            "event_id", "ts_ms", "profile_id", "ctype", "name",
+            "plan", "country", "nuser", "nanon", "nemail",
+        ])
+        with_data = {(pid,) for pid in pdf["profile_id"].unique()}
+        if wm is not None:
+            # a key cannot both receive data and time out in one batch
+            fire_timers(wm, skip=with_data)
+        for key, grp in pdf.groupby(["profile_id"], sort=False):
+            state = states.setdefault(key, FakeTimerState())
+            list(_reengage(key, iter([grp]), state))
+        wm = max(int(pdf["ts_ms"].max()), wm or 0)
+    fire_timers(wm + 1, skip=set())  # drain: watermark passes the last event
+
+    got = {key[0] for key, s in states.items() if s.get is not None and s.get[1]}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Rolling counter (A7) vs the reference's sequential tailMap model
+# ---------------------------------------------------------------------------
+
+from pulseboard_spark.operators.rolling_counter import rolling_counter_24h  # noqa: E402
+
+
+@st.composite
+def counter_histories(draw):
+    """TRACK streams with gaps pinned to the bucket/horizon boundaries:
+    same-ms ties, 1 ms, minute-1 ms, exactly one minute, 24 h minus/plus
+    one bucket, and exactly 24 h — where tailMap-inclusive vs RANGE-frame
+    off-by-ones would live."""
+    GAPS_MS = [0, 1, MINUTE_MS - 1, MINUTE_MS, 17_000,
+               DAY_MS - MINUTE_MS, DAY_MS, DAY_MS + MINUTE_MS]
+    n_keys = draw(st.integers(1, 3))
+    rows, eid = [], 0
+    for k in range(n_keys):
+        n = draw(st.integers(3, 25))
+        ts = BASE_MS
+        name = draw(st.sampled_from(["Feature Used", "Sign In"]))
+        for _ in range(n):
+            ts += draw(st.sampled_from(GAPS_MS))
+            ctype = draw(st.sampled_from(["TRACK"] * 4 + ["IDENTIFY"]))
+            rows.append((
+                f"{eid:06d}", ts,
+                ctype,
+                name if draw(st.integers(0, 9)) else None,  # 10% null names
+                f"user:u{k}" if draw(st.booleans()) else None,
+                f"anon:a{k}",
+            ))
+            eid += 1
+    return rows
+
+
+def _counter_ref_model(rows) -> dict[str, int]:
+    """Sequential twin of `cdp/store/RollingCounter.kt:80-110`: per (pid,
+    name), replay TRACKs in (ts, eventId) order, append the event's 1-min
+    bucket, then count buckets >= toBucketTimestamp(now - 24 h)
+    (tailMap inclusive — the current event counts itself)."""
+    out = {}
+    per: dict = {}
+    for (eid, ts, ctype, name, nuser, nanon) in sorted(rows, key=lambda r: (r[1], r[0])):
+        if ctype != "TRACK" or name is None:
+            continue
+        pid = nuser if nuser is not None else nanon
+        buckets = per.setdefault((pid, name), {})
+        b = ts - ts % MINUTE_MS
+        buckets[b] = buckets.get(b, 0) + 1
+        cutoff = (ts - DAY_MS) - (ts - DAY_MS) % MINUTE_MS
+        out[eid] = sum(c for bb, c in buckets.items() if bb >= cutoff)
+    return out
+
+
+@pytest.mark.parity  # clean at introduction; gate-budget keeps it in the parity sweep
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=counter_histories())
+def test_rolling_counter_equals_reference_model(spark, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id string, ts_ms long, ctype string, name string, nuser string, nanon string",
+    ).select("*", (F.col("ts_ms") * 1000).alias("ts_us"))
+    got = {r.event_id: r.cnt_24h for r in rolling_counter_24h(df).collect()}
+    assert got == _counter_ref_model(rows)
