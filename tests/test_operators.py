@@ -2507,3 +2507,49 @@ class TestLshRecallAudit:
             # at/above the dedup threshold the banding must be lossless
             if band >= 8:
                 assert r.recall_ppm == 1_000_000, (band, r)
+
+
+class TestFuzzyNeighborhood:
+    """FastSS deletion-neighborhood blocking must be EXACT for max_dist=1 —
+    the same pair set as the naive within-block quadratic join."""
+
+    def _df(self, spark, names):
+        return spark.createDataFrame(
+            [(i, nm, i % 2) for i, nm in enumerate(names)],
+            "k long, nm string, blk long",
+        )
+
+    def _pairs(self, spark, names, neighborhood):
+        from pulseboard_spark.operators.dedup import blocked_fuzzy_pairs
+
+        got = blocked_fuzzy_pairs(
+            self._df(spark, names), key="k", name="nm", block="blk",
+            max_dist=1, neighborhood=neighborhood,
+        )
+        return {(r.a_key, r.b_key, r.dist) for r in got.collect()}
+
+    def test_edit_classes(self, spark):
+        # substitution, insertion, deletion, equal, and far pairs — in both
+        # blocks (odd/even keys), cross-length pairs included
+        names = ["abcd", "abxd", "abcde", "abd", "abcd", "zzzz", "zzzy", "qrst"]
+        assert self._pairs(spark, names, True) == self._pairs(spark, names, False)
+
+    def test_rejects_wider_distance(self, spark):
+        from pulseboard_spark.operators.dedup import blocked_fuzzy_pairs
+
+        with pytest.raises(ValueError):
+            blocked_fuzzy_pairs(self._df(spark, ["a"]), key="k", name="nm",
+                                block="blk", max_dist=2, neighborhood=True)
+
+    def test_random_strings_equal_naive(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        @given(names=st.lists(st.text(alphabet="ab1", min_size=1, max_size=6),
+                              min_size=2, max_size=14))
+        def check(names):
+            assert self._pairs(spark, names, True) == self._pairs(spark, names, False)
+
+        check()

@@ -65,6 +65,17 @@ SLICE = [
     "value_autocorr",            # lag-join autocovariance aggregate
 ]
 
+# Gram-kernel family (round-7 extension): exact cosine answers are
+# recall-MEASURED at 128k (tools/probes/ann_recall.py) but were never
+# hash-checked above sf0.1.  The DuckDB oracle for these is an O(n^2)
+# cross-join scoring pass, so its ceiling is the vector count, not Spark's:
+# 8x is the largest tier the single-node oracle sustains comfortably —
+# include the family only there (at 64x the oracle would score 128k^2
+# ~ 16G pairs; Spark's sliced-broadcast kernel is fine, the oracle isn't —
+# the same asymmetry as the identity CTE above).
+GRAM_SLICE = ["similarity_topk", "hard_negatives", "dedup_embedding"]
+GRAM_MAX_AMP = 8
+
 #: DuckDB resource caps for the 64x oracles: a blown-up oracle plan must
 #: fail fast instead of spilling the disk full (the identity-CTE lesson).
 DUCK_LIMITS = [
@@ -121,8 +132,9 @@ def main() -> None:
 
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
+    slice_ = SLICE + (GRAM_SLICE if amp <= GRAM_MAX_AMP else [])
     results = []
-    for name in SLICE:
+    for name in slice_:
         if only and name not in only:
             continue
         con = parity.duck_connection(amp_dir)  # fresh con: cap per-query memory

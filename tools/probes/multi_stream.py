@@ -87,7 +87,8 @@ def _write_sources(spark, work: str):
     return out, bounds
 
 
-def _start(spark, name: str, src, schema, ckpt: str, sink: str, ordered: bool = False):
+def _start(spark, name: str, src, schema, ckpt: str, sink: str, ordered: bool = False,
+           trigger_s: float | None = None):
     from pulseboard_spark.streaming.stateful import (
         alert_rules_stateful,
         profile_apply_stateful,
@@ -100,6 +101,8 @@ def _start(spark, name: str, src, schema, ckpt: str, sink: str, ordered: bool = 
     if ordered:  # snapshot series must arrive mid-chunk before end-chunk
         reader = reader.option("maxFilesPerTrigger", "1")
     w = op(reader.parquet(src)).writeStream.option("checkpointLocation", ckpt)
+    if trigger_s is not None:
+        w = w.trigger(processingTime=f"{trigger_s} seconds")
     if sink == "memory":
         return w.format("memory").queryName(f"mq_{name}").outputMode("append").start()
     return w.format("noop").start()
@@ -202,6 +205,102 @@ def phase2_throughput(spark, work: str, sources) -> dict:
     return res
 
 
+def _lat_parts(src_dir: str) -> list[str]:
+    return sorted(glob.glob(f"{src_dir}/part-*.parquet")) or sorted(
+        glob.glob(f"{src_dir.replace('chunk=*', '')}/chunk=*/part-*.parquet"))
+
+
+def phase3_latency(spark, work: str, sources, n_ticks: int = 30, trigger_s: float = 1.0) -> dict:
+    """BASELINE.md's visibility-latency contract, measured: with the three
+    stateful queries running CONCURRENTLY at a 1 s processing-time trigger,
+    how long from an input file LANDING to its batch's output COMMIT?
+
+    The feed is deliberately sub-capacity (one source part-file per query
+    per second — a few thousand rows/s against a measured ~33k eps solo
+    ceiling), so the number is visibility latency (trigger wait + batch
+    execution), not queue depth.  Event timestamps in the replayed data
+    are historical, so arrival→commit is the honest proxy for the
+    reference's event→SSE-visibility number (its clock also starts at
+    ingest, `cdp/runtime/CdpEventProcessor.kt`).
+
+    Per staged file: latency = (trigger_start + triggerExecution) − stage
+    time, where trigger_start is the first data-carrying progress entry at
+    or after the stage time — read from each query's recentProgress log."""
+    from datetime import datetime, timezone
+
+    names = ["alerts", "profiles", "segments"]
+    queries = {
+        n: _start(spark, n, sources[n][0], sources[n][1], f"{work}/ckpt3/{n}", "noop",
+                  trigger_s=trigger_s)
+        for n in names
+    }
+    try:
+        for q in queries.values():
+            q.processAllAvailable()  # absorb initial data + state warm-up
+        stage_ts: list[float] = []
+        for k in range(n_ticks):
+            t0 = time.time()
+            for n in names:
+                parts = _lat_parts(sources[n][0])
+                f = parts[k % len(parts)]
+                d = os.path.dirname(f)
+                tmp, final = f"{d}/.lat-{k}.parquet", f"{d}/lat-{k}.parquet"
+                shutil.copy(f, tmp)
+                os.rename(tmp, final)
+            stage_ts.append(time.time())  # visible from the rename on
+            time.sleep(max(0.0, trigger_s - (time.time() - t0)))
+        for q in queries.values():
+            q.processAllAvailable()
+
+        lat: dict[str, list[float]] = {}
+        batch_ms: dict[str, list[float]] = {}
+        for n, q in queries.items():
+            progs = []
+            for p in q.recentProgress:
+                ts = datetime.strptime(p["timestamp"], "%Y-%m-%dT%H:%M:%S.%fZ")
+                start = ts.replace(tzinfo=timezone.utc).timestamp()
+                dur = p["durationMs"].get("triggerExecution", 0) / 1e3
+                progs.append((start, dur, p["numInputRows"]))
+            progs.sort()
+            batch_ms[n] = [d * 1e3 for _, d, rows in progs if rows > 0]
+            lat[n] = []
+            for s in stage_ts:
+                hit = next(((st, d) for st, d, rows in progs if rows > 0 and st >= s), None)
+                if hit:
+                    lat[n].append(hit[0] + hit[1] - s)
+    finally:
+        for q in queries.values():
+            q.stop()
+
+    def pct(xs, p):
+        xs = sorted(xs)
+        return xs[min(len(xs) - 1, int(p * len(xs)))] if xs else float("nan")
+
+    out = {}
+    for n in names:
+        out[n] = {
+            "n": len(lat[n]),
+            "p50_s": round(pct(lat[n], 0.50), 2),
+            "p95_s": round(pct(lat[n], 0.95), 2),
+            "max_s": round(max(lat[n]), 2) if lat[n] else None,
+            "batch_p95_ms": round(pct(batch_ms[n], 0.95)),
+        }
+        print(f"#   latency {n}: p50 {out[n]['p50_s']}s p95 {out[n]['p95_s']}s "
+              f"max {out[n]['max_s']}s (batch p95 {out[n]['batch_p95_ms']}ms, "
+              f"{out[n]['n']} staged files)", flush=True)
+    return out
+
+
+def _print_latency(lat: dict) -> None:
+    print("\n| query (concurrent, 1 s trigger) | p50 visibility | p95 | max | batch p95 |")
+    print("|---|---|---|---|---|")
+    for n, r in lat.items():
+        print(f"| {n} | {r['p50_s']}s | {r['p95_s']}s | {r['max_s']}s | {r['batch_p95_ms']}ms |")
+    worst = max(r["p95_s"] for r in lat.values())
+    print(f"\nworst p95 arrival->commit visibility {worst}s vs the <=~6s contract "
+          f"-> {'PASS' if worst <= 6 else 'ATTENTION'}")
+
+
 def main() -> None:
     from pulseboard_spark.session import get_spark
 
@@ -212,6 +311,10 @@ def main() -> None:
         sources, bounds = _write_sources(spark, work)
         for n, (_, _, cnt) in sources.items():
             print(f"# source {n}: {cnt} rows", flush=True)
+        if "--latency-only" in sys.argv:
+            lat = phase3_latency(spark, work, sources)
+            _print_latency(lat)
+            return
         phase1_equality(spark, work, sources, bounds)
         if "--phase1-only" in sys.argv:
             return
@@ -231,6 +334,8 @@ def main() -> None:
             f"under concurrency ~{eff_alerts:,.0f} rows/s "
             f"({eff_alerts / solo['mean_rows_per_s'] * 100:.0f}% of solo)"
         )
+        lat = phase3_latency(spark, work, sources)
+        _print_latency(lat)
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
