@@ -2541,6 +2541,7 @@ class TestFuzzyNeighborhood:
             blocked_fuzzy_pairs(self._df(spark, ["a"]), key="k", name="nm",
                                 block="blk", max_dist=2, neighborhood=True)
 
+    @pytest.mark.parity  # gate-budget: keeps the default gate under 10 min
     def test_random_strings_equal_naive(self, spark):
         from hypothesis import HealthCheck, given, settings
         from hypothesis import strategies as st
