@@ -87,6 +87,30 @@ def test_trailing_window_boundaries(spark):
     assert got[2]["count_60s"] == 2  # t=0 now outside by 1 µs
 
 
+def test_empty_value_window_sums_are_zero(spark):
+    """sumInRange returns 0 for an empty value window (`WindowStore.kt:72-84`):
+    a null-valued event whose window holds nothing non-null must read
+    sum_30s = 0.0 (not NULL), exactly like the streaming kernel's prefix
+    sums — regardless of WHY the window is empty (all-null rows vs only
+    later same-ts peers)."""
+    rows = [
+        (0, 0, None),            # all-null window -> 0.0, not NULL
+        (1, 0, 3.0),             # same-ts later peer: event 0 must not see it
+        (2, 100_000_000, None),  # window holds only nulls + evicted history
+        (3, 100_000_000, 5.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "event_id long, ts_us long, value double")
+        .withColumn("entity_id", F.lit("e"))
+        .withColumn("type", F.lit("t"))
+    )
+    got = {r["event_id"]: r for r in with_trailing_aggs(df).collect()}
+    assert got[0]["sum_30s"] == 0.0 and got[0]["sum_30s"] is not None
+    assert got[1]["sum_30s"] == 3.0
+    assert got[2]["sum_30s"] == 0.0  # events 0/1 outside the 30 s frame
+    assert got[3]["sum_30s"] == 5.0
+
+
 # --- Connected components (`IdentityGraphTest.kt:105-214`) ------------------
 
 
