@@ -609,3 +609,14 @@ def test_amplified_tier_builder_smoke(spark, tmp_path, sf_dir):
     # amplified graph a hub-skew stressor rather than 2x the components
     base_de = QUERIES["dedup_exact"](spark, sf_dir).count()
     assert QUERIES["dedup_exact"](spark, amp_dir).count() == 2 * base_de
+
+
+def test_fuzzy_neighborhood_plan_shape(spark, sf_dir):
+    """The FastSS path must be an equi-join ON (blk, variant) — no
+    cartesian, no nation-only join (which would re-create the quadratic
+    hot block) — with levenshtein staying JVM-side."""
+    plan = _plan(spark, sf_dir, "fuzzy_customer_pairs")
+    assert "CartesianProduct" not in plan
+    assert "variant" in plan, "join must include the deletion-variant key"
+    assert "levenshtein" in plan, "distance filter must be the JVM function"
+    assert not PY_NODES.search(plan), "fuzzy matching must stay codegen'd"

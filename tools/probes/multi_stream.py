@@ -312,6 +312,16 @@ def main() -> None:
         for n, (_, _, cnt) in sources.items():
             print(f"# source {n}: {cnt} rows", flush=True)
         if "--latency-only" in sys.argv:
+            # optional dial: state-store partition count (binds at first
+            # query start from spark.sql.shuffle.partitions — fresh
+            # checkpoints here, so the override takes).  Fewer partitions
+            # = fewer tasks + Python workers per micro-batch = a lower
+            # per-batch latency floor, at the cost of max parallelism —
+            # the trigger-size/partition-count trade quantified.
+            for a in sys.argv:
+                if a.startswith("--shuffle="):
+                    spark.conf.set("spark.sql.shuffle.partitions", a.split("=", 1)[1])
+                    print(f"# shuffle partitions = {a.split('=', 1)[1]}", flush=True)
             lat = phase3_latency(spark, work, sources)
             _print_latency(lat)
             return
