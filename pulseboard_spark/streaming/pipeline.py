@@ -314,6 +314,36 @@ ROCKSDB_PROVIDER = (
 )
 
 
+def sized_session(spark: SparkSession, state_partitions: int) -> SparkSession:
+    """Per-query state-partition sizing — the measured latency dial
+    (SCALE.md "The latency dial, measured").
+
+    A stateful query's state-store partition count binds to
+    ``spark.sql.shuffle.partitions`` at its FIRST start and is pinned by
+    the checkpoint thereafter, so the count is a per-query deployment
+    decision, not a global conf.  Measured on the concurrent three-query
+    shape: profile-grained queries (~7 active key-groups per batch) drop
+    from p95 ≈5 s to 1.8 s at 8 partitions — their floor at 32 was pure
+    task-scheduling overhead over empty partitions — while the rules
+    query (thousands of (entity, type) groups per batch) needs the
+    parallelism and degrades 4.9 s → 9.1 s if starved.  Rule: size each
+    query's count to its active-group count per batch.
+
+    A cloned session (shared SparkContext and tables, isolated SQL conf)
+    lets concurrently-started queries bind different counts without
+    racing a mutation of the parent's conf.  Build the query's SOURCE
+    from the returned session — a DataFrame is bound to the session that
+    created it, and a plan built on the parent would bind the parent's
+    count.
+    """
+    from pulseboard_spark.session import tune
+
+    s = spark.newSession()
+    tune(s)  # re-apply runtime confs; a fresh session starts from builder defaults
+    s.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    return s
+
+
 def use_rocksdb_state(spark: SparkSession, changelog: bool = True) -> None:
     """Switch stateful streaming queries to the RocksDB state store
     (SURVEY §7.1 step 8).  The default HDFS-backed provider keeps every

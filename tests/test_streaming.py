@@ -531,6 +531,47 @@ def test_checkpoint_restart_recovery(spark, sf_dir, entity_chunks_dir, tmp_path)
         assert want[r.minute_ms] == r.n_events
 
 
+def test_sized_session_binds_state_partitions(spark, tmp_path):
+    """sized_session pins a PER-QUERY state-store partition count (the
+    measured latency dial, SCALE.md): two stateful queries started from
+    differently-sized clones bind 3- and 8-partition state stores — the
+    checkpoint's state/0/ layout is the ground truth Spark itself replays
+    from — while the parent session's conf stays untouched and a
+    concurrent query on the parent still binds the parent's count."""
+    import json
+
+    from pulseboard_spark.streaming.pipeline import sized_session
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"id": i % 5}) for i in range(50))
+    )
+    parent_before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run(session, n, tag):
+        ckpt = tmp_path / f"ckpt_{tag}"
+        q = (
+            session.readStream.schema("id LONG").json(str(src))
+            .groupBy("id").count()
+            .writeStream.outputMode("update").format("noop")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # state/0/ holds one numeric dir per state partition plus _metadata
+        return sum(
+            1 for p in (ckpt / "state" / "0").iterdir()
+            if p.is_dir() and p.name.isdigit()
+        )
+
+    assert run(sized_session(spark, 3), 3, "s3") == 3
+    assert run(sized_session(spark, 8), 8, "s8") == 8
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parent_before
+    assert run(spark, None, "parent") == int(parent_before)
+
+
 def test_r3_stream_stream_join_matches_batch(spark, sf_dir, entity_chunks_dir):
     """Native watermarked stream-stream interval join == batch conflict
     pairs (the third R3 twin, after the bucketed batch join and the
