@@ -50,9 +50,19 @@ def shingles(documents: DataFrame, n: int = SHINGLE) -> DataFrame:
     keep the shingle space discriminative — the standard choice in
     large-scale text dedup.  Everything JVM-side via split → explode →
     slice; docs shorter than n words degrade to one short shingle.
+
+    Zero-token docs (empty, whitespace-only, or NULL text) emit NO
+    shingles: without the filter every empty document degrades to the
+    single '' shingle, so all empty docs form one Jaccard-1.0 clique —
+    at web scale (millions of empty docs) that clique alone makes the
+    LSH candidate join quadratic, and the randomized-input oracle fuzz
+    (tools/probes/oracle_fuzz.py, edges profile) showed the two engines
+    additionally DISAGREED on the degenerate shingle ('' here vs NULL in
+    DuckDB's array_to_string of an empty slice).  No tokens → no content
+    → participates in no n-gram similarity surface, on both engines.
     """
     toks = ws_tokens(F.lower(F.col("text")))
-    base = documents.select("doc_id", toks.alias("toks"))
+    base = documents.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
     idx = F.explode(F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))))
     return (
         base.select("doc_id", idx.alias("i"), "toks")

@@ -31,9 +31,14 @@ from pyspark.sql import functions as F
 
 
 def group_moments(df: DataFrame, value: str, by: Sequence[str]) -> DataFrame:
-    """Per-group n / mean / sample-std from decimal-exact moment sums."""
-    s1 = F.sum(F.col(value).cast("decimal(30,6)")).cast("double")
-    s2 = F.sum((F.col(value) * F.col(value)).cast("decimal(30,6)")).cast("double")
+    """Per-group n / mean / sample-std from decimal-exact moment sums.
+
+    DECIMAL(38,6), not (30,6): squares of |value| ≥ 1e12 overflow (30,6)'s
+    1e24 ceiling with an ANSI ArithmeticException (oracle-fuzz edges
+    profile).  (38,6) raises the crash ceiling to |value| < 1e16; sums
+    stay exact to 1e32 aggregate.  The oracle casts mirror this."""
+    s1 = F.sum(F.col(value).cast("decimal(38,6)")).cast("double")
+    s2 = F.sum((F.col(value) * F.col(value)).cast("decimal(38,6)")).cast("double")
     agged = df.where(F.col(value).isNotNull()).groupBy(*by).agg(
         F.count(F.lit(1)).alias("_n"), s1.alias("_s1"), s2.alias("_s2")
     )

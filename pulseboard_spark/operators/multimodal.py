@@ -156,7 +156,13 @@ MEDIA_SCHEMA = (
 
 def synth_media(documents: DataFrame) -> DataFrame:
     """Deterministic fake media table derived from documents: the text bytes
-    stand in for an opaque payload; metadata derives from content."""
+    stand in for an opaque payload; metadata derives from content.
+
+    NULL-text docs yield NO media row: without bytes there is no payload,
+    and fabricating one sends NULL into every decode/resize kernel (the
+    oracle-fuzz nulls profile crashed resize_media's ``len(payload)``).
+    Mirrored by ``WHERE text IS NOT NULL`` in the oracle media CTEs."""
+    documents = documents.filter(F.col("text").isNotNull())
     payload = F.encode(F.col("text"), "UTF-8")
     return documents.select(
         "doc_id",

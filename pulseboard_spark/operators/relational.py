@@ -286,8 +286,10 @@ def value_stats_per_type(ev: DataFrame) -> DataFrame:
     agged = ev.groupBy("type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count("value").alias("n_values"),
-        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("s1"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)"))
+        # (38,6) not (30,6): squares of |value| >= 1e12 overflow the 1e24
+        # ceiling with an ANSI error (oracle-fuzz edges profile)
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
         .cast("double")
         .alias("s2"),
         r4(F.avg("value")).alias("avg_value"),

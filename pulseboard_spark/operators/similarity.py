@@ -589,6 +589,13 @@ def label_knn_accuracy(embeddings: DataFrame, k: int = 5) -> DataFrame:
     j = (
         topk.join(lbl.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("label", "n_label"), "neighbor_id")
         .join(lbl, "vec_id")
+        # agreement is only assessable when BOTH endpoints carry a label;
+        # the top-k pool itself stays label-free (a null-label vector is
+        # still someone's nearest neighbor) — only the pair is excluded.
+        # Without this, Spark's NULL == NULL comparison makes n_same a
+        # nullable sum (float64 image) while the oracle's CASE yields 0
+        # (oracle-fuzz nulls profile).
+        .filter(F.col("label").isNotNull() & F.col("n_label").isNotNull())
     )
     return (
         j.groupBy("label")
@@ -1032,15 +1039,20 @@ def label_noise_suspects(embeddings: DataFrame, top_n: int = 10) -> DataFrame:
     """
     cents = label_centroids(embeddings).select("label", "centroid_micro")
     qx = lambda x: duck_round(x.cast("double") * F.lit(1000000.0), 0).cast("long")  # noqa: E731
+    # square in DECIMAL(38,0), not BIGINT: a |component| ≳ 3e3 makes the
+    # micro diff square past int64 and ANSI-crash the fold (oracle-fuzz
+    # edges profile); the final long cast keeps the output schema and
+    # fails loudly — in both engines — only when the distance itself
+    # exceeds int64
     dist = F.aggregate(
         F.zip_with(
             "embedding",
             "centroid_micro",
-            lambda x, y: (qx(x) - y) * (qx(x) - y),
+            lambda x, y: (qx(x) - y).cast("decimal(38,0)") * (qx(x) - y),
         ),
-        F.lit(0).cast("long"),
+        F.lit(0).cast("decimal(38,0)"),
         lambda acc, d: acc + d,
-    )
+    ).cast("long")
     scored = embeddings.join(F.broadcast(cents), "label").select(
         "label", "vec_id", dist.alias("sq_dist_micro2")
     )
@@ -1080,7 +1092,14 @@ def hard_negatives(
     a candidate-generation artifact with no bearing on the exact answer,
     and at full probe it cannot rescue the replication cost (callers that
     really want cell-cogrouped full probe call :func:`_ivf_knn`).
+
+    NULL-label vectors are excluded entirely: a query without a label has
+    no "different label" to mine against, and a candidate without a label
+    cannot be asserted different (the oracle mirrors the gate; the numpy
+    kernel's None-vs-int mask diverged from SQL's NULL-strict <> under
+    the oracle-fuzz nulls profile).
     """
+    embeddings = embeddings.filter(F.col("label").isNotNull())
     if nprobe is None and _index_too_big(embeddings, None):
         if index is not None:
             # documented in the docstring, but a caller who BUILT an index
@@ -1697,7 +1716,12 @@ def centroid_distances(embeddings: DataFrame) -> DataFrame:
     b = per_dim.select(F.col("label").alias("label_b"), "pos", F.col("m").alias("mb"))
     j = a.join(F.broadcast(b), "pos").filter(F.col("label_a") < F.col("label_b"))
     d = F.col("ma") - F.col("mb")
+    # cast BEFORE the multiply: d*d in BIGINT overflows (ANSI error) once a
+    # per-dim centroid diff exceeds ~3e9 micro (oracle-fuzz edges profile);
+    # the decimal square keeps the sum exact to 1e38, and the final BIGINT
+    # cast fails loudly in BOTH engines when the output itself is out of
+    # int64 domain (per-dim centroid diff ≳ 3.8e8 micro)
     return j.groupBy("label_a", "label_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_dims"),
-        F.sum((d * d).cast("decimal(38,0)")).cast("long").alias("l2sq_micro2"),
+        F.sum(d.cast("decimal(38,0)") * d).cast("long").alias("l2sq_micro2"),
     )

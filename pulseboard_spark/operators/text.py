@@ -465,10 +465,16 @@ def gopher_quality(
 
     toks = ws_tokens(F.lower(F.col("text")))
     n_sh = F.greatest(F.size(toks) - 4, F.lit(1))
-    sh_arr = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
-    )
+    # zero-token docs have NO shingles (and dup fraction 0), mirroring
+    # operators/dedup.py::shingles — the degenerate '' shingle made the
+    # two engines disagree under the randomized-input fuzz
+    sh_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     n_shingles = F.size(sh_arr).cast("long")
     n_dup_shingles = (n_shingles - F.size(F.array_distinct(sh_arr)).cast("long"))
 
@@ -507,8 +513,12 @@ def gopher_quality(
         F.expr("(_alpha * 1000000) div _nw1").alias("mean_word_len_ppm"),
         F.expr("(_alpha * 1000000) div _len").alias("frac_alpha_ppm"),
         F.expr("(_topn * 1000000) div _totn").alias("top_word_share_ppm"),
-        F.expr("(_ndup * 1000000) div _nsh").alias("dup_shingle_frac_ppm"),
-        passes.alias("passes"),
+        F.expr("(_ndup * 1000000) div greatest(_nsh, 1)").alias("dup_shingle_frac_ppm"),
+        # never NULL: a NULL-text doc FAILS the gate rather than yielding a
+        # NULL verdict — and a nullable boolean column is itself a
+        # cross-engine hash hazard (pandas images Spark None as 'None' but
+        # DuckDB NULL BOOLEAN as 'nan'; oracle-fuzz nulls profile)
+        F.coalesce(passes, F.lit(False)).alias("passes"),
     )
 
 

@@ -216,9 +216,17 @@ def seasonal_deviation(ev: DataFrame, z_threshold: float = 3.0) -> DataFrame:
     m = F.col("n_obs") - 1
     loo_s1 = F.col("s1") - F.col("n")
     loo_s2 = F.col("s2") - F.col("n") * F.col("n")
-    mu = loo_s1 / m
-    var = F.greatest(
-        (loo_s2 - loo_s1 * loo_s1 / m) / F.greatest(m - 1, F.lit(1)), F.lit(0.0)
+    # a single-observation baseline leaves nothing after leave-one-out:
+    # mu/sd are undefined (NULL), not a divide-by-zero (ANSI crash found
+    # by the oracle-fuzz ties profile — a 4-hour corpus makes 1-obs
+    # (type, hour-of-day) buckets routine); z/anomaly below already gate
+    # on n_obs <= 1 explicitly
+    mu = F.when(m >= 1, loo_s1 / m)
+    var = F.when(
+        m >= 1,
+        F.greatest(
+            (loo_s2 - loo_s1 * loo_s1 / m) / F.greatest(m - 1, F.lit(1)), F.lit(0.0)
+        ),
     )
     scored = scored.withColumn("mu", mu).withColumn("sd", F.sqrt(var))
     # degenerate baseline (sd = 0, n != mean): z is undefined — NULL, but

@@ -37,6 +37,7 @@ ent AS (
          ['US','UK','DE','FR','CA'][CAST((CAST(regexp_extract(props,'([0-9]+)',1) AS INTEGER) + user_id) % 5 + 1 AS INTEGER)] AS geo,
          ['desktop','mobile','tablet'][CAST(CAST(regexp_extract(props,'([0-9]+)',1) AS INTEGER) % 3 + 1 AS INTEGER)] AS device
   FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
 )
 """
 
@@ -692,6 +693,7 @@ sh AS (
     SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
     FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
           FROM documents)
+    WHERE len(toks) > 0
   )
 )
 """
@@ -802,7 +804,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 ORACLE_SQL["dedup_embedding"] = """
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE embedding IS NOT NULL),
 n AS (SELECT vec_id, v, CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END AS nrm FROM e)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine,
@@ -813,7 +815,7 @@ WHERE a.vec_id < b.vec_id
 """
 
 _TOPK_CTE = """
-e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE embedding IS NOT NULL),
 n AS (SELECT vec_id, v, CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END AS nrm FROM e),
 pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
@@ -840,6 +842,7 @@ SELECT l.label, CAST(count(*) AS BIGINT) AS pairs,
 FROM (SELECT * FROM topk WHERE rank <= 5) t
 JOIN embeddings l ON l.vec_id = t.vec_id
 JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+WHERE l.label IS NOT NULL AND nl.label IS NOT NULL
 GROUP BY l.label
 """
 
@@ -947,6 +950,7 @@ WITH media AS (
               ELSE 'video/mp4' END AS media_type,
          CAST(octet_length(encode(text)) AS BIGINT) AS meta_n_bytes
   FROM documents
+  WHERE text IS NOT NULL
 )
 SELECT doc_id, media_type,
        CAST(unnest(generate_series(0, greatest(CAST(floor(meta_n_bytes / 1024.0) AS INT) - 1, 0))) AS INT) AS chunk_index,
@@ -992,7 +996,7 @@ GROUP BY 1
 ORACLE_SQL["embedding_decontamination"] = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 n AS (
   SELECT vec_id, e,
@@ -1105,6 +1109,7 @@ WITH media AS (
          CAST(n_chars % 768 + 16 AS BIGINT) AS h,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
   FROM documents
+  WHERE text IS NOT NULL
 ),
 geom AS (
   SELECT doc_id, media_type, w, h, n_bytes,
@@ -1680,8 +1685,8 @@ WITH {ENT_CTE},
 m AS (
   SELECT type,
          count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
-         CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS s2
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
   FROM ent WHERE value IS NOT NULL GROUP BY type
 ),
 st AS (
@@ -1911,8 +1916,8 @@ per_type AS (
   SELECT type,
          count(*) AS n_events,
          count(value) AS n_values,
-         CAST(sum(CAST(value AS DECIMAL(30,6)) ) AS DOUBLE) AS s1,
-         CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(value AS DECIMAL(38,6)) ) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
          round(avg(value), 4) AS avg_value,
          round(min(value), 4) AS min_value,
          round(max(value), 4) AS max_value,
@@ -2088,7 +2093,7 @@ FROM win
 # Class balance + inverse-frequency weights (operators/mlprep.py::
 # label_balance): exact integer rationals.
 ORACLE_SQL["label_balance"] = """
-WITH per_label AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+WITH per_label AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings WHERE embedding IS NOT NULL GROUP BY label),
 totals AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS k FROM per_label)
 SELECT label, n,
        CAST((n * 1000000) // tot AS BIGINT) AS share_ppm,
@@ -2104,7 +2109,7 @@ ORACLE_SQL["embedding_dim_stats"] = """
 WITH triples AS (
   SELECT i - 1 AS dim,
          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vu
-  FROM embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
 ),
 agg AS (
   SELECT dim, count(*) AS n, sum(CAST(vu AS HUGEINT)) AS s,
@@ -2306,6 +2311,7 @@ tr_sh AS (
     SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
     FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
           FROM tagged WHERE bucket < 95)
+    WHERE len(toks) > 0
   )
 ),
 ev_sh AS (
@@ -2314,6 +2320,7 @@ ev_sh AS (
     SELECT toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
     FROM (SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
           FROM tagged WHERE bucket >= 95)
+    WHERE len(toks) > 0
   )
 )
 SELECT tr_sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
@@ -2519,8 +2526,9 @@ feats AS (
          CAST(length(sh) - length(list_distinct(sh)) AS BIGINT) AS ndup
   FROM (
     SELECT *,
-           list_transform(generate_series(1, greatest(length(toks) - 4, 1)),
-                          i -> array_to_string(toks[i:i+4], ' ')) AS sh
+           CASE WHEN coalesce(length(toks), 0) = 0 THEN []
+                ELSE list_transform(generate_series(1, greatest(length(toks) - 4, 1)),
+                                    i -> array_to_string(toks[i:i+4], ' ')) END AS sh
     FROM base
   )
 ),
@@ -2536,11 +2544,11 @@ SELECT f.doc_id, f.n_words,
        CAST((f.alpha * 1000000) // f.nw1 AS BIGINT) AS mean_word_len_ppm,
        CAST((f.alpha * 1000000) // f.len1 AS BIGINT) AS frac_alpha_ppm,
        CAST((coalesce(t.topn, 0) * 1000000) // coalesce(t.totn, 1) AS BIGINT) AS top_word_share_ppm,
-       CAST((f.ndup * 1000000) // f.nsh AS BIGINT) AS dup_shingle_frac_ppm,
-       (f.n_words BETWEEN 20 AND 100000
+       CAST((f.ndup * 1000000) // greatest(f.nsh, 1) AS BIGINT) AS dup_shingle_frac_ppm,
+       coalesce((f.n_words BETWEEN 20 AND 100000
         AND 2 * f.nw1 <= f.alpha AND f.alpha <= 12 * f.nw1
         AND coalesce(t.topn, 0) * 10000 <= 3000 * coalesce(t.totn, 1)
-        AND f.ndup * 10000 <= 5000 * f.nsh) AS passes
+        AND f.ndup * 10000 <= 5000 * f.nsh), FALSE) AS passes
 FROM feats f LEFT JOIN top t USING (doc_id)
 """
 
@@ -2639,6 +2647,7 @@ WITH supply AS (
          CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
            / CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS unit_cost_dec
   FROM lineitem GROUP BY 1, 2
+  HAVING unit_cost_dec IS NOT NULL
 ),
 best AS (
   SELECT * FROM (
@@ -2698,7 +2707,7 @@ ORACLE_SQL["label_centroids"] = """
 WITH triples AS (
   SELECT label, i - 1 AS pos,
          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vu
-  FROM embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
 ),
 per_dim AS (
   SELECT label, pos,
@@ -2719,7 +2728,7 @@ ORACLE_SQL["label_noise_suspects"] = """
 WITH triples AS (
   SELECT label, i - 1 AS pos,
          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vu
-  FROM embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
 ),
 per_dim AS (
   SELECT label, pos, sum(vu) // count(*) AS m
@@ -2733,7 +2742,7 @@ scored AS (
          CAST(list_sum(list_transform(generate_series(1, array_length(e.embedding)),
            i -> (CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) - c.centroid[i])
               * (CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) - c.centroid[i]))) AS BIGINT) AS sq_dist_micro2
-  FROM embeddings e JOIN cents c USING (label)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e JOIN cents c USING (label)
 )
 SELECT label, vec_id, sq_dist_micro2, CAST(rnk AS INTEGER) AS rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY label ORDER BY sq_dist_micro2 DESC, vec_id) AS rnk
@@ -2813,6 +2822,7 @@ WITH media AS (
               ELSE 'video/mp4' END AS media_type,
          CAST(octet_length(encode(text)) AS BIGINT) AS meta_n_bytes
   FROM documents
+  WHERE text IS NOT NULL
 ),
 base AS (
   SELECT doc_id, text,
@@ -2825,11 +2835,13 @@ feats AS (
   SELECT doc_id,
          CAST(length(words) AS BIGINT) AS n_words,
          CAST(alpha_chars AS DOUBLE) / greatest(length(words), 1) AS mean_word_len,
-         1.0 - CAST(length(list_distinct(sh)) AS DOUBLE) / length(sh) AS dup_shingle_frac
+         CASE WHEN coalesce(length(sh), 0) = 0 THEN 0.0
+              ELSE 1.0 - CAST(length(list_distinct(sh)) AS DOUBLE) / length(sh) END AS dup_shingle_frac
   FROM (
     SELECT *,
-           list_transform(generate_series(1, greatest(length(toks) - 4, 1)),
-                          i -> array_to_string(toks[i:i+4], ' ')) AS sh
+           CASE WHEN coalesce(length(toks), 0) = 0 THEN []
+                ELSE list_transform(generate_series(1, greatest(length(toks) - 4, 1)),
+                                    i -> array_to_string(toks[i:i+4], ' ')) END AS sh
     FROM base
   )
 ),
@@ -2843,10 +2855,10 @@ top AS (
 ),
 quality AS (
   SELECT f.doc_id,
-         (f.n_words BETWEEN 20 AND 100000
+         coalesce((f.n_words BETWEEN 20 AND 100000
           AND f.mean_word_len BETWEEN 2.0 AND 12.0
           AND coalesce(t.top_word_share, 0.0) <= 0.30
-          AND f.dup_shingle_frac <= 0.50) AS passes
+          AND f.dup_shingle_frac <= 0.50), FALSE) AS passes
   FROM feats f LEFT JOIN top t USING (doc_id)
 ),
 split AS (
@@ -2873,7 +2885,7 @@ ORACLE_SQL["hard_negatives"] = """
 WITH e AS (
   SELECT vec_id, CAST(label AS BIGINT) AS label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
 ),
 n AS (SELECT vec_id, label, v, CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END AS nrm FROM e),
 pairs AS (
@@ -2907,9 +2919,10 @@ base AS (
 ),
 loo AS (
   SELECT h.type, hour_ms, hod, n, n_obs,
-         (s1 - n) / (n_obs - 1) AS mu,
-         sqrt(greatest(((s2 - n * n) - (s1 - n) * (s1 - n) / (n_obs - 1))
-                       / greatest(n_obs - 2, 1), 0.0)) AS sd
+         CASE WHEN n_obs > 1 THEN (s1 - n) / (n_obs - 1) END AS mu,
+         CASE WHEN n_obs > 1
+              THEN sqrt(greatest(((s2 - n * n) - (s1 - n) * (s1 - n) / (n_obs - 1))
+                                 / greatest(n_obs - 2, 1), 0.0)) END AS sd
   FROM with_hod h JOIN base b USING (type, hod)
 )
 SELECT type, hour_ms, hod, n,
@@ -3043,7 +3056,7 @@ WITH e AS (
   SELECT label,
          round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                 list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 vh AS (SELECT label, v, count(*) AS c FROM e GROUP BY 1, 2),
 vc AS (SELECT label, v, sum(c) OVER (PARTITION BY label ORDER BY v) AS cum,
@@ -3092,7 +3105,7 @@ FROM r WHERE rk <= 3 GROUP BY doc_id
 """
 
 ORACLE_SQL["label_cohesion"] = """
-WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE embedding IS NOT NULL),
 n AS (SELECT label, vec_id, v,
              CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
                   ELSE sqrt(list_dot_product(v, v)) END AS nrm
@@ -4001,7 +4014,7 @@ ORACLE_SQL["centroid_distances"] = """
 WITH triples AS (
   SELECT label, i - 1 AS pos,
          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vu
-  FROM embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings, UNNEST(generate_series(1, array_length(embedding))) AS t(i)
 ),
 per_dim AS (
   SELECT label, pos, sum(vu) // count(*) AS m
@@ -4186,6 +4199,7 @@ ssh AS (
     SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
     FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
           FROM samp)
+    WHERE len(toks) > 0
   )
 ),
 minh AS (

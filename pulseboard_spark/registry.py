@@ -386,6 +386,11 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(big_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(cost_dec.alias("unit_cost_dec"))
+        # a supplier with unknown cost (NULL-quantity/discount rows) cannot
+        # be the argmin: min(struct) sorts NULL fields FIRST, so without
+        # this filter an unknown cost WINS while the oracle's ORDER BY puts
+        # NULLs last (oracle-fuzz nulls profile); mirrored in the oracle
+        .filter(F.col("unit_cost_dec").isNotNull())
     )
     # argmin via min(struct): struct comparison is lexicographic on
     # (cost, suppkey) — the same order the rank-1 window would use, but as
@@ -1004,7 +1009,10 @@ def cdp_trait_fidelity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("t.age").cast("long")).alias("sum_age"),
-            F.sum(F.col("t.vip").cast("long")).alias("n_vip"),
+            # an ABSENT vip trait is "not vip" (counts 0), not unknown —
+            # without the coalesce an all-absent group sums to NULL while
+            # the oracle's CASE..ELSE 0 yields 0 (oracle-fuzz nulls profile)
+            F.sum(F.coalesce(F.col("t.vip").cast("long"), F.lit(0))).alias("n_vip"),
         )
     )
 
@@ -1161,7 +1169,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    """Embeddings with the null-vector gate: a NULL embedding is not a
+    vector — it cannot score, bucket, or vote — so no declared query sees
+    one (the numpy kernels would otherwise crash building the matrix, per
+    the oracle-fuzz nulls profile).  Every oracle embeddings scan mirrors
+    the same ``WHERE embedding IS NOT NULL``."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
 
 
 #: (applicationId, sf_dir) -> localCheckpointed near-dup artifacts.  The

@@ -130,16 +130,40 @@ def _k(col_props=None):
     return F.regexp_extract(col_props, r"([0-9]+)", 1).cast("int")
 
 
+def _pick(arr, idx):
+    """``element_at`` with SQL NULL-index semantics.  Spark 4.1's
+    ``element_at(arr, NULL)`` returns the LAST array element, not NULL
+    (the plan shows the 4-arg ``element_at(..., None, true)`` form), so a
+    NULL ``k`` silently tagged every event 'CA'/'tablet' while DuckDB's
+    ``arr[NULL]`` is NULL — found by the oracle-fuzz nulls profile.
+    NULL index → NULL tag, matching the oracle."""
+    return F.when(idx.isNotNull(), F.element_at(arr, idx))
+
+
 def entity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EntityEvent view: the anomaly-rule input stream.
 
     Columns: event_id, ts, ts_us, ts_ms, entity_id, profile, type, value,
     geo, device.  See module docstring for the contract.
+
+    Validation gate (P1 analog for entity events): the reference's
+    ``EntityEvent`` declares entityId/type/ts non-nullable
+    (`core/EntityEvent.kt:5-17`), so source rows missing user_id,
+    event_type, or ts are not valid entity events and are dropped here —
+    mirrored in the oracle's ENT_CTE.  ``value`` and the props-derived
+    tags stay nullable (null-value skip is rule semantics P3; a missing
+    tag is a NULL geo/device).  Before this gate the two engines
+    diverged on NULL keys under the randomized-input fuzz
+    (tools/probes/oracle_fuzz.py, nulls profile).
     """
-    ev = load_events(spark, sf_dir)
+    ev = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
     k = _k()
-    geo = F.element_at(F.array(*[F.lit(g) for g in GEOS]), ((k + F.col("user_id")) % 5 + 1).cast("int"))
-    device = F.element_at(F.array(*[F.lit(d) for d in DEVICES]), (k % 3 + 1).cast("int"))
+    geo = _pick(F.array(*[F.lit(g) for g in GEOS]), ((k + F.col("user_id")) % 5 + 1).cast("int"))
+    device = _pick(F.array(*[F.lit(d) for d in DEVICES]), (k % 3 + 1).cast("int"))
     return ev.select(
         F.col("event_id").cast("long").alias("event_id"),
         F.col("ts"),
@@ -183,7 +207,7 @@ def cdp_events(spark: SparkSession, sf_dir: str, with_duplicates: bool = True) -
     email_raw = F.concat(F.lit("U"), F.col("user_id").cast("string"), F.lit("@Example.COM"))
     name = F.when(
         (F.col("ctype") == "TRACK") & (F.col("k") % 11 != 0),
-        F.element_at(F.array(*[F.lit(n) for n in TRACK_NAMES]), (F.col("k") % 3 + 1).cast("int")),
+        _pick(F.array(*[F.lit(n) for n in TRACK_NAMES]), (F.col("k") % 3 + 1).cast("int")),
     )
     shaped = base.select(
         "event_id",
@@ -208,7 +232,7 @@ def cdp_events(spark: SparkSession, sf_dir: str, with_duplicates: bool = True) -
         ).alias("plan"),
         F.when(
             F.col("ctype") == "IDENTIFY",
-            F.element_at(F.array(*[F.lit(c) for c in COUNTRIES]), (F.col("k") % 7 + 1).cast("int")),
+            _pick(F.array(*[F.lit(c) for c in COUNTRIES]), (F.col("k") % 7 + 1).cast("int")),
         ).alias("country"),
         # Full-fidelity Any-typed traits/properties (SURVEY §1.2 commitment,
         # mirroring the reference's Map<String,Any?> on CdpEvent): the typed
@@ -222,7 +246,7 @@ def cdp_events(spark: SparkSession, sf_dir: str, with_duplicates: bool = True) -
             F.to_json(
                 F.struct(
                     F.when(F.col("k") % 2 == 0, F.lit("pro")).otherwise(F.lit("basic")).alias("plan"),
-                    F.element_at(
+                    _pick(
                         F.array(*[F.lit(c) for c in COUNTRIES]), (F.col("k") % 7 + 1).cast("int")
                     ).alias("country"),
                     (F.lit(18) + F.col("k") % 60).cast("int").alias("age"),

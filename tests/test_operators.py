@@ -2578,3 +2578,53 @@ class TestFuzzyNeighborhood:
             assert self._pairs(spark, names, True) == self._pairs(spark, names, False)
 
         check()
+
+
+class TestNumericDomain:
+    """Numeric input-domain contract (SCALE.md "Numeric input-domain
+    contract"): the exact-integer parity surfaces saturate 128-bit
+    arithmetic at extreme magnitudes and must fail LOUDLY (ANSI
+    ArithmeticException) rather than silently corrupt — the DuckDB oracle
+    fails the same inputs with its own INT128/DECIMAL range errors
+    (demonstrated by tools/probes/oracle_fuzz.py before the edges profile
+    was scoped to in-domain magnitudes)."""
+
+    def test_autocorr_out_of_domain_fails_loudly(self, spark):
+        # |value| = 1e12 → deviations ~1e18 micro, lag products ~1e36,
+        # num·10⁶ ≈ 1e42 > DECIMAL(38) — no integer type can hold it
+        from pulseboard_spark.operators.timeseries import value_autocorr
+
+        rows = [(i, 3_600_000 * i, "t", (1.0e12 if i % 2 else 1.0)) for i in range(8)]
+        ev = spark.createDataFrame(rows, "event_id long, ts_ms long, type string, value double")
+        with pytest.raises(Exception, match="Decimal|overflow|OUT_OF_RANGE"):
+            value_autocorr(ev).collect()
+
+    def test_label_noise_out_of_domain_fails_loudly(self, spark):
+        # |component| = 1e6 → micro 1e12, squared distance ~1e24·dims —
+        # past int64; the decimal fold is exact but the BIGINT output
+        # cast must refuse, not wrap
+        from pulseboard_spark.operators.similarity import label_noise_suspects
+
+        big = [1.0e6] * 8
+        small = [0.0] * 8
+        df = spark.createDataFrame(
+            [(1, big, 0), (2, small, 0), (3, small, 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        with pytest.raises(Exception, match="CAST_OVERFLOW|overflow|Decimal"):
+            label_noise_suspects(df).collect()
+
+    def test_in_domain_magnitudes_survive(self, spark):
+        # the documented ceilings themselves are safe: |value| = 1e9
+        # (autocorr) and |component| = 1e3 (micro² surfaces)
+        from pulseboard_spark.operators.similarity import label_noise_suspects
+        from pulseboard_spark.operators.timeseries import value_autocorr
+
+        rows = [(i, 3_600_000 * i, "t", (1.0e9 if i % 2 else 1.0)) for i in range(8)]
+        ev = spark.createDataFrame(rows, "event_id long, ts_ms long, type string, value double")
+        assert value_autocorr(ev).collect()
+        df = spark.createDataFrame(
+            [(1, [1.0e3] * 8, 0), (2, [0.0] * 8, 0), (3, [1.0] * 8, 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        assert label_noise_suspects(df).collect()
