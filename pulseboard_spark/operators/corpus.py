@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from pulseboard_spark.operators.dedup import shingles
 from pulseboard_spark.operators.sampling import hash_bucket
-from pulseboard_spark.operators.text import ws_tokens
+from pulseboard_spark.operators.text import ascii_lower, ws_tokens
 
 PACK_BUDGET = 2048
 
@@ -41,7 +41,7 @@ PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 
 def _word_count(text_col: Column) -> Column:
-    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), F.lit(0))).cast("long")
+    return F.size(F.regexp_extract_all(ascii_lower(text_col), F.lit("[a-z]+"), F.lit(0))).cast("long")
 
 
 def pack_documents(
@@ -150,7 +150,7 @@ def doc_lines(documents: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame
     everything downstream is unchanged.  Narrow (explode over the token
     array) — no shuffle; the token filter mirrors the oracle's
     ``list_filter(string_split(...))`` exactly."""
-    toks = ws_tokens(F.lower(F.col("text")))
+    toks = ws_tokens(ascii_lower(F.col("text")))
     base = documents.select("doc_id", toks.alias("_t")).withColumn(
         "_n", F.size("_t")
     ).filter(F.col("_n") > 0)
@@ -237,7 +237,7 @@ def doc_repetition(documents: DataFrame, line_tokens: int = LINE_TOKENS) -> Data
     the kinds back out with conditional aggregates.  Output is |docs|
     rows; docs shorter than one line / two tokens surface
     zero-denominators as 0 ppm via the guarded div."""
-    toks = ws_tokens(F.lower(F.col("text")))
+    toks = ws_tokens(ascii_lower(F.col("text")))
     base = (
         documents.select("doc_id", toks.alias("_t"))
         .withColumn("_n", F.size("_t"))
@@ -542,7 +542,7 @@ def doc_chunks(
             "doc_chunks needs 0 < stride <= chunk_tokens for full token "
             f"coverage, got stride={stride}, chunk_tokens={chunk_tokens}"
         )
-    toks = ws_tokens(F.lower(F.col("text")))
+    toks = ws_tokens(ascii_lower(F.col("text")))
     base = documents.select("doc_id", toks.alias("_t")).withColumn(
         "_n", F.size("_t")
     ).filter(F.col("_n") > 0)

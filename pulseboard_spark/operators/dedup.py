@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pulseboard_spark.operators.similarity import cosine_pairs_above
-from pulseboard_spark.operators.text import ws_tokens
+from pulseboard_spark.operators.text import ascii_lower, ws_tokens
 
 N_HASHES = 8
 N_BANDS = 4  # 2 hashes per band
@@ -61,7 +61,7 @@ def shingles(documents: DataFrame, n: int = SHINGLE) -> DataFrame:
     DuckDB's array_to_string of an empty slice).  No tokens → no content
     → participates in no n-gram similarity surface, on both engines.
     """
-    toks = ws_tokens(F.lower(F.col("text")))
+    toks = ws_tokens(ascii_lower(F.col("text")))
     base = documents.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
     idx = F.explode(F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))))
     return (

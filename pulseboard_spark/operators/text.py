@@ -25,6 +25,26 @@ _PUNCT = "[.,;:!?]"
 _BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
+_ASCII_UC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LC = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col):
+    """ASCII-only case fold for every TOKENIZATION path (words, shingles,
+    n-grams, keywords).  Full-Unicode ``lower()`` is library-dependent and
+    NOT portable: Spark's Java fold maps 'İ' → 'i' + U+0307 (combining dot)
+    while DuckDB's utf8proc maps it to plain 'i', so the same text
+    tokenizes differently per engine — the oracle-fuzz unicode profile
+    broke 19 queries this way (token counts, shingle hashes, keywords, LM
+    scores all downstream of one lower()).  ``translate(A-Z → a-z)`` is
+    codepoint-exact and identical in both engines; non-ASCII case variants
+    simply stay out of the [a-z]+ token alphabet on BOTH sides.  A corpus
+    needing true Unicode folding should ICU-normalize upstream, once.
+    Identifier folding (F1 email normalization) keeps real lower() per the
+    reference — identifiers are ASCII in that domain."""
+    return F.translate(col, _ASCII_UC, _ASCII_LC)
+
+
 def ws_tokens(text_col):
     """Whitespace tokens with empties dropped — THE one tokenizer shared by
     text stats, shingle dedup, and line segmentation, mirroring the
@@ -92,7 +112,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
     (token features → argmax score) is what the engine provides.  On this
     synthetic corpus the guess quality is irrelevant — the oracle checks the
     computation, not linguistics."""
-    toks = _tokens(F.lower(F.col("text")))
+    toks = _tokens(ascii_lower(F.col("text")))
     counts = {lang: _count_in(toks, ws) for lang, ws in LANG_MARKERS.items()}
     best = F.greatest(*counts.values())
     guess = (
@@ -113,7 +133,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
 def token_stats(documents: DataFrame) -> DataFrame:
     """BPE-ish regex token counts: words / numbers / symbols over lowercased
     text (`regexp_extract_all`, vectorized JVM regex)."""
-    t = F.lower(F.col("text"))
+    t = ascii_lower(F.col("text"))
     all_toks = F.size(F.regexp_extract_all(t, F.lit(_BPE_PATTERN), F.lit(0))).cast("long")
     words = F.size(F.regexp_extract_all(t, F.lit("[a-z]+"), F.lit(0))).cast("long")
     nums = F.size(F.regexp_extract_all(t, F.lit("[0-9]+"), F.lit(0))).cast("long")
@@ -136,7 +156,7 @@ def top_terms_per_lang(documents: DataFrame, n: int = 10) -> DataFrame:
     not corpus size, bounds the window input."""
     from pulseboard_spark.operators.relational import top_n_per_group
 
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    toks = F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     counts = (
         documents.select("lang", F.explode(toks).alias("term"))
         .groupBy("lang", "term")
@@ -154,7 +174,7 @@ def term_df_idf(documents: DataFrame) -> DataFrame:
     decimals.  df comes from an exploded DISTINCT (doc_id, term) pass —
     partial-distinct runs map-side, so the shuffle is bounded by per-doc
     vocabulary, and no count-distinct state survives the agg."""
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    toks = F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     exploded = documents.select("doc_id", F.explode(toks).alias("term"))
     per_term = exploded.groupBy("term").agg(
         F.countDistinct("doc_id").alias("doc_freq"),
@@ -199,7 +219,7 @@ def inverted_index(documents: DataFrame, max_postings: int = 20) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    toks = F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     pairs = documents.select("doc_id", F.explode(toks).alias("term")).distinct()
     ranked = pairs.withColumn(
         "rnk", F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
@@ -223,7 +243,7 @@ def term_cooccurrence(documents: DataFrame, min_pairs: int = 2) -> DataFrame:
     pair counting, never the join fan-out.  Per-term document frequencies
     ride in via a broadcast of the (tiny) vocabulary table.
     """
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    toks = F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     # Per-doc sorted distinct vocabulary; pair generation is pure array
     # combinatorics on that row — no self-join, no distinct shuffle.  The
     # ascending sort makes every emitted pair canonical (term_a < term_b).
@@ -285,7 +305,7 @@ def bigram_stats(documents: DataFrame, min_count: int = 2) -> DataFrame:
     shuffle is the map-side-combined (w1, w2) count; the conditional
     total is a window over that counts table, bounded by vocabulary².
     """
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    toks = F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     sz = F.size(toks)
     n_pairs = F.greatest(sz - 1, F.lit(0))
     pairs = F.zip_with(
@@ -331,7 +351,7 @@ def doc_lm_score(documents: DataFrame) -> DataFrame:
     (w1, w2) keys between tiny aggregates.  V rides along via a broadcast
     1-row cross join — no driver action at plan time.
     """
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    toks = F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     sz = F.size(toks)
     n_pairs = F.greatest(sz - 1, F.lit(0))
     pairs = F.zip_with(
@@ -390,7 +410,7 @@ def doc_entropy(documents: DataFrame) -> DataFrame:
     map-side combine before the shuffle; the per-doc total rides a
     same-key window over the already-aggregated histogram (no second
     corpus scan); output is |docs| rows."""
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    toks = F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     per_word = (
         documents.select("doc_id", F.explode(toks).alias("w"))
         .groupBy("doc_id", "w")
@@ -421,7 +441,7 @@ def token_length_histogram(documents: DataFrame, bucket: int = 64) -> DataFrame:
     packing/sampling).  All-integer surface; one map-side-combined
     aggregate over (source, bucket)."""
     n_tokens = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+        F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
     ).cast("long")
     return (
         documents.select("source", n_tokens.alias("nt"))
@@ -459,11 +479,11 @@ def gopher_quality(
     (``2·n ≤ alpha`` instead of ``alpha/n ≥ 2.0``), so the rule outcomes
     and the hashed values are exact on any engine.
     """
-    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    words = F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     n_words = F.size(words).cast("long")
-    alpha_chars = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast("long")
+    alpha_chars = F.length(F.regexp_replace(ascii_lower(F.col("text")), "[^a-z]", "")).cast("long")
 
-    toks = ws_tokens(F.lower(F.col("text")))
+    toks = ws_tokens(ascii_lower(F.col("text")))
     n_sh = F.greatest(F.size(toks) - 4, F.lit(1))
     # zero-token docs have NO shingles (and dup fraction 0), mirroring
     # operators/dedup.py::shingles — the degenerate '' shingle made the
@@ -538,7 +558,7 @@ def bpe_merge_candidates(documents: DataFrame, top_n: int = 50) -> DataFrame:
     from pyspark.sql import Window
 
     words = documents.select(
-        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))).alias("w")
+        F.explode(F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))).alias("w")
     )
     chars = F.regexp_extract_all(F.col("w"), F.lit("."), F.lit(0))
     n_pairs = F.greatest(F.size(chars) - 1, F.lit(0))
@@ -593,7 +613,7 @@ def bpe_train(documents: DataFrame, n_merges: int = 5) -> list[tuple[str, str, i
     """
     words = documents.select(
         F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+            F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
         ).alias("w")
     )
     syms = words.select(
@@ -649,7 +669,7 @@ def bpe_encode(documents: DataFrame, merges: list[tuple[str, str]]) -> DataFrame
     words = documents.select(
         "doc_id",
         F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+            F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
         ).alias("w"),
     )
     syms = F.regexp_extract_all(F.col("w"), F.lit("."), F.lit(0))
@@ -796,7 +816,7 @@ def doc_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
     count-distinct state, no join); everything after the scan shuffles
     vocabulary-sized data only.
     """
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    toks = F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     exploded = documents.select("doc_id", F.explode(toks).alias("term"))
     tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # doc_freq as a count window over tf — tf has exactly one row per

@@ -691,7 +691,7 @@ sh AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
   FROM (
     SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
-    FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+    FROM (SELECT doc_id, list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> len(x) > 0) AS toks
           FROM documents)
     WHERE len(toks) > 0
   )
@@ -867,7 +867,7 @@ FROM q
 ORACLE_SQL["lang_id"] = """
 WITH t AS (
   SELECT doc_id, lang,
-         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+         list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> len(x) > 0) AS toks
   FROM documents
 ),
 s AS (
@@ -890,7 +890,7 @@ FROM s
 ORACLE_SQL["lang_confusion"] = """
 WITH t AS (
   SELECT doc_id, lang,
-         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+         list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> len(x) > 0) AS toks
   FROM documents
 ),
 s AS (
@@ -923,9 +923,9 @@ FROM c
 ORACLE_SQL["token_stats"] = """
 WITH t AS (
   SELECT doc_id,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_word_tokens,
-         CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_number_tokens
+         CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+         CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS BIGINT) AS n_word_tokens,
+         CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[0-9]+')) AS BIGINT) AS n_number_tokens
   FROM documents
 )
 SELECT doc_id, n_bpe_tokens, n_word_tokens, n_number_tokens,
@@ -1170,7 +1170,7 @@ WHERE rnk <= 20
 
 ORACLE_SQL["top_terms_per_lang"] = """
 WITH toks AS (
-  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  SELECT lang, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS term
   FROM documents
 ),
 counts AS (
@@ -1187,7 +1187,7 @@ SELECT lang, term, n_occurrences, rnk FROM ranked WHERE rnk <= 10
 
 ORACLE_SQL["term_df_idf"] = """
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS term
   FROM documents
 ),
 per_term AS (
@@ -1540,7 +1540,7 @@ GROUP BY g.week_offset
 ORACLE_SQL["pack_efficiency"] = """
 WITH toks AS (
   SELECT doc_id, source,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS BIGINT) AS n_tokens
   FROM documents
 ),
 packed AS (
@@ -2015,7 +2015,7 @@ LIMIT 100
 ORACLE_SQL["pack_documents"] = """
 WITH toks AS (
   SELECT doc_id, source,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS BIGINT) AS n_tokens
   FROM documents
 ),
 packed AS (
@@ -2037,7 +2037,7 @@ FROM packed
 # newlines), boilerplate = line in >= 2 distinct docs.
 _LINES_CTE = """
 ltoks AS (
-  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x <> '') AS t
   FROM documents
 ),
 lines AS (
@@ -2165,7 +2165,7 @@ FROM cum GROUP BY source
 ORACLE_SQL["doc_entropy"] = """
 WITH pw AS (
   SELECT doc_id, w, count(*) AS c
-  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS w
         FROM documents)
   GROUP BY doc_id, w
 ),
@@ -2309,7 +2309,7 @@ tr_sh AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
   FROM (
     SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
-    FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+    FROM (SELECT doc_id, list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> len(x) > 0) AS toks
           FROM tagged WHERE bucket < 95)
     WHERE len(toks) > 0
   )
@@ -2318,7 +2318,7 @@ ev_sh AS (
   SELECT DISTINCT array_to_string(list_slice(toks, i, i + 2), ' ') AS s
   FROM (
     SELECT toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
-    FROM (SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+    FROM (SELECT list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> len(x) > 0) AS toks
           FROM tagged WHERE bucket >= 95)
     WHERE len(toks) > 0
   )
@@ -2392,7 +2392,7 @@ FROM binned GROUP BY type, bin
 ORACLE_SQL["inverted_index"] = """
 WITH toks AS (
   SELECT DISTINCT doc_id, term FROM (
-    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS term
     FROM documents
   )
 ),
@@ -2425,7 +2425,7 @@ FROM tot WHERE n * 10000 >= 500 * n_total
 ORACLE_SQL["term_cooccurrence"] = """
 WITH toks AS (
   SELECT DISTINCT doc_id, term FROM (
-    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS term
     FROM documents
   )
 ),
@@ -2454,7 +2454,7 @@ CROSS JOIN nd
 # through DECIMAL (order-insensitive), surfaced as the unrounded double
 # image of the exact decimal sum.
 ORACLE_SQL["doc_lm_score"] = """
-WITH arr AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS a FROM documents),
+WITH arr AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+') AS a FROM documents),
 dp AS (
   SELECT doc_id, p[1] AS w1, p[2] AS w2, count(*) AS m
   FROM (SELECT doc_id, unnest(list_zip(a[:length(a)-1], a[2:])) AS p FROM arr)
@@ -2477,7 +2477,7 @@ GROUP BY dp.doc_id
 ORACLE_SQL["token_length_histogram"] = """
 WITH t AS (
   SELECT source,
-         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nt
+         CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS BIGINT) AS nt
   FROM documents
 )
 SELECT source, nt // 64 AS bucket,
@@ -2489,7 +2489,7 @@ FROM t GROUP BY source, nt // 64
 
 ORACLE_SQL["bigram_stats"] = """
 WITH arr AS (
-  SELECT regexp_extract_all(lower(text), '[a-z]+') AS a FROM documents
+  SELECT regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+') AS a FROM documents
 ),
 pairs AS (
   SELECT unnest(list_zip(a[:length(a)-1], a[2:])) AS p FROM arr
@@ -2511,9 +2511,9 @@ FROM tot WHERE n >= 2
 ORACLE_SQL["gopher_quality"] = """
 WITH base AS (
   SELECT doc_id, text,
-         regexp_extract_all(lower(text), '[a-z]+') AS words,
-         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
-         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+         regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+') AS words,
+         list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x <> '') AS toks,
+         length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]', '', 'g')) AS alpha_chars
   FROM documents
 ),
 feats AS (
@@ -2624,7 +2624,7 @@ FROM hashed
 # First-round BPE merge candidates (operators/text.py::bpe_merge_candidates).
 ORACLE_SQL["bpe_merge_candidates"] = """
 WITH words AS (
-  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+  SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS w FROM documents
 ),
 chars AS (SELECT regexp_extract_all(w, '.') AS cs FROM words),
 pairs AS (
@@ -2826,9 +2826,9 @@ WITH media AS (
 ),
 base AS (
   SELECT doc_id, text,
-         regexp_extract_all(lower(text), '[a-z]+') AS words,
-         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
-         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+         regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+') AS words,
+         list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x <> '') AS toks,
+         length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]', '', 'g')) AS alpha_chars
   FROM documents
 ),
 feats AS (
@@ -3083,7 +3083,7 @@ GROUP BY e.label
 
 ORACLE_SQL["doc_keywords"] = """
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
@@ -3822,7 +3822,7 @@ FROM agg
 ORACLE_SQL["mixture_plan"] = """
 WITH per AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS avail_tokens
+         CAST(sum(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+'))) AS BIGINT) AS avail_tokens
   FROM documents GROUP BY source
 ),
 staged AS (
@@ -4099,7 +4099,7 @@ FROM grid
 # stride 48, metadata + md5 of the chunk text.
 ORACLE_SQL["doc_chunks"] = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+  SELECT doc_id, list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> len(x) > 0) AS t
   FROM documents
 ),
 ex AS (
@@ -4197,7 +4197,7 @@ ssh AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
   FROM (
     SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
-    FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+    FROM (SELECT doc_id, list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> len(x) > 0) AS toks
           FROM samp)
     WHERE len(toks) > 0
   )

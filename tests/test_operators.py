@@ -2628,3 +2628,47 @@ class TestNumericDomain:
             "vec_id long, embedding array<float>, label int",
         )
         assert label_noise_suspects(df).collect()
+
+
+class TestAsciiFold:
+    """ascii_lower must agree byte-for-byte between Spark and DuckDB on
+    the adversarial alphabet where full-Unicode lower() does NOT (Java
+    maps 'İ' to 'i'+U+0307, utf8proc to 'i' — the oracle-fuzz unicode
+    profile broke 19 queries through that one divergence)."""
+
+    SNIPPETS = [
+        "ÅNGSTRÖM straße Über ÇELIK İstanbul",
+        "日本語のテキスト ABC xyz",
+        "مرحبا WORLD",
+        "emoji 🎉🚀 mixé Café naïve rôle",
+        "éléphant å ZORRO",
+        "ΚΑΛΗΜΕΡΑ ΣΟΦΟΣ τέλος END",
+        "",
+        "plain ascii TEXT 123 #$%",
+    ]
+
+    def test_fold_matches_duckdb(self, spark):
+        import duckdb
+
+        from pulseboard_spark.operators.text import ascii_lower
+
+        df = spark.createDataFrame([(s,) for s in self.SNIPPETS], "text string")
+        got = [r[0] for r in df.select(ascii_lower(F.col("text"))).collect()]
+        con = duckdb.connect()
+        want = [
+            con.execute(
+                "SELECT translate(?, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+                " 'abcdefghijklmnopqrstuvwxyz')", [s]
+            ).fetchone()[0]
+            for s in self.SNIPPETS
+        ]
+        assert got == want
+
+    def test_fold_is_identity_on_driver_alphabet(self, spark):
+        # the driver corpus is lowercase ASCII — the fold must be a no-op
+        # there, which is why the sweep stayed bit-identical
+        from pulseboard_spark.operators.text import ascii_lower
+
+        s = "the fast key order sort table scan merge part window 123"
+        df = spark.createDataFrame([(s,)], "text string")
+        assert df.select(ascii_lower(F.col("text"))).collect()[0][0] == s

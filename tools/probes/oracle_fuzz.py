@@ -25,6 +25,9 @@ Profiles (seeded; every mutation is deterministic in the seed):
   huge-norm vectors, label skew, one hot user (30% of events), huge and
   negative values, orphan orders / widowed lineitems (outer-join
   semantics), supplier cut to 2 rows.
+- unicode: CJK/RTL/emoji/combining-mark text spliced into documents,
+  names, and props — Spark's Java string stack vs DuckDB's utf8proc on
+  lower()/length()/regex classes/split.
 
 Any FAIL here is a finding to fix in the operator or the oracle (pick
 the reference's semantics), then pin — the round-6 protocol.
@@ -52,7 +55,7 @@ os.environ["PB_SILVER_CACHE"] = "0"
 
 SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 7
 SF_SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
-PROFILES = sys.argv[3:] or ["nulls", "ties", "edges"]
+PROFILES = sys.argv[3:] or ["nulls", "ties", "edges", "unicode"]
 OUT_ROOT = "/tmp/pb_oracle_fuzz"
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -189,7 +192,53 @@ def _mutate_edges(rng, tabs):
     tabs["supplier"] = tabs["supplier"].iloc[:2].copy()
 
 
-MUTATORS = {"nulls": _mutate_nulls, "ties": _mutate_ties, "edges": _mutate_edges}
+def _mutate_unicode(rng, tabs):
+    """Non-ASCII text: real corpora are full of it, and the engines'
+    string stacks differ (Spark = Java String/ICU semantics, DuckDB =
+    utf8proc) — lower(), length(), regexp classes, and split can all
+    legally diverge.  Mixes CJK (no spaces), emoji, combining accents,
+    the Turkish dotted İ (Java lower() yields i + COMBINING DOT ABOVE),
+    RTL Arabic, and multi-byte padding into documents and customer
+    names."""
+    snippets = [
+        "ÅNGSTRÖM straße Über ÇELIK İstanbul",          # case-fold traps
+        "日本語のテキストは空白なしで続きます",              # CJK, no spaces
+        "مرحبا بالعالم هذا نص عربي",                     # RTL
+        "emoji 🎉🚀 mixé Café naïve rôle",               # emoji + accents
+        "éléphant å",                  # combining marks
+        "ΚΑΛΗΜΕΡΑ ΣΟΦΟΣ τέλος",                          # Greek final sigma
+    ]
+    dc = tabs["documents"]
+    n = len(dc)
+    text = dc["text"].astype(object)
+    pick = rng.choice(n, size=n // 3, replace=False)
+    for j, i in enumerate(pick):
+        base = snippets[j % len(snippets)]
+        # splice unicode into existing ASCII text so word/shingle paths
+        # see BOTH alphabets in one doc
+        text.iloc[i] = base + " " + (text.iloc[i] or "")[:120] + " " + base
+    dc["text"] = text
+    dc["n_chars"] = dc["text"].str.len().astype("int64")
+    cu = tabs["customer"]
+    cpick = rng.choice(len(cu), size=len(cu) // 5, replace=False)
+    cname = cu["c_name"].astype(object)
+    for j, i in enumerate(cpick):
+        cname.iloc[i] = "Müller#" + str(900000 + j) + ("ß" if j % 2 else "İ")
+    cu["c_name"] = cname
+    ev = tabs["events"]
+    epick = rng.choice(len(ev), size=len(ev) // 10, replace=False)
+    props = ev["props"].astype(object)
+    for i in epick:
+        props.iloc[i] = '{"k": 7, "note": "héllo 日本 🎉"}'
+    ev["props"] = props
+
+
+MUTATORS = {
+    "nulls": _mutate_nulls,
+    "ties": _mutate_ties,
+    "edges": _mutate_edges,
+    "unicode": _mutate_unicode,
+}
 
 
 def make_fuzzed_dir(profile: str, seed: int, sf_src: str, out_root: str) -> str:
