@@ -233,11 +233,22 @@ def _mutate_unicode(rng, tabs):
     ev["props"] = props
 
 
+def _mutate_combined(rng, tabs):
+    """All four classes stacked (ties → edges → unicode → nulls): cross-
+    class interactions — e.g. a NULL value on a tie-dense hot user, or a
+    unicode doc later nulled — that no single profile produces."""
+    _mutate_ties(rng, tabs)
+    _mutate_edges(rng, tabs)
+    _mutate_unicode(rng, tabs)
+    _mutate_nulls(rng, tabs)
+
+
 MUTATORS = {
     "nulls": _mutate_nulls,
     "ties": _mutate_ties,
     "edges": _mutate_edges,
     "unicode": _mutate_unicode,
+    "combined": _mutate_combined,
 }
 
 
