@@ -1099,7 +1099,13 @@ def hard_negatives(
     kernel's None-vs-int mask diverged from SQL's NULL-strict <> under
     the oracle-fuzz nulls profile).
     """
-    embeddings = embeddings.filter(F.col("label").isNotNull())
+    # Defense in depth: the registry loader already drops NULL embeddings,
+    # but a direct caller with NULL-embedding rows would crash the numpy
+    # kernels (list(None) TypeError — oracle-fuzz nulls profile); gate both
+    # here to match the oracle's combined WHERE.
+    embeddings = embeddings.filter(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    )
     if nprobe is None and _index_too_big(embeddings, None):
         if index is not None:
             # documented in the docstring, but a caller who BUILT an index

@@ -37,6 +37,39 @@ def test_normalize(spark):
         assert got[raw] == want, f"{raw!r}: {got[raw]!r} != {want!r}"
 
 
+# --- P5 tag extraction: NULL-index guard ------------------------------------
+
+
+def test_pick_null_index_is_null(spark):
+    """Pin the motivation for `_pick` (sources/tables.py): Spark 4.1's bare
+    ``element_at(arr, NULL)`` returns the LAST element, not NULL (the plan
+    lowers to the internal 4-arg ``element_at(..., None, true)`` form).  If
+    a Spark upgrade changes the engine behavior, the guard stays correct but
+    this test keeps its rationale verifiable: _pick must yield NULL for a
+    NULL index, and the in-range paths must match 1-based element_at."""
+    from pulseboard_spark.sources.tables import _pick
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "idx int")
+    arr = F.array(F.lit("a"), F.lit("b"), F.lit("c"))
+    rows = (
+        df.select(
+            "idx",
+            _pick(arr, F.col("idx")).alias("picked"),
+            F.element_at(arr, F.col("idx")).alias("bare"),
+        )
+        .orderBy(F.col("idx").asc_nulls_last())
+        .collect()
+    )
+    assert [r["picked"] for r in rows] == ["a", "b", None]
+    # document the observed engine behavior the guard exists for; if this
+    # assertion starts failing after an upgrade, bare element_at became
+    # NULL-correct and _pick can be retired
+    assert rows[2]["bare"] == "c", (
+        "Spark element_at(arr, NULL) no longer returns the last element; "
+        "_pick's guard is now redundant (still correct)"
+    )
+
+
 # --- R5 severity ladder (`RulesTest.kt:325-370`) ----------------------------
 
 
@@ -1097,6 +1130,34 @@ class TestHardNegatives:
             assert 1 <= r.rank <= 3
         # every vector gets its negatives (other labels exist for all)
         assert len({r.vec_id for r in rows}) == embs.count()
+
+    def test_null_embedding_rows_excluded_at_operator_level(self, spark, sf_dir):
+        """Direct operator calls (bypassing the registry's _embs loader)
+        must survive NULL-embedding rows: the fuzz found list(None)
+        TypeErrors in the numpy kernels.  NULL-embedding / NULL-label rows
+        exit, the rest answer as if those rows were absent."""
+        from pyspark.sql import Row
+
+        from pulseboard_spark.operators.similarity import hard_negatives
+        from pulseboard_spark.sources.tables import load_table
+
+        embs = load_table(spark, sf_dir, "embeddings")
+        dim = len(embs.select("embedding").first()[0])
+        junk = spark.createDataFrame(
+            [
+                Row(vec_id=900001, embedding=None, label=1),
+                Row(vec_id=900002, embedding=[0.5] * dim, label=None),
+            ],
+            schema=embs.select("vec_id", "embedding", "label").schema,
+        )
+        clean = {tuple(r) for r in hard_negatives(embs, k=3).collect()}
+        with_junk = {
+            tuple(r)
+            for r in hard_negatives(
+                embs.select("vec_id", "embedding", "label").unionByName(junk), k=3
+            ).collect()
+        }
+        assert with_junk == clean
 
     def test_ivf_kernel_matches_broadcast_twin(self, spark, sf_dir):
         """The declared (distributed, no-driver-collect) hard_negatives must

@@ -559,7 +559,9 @@ def test_sized_session_binds_state_partitions(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # availableNow must finish; a False return would mean we'd count a
+        # partially-written state/0/ layout and fail confusingly downstream
+        assert q.awaitTermination(120), "availableNow query did not finish in 120s"
         # state/0/ holds one numeric dir per state partition plus _metadata
         return sum(
             1 for p in (ckpt / "state" / "0").iterdir()

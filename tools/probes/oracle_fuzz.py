@@ -265,6 +265,13 @@ def make_fuzzed_dir(profile: str, seed: int, sf_src: str, out_root: str) -> str:
         schemas[t] = pq.ParquetFile(path).schema_arrow
         tabs[t] = pd.read_parquet(path)
     MUTATORS[profile](rng, tabs)
+    # Invariant: n_chars is derived from text (NULL text -> NULL n_chars).
+    # Recomputed HERE, after the whole mutator chain, because profile
+    # order matters in `combined` (_mutate_nulls runs last and would
+    # otherwise leave text=NULL rows with a stale non-NULL n_chars,
+    # under-testing the consistency that n_chars-derived surfaces assume).
+    dc = tabs["documents"]
+    dc["n_chars"] = dc["text"].str.len().astype("Int64")
     for t in TABLES:
         # cast back through the SOURCE schema: identical logical types
         # (timestamp[us], int32, list<float>) on both engines' readers
