@@ -88,9 +88,35 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> list[float]:
+    try:
+        return [float(x) for x in open("/proc/loadavg").read().split()[:3]]
+    except OSError:  # non-Linux fallback: absent, not fabricated
+        return []
+
+
+def _spin_canary(iters: int = 5_000_000) -> float:
+    """Single-core spin calibration: wall seconds for a FIXED amount of
+    pure-Python integer work.  The r07 artifact (60.96s vs a 37.49s idle
+    run of the identical tree) needed an out-of-band re-run to attribute
+    to host throttling; this canary makes the artifact self-adjudicating:
+    on this class of host the spin takes ~0.35-0.45s idle, and external
+    throttling/contention inflates it roughly in proportion to how much
+    it inflates every other single-thread span.  Recorded at start AND
+    end so a mid-run throttle shows up as start/end skew."""
+    t0 = time.monotonic()
+    acc = 1
+    for _ in range(iters):
+        acc = (acc * 1103515245 + 12345) & 0xFFFFFFFF
+    if acc == 0:  # keep the loop un-eliminable
+        print(acc, file=sys.stderr)
+    return round(time.monotonic() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    load_start, spin_start = _loadavg(), _spin_canary()
     # Stream bench runs FIRST and in its OWN SparkContext: round 2 ran it
     # after 61 batch queries and the accumulated memory pressure cost ~30%
     # of the recorded rate (11204 -> 7718 eps); conversely, state-store and
@@ -141,6 +167,13 @@ def main() -> None:
                 "stream_eps": round(stream_eps),
                 "stream_eps_passes": [round(e) for e in stream_pass_eps],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # host-contention self-adjudication (SCALE.md "Reading the
+                # bench artifact"): loadavg at start/end + a fixed-work
+                # single-core spin in seconds at start/end.  Idle host:
+                # spin ~0.35-0.45s; a throttled/contended run inflates the
+                # spin by the same factor it inflates single-thread spans.
+                "loadavg": {"start": load_start, "end": _loadavg()},
+                "spin_canary_sec": {"start": spin_start, "end": _spin_canary()},
             },
             separators=(",", ":"),
         )

@@ -1,0 +1,414 @@
+"""Baseline JPEG (SOF0) codec + the jpeg media operators — pure
+stdlib/numpy, closing the last honestly-stubbed image-codec seam in
+:mod:`pulseboard_spark.operators.multimodal`.
+
+What is REAL here: the full baseline machinery — FDCT/quantize/zigzag,
+canonical Huffman coding with the JPEG-spec Annex K luminance tables,
+DC differential prediction, AC run-length/EOB coding, 0xFF byte
+stuffing/unstuffing, and marker-segment parsing (DQT/SOF0/DHT/SOS) —
+runs generally on arbitrary 8-bit grayscale input.  Scope honestly kept
+narrow: baseline sequential, 8-bit, ONE component (grayscale), no
+restart markers, no progressive — anything else raises
+NotImplementedError (chroma subsampling + YCbCr is a codec-breadth
+question, not a Spark-plumbing one).
+
+What makes it ORACLE-CHECKABLE: JPEG is lossy, but for an image whose
+8x8 blocks are each a constant EVEN value and a quant table whose DC
+step is 16, the round trip is bit-exact — FDCT of a constant block is a
+pure DC of 8*(c-128) with all AC mathematically zero, and
+8*(c-128)/16 = (c-128)/2 is an exact integer, so quantize/dequantize
+loses nothing and the IDCT returns exactly c.  :func:`synth_jpeg`
+generates that family (pixels closed-form in doc_id), so the DuckDB
+oracle reproduces every decoded statistic arithmetically while the
+decoder does the full general entropy-decode work.  The general lossy
+path (nonzero AC, rounding, stuffing) is pinned by
+``tests/test_operators.py::TestJpegCodec`` instead.
+
+100 TB posture: same as every decode stage here — one Arrow-batched
+``mapInPandas`` pass, payloads never shuffle, per-object Python is
+inherent to an entropy-coded codec, parallelism = input partitions.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+# --- tables (JPEG spec ITU-T T.81 Annex K — public constants) ---------------
+
+#: zigzag index of each raster position (row-major 8x8 -> zigzag order)
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: quant table: DC step 16 (the exactness contract for even constant
+#: blocks), AC steps 16 throughout — legal, and keeps the lossy-path
+#: error small for the pytest bound.
+QTABLE = np.full(64, 16, dtype=np.int64)
+
+# Annex K luminance DC: 16 length counts + value list (categories 0-11)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+
+# Annex K luminance AC: 16 length counts + 162 (run,size) symbols
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits, vals):
+    """(symbol -> (code, length)) for a canonical JPEG Huffman table."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+_DC_ENC = _canonical_codes(DC_BITS, DC_VALS)
+_AC_ENC = _canonical_codes(AC_BITS, AC_VALS)
+# decode maps: (length, code) -> symbol
+_DC_DEC = {(l, c): s for s, (c, l) in _DC_ENC.items()}
+_AC_DEC = {(l, c): s for s, (c, l) in _AC_ENC.items()}
+
+# DCT basis: C[u, x] = 0.5 * a(u) * cos((2x+1) u pi / 16); S = C s C^T
+_C = np.array([
+    [0.5 * (1 / np.sqrt(2) if u == 0 else 1.0) * np.cos((2 * x + 1) * u * np.pi / 16)
+     for x in range(8)]
+    for u in range(8)
+])
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        if self.pos >= len(self.data):
+            raise EOFError("entropy stream exhausted")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                raise ValueError("unexpected marker inside entropy data")
+            self.pos += 1  # skip the stuffed 0x00
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """Undo JPEG magnitude coding: v in [0, 2^size) -> signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Signed value -> (size, raw bits)."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
+    """Real baseline JPEG: 8-bit grayscale, Annex K Huffman tables, DC
+    step 16.  Dimensions not multiples of 8 are edge-replicated to the
+    block grid (standard practice); the decoder crops back."""
+    assert len(gray) == width * height
+    img = np.frombuffer(gray, dtype=np.uint8).reshape(height, width).astype(np.float64)
+    bw, bh = -(-width // 8), -(-height // 8)
+    img = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+
+    qt = QTABLE.reshape(8, 8).astype(np.float64)
+    writer = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _C @ block @ _C.T
+            # raster coefficients, emitted in zigzag order
+            q = np.rint(coef / qt).astype(np.int64).ravel()[ZIGZAG]
+            dc, diff = int(q[0]), int(q[0]) - pred
+            pred = dc
+            size, raw = _magnitude(diff)
+            code, length = _DC_ENC[size]
+            writer.write(code, length)
+            if size:
+                writer.write(raw, size)
+            run = 0
+            last_nz = int(np.nonzero(q[1:])[0].max()) + 1 if np.any(q[1:]) else 0
+            for k in range(1, last_nz + 1):
+                v = int(q[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = _AC_ENC[0xF0]  # ZRL
+                    writer.write(zc, zl)
+                    run -= 16
+                size, raw = _magnitude(v)
+                code, length = _AC_ENC[(run << 4) | size]
+                writer.write(code, length)
+                writer.write(raw, size)
+                run = 0
+            if last_nz < 63:
+                ec, el = _AC_ENC[0x00]  # EOB
+                writer.write(ec, el)
+
+    dqt = bytes([0x00]) + bytes(int(QTABLE[ZIGZAG[i]]) for i in range(64))
+    # SOF carries the TRUE dimensions; block padding is encoder-internal
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFDB, dqt)
+        + _seg(0xFFC0, sof)
+        + _seg(0xFFC4, dht)
+        + _seg(0xFFDA, sos)
+        + writer.flush()
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """General baseline decoder for the supported scope: parse
+    DQT/SOF0/DHT/SOS, entropy-decode, dequantize, IDCT, crop, clamp.
+    Raises NotImplementedError for progressive/multi-component/12-bit
+    streams — the honest remaining seam."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt = None
+    width = height = None
+    dc_dec, ac_dec = {}, {}
+    data = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xFFDB:
+            if body[0] & 0xF0:
+                raise NotImplementedError("16-bit quant tables unsupported")
+            z = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
+            qt = np.empty(64, dtype=np.int64)
+            qt[ZIGZAG] = z  # stored zigzag -> raster
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError("only baseline sequential (SOF0) is decoded here")
+        elif marker == 0xFFC0:
+            precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8 or ncomp != 1:
+                raise NotImplementedError("only 8-bit single-component JPEGs are decoded here")
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                table = {
+                    (l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()
+                }
+                (ac_dec if tc_th & 0x10 else dc_dec).update(table)
+                off += 17 + nvals
+        elif marker == 0xFFDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xFFDA:
+            data = payload[pos : payload.rindex(b"\xff\xd9")]
+            break
+        # APPn/COM: skipped
+    if qt is None or width is None or data is None or not dc_dec or not ac_dec:
+        raise ValueError("missing DQT/SOF0/DHT/SOS segment")
+
+    def read_symbol(reader, table):
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | reader.bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    bw, bh = -(-width // 8), -(-height // 8)
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    reader = _BitReader(data)
+    qt2 = qt.reshape(8, 8).astype(np.float64)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            coef = np.zeros(64, dtype=np.int64)
+            size = read_symbol(reader, dc_dec)
+            pred += _extend(reader.bits(size), size)
+            coef[0] = pred
+            k = 1
+            while k < 64:
+                sym = read_symbol(reader, ac_dec)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                s = sym & 0x0F
+                coef[k] = _extend(reader.bits(s), s)
+                k += 1
+            block = np.empty(64, dtype=np.float64)
+            block[ZIGZAG] = coef  # zigzag -> raster
+            block = block.reshape(8, 8) * qt2
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _C.T @ block @ _C + 128.0
+    pix = np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, pix.tobytes()
+
+
+# --- operators ---------------------------------------------------------------
+
+
+def synth_jpeg(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL JPEG table: doc d gets a 8*(1+d%3) x 8*(1+d%2)
+    grayscale image whose 8x8 block (bx, by) is the constant EVEN value
+    ``2*((d + bx + 7*by) % 128)`` — the family for which baseline JPEG
+    with DC step 16 round-trips bit-exactly (module docstring), so the
+    DuckDB oracle reproduces every decoded statistic from the block grid
+    arithmetically while the decoder runs the full entropy pipeline."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": pdf["doc_id"], "media_type": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+                img = np.empty((h, w), dtype=np.uint8)
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            2 * ((d + bx + 7 * by) % 128)
+                        )
+                out["media_type"].append("image/jpeg")
+                out["payload"].append(encode_jpeg_gray(w, h, img.tobytes()))
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id").mapInPandas(
+        batches, schema="doc_id bigint, media_type string, payload binary"
+    )
+
+
+JPEG_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, n_pixels bigint, "
+    "n_blocks bigint, sum_luma bigint, max_luma int, decoded boolean"
+)
+
+
+def decoded_jpeg_features(media: DataFrame) -> DataFrame:
+    """REAL JPEG decode + integer luma statistics — the grayscale twin of
+    :func:`multimodal.decoded_features`; one Arrow-batched pass, payloads
+    never shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in ("doc_id", "media_type", "width", "height",
+                                   "n_pixels", "n_blocks", "sum_luma", "max_luma", "decoded")}
+            for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                w, h, gray = decode_jpeg_gray(bytes(payload))
+                px = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mtype)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["n_blocks"].append(-(-w // 8) * -(-h // 8))
+                out["sum_luma"].append(int(px.sum()))
+                out["max_luma"].append(int(px.max()) if len(px) else 0)
+                out["decoded"].append(True)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        batches, schema=JPEG_SCHEMA
+    )

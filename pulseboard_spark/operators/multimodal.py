@@ -104,13 +104,20 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Sniff-and-decode: PPM or PNG → (width, height, raw RGB).  Other
-    media types (JPEG, video) raise — that seam stays honestly stubbed
-    until real codecs exist in the environment."""
+    """Sniff-and-decode: PPM, PNG, or baseline JPEG → (width, height,
+    raw RGB).  JPEG (grayscale baseline, :mod:`operators.jpeg`) expands
+    luma to RGB.  Unknown containers raise — progressive/multi-component
+    JPEG raises inside the jpeg decoder (the honest remaining seam)."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(_PNG_MAGIC):
         return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from pulseboard_spark.operators.jpeg import decode_jpeg_gray
+
+        w, h, gray = decode_jpeg_gray(payload)
+        rgb = np.repeat(np.frombuffer(gray, dtype=np.uint8), 3).tobytes()
+        return w, h, rgb
     raise NotImplementedError("no codec for this payload in this environment")
 
 

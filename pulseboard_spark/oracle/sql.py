@@ -933,6 +933,21 @@ SELECT doc_id, n_bpe_tokens, n_word_tokens, n_number_tokens,
 FROM t
 """
 
+ORACLE_SQL["unicode_token_stats"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         nfc_normalize(text) AS norm,
+         regexp_extract_all(nfc_normalize(text), '\p{L}[\p{L}\p{M}]*') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(norm) AS BIGINT) AS n_chars_nfc,
+       CAST(len(toks) AS BIGINT) AS n_letter_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+       md5(array_to_string(toks, ' ')) AS tokens_fingerprint
+FROM t
+"""
+
 ORACLE_SQL["doc_fingerprint"] = f"""
 WITH {SHINGLES_CTE}
 SELECT d.doc_id, md5(d.text) AS content_hash,
@@ -1097,6 +1112,32 @@ SELECT doc_id, media_type,
        TRUE AS decoded
 FROM px
 GROUP BY doc_id, media_type, w, h
+"""
+
+ORACLE_SQL["jpeg_features"] = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(8 * (1 + doc_id % 3) AS BIGINT) AS w,
+         CAST(8 * (1 + doc_id % 2) AS BIGINT) AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id, w, h,
+         2 * ((doc_id + bx + 7 * by) % 128) AS c
+  FROM m,
+       UNNEST(generate_series(0, w // 8 - 1)) AS tx(bx),
+       UNNEST(generate_series(0, h // 8 - 1)) AS ty(by)
+)
+SELECT doc_id, 'image/jpeg' AS media_type,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       w * h AS n_pixels,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(64 * c) AS BIGINT) AS sum_luma,
+       CAST(max(c) AS INT) AS max_luma,
+       TRUE AS decoded
+FROM b
+GROUP BY doc_id, w, h
 """
 
 ORACLE_SQL["resize_media"] = """

@@ -21,7 +21,7 @@ from pulseboard_spark.sources.tables import cdp_events as _cdp_events_raw
 from pulseboard_spark.sources.tables import entity_events as _entity_events_raw
 from pulseboard_spark.functions.core import duck_round
 from pulseboard_spark.functions.ids import normalize_id
-from pulseboard_spark.operators import corpus, dedup, mlprep, multimodal, relational, rules, scd, sessions, similarity, text, timeseries
+from pulseboard_spark.operators import corpus, dedup, jpeg, mlprep, multimodal, relational, rules, scd, sessions, similarity, text, timeseries, unicode_text
 from pulseboard_spark.operators.ewma import with_ewma
 from pulseboard_spark.operators.identity import (
     components_for,
@@ -1378,6 +1378,14 @@ def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(_docs(spark, sf_dir))
 
 
+def unicode_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual (NFC + \\p{L}) token surface — the upstream-normalize
+    path ascii_lower's docstring prescribes for non-ASCII corpora.  The
+    casefold=True variant has no DuckDB mirror and is pinned by
+    TestUnicodeNormalize instead."""
+    return unicode_text.unicode_token_stats(_docs(spark, sf_dir))
+
+
 def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(_docs(spark, sf_dir))
 
@@ -1538,6 +1546,15 @@ def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the in-module stdlib parser, emit integer signal stats — oracle-checked
     against the closed-form sample model."""
     return multimodal.decoded_audio_features(multimodal.synth_audio(_docs(spark, sf_dir)))
+
+
+def jpeg_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode: synthesize genuine SOF0 payloads
+    (Huffman + DCT), decode them with the in-module codec, and emit
+    integer luma statistics — oracle-checked against the closed-form
+    constant-block pixel model for which the lossy round trip is
+    bit-exact (operators/jpeg.py module docstring)."""
+    return jpeg.decoded_jpeg_features(jpeg.synth_jpeg(_docs(spark, sf_dir)))
 
 
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2247,6 +2264,8 @@ QUERIES: dict[str, QueryFn] = {
     "identity_components_incremental": identity_components_incremental_q,
     "dedup_clusters": dedup_clusters_q,
     "doc_lm_score": doc_lm_score_q,
+    "unicode_token_stats": unicode_token_stats_q,  # NEW r08 — window placement in the r08 rotation
+    "jpeg_features": jpeg_features_q,  # NEW r08 — window placement in the r08 rotation
 }
 
 

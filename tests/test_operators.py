@@ -304,7 +304,20 @@ class TestImageCodecs:
         from pulseboard_spark.operators.multimodal import decode_image
 
         with _pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff jpeg-ish bytes")
+            decode_image(b"GIF89a not-a-supported-container")
+
+    def test_jpeg_routes_through_decode_image(self):
+        """Baseline JPEG is a real citizen of the generic image path now:
+        grayscale luma expands to RGB."""
+        import numpy as np
+
+        from pulseboard_spark.operators.jpeg import encode_jpeg_gray
+        from pulseboard_spark.operators.multimodal import decode_image
+
+        img = np.full((8, 16), 42, dtype=np.uint8)  # constant even block
+        w, h, rgb = decode_image(encode_jpeg_gray(16, 8, img.tobytes()))
+        assert (w, h) == (16, 8)
+        assert rgb == np.repeat(img.ravel(), 3).tobytes()
 
     def test_decoded_features_match_pixel_model(self, spark, sf_dir):
         """End-to-end: synth PNG/PPM payloads, decode through the stdlib
@@ -325,6 +338,96 @@ class TestImageCodecs:
             assert r.sum_r == sum(ps[0::3])
             assert r.sum_g == sum(ps[1::3])
             assert r.sum_b == sum(ps[2::3])
+            assert r.decoded
+
+
+class TestJpegCodec:
+    """The general lossy baseline-JPEG path (nonzero AC, run-length,
+    stuffing, cropping) — the parts the oracle's exact constant-block
+    family cannot cover."""
+
+    def test_exact_family_round_trips_bit_exact(self):
+        """The oracle contract: constant EVEN 8x8 blocks + DC step 16
+        round-trip with zero loss."""
+        import numpy as np
+
+        from pulseboard_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+        for d in (0, 1, 5, 17, 254):
+            w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+            img = np.empty((h, w), dtype=np.uint8)
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 2 * ((d + bx + 7 * by) % 128)
+            w2, h2, gray = decode_jpeg_gray(encode_jpeg_gray(w, h, img.tobytes()))
+            assert (w2, h2) == (w, h)
+            assert gray == img.tobytes()
+
+    def test_random_pixels_bounded_error(self):
+        """Arbitrary input exercises AC magnitude/run-length coding; the
+        reconstruction error is bounded by the quantization step."""
+        import numpy as np
+
+        from pulseboard_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+        rng = np.random.default_rng(7)
+        for _ in range(4):
+            w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            payload = encode_jpeg_gray(w, h, img.tobytes())
+            w2, h2, gray = decode_jpeg_gray(payload)
+            assert (w2, h2) == (w, h)
+            got = np.frombuffer(gray, dtype=np.uint8).reshape(h, w).astype(int)
+            # uniform step 16: worst-case per-pixel error stays well under
+            # 2 steps even with every AC coefficient rounding adversarially
+            assert np.abs(got - img.astype(int)).max() <= 32
+
+    def test_byte_stuffing_and_crop(self):
+        """A near-saturated image forces 0xFF bytes into the entropy
+        stream (stuffing), and non-multiple-of-8 dims force pad+crop."""
+        import numpy as np
+
+        from pulseboard_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+        img = np.full((10, 13), 254, dtype=np.uint8)
+        payload = encode_jpeg_gray(13, 10, img.tobytes())
+        w, h, gray = decode_jpeg_gray(payload)
+        assert (w, h) == (13, 10)
+        got = np.frombuffer(gray, dtype=np.uint8).reshape(10, 13).astype(int)
+        assert np.abs(got - 254).max() <= 2
+
+    def test_unsupported_scope_raises(self):
+        import pytest as _pytest
+
+        from pulseboard_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+        with _pytest.raises(ValueError):
+            decode_jpeg_gray(b"not a jpeg")
+        # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+        import numpy as np
+
+        p = bytearray(encode_jpeg_gray(8, 8, np.zeros(64, dtype=np.uint8).tobytes()))
+        p[bytes(p).index(b"\xff\xc0") + 1] = 0xC2
+        with _pytest.raises(NotImplementedError):
+            decode_jpeg_gray(bytes(p))
+
+    def test_jpeg_features_match_block_model(self, spark, sf_dir):
+        """End-to-end: synth JPEG payloads, full entropy decode, luma
+        stats against the closed-form block model (the oracle's formula)."""
+        from pulseboard_spark.operators.jpeg import decoded_jpeg_features, synth_jpeg
+        from pulseboard_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = decoded_jpeg_features(synth_jpeg(docs)).collect()
+        assert len(rows) == docs.count()
+        for r in rows[:50]:
+            d = r.doc_id
+            w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+            blocks = [2 * ((d + bx + 7 * by) % 128) for bx in range(w // 8) for by in range(h // 8)]
+            assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+            assert r.n_blocks == len(blocks)
+            assert r.sum_luma == 64 * sum(blocks)
+            assert r.max_luma == max(blocks)
             assert r.decoded
 
 
@@ -2733,3 +2836,113 @@ class TestAsciiFold:
         s = "the fast key order sort table scan merge part window 123"
         df = spark.createDataFrame([(s,)], "text string")
         assert df.select(ascii_lower(F.col("text"))).collect()[0][0] == s
+
+
+class TestUnicodeNormalize:
+    """normalize_text / letter_tokens must agree with the DuckDB oracle
+    primitives (nfc_normalize, RE2 \\p{L}+) byte-for-byte — the safety
+    argument for oracle-checking unicode_token_stats.  NFC agreement is
+    guaranteed by the Unicode normalization stability policy; these tests
+    keep the guarantee *verified* across Python/utf8proc/JVM upgrades."""
+
+    SNIPPETS = [
+        "ÅNGSTRÖM straße Über ÇELIK İstanbul",
+        "日本語のテキストは空白なしで続きます",
+        "مرحبا بالعالم هذا نص عربي",
+        "emoji 🎉🚀 mixé Café naïve rôle",
+        "éléphant å",  # decomposed accents: NFC must compose
+        "ΚΑΛΗΜΕΡΑ ΣΟΦΟΣ τέλος",
+        "Ångström Ångström",  # composed/decomposed twins of one word
+        "Ǆungla ǅungla ǆungla",  # tri-case ligature
+        "한국어 텍스트 테스트",
+        "नमस्ते दुनिया",  # Devanagari: matras are \p{M}, words must stay whole
+        "i̇stanbul  ̇ x",  # combining-mark continuation + a letterless mark run
+        "",
+        "   \t  ",
+        "plain ascii TEXT 123 #$%",
+        None,
+    ]
+
+    def test_spark_plan_matches_duckdb_end_to_end(self, spark):
+        """The full operator column stack (pandas-UDF NFC → JVM \\p{L}
+        tokenizer → md5 fingerprint) vs the oracle's expressions."""
+        import duckdb
+
+        from pulseboard_spark.operators.unicode_text import letter_tokens, normalize_text
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(self.SNIPPETS)], "i int, text string"
+        )
+        norm = normalize_text(F.col("text"))
+        got = {
+            r["i"]: (r["norm"], r["toks"])
+            for r in df.select("i", norm.alias("norm"), letter_tokens(norm).alias("toks")).collect()
+        }
+        con = duckdb.connect()
+        for i, s in enumerate(self.SNIPPETS):
+            want = con.execute(
+                r"SELECT nfc_normalize(?),"
+                r" regexp_extract_all(nfc_normalize(?), '\p{L}[\p{L}\p{M}]*')",
+                [s, s],
+            ).fetchone()
+            assert got[i][0] == want[0], f"NFC diverges on {s!r}"
+            toks = list(got[i][1]) if got[i][1] is not None else None
+            assert toks == want[1], f"\\p{{L}} tokens diverge on {s!r}"
+
+    def test_nfc_kernel_matches_duckdb_on_random_unicode(self):
+        """Hypothesis fuzz of the kernel-vs-utf8proc boundary (no JVM —
+        the Spark application of the same kernel is pinned end-to-end
+        above).  Alphabet: the scripts + combining marks a multilingual
+        corpus actually contains."""
+        import duckdb
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pulseboard_spark.operators.unicode_text import _nfc
+
+        alphabet = st.one_of(
+            st.characters(codec="utf-8", categories=["L", "M", "N", "P", "Z", "S"]),
+            st.sampled_from("åéİßǅΣσς ̇̊́日本語한مر🎉"),
+        )
+        con = duckdb.connect()
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet=alphabet, max_size=40))
+        def check(s):
+            want = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+            assert _nfc(s) == want
+
+        check()
+
+    def test_casefold_pins(self):
+        """The casefolded canonical form has NO DuckDB mirror — pin its
+        defining cases against explicit expected strings."""
+        from pulseboard_spark.operators.unicode_text import _nfc_casefold
+
+        assert _nfc_casefold("straße") == "strasse"  # full fold, not simple
+        assert _nfc_casefold("İstanbul") == "i̇stanbul"  # dotted İ keeps the dot
+        assert _nfc_casefold("ΣΟΦΟΣ") == "σοφοσ"  # final sigma folds to σ
+        assert _nfc_casefold("Ǆungla") == "ǆungla"
+        assert _nfc_casefold("Ångström") == "ångström"  # decomposed in, composed out
+        assert _nfc_casefold(None) is None
+        assert _nfc_casefold("") == ""
+
+    def test_casefold_variants_share_fingerprint(self, spark):
+        """The point of the caseless form: case/composition variants of
+        the same word must produce identical token fingerprints."""
+        from pulseboard_spark.operators.unicode_text import unicode_token_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "Straße über İstanbul", "de", 20),
+                (2, "STRASSE ÜBER İSTANBUL", "de", 21),
+                (3, "straße über i̇stanbul", "de", 22),  # decomposed umlaut
+            ],
+            "doc_id long, text string, lang string, n_chars long",
+        )
+        rows = unicode_token_stats(docs, casefold=True).collect()
+        fps = {r["tokens_fingerprint"] for r in rows}
+        assert len(fps) == 1
+        # 3, not 4: the \p{M} continuation keeps casefolded 'İ' (i+U+0307,
+        # no precomposed NFC form) inside one token
+        assert {r["n_letter_tokens"] for r in rows} == {3}
