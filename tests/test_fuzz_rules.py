@@ -127,15 +127,31 @@ def batch_alerts(spark, rows) -> set[tuple]:
     return {tuple(r) for r in got.select("rule", "entity_id", "ts_ms", "severity", "event_id").collect()}
 
 
+def _check_kernel_equals_batch(spark, hist):
+    rows, cuts = hist
+    want = batch_alerts(spark, rows)
+    got = kernel_alerts(rows, cuts)
+    assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(hist=histories())
+def test_kernel_equals_batch_smoke(spark, hist):
+    """Fast pin (default gate): 4 random histories through the full
+    batch-vs-kernel equality; the 15-example profile runs in the slow
+    tier (each example pays a Spark batch job, ~2.5 s)."""
+    _check_kernel_equals_batch(spark, hist)
+
+
+@pytest.mark.slow
 @pytest.mark.usefixtures("spark")
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(hist=histories())
 def test_kernel_equals_batch_on_random_histories(spark, hist):
-    rows, cuts = hist
-    want = batch_alerts(spark, rows)
-    got = kernel_alerts(rows, cuts)
-    assert got == want
+    _check_kernel_equals_batch(spark, hist)
 
 
 # ---------------------------------------------------------------------------

@@ -1077,13 +1077,13 @@ class TestMergeComponents:
             max_local_edges=0,
         )
 
-    def test_random_graphs(self, spark):
+    def _random_graph_trials(self, spark, n_trials):
         """Randomized splits of random sparse graphs: the increment must
         equal the full recompute regardless of which edges arrive late."""
         import random
 
         rng = random.Random(20260814)
-        for trial in range(4):
+        for trial in range(n_trials):
             n = rng.randint(6, 24)
             ids = [f"n{i:02d}" for i in range(n)]
             m = rng.randint(n // 2, 2 * n)
@@ -1098,6 +1098,16 @@ class TestMergeComponents:
                 delta_edges=edges[cut:],
                 extra_nodes=ids,  # include isolated nodes in every trial
             )
+
+    def test_random_graph_smoke(self, spark):
+        """Fast pin (default gate): one randomized graph trial; the
+        4-trial profile runs in the slow tier (~6 s per trial — each
+        trial is a full incremental-vs-recompute Spark comparison)."""
+        self._random_graph_trials(spark, 1)
+
+    @pytest.mark.slow
+    def test_random_graphs(self, spark):
+        self._random_graph_trials(spark, 4)
 
 
 class TestPagerank:

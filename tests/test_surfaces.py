@@ -21,6 +21,8 @@ are cheap and already exercised elsewhere in the suite.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql.types import ArrayType, MapType, StructType
 
 from pulseboard_spark.registry import QUERIES
@@ -38,6 +40,33 @@ def test_rows_only_queries_stay_below_hash_window():
     )
 
 
+def test_no_container_columns_at_rows_only_surfaces(spark, sf_dir):
+    """Fast pin (default gate): the rows-only queries are the ONLY
+    registry entries the strict parity sweep does not walk — precisely
+    where the r03 array-surface crash hid — so their scalar-surface
+    contract must hold in every default-gate run.  The all-registry
+    audit below (slow tier) keeps the belt-and-braces sweep."""
+    from pulseboard_spark.registry import ORACLE_SQL
+
+    offenders: list[str] = []
+    for name, fn in QUERIES.items():
+        if name in ORACLE_SQL:
+            continue  # covered by the parity sweep every round
+        schema = fn(spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, (
+        "container-typed rows-only surfaces (would crash the driver's "
+        "pandas canonicalizer): " + "; ".join(offenders)
+    )
+
+
+@pytest.mark.slow
 def test_no_container_columns_at_any_driver_surface(spark, sf_dir):
     offenders: list[str] = []
     for name, fn in QUERIES.items():

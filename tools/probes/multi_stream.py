@@ -210,7 +210,15 @@ def _lat_parts(src_dir: str) -> list[str]:
         glob.glob(f"{src_dir.replace('chunk=*', '')}/chunk=*/part-*.parquet"))
 
 
-def phase3_latency(spark, work: str, sources, n_ticks: int = 30, trigger_s: float = 1.0) -> dict:
+#: --tuned sizing (SCALE.md "The latency dial, measured"): each query's
+#: state-partition count ~ its active key-groups per batch.  alerts keeps
+#: the parent 32 (thousands of (entity,type) groups — starving it was
+#: measured 4.9s -> 9.1s); profile/segment-grained queries run at 8.
+TUNED_PARTITIONS = {"alerts": None, "profiles": 8, "segments": 8}
+
+
+def phase3_latency(spark, work: str, sources, n_ticks: int = 30, trigger_s: float = 1.0,
+                   sizing: dict[str, int | None] | None = None) -> dict:
     """BASELINE.md's visibility-latency contract, measured: with the three
     stateful queries running CONCURRENTLY at a 1 s processing-time trigger,
     how long from an input file LANDING to its batch's output COMMIT?
@@ -228,12 +236,16 @@ def phase3_latency(spark, work: str, sources, n_ticks: int = 30, trigger_s: floa
     or after the stage time — read from each query's recentProgress log."""
     from datetime import datetime, timezone
 
+    from pulseboard_spark.streaming.pipeline import sized_session
+
     names = ["alerts", "profiles", "segments"]
-    queries = {
-        n: _start(spark, n, sources[n][0], sources[n][1], f"{work}/ckpt3/{n}", "noop",
-                  trigger_s=trigger_s)
-        for n in names
-    }
+    queries = {}
+    for n in names:
+        # per-query state sizing: the source must be built on the sized
+        # session (a plan binds the session that created it)
+        sess = sized_session(spark, sizing[n]) if sizing and sizing.get(n) else spark
+        queries[n] = _start(sess, n, sources[n][0], sources[n][1],
+                            f"{work}/ckpt3/{n}", "noop", trigger_s=trigger_s)
     try:
         for q in queries.values():
             q.processAllAvailable()  # absorb initial data + state warm-up
@@ -322,7 +334,10 @@ def main() -> None:
                 if a.startswith("--shuffle="):
                     spark.conf.set("spark.sql.shuffle.partitions", a.split("=", 1)[1])
                     print(f"# shuffle partitions = {a.split('=', 1)[1]}", flush=True)
-            lat = phase3_latency(spark, work, sources)
+            sizing = TUNED_PARTITIONS if "--tuned" in sys.argv else None
+            if sizing:
+                print(f"# per-query state partitions (sized_session): {sizing}", flush=True)
+            lat = phase3_latency(spark, work, sources, sizing=sizing)
             _print_latency(lat)
             return
         phase1_equality(spark, work, sources, bounds)
