@@ -95,28 +95,56 @@ def _loadavg() -> list[float]:
         return []
 
 
-def _spin_canary(iters: int = 5_000_000) -> float:
-    """Single-core spin calibration: wall seconds for a FIXED amount of
-    pure-Python integer work.  The r07 artifact (60.96s vs a 37.49s idle
-    run of the identical tree) needed an out-of-band re-run to attribute
-    to host throttling; this canary makes the artifact self-adjudicating:
-    on this class of host the spin takes ~0.35-0.45s idle, and external
-    throttling/contention inflates it roughly in proportion to how much
-    it inflates every other single-thread span.  Recorded at start AND
-    end so a mid-run throttle shows up as start/end skew."""
-    t0 = time.monotonic()
+def _spin_canary(iters: int = 2_000_000, reps: int = 5) -> float:
+    """Single-core spin calibration: MEDIAN wall seconds for a FIXED
+    amount of pure-Python integer work, over ``reps`` back-to-back runs
+    (single readings swing ~2x on this host as the outside-the-guest
+    throttle comes and goes — the same throttle being measured).  The r07
+    artifact (60.96s vs a 37.49s idle run of the identical tree) needed
+    an out-of-band re-run to attribute to host throttling; this canary
+    makes the artifact self-adjudicating: measured idle band on this host
+    ~0.20-0.45s (SCALE.md "Reading the bench artifact"); throttling
+    inflates it roughly in proportion to every other single-thread span.
+    Recorded at start AND end so a mid-run throttle shows up as skew."""
+    times = []
     acc = 1
-    for _ in range(iters):
-        acc = (acc * 1103515245 + 12345) & 0xFFFFFFFF
+    for _ in range(reps):
+        t0 = time.monotonic()
+        for _ in range(iters):
+            acc = (acc * 1103515245 + 12345) & 0xFFFFFFFF
+        times.append(time.monotonic() - t0)
     if acc == 0:  # keep the loop un-eliminable
         print(acc, file=sys.stderr)
+    return round(sorted(times)[reps // 2], 3)
+
+
+def _spin_canary_mc(procs: int = 8, iters: int = 2_000_000) -> float:
+    """Aggregate-CPU throttle detector: the SAME fixed spin in ``procs``
+    concurrent subprocesses, wall seconds.  A host throttle that caps
+    total guest CPU (rather than per-core speed) leaves the single-core
+    canary in its idle band while inflating every parallel span — the
+    round-8 latency session measured exactly that (single-core spin
+    0.21s = idle, yet the identical untuned probe ran 1.7x its r07
+    numbers).  Idle band on this host: ~0.5-0.8s for 8 procs (spin +
+    interpreter startup); aggregate throttling inflates it directly."""
+    import subprocess
+
+    code = (
+        "acc = 1\n"
+        f"for _ in range({iters}):\n"
+        "    acc = (acc * 1103515245 + 12345) & 0xFFFFFFFF\n"
+    )
+    t0 = time.monotonic()
+    ps = [subprocess.Popen([sys.executable, "-c", code]) for _ in range(procs)]
+    for p in ps:
+        p.wait()
     return round(time.monotonic() - t0, 3)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    load_start, spin_start = _loadavg(), _spin_canary()
+    load_start, spin_start, spin_mc_start = _loadavg(), _spin_canary(), _spin_canary_mc()
     # Stream bench runs FIRST and in its OWN SparkContext: round 2 ran it
     # after 61 batch queries and the accumulated memory pressure cost ~30%
     # of the recorded rate (11204 -> 7718 eps); conversely, state-store and
@@ -169,11 +197,14 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # host-contention self-adjudication (SCALE.md "Reading the
                 # bench artifact"): loadavg at start/end + a fixed-work
-                # single-core spin in seconds at start/end.  Idle host:
-                # spin ~0.35-0.45s; a throttled/contended run inflates the
+                # single-core spin (median of 5) at start/end.  Idle host:
+                # ~0.20-0.45s; a throttled/contended run inflates the
                 # spin by the same factor it inflates single-thread spans.
                 "loadavg": {"start": load_start, "end": _loadavg()},
                 "spin_canary_sec": {"start": spin_start, "end": _spin_canary()},
+                # 8-process spin: catches aggregate-CPU throttling the
+                # single-core canary is blind to (idle ~0.5-0.8s)
+                "spin_canary_mc_sec": {"start": spin_mc_start, "end": _spin_canary_mc()},
             },
             separators=(",", ":"),
         )

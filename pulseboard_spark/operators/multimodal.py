@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
 # Pure-stdlib image codecs (no media libraries in this container): binary
-# PPM (P6) and a real zlib-compressed PNG (8-bit RGB, filter 0).  These are
-# genuine encode→decode round-trips over compressed/structured bytes — the
-# decode seam is REAL for images; only audio/video codecs remain stubbed.
+# PPM (P6), a real zlib-compressed PNG (8-bit RGB, filter 0), and — via
+# :mod:`operators.jpeg` — real baseline JPEG (SOF0, Huffman + DCT).  These
+# are genuine encode→decode round-trips over compressed/entropy-coded
+# bytes; the remaining honest seams are progressive/multi-component JPEG
+# and real video containers (PBV1 below is a genuine container, not MP4).
 # ---------------------------------------------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"

@@ -86,11 +86,19 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "pulseboard-spark", cpus: int | None = None) -> SparkSession:
+def get_spark(app_name: str = "pulseboard-spark", cpus: int | None = None,
+              fair: bool = False) -> SparkSession:
     """Build a local session sized for the test harness.
 
     On a real cluster this builder is replaced by spark-submit confs; the
     operator layer never assumes local mode.
+
+    ``fair=True`` starts the context with the FAIR task scheduler — the
+    co-resident-streaming posture: each streaming query is pinned to its
+    own on-demand pool (``sparkContext.setLocalProperty("spark.scheduler.
+    pool", ...)`` before ``start()``; the microbatch thread inherits it),
+    so one query's task flood cannot queue another's small batches behind
+    it.  Static conf — must be chosen at context creation.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -104,5 +112,7 @@ def get_spark(app_name: str = "pulseboard-spark", cpus: int | None = None) -> Sp
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if fair:
+        builder = builder.config("spark.scheduler.mode", "FAIR")
     spark = builder.getOrCreate()
     return tune(spark)

@@ -21,6 +21,8 @@ between are source-agnostic DataFrame ops.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -342,6 +344,35 @@ def sized_session(spark: SparkSession, state_partitions: int) -> SparkSession:
     tune(s)  # re-apply runtime confs; a fresh session starts from builder defaults
     s.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     return s
+
+
+@contextmanager
+def scheduler_pool(spark: SparkSession, pool: str):
+    """Pin queries started inside the block to a FAIR scheduler pool —
+    the co-residency dial that `sized_session` alone cannot turn.
+
+    Round-8 measurement (SCALE.md "Tuned visibility latency"): with the
+    three stateful pipelines co-resident, per-query partition sizing
+    barely moved p95 visibility because the rules query's 32-partition
+    task flood queued the small queries' batches behind it (FIFO).  With
+    the context started in FAIR mode (``get_spark(fair=True)`` /
+    ``spark.scheduler.mode=FAIR``) and one on-demand pool per query,
+    profile/segment p95 dropped ~8.6 s → ~3 s and alerts improved too —
+    no query's burst starves another's latency floor.
+
+    Mechanics: ``spark.scheduler.pool`` is a thread-local property; the
+    microbatch thread created inside ``start()`` inherits it, so set it
+    around the ``start()`` call.  Pools are created on demand (weight 1,
+    FIFO within) — no allocation file needed.  Under the default FIFO
+    scheduler the property is inert, so the helper is safe everywhere.
+    """
+    sc = spark.sparkContext
+    prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try:
+        yield spark
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", prev)
 
 
 def use_rocksdb_state(spark: SparkSession, changelog: bool = True) -> None:

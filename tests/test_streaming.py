@@ -531,6 +531,40 @@ def test_checkpoint_restart_recovery(spark, sf_dir, entity_chunks_dir, tmp_path)
         assert want[r.minute_ms] == r.n_events
 
 
+def test_scheduler_pool_sets_and_restores_property(spark, tmp_path):
+    """scheduler_pool pins spark.scheduler.pool around start() and
+    restores the previous value (nesting-safe); under the default FIFO
+    scheduler the property is inert, so a query started inside a pool
+    still runs to completion with correct output."""
+    import json
+
+    from pulseboard_spark.streaming.pipeline import scheduler_pool
+
+    sc = spark.sparkContext
+    assert sc.getLocalProperty("spark.scheduler.pool") is None
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(json.dumps({"id": i % 3}) for i in range(30)))
+    with scheduler_pool(spark, "outer"):
+        assert sc.getLocalProperty("spark.scheduler.pool") == "outer"
+        with scheduler_pool(spark, "pool_counts"):
+            assert sc.getLocalProperty("spark.scheduler.pool") == "pool_counts"
+            q = (
+                spark.readStream.schema("id LONG").json(str(src))
+                .groupBy("id").count()
+                .writeStream.outputMode("complete")
+                .format("memory").queryName("pool_counts_q")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+        assert sc.getLocalProperty("spark.scheduler.pool") == "outer"
+    assert sc.getLocalProperty("spark.scheduler.pool") is None
+    got = {r["id"]: r["count"] for r in spark.sql("SELECT * FROM pool_counts_q").collect()}
+    assert got == {0: 10, 1: 10, 2: 10}
+
+
 def test_sized_session_binds_state_partitions(spark, tmp_path):
     """sized_session pins a PER-QUERY state-store partition count (the
     measured latency dial, SCALE.md): two stateful queries started from

@@ -236,16 +236,19 @@ def phase3_latency(spark, work: str, sources, n_ticks: int = 30, trigger_s: floa
     or after the stage time — read from each query's recentProgress log."""
     from datetime import datetime, timezone
 
-    from pulseboard_spark.streaming.pipeline import sized_session
+    from pulseboard_spark.streaming.pipeline import scheduler_pool, sized_session
 
     names = ["alerts", "profiles", "segments"]
     queries = {}
     for n in names:
         # per-query state sizing: the source must be built on the sized
-        # session (a plan binds the session that created it)
+        # session (a plan binds the session that created it); under FAIR,
+        # one on-demand pool per query so no query's task flood queues
+        # another's batches behind it (inert under FIFO)
         sess = sized_session(spark, sizing[n]) if sizing and sizing.get(n) else spark
-        queries[n] = _start(sess, n, sources[n][0], sources[n][1],
-                            f"{work}/ckpt3/{n}", "noop", trigger_s=trigger_s)
+        with scheduler_pool(spark, f"pool_{n}"):
+            queries[n] = _start(sess, n, sources[n][0], sources[n][1],
+                                f"{work}/ckpt3/{n}", "noop", trigger_s=trigger_s)
     try:
         for q in queries.values():
             q.processAllAvailable()  # absorb initial data + state warm-up
@@ -316,7 +319,9 @@ def _print_latency(lat: dict) -> None:
 def main() -> None:
     from pulseboard_spark.session import get_spark
 
-    spark = get_spark("pb-multi-stream")
+    spark = get_spark("pb-multi-stream", fair="--fair" in sys.argv)
+    if "--fair" in sys.argv:
+        print("# scheduler: FAIR (one pool per streaming query)", flush=True)
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="pb_multistream_")
     try:
@@ -335,9 +340,23 @@ def main() -> None:
                     spark.conf.set("spark.sql.shuffle.partitions", a.split("=", 1)[1])
                     print(f"# shuffle partitions = {a.split('=', 1)[1]}", flush=True)
             sizing = TUNED_PARTITIONS if "--tuned" in sys.argv else None
+            for a in sys.argv:  # e.g. --parts=alerts:16,profiles:8,segments:8
+                if a.startswith("--parts="):
+                    sizing = {
+                        k: (int(v) or None)
+                        for k, v in (kv.split(":") for kv in a.split("=", 1)[1].split(","))
+                    }
             if sizing:
                 print(f"# per-query state partitions (sized_session): {sizing}", flush=True)
+            # throttle self-documentation: same canary as bench.py, so a
+            # latency table carries its own host-speed context
+            import bench
+
+            print(f"# spin canary start: {bench._spin_canary()}s mc {bench._spin_canary_mc()}s "
+                  f"load {bench._loadavg()}", flush=True)
             lat = phase3_latency(spark, work, sources, sizing=sizing)
+            print(f"# spin canary end: {bench._spin_canary()}s mc {bench._spin_canary_mc()}s "
+                  f"load {bench._loadavg()}", flush=True)
             _print_latency(lat)
             return
         phase1_equality(spark, work, sources, bounds)
