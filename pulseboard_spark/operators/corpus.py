@@ -296,8 +296,16 @@ def source_length_bands(documents: DataFrame) -> DataFrame:
     Quantiles are the repo's cumulative-count discrete convention —
     actual data values, integer-exact on both engines.  Scale: the
     (source, n_chars) histogram collapses corpus mass before any window;
-    cum/tot windows run over ≤ |sources|·|distinct lengths| rows."""
-    hist = documents.groupBy("source", "n_chars").agg(
+    cum/tot windows run over ≤ |sources|·|distinct lengths| rows.
+
+    NULL ``n_chars`` rows are excluded: a document with no known length
+    has nothing to band, and keeping the NULL group is engine-divergent
+    (Spark windows order NULLS FIRST, DuckDB NULLS LAST — the cumulative
+    counts shift every quantile; combined-fuzz find, r08, surfaced by
+    restoring the text→n_chars consistency the fuzz had under-tested)."""
+    hist = documents.filter(F.col("n_chars").isNotNull()).groupBy(
+        "source", "n_chars"
+    ).agg(
         F.count(F.lit(1)).alias("c")
     )
     wp = Window.partitionBy("source")

@@ -944,7 +944,11 @@ SELECT doc_id,
        CAST(length(norm) AS BIGINT) AS n_chars_nfc,
        CAST(len(toks) AS BIGINT) AS n_letter_tokens,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
-       md5(array_to_string(toks, ' ')) AS tokens_fingerprint
+       -- duckdb's array_to_string([], sep) is NULL where Spark's
+       -- array_join([], sep) is '' (combined-fuzz find, r08): a
+       -- zero-token doc fingerprints as md5(''), distinct from NULL text
+       md5(CASE WHEN toks IS NULL THEN NULL
+                ELSE coalesce(array_to_string(toks, ' '), '') END) AS tokens_fingerprint
 FROM t
 """
 
@@ -2184,7 +2188,11 @@ FROM counts
 # Per-source length envelope (operators/corpus.py::source_length_bands):
 # lower-discrete P10/P50/P90 over the (source, n_chars) histogram.
 ORACLE_SQL["source_length_bands"] = """
-WITH h AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+-- n_chars IS NOT NULL mirrors the operator: a NULL-length doc has
+-- nothing to band, and the NULL group's window position is
+-- engine-divergent (Spark NULLS FIRST vs duckdb NULLS LAST)
+WITH h AS (SELECT source, n_chars, count(*) AS c FROM documents
+           WHERE n_chars IS NOT NULL GROUP BY 1, 2),
 cum AS (
   SELECT source, n_chars, c,
          sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,

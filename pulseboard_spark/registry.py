@@ -2047,41 +2047,116 @@ def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Registry ----------------------------------------------------------------
 
 # Ordering policy: the correctness driver hash-checks the FIRST 50 entries
-# of this dict per round.  All 173 oracle-checked queries have >= 1 green
-# driver row (100% after r06), so the window's job is EVIDENCE FRESHNESS:
-# round 7 leads with the 5 queries whose plan or oracle changed after
-# their last green (the r06 LWW/attribution fixes touched the CDP
-# family's r05 evidence; this round's sum_30s empty-window coalesce
-# re-stales win_trailing_aggs), then retires ALL remaining old evidence —
-# the 5 r01-only stragglers, the 19 r02-latest, and the 21 r03-latest —
-# so after r07 no green predates r04.  ROWS-ONLY queries NEVER take
-# window slots: the driver records a no_oracle entry as a FAIL row (r03
-# proved it — 5 burned slots), so their evidence is the in-repo pinned
-# tests + exact-twin oracle queries, and they live strictly below the
-# boundary.
+# of this dict per round.  All previously-existing oracle-checked queries
+# have >= 1 green driver row (173/173 cumulative after r07), so the
+# window's job is EVIDENCE FRESHNESS: lead with queries whose plan or
+# oracle changed after their last green, then the two NEW r08 queries,
+# then retire the oldest evidence (every remaining r04-latest anchor plus
+# the oldest-r05 text-path riders) — after r08 grades, no oracle-checked
+# query's green predates r05.  ROWS-ONLY queries NEVER take window slots:
+# the driver records a no_oracle entry as a FAIL row (r03 proved it — 5
+# burned slots), so their evidence is the in-repo pinned tests +
+# exact-twin oracle queries, and they live strictly below the boundary.
 QUERIES: dict[str, QueryFn] = {
-    # — round-7 rotation (driver hash window = first 50) —
-    # Head (5): the queries whose batch plan or oracle changed AFTER
-    # their last driver green — the r06 LWW null-trait fix
-    # (operators/profiles.py:40-54) and attribution NULL fix touched the
-    # CDP family's r05 evidence, and this round's empty-window sum_30s
-    # coalesce (operators/windows.py) re-stales win_trailing_aggs' r06
-    # green.  In-repo parity covers all five; the window externalizes it.
+    # ==== round-8 rotation (driver hash window = first 50) ====
+    # FREEZE RULE (the r06->r07 staleness recurrence, twice): this dict's
+    # order is re-frozen AFTER the round's LAST plan/oracle-touching
+    # commit.  Any commit that changes a query's plan or oracle after
+    # this block was written must move that query into the head and
+    # re-balance the window before hand-off.
+    #
+    # Head (16): the fuzz-campaign-touched queries whose driver green
+    # predates the campaign's plan/oracle edits (VERDICT r07 item 1) —
+    # the ascii-fold/tokenization family (r04/r05 greens; plans changed
+    # in c75065b), the numpy-kernel NULL gates (r05), tpch_q2's NULL-cost
+    # argmin fix (r06), and the rule family riding the r07 entity
+    # validation gate (r06 greens).
+    "doc_lm_score": doc_lm_score_q,
+    "doc_keywords": doc_keywords_q,
+    "boilerplate_lines": boilerplate_lines_q,
+    "doc_entropy": doc_entropy_q,
+    "text_quality": text_quality_q,
+    "value_autocorr": value_autocorr_q,
+    "centroid_distances": centroid_distances_q,
+    "embedding_dim_stats": embedding_dim_stats_q,
+    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "r1_velocity_spike": r1_q,
+    "r2_value_spike": r2_q,
+    "r3_geo_device_mismatch": r3_q,
+    "r4_exfil": r4_q,
+    "alerts": alerts_q,
+    "ewma": ewma_q,
+    "events_per_min": events_per_min_q,
+    # r08 plan-touched + new surfaces (4): hard_negatives gained the
+    # operator-level NULL-embedding gate; source_length_bands gained the
+    # NULL-n_chars exclusion (r08 combined-fuzz find: the NULL group's
+    # window position is engine-divergent); unicode_token_stats and
+    # jpeg_features are the round's two new oracle-checked queries.
+    "hard_negatives": hard_negatives_q,
+    "source_length_bands": source_length_bands_q,
+    "unicode_token_stats": unicode_token_stats_q,
+    "jpeg_features": jpeg_features_q,
+    # All 25 remaining queries whose latest green is r04 — after r08
+    # grades, no oracle-checked query's evidence predates r05.
+    "active_user_stickiness": active_user_stickiness_q,
+    "alert_summary": alert_summary_q,
+    "approx_value_quantiles": approx_value_quantiles_q,
+    "audio_fingerprint_dedup": audio_fingerprint_dedup_q,
+    "cross_source_overlap": cross_source_overlap_q,
+    "cusum_changepoints": cusum_changepoints_q,
+    "daily_value_bands": daily_value_bands_q,
+    "dedup_clusters": dedup_clusters_q,
+    "dedup_clusters_incremental": dedup_clusters_incremental_q,
+    "dedup_threshold_sweep": dedup_threshold_sweep_q,
+    "doc_feature_matrix": doc_feature_matrix_q,
+    "embedding_norm_outliers": embedding_norm_outliers_q,
+    "event_paths_topk": event_paths_topk_q,
+    "funnel_latency": funnel_latency_q,
+    "holt_forecast": holt_forecast_q,
+    "identity_components_incremental": identity_components_incremental_q,
+    "identity_pagerank": identity_pagerank_q,
+    "identity_triangles": identity_triangles_q,
+    "key_skew_audit": key_skew_audit_q,
+    "line_dedup": line_dedup_q,
+    "media_phash_dedup": media_phash_dedup_q,
+    "quality_funnel": quality_funnel_q,
+    "session_basket_lift": session_basket_lift_q,
+    "source_quality_report": source_quality_report_q,
+    "time_to_return": time_to_return_q,
+    # Oldest-r05 fill (6), chosen shingle/tokenization-adjacent: these
+    # ride the same text paths the r07 fold/empty-shingle edits touched.
+    "dedup_minhash": dedup_minhash_q,
+    "containment_pairs": containment_pairs_q,
+    "lsh_recall_audit": lsh_recall_audit_q,
+    "gopher_quality": gopher_quality_q,
+    "lang_id": lang_id_q,
+    # ---- driver window boundary (50) ----
+    # Everything below has a green driver row from r05-r07 or is
+    # rows-only by design.  Rows-only queries NEVER take window slots
+    # (the driver records a no_oracle entry as a FAIL row — the r03
+    # lesson: 5 burned slots).
+    # — rows-only (approximate / iterative; pinned by tests + exact
+    #   twins, deliberately kept out of the hash window) —
+    "ann_topk": ann_topk_q,  # approximate — exact twin is similarity_topk
+    "ivf_topk": ivf_topk_q,  # approximate — full-probe==exact pinned by test
+    "approx_user_counts": approx_user_counts_q,  # HLL sketch — error bound pinned by test
+    "bpe_learned_merges": bpe_learned_merges_q,  # iterative — pinned vs sequential reference
+    "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — pinned by TestBpeEncode
+    "pq_codes": pq_codes_q,  # iterative k-means trainer — pinned by TestPq
+    "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — recall+determinism pinned by TestPq
+    "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — error bound pinned by TestHllRollup
+    "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — NumPy-pinned by TestPca
+    # — green driver rows from rounds 5-7 —
     "cdp_profiles": cdp_profiles_q,
     "cdp_segments": cdp_segments_q,
     "trait_history": trait_history_q,
     "purchase_attribution": purchase_attribution_q,
     "win_trailing_aggs": win_trailing_aggs,
-    # The 5 queries whose ONLY driver green is r01 (queued since the r06
-    # comment; fuzzy_customer_pairs additionally switches to the FastSS
-    # deletion-neighborhood block this round — output unchanged, oracle
-    # is the blocking-independent all-pairs ground truth).
     "tpch_q22_dormant_customers": tpch_q22_dormant_customers,
     "fuzzy_customer_pairs": fuzzy_customer_pairs_q,
     "orders_without_lineitems": orders_without_lineitems,
     "event_type_pivot": event_type_pivot_q,
     "gap_fill_hours": gap_fill_hours_q,
-    # The 19 queries whose latest green is r02 …
     "bpe_merge_candidates": bpe_merge_candidates_q,
     "decontamination": decontamination_q,
     "doc_fingerprint": doc_fingerprint_q,
@@ -2101,8 +2176,6 @@ QUERIES: dict[str, QueryFn] = {
     "top_terms_per_lang": top_terms_per_lang_q,
     "value_drift_psi": value_drift_psi_q,
     "value_mad_outliers": value_mad_outliers_q,
-    # … and the 21 whose latest green is r03.  After r07 grades, no
-    # oracle-checked query's latest green predates r04.
     "audio_features": audio_features_q,
     "bigram_stats": bigram_stats_q,
     "cdp_trait_fidelity": cdp_trait_fidelity_q,
@@ -2124,38 +2197,13 @@ QUERIES: dict[str, QueryFn] = {
     "token_length_histogram": token_length_histogram_q,
     "value_histogram": value_histogram_q,
     "video_frame_features": video_frame_features_q,
-    # ---- driver window boundary (50) ----
-    # Everything below has a green driver row from r04-r06 or is
-    # rows-only by design.  Rows-only queries NEVER take window slots
-    # (the driver records a no_oracle entry as a FAIL row — the r03
-    # lesson: 5 burned slots).
-    # — rows-only (approximate / iterative; pinned by tests + exact
-    #   twins, deliberately kept out of the hash window) —
-    "ann_topk": ann_topk_q,  # approximate — exact twin is similarity_topk
-    "ivf_topk": ivf_topk_q,  # approximate — full-probe==exact pinned by test
-    "approx_user_counts": approx_user_counts_q,  # HLL sketch — error bound pinned by test
-    "bpe_learned_merges": bpe_learned_merges_q,  # iterative — pinned vs sequential reference
-    "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — pinned by TestBpeEncode
-    "pq_codes": pq_codes_q,  # iterative k-means trainer — pinned by TestPq
-    "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — recall+determinism pinned by TestPq
-    "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — error bound pinned by TestHllRollup
-    "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — NumPy-pinned by TestPca
-    # — green driver rows from rounds 4-6 —
     "similarity_topk": similarity_topk_q,
-    "hard_negatives": hard_negatives_q,
     "dedup_embedding": dedup_embedding_q,
     "knn_label_agreement": knn_label_agreement_q,
     "label_cohesion": label_cohesion_q,
     "dedup_simhash": dedup_simhash_q,
     "rule_firing_alerts": rule_firing_alerts_q,
-    "alerts": alerts_q,
-    "r1_velocity_spike": r1_q,
-    "r2_value_spike": r2_q,
-    "r3_geo_device_mismatch": r3_q,
-    "r4_exfil": r4_q,
-    "ewma": ewma_q,
     "win_p95_1h": win_p95_1h,
-    "events_per_min": events_per_min_q,
     "sliding_rate_5m": sliding_rate_5m_q,
     "unique_entities_5m": unique_entities_5m_q,
     "asof_last_purchase": asof_last_purchase_q,
@@ -2170,7 +2218,6 @@ QUERIES: dict[str, QueryFn] = {
     "value_deciles": value_deciles_q,
     "value_stats": value_stats_q,
     "tpch_q1_pricing_summary": tpch_q1,
-    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
     "tpch_q3_shipping_priority": tpch_q3,
     "tpch_q4_priority_returns": tpch_q4_like,
     "tpch_q5_region_revenue": tpch_q5,
@@ -2190,31 +2237,25 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
     "tpch_q20_half_volume_suppliers": tpch_q20_half_volume_suppliers,
     "tpch_q21_fault_attribution": tpch_q21_fault_attribution,
-    "doc_repetition": doc_repetition_q,
     "split_leakage": split_leakage_q,
-    "doc_entropy": doc_entropy_q,
-    "source_length_bands": source_length_bands_q,
+    "doc_repetition": doc_repetition_q,
     "identity_edge_support": identity_edge_support_q,
     "weekly_seasonality": weekly_seasonality_q,
-    "embedding_dim_stats": embedding_dim_stats_q,
     "label_balance": label_balance_q,
     "burst_windows": burst_windows_q,
     "transition_entropy": transition_entropy_q,
-    "value_autocorr": value_autocorr_q,
     "order_gap_bands": order_gap_bands_q,
     "supplier_concentration": supplier_concentration_q,
     "open_orders_timeline": open_orders_timeline_q,
     "pack_efficiency": pack_efficiency_q,
     "retention_curve": retention_curve_q,
     "cluster_size_histogram": cluster_size_histogram_q,
-    "containment_pairs": containment_pairs_q,
     "mixture_plan": mixture_plan_q,
     "quality_calibration": quality_calibration_q,
     "contrastive_pairs": contrastive_pairs_q,
     "canonical_sessions": canonical_sessions_q,
     "plan_at_purchase": plan_at_purchase_q,
     "attribution_report": attribution_report_q,
-    "centroid_distances": centroid_distances_q,
     "table_checksums": table_checksums_q,
     "fk_orphans": fk_orphans_q,
     "cdp_dup_audit": cdp_dup_audit_q,
@@ -2222,7 +2263,6 @@ QUERIES: dict[str, QueryFn] = {
     "doc_chunks": doc_chunks_q,
     "zorder_layout_audit": zorder_layout_audit_q,
     "session_funnel": session_funnel_q,
-    "lsh_recall_audit": lsh_recall_audit_q,
     "cdp_validation": cdp_validation_q,
     "identity_normalize": identity_normalize_q,
     "identity_components": identity_components_q,
@@ -2230,42 +2270,8 @@ QUERIES: dict[str, QueryFn] = {
     "segment_events": segment_events_q,
     "top20_profiles": top20_profiles_q,
     "dedup_exact": dedup_exact_q,
-    "dedup_minhash": dedup_minhash_q,
-    "text_quality": text_quality_q,
-    "lang_id": lang_id_q,
-    "gopher_quality": gopher_quality_q,
     "event_transitions": event_transitions_q,
     "component_sizes": component_sizes_q,
-    "line_dedup": line_dedup_q,
-    "boilerplate_lines": boilerplate_lines_q,
-    "event_paths_topk": event_paths_topk_q,
-    "quality_funnel": quality_funnel_q,
-    "cross_source_overlap": cross_source_overlap_q,
-    "embedding_norm_outliers": embedding_norm_outliers_q,
-    "doc_keywords": doc_keywords_q,
-    "key_skew_audit": key_skew_audit_q,
-    "doc_feature_matrix": doc_feature_matrix_q,
-    "identity_triangles": identity_triangles_q,
-    "funnel_latency": funnel_latency_q,
-    "alert_summary": alert_summary_q,
-    "time_to_return": time_to_return_q,
-    "dedup_threshold_sweep": dedup_threshold_sweep_q,
-    "cusum_changepoints": cusum_changepoints_q,
-    "media_phash_dedup": media_phash_dedup_q,
-    "audio_fingerprint_dedup": audio_fingerprint_dedup_q,
-    "active_user_stickiness": active_user_stickiness_q,
-    "daily_value_bands": daily_value_bands_q,
-    "holt_forecast": holt_forecast_q,
-    "session_basket_lift": session_basket_lift_q,
-    "source_quality_report": source_quality_report_q,
-    "dedup_clusters_incremental": dedup_clusters_incremental_q,
-    "approx_value_quantiles": approx_value_quantiles_q,
-    "identity_pagerank": identity_pagerank_q,
-    "identity_components_incremental": identity_components_incremental_q,
-    "dedup_clusters": dedup_clusters_q,
-    "doc_lm_score": doc_lm_score_q,
-    "unicode_token_stats": unicode_token_stats_q,  # NEW r08 — window placement in the r08 rotation
-    "jpeg_features": jpeg_features_q,  # NEW r08 — window placement in the r08 rotation
 }
 
 
