@@ -85,6 +85,9 @@ HEADLINE = [
     "cdp_trait_fidelity",
     "purchase_attribution",
     "canonical_sessions",
+    # round 8: the two new oracle-checked surfaces
+    "unicode_token_stats",
+    "jpeg_features",
 ]
 
 
@@ -141,10 +144,31 @@ def _spin_canary_mc(procs: int = 8, iters: int = 2_000_000) -> float:
     return round(time.monotonic() - t0, 3)
 
 
+def _membw_canary(mb: int = 256, reps: int = 5) -> float:
+    """Memory-bandwidth canary: median GB/s for a fixed big-array copy.
+    The round-8 session measured a host mode where BOTH spin canaries sat
+    in their idle bands while Arrow/Python-worker-heavy queries ran 2-3x
+    slow — compute wasn't throttled, memory/IPC was.  numpy copy is the
+    cheapest proxy for that axis.  Idle band on this host: see SCALE.md
+    "Reading the bench artifact" (recorded there from drained readings)."""
+    import numpy as np
+
+    a = np.zeros(mb * 1024 * 1024 // 8)
+    rates = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        b = a.copy()
+        dt = time.monotonic() - t0
+        rates.append(2 * mb / 1024 / dt)  # read + write
+        del b
+    return round(sorted(rates)[reps // 2], 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     load_start, spin_start, spin_mc_start = _loadavg(), _spin_canary(), _spin_canary_mc()
+    membw_start = _membw_canary()
     # Stream bench runs FIRST and in its OWN SparkContext: round 2 ran it
     # after 61 batch queries and the accumulated memory pressure cost ~30%
     # of the recorded rate (11204 -> 7718 eps); conversely, state-store and
@@ -205,6 +229,9 @@ def main() -> None:
                 # 8-process spin: catches aggregate-CPU throttling the
                 # single-core canary is blind to (idle ~0.5-0.8s)
                 "spin_canary_mc_sec": {"start": spin_mc_start, "end": _spin_canary_mc()},
+                # big-array copy GB/s: catches memory/IPC throttling both
+                # spins are blind to (the mode that slows Arrow paths)
+                "membw_canary_gbps": {"start": membw_start, "end": _membw_canary()},
             },
             separators=(",", ":"),
         )
