@@ -63,6 +63,10 @@ SLICE = [
     "purchase_attribution",      # first/last-touch over lookback frames
     "burst_windows",             # hourly bucket verdicts, per-hour output
     "value_autocorr",            # lag-join autocovariance aggregate
+    # round-8 extension: the round's new/changed per-doc surfaces
+    "unicode_token_stats",       # NFC pandas kernel + \p{L} tokens, per-doc
+    "jpeg_features",             # full JPEG entropy decode, per-doc
+    "source_length_bands",       # post NULL-n_chars-exclusion quantiles
 ]
 
 # Gram-kernel family (round-7 extension): exact cosine answers are
