@@ -331,6 +331,13 @@ def sized_session(spark: SparkSession, state_partitions: int) -> SparkSession:
     parallelism and degrades 4.9 s → 9.1 s if starved.  Rule: size each
     query's count to its active-group count per batch.
 
+    Round-8 caveat (SCALE.md "Tuned visibility latency"): under
+    CO-RESIDENCY this dial alone does not move p95 — a busy co-resident's
+    task flood queues the small queries' batches in the FIFO scheduler
+    regardless of their own partition count.  Pair it with
+    :func:`scheduler_pool` on a FAIR-mode context; the two dials together
+    are the measured recipe (profiles/segments p95 8.6 s → 3.3-3.5 s).
+
     A cloned session (shared SparkContext and tables, isolated SQL conf)
     lets concurrently-started queries bind different counts without
     racing a mutation of the parent's conf.  Build the query's SOURCE
