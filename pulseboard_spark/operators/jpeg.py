@@ -193,7 +193,10 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
     """Real baseline JPEG: 8-bit grayscale, Annex K Huffman tables, DC
     step 16.  Dimensions not multiples of 8 are edge-replicated to the
     block grid (standard practice); the decoder crops back."""
-    assert len(gray) == width * height
+    if len(gray) != width * height:
+        raise ValueError(
+            f"pixel buffer is {len(gray)} bytes; expected width*height = {width * height}"
+        )
     img = np.frombuffer(gray, dtype=np.uint8).reshape(height, width).astype(np.float64)
     bw, bh = -(-width // 8), -(-height // 8)
     img = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
@@ -268,9 +271,18 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = struct.unpack(">H", payload[pos : pos + 2])[0]
         if marker == 0xFFD9:
             break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            # TEM / stray RSTn are standalone (no length field) — reading a
+            # length here would silently desynchronize the parse
+            raise NotImplementedError("standalone marker outside entropy data unsupported")
+        if marker == 0xFF00:
+            raise ValueError("0xFF00 is not a marker outside entropy data")
         (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + length]
         pos += 2 + length
@@ -361,7 +373,9 @@ def synth_jpeg(documents: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {"doc_id": pdf["doc_id"], "media_type": [], "payload": []}
+            # to_numpy(): the plain-list columns below must align by POSITION,
+            # not by whatever index this batch's Series carries
+            out = {"doc_id": pdf["doc_id"].to_numpy(), "media_type": [], "payload": []}
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)

@@ -1386,6 +1386,18 @@ def unicode_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unicode_text.unicode_token_stats(_docs(spark, sf_dir))
 
 
+def unicode_token_stats_casefold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical-caseless twin (NFC → full casefold → NFC before
+    tokenizing) — rows-only BY NECESSITY: DuckDB/utf8proc has no full
+    C+F casefold ('ß' → 'ss', final sigma, İ → i+U+0307), so there is no
+    oracle mirror.  Correctness anchor is published data instead:
+    TestUnicodeNormalize pins the kernel against Unicode CaseFolding.txt
+    golden vectors (every multi-codepoint F-expansion class) plus the
+    variant-collapse fingerprint test; the non-folded plan twin
+    (`unicode_token_stats`) is hash-checked by the driver."""
+    return unicode_text.unicode_token_stats(_docs(spark, sf_dir), casefold=True)
+
+
 def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(_docs(spark, sf_dir))
 
@@ -2048,29 +2060,101 @@ def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Ordering policy: the correctness driver hash-checks the FIRST 50 entries
 # of this dict per round.  All previously-existing oracle-checked queries
-# have >= 1 green driver row (173/173 cumulative after r07), so the
+# have >= 1 green driver row (175/175 cumulative after r08), so the
 # window's job is EVIDENCE FRESHNESS: lead with queries whose plan or
-# oracle changed after their last green, then the two NEW r08 queries,
-# then retire the oldest evidence (every remaining r04-latest anchor plus
-# the oldest-r05 text-path riders) — after r08 grades, no oracle-checked
-# query's green predates r05.  ROWS-ONLY queries NEVER take window slots:
-# the driver records a no_oracle entry as a FAIL row (r03 proved it — 5
-# burned slots), so their evidence is the in-repo pinned tests +
-# exact-twin oracle queries, and they live strictly below the boundary.
+# oracle changed this round, then retire the oldest evidence (the 35
+# remaining r05-latest anchors plus the oldest-r06 riders) — after r09
+# grades, no oracle-checked query's green predates r06.  ROWS-ONLY
+# queries NEVER take window slots: the driver records a no_oracle entry
+# as a FAIL row (r03 proved it — 5 burned slots), so their evidence is
+# the in-repo pinned tests + exact-twin oracle queries, and they live
+# strictly below the boundary.
 QUERIES: dict[str, QueryFn] = {
-    # ==== round-8 rotation (driver hash window = first 50) ====
+    # ==== round-9 rotation (driver hash window = first 50) ====
     # FREEZE RULE (the r06->r07 staleness recurrence, twice): this dict's
     # order is re-frozen AFTER the round's LAST plan/oracle-touching
     # commit.  Any commit that changes a query's plan or oracle after
     # this block was written must move that query into the head and
     # re-balance the window before hand-off.
     #
-    # Head (16): the fuzz-campaign-touched queries whose driver green
-    # predates the campaign's plan/oracle edits (VERDICT r07 item 1) —
-    # the ascii-fold/tokenization family (r04/r05 greens; plans changed
-    # in c75065b), the numpy-kernel NULL gates (r05), tpch_q2's NULL-cost
-    # argmin fix (r06), and the rule family riding the r07 entity
-    # validation gate (r06 greens).
+    # Plan-touched this round (1): jpeg_features rides the r08-advisory
+    # decoder hardenings (0xFF fill-byte skip before markers, standalone-
+    # marker refusal, encode buffer-size contract, synth_jpeg positional
+    # assembly) — defensive, but they sit on the query's decode path, so
+    # it re-greens rather than trusting its r08 row.
+    "jpeg_features": jpeg_features_q,
+    # All 35 queries whose latest green is r05 — after r09 grades, no
+    # oracle-checked query's evidence predates r06.
+    "split_leakage": split_leakage_q,
+    "doc_repetition": doc_repetition_q,
+    "identity_edge_support": identity_edge_support_q,
+    "weekly_seasonality": weekly_seasonality_q,
+    "label_balance": label_balance_q,
+    "burst_windows": burst_windows_q,
+    "transition_entropy": transition_entropy_q,
+    "order_gap_bands": order_gap_bands_q,
+    "supplier_concentration": supplier_concentration_q,
+    "open_orders_timeline": open_orders_timeline_q,
+    "pack_efficiency": pack_efficiency_q,
+    "retention_curve": retention_curve_q,
+    "cluster_size_histogram": cluster_size_histogram_q,
+    "mixture_plan": mixture_plan_q,
+    "quality_calibration": quality_calibration_q,
+    "contrastive_pairs": contrastive_pairs_q,
+    "canonical_sessions": canonical_sessions_q,
+    "plan_at_purchase": plan_at_purchase_q,
+    "attribution_report": attribution_report_q,
+    "table_checksums": table_checksums_q,
+    "fk_orphans": fk_orphans_q,
+    "cdp_dup_audit": cdp_dup_audit_q,
+    "cohort_ltv": cohort_ltv_q,
+    "doc_chunks": doc_chunks_q,
+    "zorder_layout_audit": zorder_layout_audit_q,
+    "session_funnel": session_funnel_q,
+    "cdp_validation": cdp_validation_q,
+    "identity_normalize": identity_normalize_q,
+    "identity_components": identity_components_q,
+    "rolling_counter_24h": rolling_counter_q,
+    "segment_events": segment_events_q,
+    "top20_profiles": top20_profiles_q,
+    "dedup_exact": dedup_exact_q,
+    "event_transitions": event_transitions_q,
+    "component_sizes": component_sizes_q,
+    # Oldest-r06 fill (14): the similarity/stateful-window/session riders
+    # that sat directly below the r08 boundary.
+    "similarity_topk": similarity_topk_q,
+    "dedup_embedding": dedup_embedding_q,
+    "knn_label_agreement": knn_label_agreement_q,
+    "label_cohesion": label_cohesion_q,
+    "dedup_simhash": dedup_simhash_q,
+    "rule_firing_alerts": rule_firing_alerts_q,
+    "win_p95_1h": win_p95_1h,
+    "sliding_rate_5m": sliding_rate_5m_q,
+    "unique_entities_5m": unique_entities_5m_q,
+    "asof_last_purchase": asof_last_purchase_q,
+    "user_sessions": user_sessions_q,
+    "funnel_view_click_purchase": funnel_q,
+    "retention_cohorts": retention_cohorts_q,
+    "top_parts_per_brand": top_parts_per_brand_q,
+    # ---- driver window boundary (50) ----
+    # Everything below has a green driver row from r06-r08 or is
+    # rows-only by design.  Rows-only queries NEVER take window slots
+    # (the driver records a no_oracle entry as a FAIL row — the r03
+    # lesson: 5 burned slots).
+    # — rows-only (approximate / iterative / no engine-portable oracle;
+    #   pinned by tests + exact twins, deliberately kept out of the hash
+    #   window) —
+    "ann_topk": ann_topk_q,  # approximate — exact twin is similarity_topk
+    "ivf_topk": ivf_topk_q,  # approximate — full-probe==exact pinned by test
+    "approx_user_counts": approx_user_counts_q,  # HLL sketch — error bound pinned by test
+    "bpe_learned_merges": bpe_learned_merges_q,  # iterative — pinned vs sequential reference
+    "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — pinned by TestBpeEncode
+    "pq_codes": pq_codes_q,  # iterative k-means trainer — pinned by TestPq
+    "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — recall+determinism pinned by TestPq
+    "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — error bound pinned by TestHllRollup
+    "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — NumPy-pinned by TestPca
+    "unicode_token_stats_casefold": unicode_token_stats_casefold_q,  # full casefold has no DuckDB mirror — pinned by CaseFolding.txt golden vectors (TestUnicodeNormalize); plan twin unicode_token_stats is hash-checked
+    # — green driver rows from rounds 6-8 —
     "doc_lm_score": doc_lm_score_q,
     "doc_keywords": doc_keywords_q,
     "boilerplate_lines": boilerplate_lines_q,
@@ -2087,17 +2171,9 @@ QUERIES: dict[str, QueryFn] = {
     "alerts": alerts_q,
     "ewma": ewma_q,
     "events_per_min": events_per_min_q,
-    # r08 plan-touched + new surfaces (4): hard_negatives gained the
-    # operator-level NULL-embedding gate; source_length_bands gained the
-    # NULL-n_chars exclusion (r08 combined-fuzz find: the NULL group's
-    # window position is engine-divergent); unicode_token_stats and
-    # jpeg_features are the round's two new oracle-checked queries.
     "hard_negatives": hard_negatives_q,
     "source_length_bands": source_length_bands_q,
     "unicode_token_stats": unicode_token_stats_q,
-    "jpeg_features": jpeg_features_q,
-    # All 25 remaining queries whose latest green is r04 — after r08
-    # grades, no oracle-checked query's evidence predates r05.
     "active_user_stickiness": active_user_stickiness_q,
     "alert_summary": alert_summary_q,
     "approx_value_quantiles": approx_value_quantiles_q,
@@ -2123,30 +2199,11 @@ QUERIES: dict[str, QueryFn] = {
     "session_basket_lift": session_basket_lift_q,
     "source_quality_report": source_quality_report_q,
     "time_to_return": time_to_return_q,
-    # Oldest-r05 fill (6), chosen shingle/tokenization-adjacent: these
-    # ride the same text paths the r07 fold/empty-shingle edits touched.
     "dedup_minhash": dedup_minhash_q,
     "containment_pairs": containment_pairs_q,
     "lsh_recall_audit": lsh_recall_audit_q,
     "gopher_quality": gopher_quality_q,
     "lang_id": lang_id_q,
-    # ---- driver window boundary (50) ----
-    # Everything below has a green driver row from r05-r07 or is
-    # rows-only by design.  Rows-only queries NEVER take window slots
-    # (the driver records a no_oracle entry as a FAIL row — the r03
-    # lesson: 5 burned slots).
-    # — rows-only (approximate / iterative; pinned by tests + exact
-    #   twins, deliberately kept out of the hash window) —
-    "ann_topk": ann_topk_q,  # approximate — exact twin is similarity_topk
-    "ivf_topk": ivf_topk_q,  # approximate — full-probe==exact pinned by test
-    "approx_user_counts": approx_user_counts_q,  # HLL sketch — error bound pinned by test
-    "bpe_learned_merges": bpe_learned_merges_q,  # iterative — pinned vs sequential reference
-    "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — pinned by TestBpeEncode
-    "pq_codes": pq_codes_q,  # iterative k-means trainer — pinned by TestPq
-    "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — recall+determinism pinned by TestPq
-    "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — error bound pinned by TestHllRollup
-    "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — NumPy-pinned by TestPca
-    # — green driver rows from rounds 5-7 —
     "cdp_profiles": cdp_profiles_q,
     "cdp_segments": cdp_segments_q,
     "trait_history": trait_history_q,
@@ -2197,20 +2254,6 @@ QUERIES: dict[str, QueryFn] = {
     "token_length_histogram": token_length_histogram_q,
     "value_histogram": value_histogram_q,
     "video_frame_features": video_frame_features_q,
-    "similarity_topk": similarity_topk_q,
-    "dedup_embedding": dedup_embedding_q,
-    "knn_label_agreement": knn_label_agreement_q,
-    "label_cohesion": label_cohesion_q,
-    "dedup_simhash": dedup_simhash_q,
-    "rule_firing_alerts": rule_firing_alerts_q,
-    "win_p95_1h": win_p95_1h,
-    "sliding_rate_5m": sliding_rate_5m_q,
-    "unique_entities_5m": unique_entities_5m_q,
-    "asof_last_purchase": asof_last_purchase_q,
-    "user_sessions": user_sessions_q,
-    "funnel_view_click_purchase": funnel_q,
-    "retention_cohorts": retention_cohorts_q,
-    "top_parts_per_brand": top_parts_per_brand_q,
     "revenue_rollup": revenue_rollup_q,
     "revenue_cube": revenue_cube_q,
     "revenue_wow": revenue_wow_q,
@@ -2237,41 +2280,6 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
     "tpch_q20_half_volume_suppliers": tpch_q20_half_volume_suppliers,
     "tpch_q21_fault_attribution": tpch_q21_fault_attribution,
-    "split_leakage": split_leakage_q,
-    "doc_repetition": doc_repetition_q,
-    "identity_edge_support": identity_edge_support_q,
-    "weekly_seasonality": weekly_seasonality_q,
-    "label_balance": label_balance_q,
-    "burst_windows": burst_windows_q,
-    "transition_entropy": transition_entropy_q,
-    "order_gap_bands": order_gap_bands_q,
-    "supplier_concentration": supplier_concentration_q,
-    "open_orders_timeline": open_orders_timeline_q,
-    "pack_efficiency": pack_efficiency_q,
-    "retention_curve": retention_curve_q,
-    "cluster_size_histogram": cluster_size_histogram_q,
-    "mixture_plan": mixture_plan_q,
-    "quality_calibration": quality_calibration_q,
-    "contrastive_pairs": contrastive_pairs_q,
-    "canonical_sessions": canonical_sessions_q,
-    "plan_at_purchase": plan_at_purchase_q,
-    "attribution_report": attribution_report_q,
-    "table_checksums": table_checksums_q,
-    "fk_orphans": fk_orphans_q,
-    "cdp_dup_audit": cdp_dup_audit_q,
-    "cohort_ltv": cohort_ltv_q,
-    "doc_chunks": doc_chunks_q,
-    "zorder_layout_audit": zorder_layout_audit_q,
-    "session_funnel": session_funnel_q,
-    "cdp_validation": cdp_validation_q,
-    "identity_normalize": identity_normalize_q,
-    "identity_components": identity_components_q,
-    "rolling_counter_24h": rolling_counter_q,
-    "segment_events": segment_events_q,
-    "top20_profiles": top20_profiles_q,
-    "dedup_exact": dedup_exact_q,
-    "event_transitions": event_transitions_q,
-    "component_sizes": component_sizes_q,
 }
 
 

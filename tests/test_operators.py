@@ -411,6 +411,29 @@ class TestJpegCodec:
         with _pytest.raises(NotImplementedError):
             decode_jpeg_gray(bytes(p))
 
+    def test_marker_parse_hardening(self):
+        """External-payload robustness (r08 advisory): spec-legal 0xFF
+        fill bytes before a marker must parse; standalone markers (TEM,
+        stray RSTn) must refuse loudly instead of desynchronizing; a
+        wrong-sized pixel buffer must raise a contract error, not an
+        opaque reshape failure."""
+        import numpy as np
+        import pytest as _pytest
+
+        from pulseboard_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+        img = np.full((8, 8), 100, dtype=np.uint8)
+        payload = encode_jpeg_gray(8, 8, img.tobytes())
+        # inject 0xFF fill bytes before the DQT marker (T.81 B.1.1.2)
+        padded = payload[:2] + b"\xff\xff\xff" + payload[2:]
+        assert decode_jpeg_gray(padded) == decode_jpeg_gray(payload)
+        # a standalone TEM marker in the header section has no length field
+        tem = payload[:2] + b"\xff\x01" + payload[2:]
+        with _pytest.raises((NotImplementedError, ValueError)):
+            decode_jpeg_gray(tem)
+        with _pytest.raises(ValueError):
+            encode_jpeg_gray(8, 8, img.tobytes()[:-1])
+
     def test_jpeg_features_match_block_model(self, spark, sf_dir):
         """End-to-end: synth JPEG payloads, full entropy decode, luma
         stats against the closed-form block model (the oracle's formula)."""
@@ -2938,35 +2961,118 @@ class TestUnicodeNormalize:
         assert _nfc_casefold("") == ""
 
     def test_casefold_properties_on_random_unicode(self):
-        """The canonical caseless form's defining algebra, hypothesis-
-        fuzzed: idempotent (a caseless form is its own caseless form)
-        and case-insensitive (upper/lower/title variants of a string all
-        collapse to one form).  These are the properties downstream
-        dedup/token equality actually relies on — golden cases alone
-        can't cover the alphabet."""
-        from hypothesis import given, settings
+        """The canonical caseless form's algebra, hypothesis-fuzzed —
+        restricted to properties Unicode ACTUALLY defines (r08 verdict:
+        the earlier upper/lower-collapse clause was false — 'ı' U+0131
+        uppercases to 'I' which folds to 'i', while 'ı' folds to itself,
+        so casefold∘upper ≢ casefold∘lower is BY DESIGN for Turkic
+        dotless i and friends).  What the standard does guarantee, and
+        what downstream token equality relies on: fold idempotence, and
+        the kernel's own contract that its output is NFC-stable.
+        Fold-vs-published-data coverage lives in
+        test_casefold_matches_published_casefolding_vectors."""
+        from hypothesis import example, given, settings
         from hypothesis import strategies as st
 
-        from pulseboard_spark.operators.unicode_text import _nfc_casefold
+        from pulseboard_spark.operators.unicode_text import _nfc, _nfc_casefold
 
         alphabet = st.one_of(
             st.characters(codec="utf-8", categories=["L", "M", "N", "P", "Z"]),
             st.sampled_from("åéİßǅΣσς日本語한مر"),
         )
 
-        @settings(max_examples=300, deadline=None)
+        @settings(max_examples=500, deadline=None)
         @given(st.text(alphabet=alphabet, max_size=30))
+        @example("ı")  # dotless i — falsified the old collapse clause
+        @example("İ")  # dotted İ — multi-codepoint F expansion
+        @example("ß")  # ß → ss
+        @example("Σοφός")  # final sigma in context
+        @example("ǅ")  # titlecase ǅ
         def check(s):
             folded = _nfc_casefold(s)
-            assert _nfc_casefold(folded) == folded  # idempotent
-            assert _nfc_casefold(s.upper()) == _nfc_casefold(s.lower()) == folded or (
-                # Unicode carve-out: casefold is not always upper/lower-
-                # commutative for multi-codepoint expansions; the binding
-                # property is variant COLLAPSE, checked pairwise
-                _nfc_casefold(s.upper()) == _nfc_casefold(s.lower())
-            )
+            assert _nfc_casefold(folded) == folded  # fold is idempotent
+            assert _nfc(folded) == folded  # kernel contract: output is NFC
 
         check()
+
+    def test_casefold_matches_published_casefolding_vectors(self):
+        """Golden-vector anchor for the oracle-less casefold path (r08
+        verdict item 2): (codepoint, fold sequence) pairs transcribed
+        from Unicode's published CaseFolding.txt (C+F status lines —
+        public UCD data), covering every class of multi-codepoint F
+        expansion (sharp s, dotted İ, Greek iota-subscript and
+        breathing/accent stacks, Latin ligatures, Armenian ligatures),
+        the Turkic/Cherokee asymmetries, and final sigma.  The kernel
+        asserts NFC(fold) because _nfc_casefold re-normalizes — which
+        these vectors exercise both ways (0390/03B0 recompose; 0130
+        stays decomposed, no precomposed i-with-dot exists)."""
+        import unicodedata
+
+        from pulseboard_spark.operators.unicode_text import _nfc_casefold
+
+        CASEFOLDING_VECTORS = [
+            (0x00DF, [0x73, 0x73]),            # ß -> ss (F)
+            (0x1E9E, [0x73, 0x73]),            # ẞ -> ss (F)
+            (0x0130, [0x69, 0x0307]),          # İ -> i + combining dot (F)
+            (0x0149, [0x02BC, 0x6E]),          # ŉ (F)
+            (0x0390, [0x03B9, 0x0308, 0x0301]),  # ΐ (F; recomposes under NFC)
+            (0x03B0, [0x03C5, 0x0308, 0x0301]),  # ΰ (F; recomposes under NFC)
+            (0x0587, [0x0565, 0x0582]),        # Armenian ech-yiwn (F)
+            (0x1E96, [0x68, 0x0331]),          # ẖ (F; no precomposed form)
+            (0x1E97, [0x74, 0x0308]),          # ẗ (F)
+            (0x1E98, [0x77, 0x030A]),          # ẘ (F)
+            (0x1E99, [0x79, 0x030A]),          # ẙ (F)
+            (0x1E9A, [0x61, 0x02BE]),          # ẚ (F)
+            (0x1F50, [0x03C5, 0x0313]),        # ὐ (F)
+            (0x1F52, [0x03C5, 0x0313, 0x0300]),
+            (0x1F54, [0x03C5, 0x0313, 0x0301]),
+            (0x1F56, [0x03C5, 0x0313, 0x0342]),
+            (0x1F80, [0x1F00, 0x03B9]),        # ᾀ -> ἀι (iota subscript, F)
+            (0x1F88, [0x1F00, 0x03B9]),        # ᾈ (titlecase form, F)
+            (0x1FB2, [0x1F70, 0x03B9]),
+            (0x1FB3, [0x03B1, 0x03B9]),
+            (0x1FB4, [0x03AC, 0x03B9]),
+            (0x1FB6, [0x03B1, 0x0342]),
+            (0x1FB7, [0x03B1, 0x0342, 0x03B9]),
+            (0x1FBC, [0x03B1, 0x03B9]),        # ᾼ (F)
+            (0x1FC3, [0x03B7, 0x03B9]),        # ῃ (F)
+            (0x1FF3, [0x03C9, 0x03B9]),        # ῳ (F)
+            (0x1FFC, [0x03C9, 0x03B9]),        # ῼ (F)
+            (0x0345, [0x03B9]),                # ypogegrammeni -> iota (C)
+            (0x03C2, [0x03C3]),                # final sigma -> sigma (C)
+            (0xFB00, [0x66, 0x66]),            # ﬀ (F)
+            (0xFB01, [0x66, 0x69]),
+            (0xFB02, [0x66, 0x6C]),
+            (0xFB03, [0x66, 0x66, 0x69]),
+            (0xFB04, [0x66, 0x66, 0x6C]),
+            (0xFB05, [0x73, 0x74]),            # ﬅ long-s t (F)
+            (0xFB06, [0x73, 0x74]),            # ﬆ (F)
+            (0xFB13, [0x0574, 0x0576]),        # Armenian ligatures (F)
+            (0xFB14, [0x0574, 0x0565]),
+            (0xFB15, [0x0574, 0x056B]),
+            (0xFB16, [0x057E, 0x0576]),
+            (0xFB17, [0x0574, 0x056D]),
+            (0x0131, [0x0131]),                # dotless ı folds to ITSELF (no entry)
+            (0x0049, [0x69]),                  # I -> i (C; default, non-Turkic)
+            (0xAB70, [0x13A0]),                # Cherokee folds small -> CAPITAL (C)
+            (0x13A0, [0x13A0]),                # Cherokee capital is the fold class rep
+            (0x01C4, [0x01C6]),                # Ǆ (C)
+            (0x01C5, [0x01C6]),                # titlecase ǅ (C)
+            (0x0531, [0x0561]),                # Armenian Ayb (C)
+        ]
+        for cp, fold in CASEFOLDING_VECTORS:
+            want = unicodedata.normalize("NFC", "".join(chr(c) for c in fold))
+            got = _nfc_casefold(chr(cp))
+            assert got == want, (
+                f"U+{cp:04X}: fold -> {[hex(ord(c)) for c in got]}, "
+                f"CaseFolding.txt says {[hex(c) for c in fold]}"
+            )
+            # and embedded in a word — folding is context-free (the C+F
+            # set deliberately excludes the context-dependent T lines)
+            embedded = f"x{chr(cp)}y"
+            assert _nfc_casefold(embedded) == unicodedata.normalize(
+                "NFC", f"x{''.join(chr(c) for c in fold)}y"
+            )
 
     def test_casefold_variants_share_fingerprint(self, spark):
         """The point of the caseless form: case/composition variants of

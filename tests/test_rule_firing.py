@@ -72,7 +72,20 @@ def test_duckdb_oracle_fires_same_set():
     assert got == EXPECTED_ALERTS
 
 
-def test_streaming_twin_fires_same_set(spark, tmp_path):
+@pytest.fixture
+def _small_state(spark):
+    """The firing fixture has exactly 3 keyed (entity, type) groups; the
+    session default of one state partition per core just multiplies
+    Python state-task overhead per micro-batch (the sized_session dial,
+    SCALE.md 'Tuned visibility latency').  Fresh checkpoints bind the
+    partition count at first start, so a per-test override is safe."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_streaming_twin_fires_same_set(spark, tmp_path, _small_state):
     """The stateful engine must EMIT the 12 alerts when fed the fixture in
     time-ordered chunks — the first non-vacuous streaming-vs-batch alert
     equality in the repo (all prior comparisons were empty==empty)."""
@@ -106,7 +119,7 @@ def test_streaming_twin_fires_same_set(spark, tmp_path):
     assert got == EXPECTED_ALERTS
 
 
-def test_restart_recovers_rule_state_and_emits_once(spark, tmp_path):
+def test_restart_recovers_rule_state_and_emits_once(spark, tmp_path, _small_state):
     """Kill-and-restart across the firing boundary: the query stops after
     the first two chunks (trailing buffers and the fire-r2 EWMA are
     state-only — nothing has fired yet), restarts from the checkpoint

@@ -21,6 +21,19 @@ from pulseboard_spark.streaming.stateful import (
 )
 
 
+@pytest.fixture
+def small_state(spark):
+    """sf0.001 fixtures are a few thousand rows; one state partition per
+    core just multiplies per-micro-batch Python state-task overhead (the
+    sized_session dial, SCALE.md 'Tuned visibility latency').  4 keeps the
+    multi-partition state path exercised.  Fresh tmp_path checkpoints bind
+    the count at first start, so a per-test override is safe to restore."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 @pytest.fixture(scope="module")
 def entity_chunks_dir(spark, sf_dir, tmp_path_factory):
     """Entity view split into 4 time-ordered parquet chunks."""
@@ -41,7 +54,7 @@ def entity_chunks_dir(spark, sf_dir, tmp_path_factory):
     return out, df.schema
 
 
-def test_streaming_alerts_match_batch(spark, sf_dir, entity_chunks_dir):
+def test_streaming_alerts_match_batch(spark, sf_dir, entity_chunks_dir, small_state):
     """On REAL testdata this equality is no-spurious-alerts only: the
     driver data never trips R1/R2/R4 (every alert is R3), so both sides
     are empty.  The non-vacuous positive-path twin equality runs on the
@@ -114,7 +127,7 @@ def test_segment_diff_stateful(spark, tmp_path):
     assert got == want and got, f"empty or diverged: got={sorted(got)[:5]}"
 
 
-def test_profile_apply_stateful_matches_batch(spark, sf_dir, tmp_path):
+def test_profile_apply_stateful_matches_batch(spark, sf_dir, tmp_path, small_state):
     """Feed canonical-id-tagged CDP events through the stateful profile
     operator in 3 time-ordered chunks; the LAST emitted snapshot per profile
     must equal the batch materialization (identifiers, LWW traits, lastSeen)
@@ -183,7 +196,7 @@ def test_profile_apply_stateful_matches_batch(spark, sf_dir, tmp_path):
         assert s.feature_used_24h == want_cnt.get(pid, 0), pid
 
 
-def test_reengage_event_time_timer(spark, tmp_path):
+def test_reengage_event_time_timer(spark, tmp_path, small_state):
     """W10/G3: reengage must ENTER on silence (timer), EXIT on activity."""
     from pulseboard_spark.streaming.stateful import reengage_stateful
 
@@ -228,7 +241,7 @@ def test_reengage_event_time_timer(spark, tmp_path):
     assert got == want, f"got={sorted(got)}"
 
 
-def test_incremental_identity_stage(spark, sf_dir, tmp_path):
+def test_incremental_identity_stage(spark, sf_dir, tmp_path, small_state):
     """§3.2 foreachBatch identity stage: after streaming all chunks, the
     incremental (seeded) component map must equal the batch fixpoint, and
     resolved events must cover every valid event."""
@@ -266,7 +279,7 @@ def test_incremental_identity_stage(spark, sf_dir, tmp_path):
     assert resolved_ids == valid_ids
 
 
-def test_entity_alert_stream_facade(spark, sf_dir, tmp_path):
+def test_entity_alert_stream_facade(spark, sf_dir, tmp_path, small_state):
     """§3.1 facade (admission -> dedup -> stateful rules) must equal the
     batch alerts on replayed chunks.  The real testdata exercises the
     admission/dedup volume path but never fires R1/R2/R4, so the firing
@@ -608,7 +621,7 @@ def test_sized_session_binds_state_partitions(spark, tmp_path):
     assert run(spark, None, "parent") == int(parent_before)
 
 
-def test_r3_stream_stream_join_matches_batch(spark, sf_dir, entity_chunks_dir):
+def test_r3_stream_stream_join_matches_batch(spark, sf_dir, entity_chunks_dir, small_state):
     """Native watermarked stream-stream interval join == batch conflict
     pairs (the third R3 twin, after the bucketed batch join and the
     keyed-state buffer)."""
@@ -879,7 +892,7 @@ def test_transitions_tws_matches_legacy_and_batch(spark, sf_dir, entity_chunks_d
     assert got == want and got, f"empty or diverged: got={sorted(got)[:5]}"
 
 
-def test_streaming_cusum_matches_batch(spark, sf_dir, entity_chunks_dir):
+def test_streaming_cusum_matches_batch(spark, sf_dir, entity_chunks_dir, small_state):
     """Streaming CUSUM alarms (batch-trained params, O(1) keyed state)
     must reproduce the batch operator's per-key alarm counts exactly
     under in-order chunk replay."""
