@@ -86,8 +86,42 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def write_fair_allocation(pool_weights: dict[str, int],
+                          min_shares: dict[str, int] | None = None) -> str:
+    """Write a FAIR scheduler allocation XML and return its path.
+
+    Equal-weight on-demand pools stop one query's task flood from QUEUEING
+    another's batches, but they also cap the flood's own share: with three
+    pools on 32 cores the 32-task query gets ~1/3 of slots while the small
+    queries are active, and its batch duration — not queueing — becomes
+    the worst-p95 term (SCALE.md round-9 latency table).  Weights shift
+    share toward the latency-binding query; minShare guarantees a floor
+    while idle pools return their slots.  Within-pool mode stays FIFO —
+    each pool holds a single streaming query's jobs.
+
+    Static conf: pass the returned path as
+    ``spark.scheduler.allocation.file`` at context creation.
+    """
+    parts = ["<?xml version=\"1.0\"?>", "<allocations>"]
+    for pool, w in pool_weights.items():
+        ms = (min_shares or {}).get(pool, 0)
+        parts += [
+            f"  <pool name=\"{pool}\">",
+            "    <schedulingMode>FIFO</schedulingMode>",
+            f"    <weight>{int(w)}</weight>",
+            f"    <minShare>{int(ms)}</minShare>",
+            "  </pool>",
+        ]
+    parts.append("</allocations>")
+    fd, path = tempfile.mkstemp(prefix="pb_fair_", suffix=".xml")
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(parts))
+    return path
+
+
 def get_spark(app_name: str = "pulseboard-spark", cpus: int | None = None,
-              fair: bool = False) -> SparkSession:
+              fair: bool = False,
+              pool_weights: dict[str, int] | None = None) -> SparkSession:
     """Build a local session sized for the test harness.
 
     On a real cluster this builder is replaced by spark-submit confs; the
@@ -99,6 +133,11 @@ def get_spark(app_name: str = "pulseboard-spark", cpus: int | None = None,
     pool", ...)`` before ``start()``; the microbatch thread inherits it),
     so one query's task flood cannot queue another's small batches behind
     it.  Static conf — must be chosen at context creation.
+
+    ``pool_weights`` (requires ``fair=True``) additionally ships a FAIR
+    allocation file giving named pools uneven slot shares — the dial for
+    a co-resident query whose own batch duration, not queueing, binds its
+    latency (see :func:`write_fair_allocation`).
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -114,5 +153,9 @@ def get_spark(app_name: str = "pulseboard-spark", cpus: int | None = None,
     )
     if fair:
         builder = builder.config("spark.scheduler.mode", "FAIR")
+        if pool_weights:
+            builder = builder.config(
+                "spark.scheduler.allocation.file", write_fair_allocation(pool_weights)
+            )
     spark = builder.getOrCreate()
     return tune(spark)

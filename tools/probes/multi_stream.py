@@ -319,9 +319,18 @@ def _print_latency(lat: dict) -> None:
 def main() -> None:
     from pulseboard_spark.session import get_spark
 
-    spark = get_spark("pb-multi-stream", fair="--fair" in sys.argv)
+    weights = None
+    for a in sys.argv:  # e.g. --weights=alerts:4,profiles:1,segments:1
+        if a.startswith("--weights="):
+            weights = {
+                f"pool_{k}": int(v)
+                for k, v in (kv.split(":") for kv in a.split("=", 1)[1].split(","))
+            }
+    spark = get_spark("pb-multi-stream", fair="--fair" in sys.argv,
+                      pool_weights=weights)
     if "--fair" in sys.argv:
-        print("# scheduler: FAIR (one pool per streaming query)", flush=True)
+        print(f"# scheduler: FAIR (one pool per streaming query"
+              f"{', weights ' + str(weights) if weights else ''})", flush=True)
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="pb_multistream_")
     try:
