@@ -3,14 +3,17 @@ stdlib/numpy, closing the last honestly-stubbed image-codec seam in
 :mod:`pulseboard_spark.operators.multimodal`.
 
 What is REAL here: the full baseline machinery — FDCT/quantize/zigzag,
-canonical Huffman coding with the JPEG-spec Annex K luminance tables,
-DC differential prediction, AC run-length/EOB coding, 0xFF byte
-stuffing/unstuffing, and marker-segment parsing (DQT/SOF0/DHT/SOS) —
-runs generally on arbitrary 8-bit grayscale input.  Scope honestly kept
-narrow: baseline sequential, 8-bit, ONE component (grayscale), no
-restart markers, no progressive — anything else raises
-NotImplementedError (chroma subsampling + YCbCr is a codec-breadth
-question, not a Spark-plumbing one).
+canonical Huffman coding with the JPEG-spec Annex K luminance AND
+chrominance tables, DC differential prediction, AC run-length/EOB
+coding, 0xFF byte stuffing/unstuffing, multi-table DQT/DHT parsing,
+interleaved-MCU scan decode with per-component sampling factors, chroma
+upsampling, and the JFIF/BT.601 YCbCr color transform — runs generally
+on arbitrary 8-bit grayscale (1-component) and color (3-component
+4:4:4 / 4:2:2 / 4:2:0) input, both directions
+(:func:`encode_jpeg_gray`/:func:`encode_jpeg_color` →
+:func:`decode_jpeg`).  Remaining scope boundaries raise
+NotImplementedError: progressive, 12-bit, restart intervals, sampling
+factors above 2, multi-scan (non-interleaved) color.
 
 What makes it ORACLE-CHECKABLE: JPEG is lossy, but for an image whose
 8x8 blocks are each a constant EVEN value and a quant table whose DC
@@ -88,6 +91,36 @@ AC_VALS = [
     0xF9, 0xFA,
 ]
 
+# Annex K chrominance DC: 16 length counts + value list (categories 0-11)
+DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_VALS_C = list(range(12))
+
+# Annex K chrominance AC: 16 length counts + 162 (run,size) symbols
+AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
 
 def _canonical_codes(bits, vals):
     """(symbol -> (code, length)) for a canonical JPEG Huffman table."""
@@ -102,6 +135,8 @@ def _canonical_codes(bits, vals):
 
 _DC_ENC = _canonical_codes(DC_BITS, DC_VALS)
 _AC_ENC = _canonical_codes(AC_BITS, AC_VALS)
+_DC_ENC_C = _canonical_codes(DC_BITS_C, DC_VALS_C)
+_AC_ENC_C = _canonical_codes(AC_BITS_C, AC_VALS_C)
 # decode maps: (length, code) -> symbol
 _DC_DEC = {(l, c): s for s, (c, l) in _DC_ENC.items()}
 _AC_DEC = {(l, c): s for s, (c, l) in _AC_ENC.items()}
@@ -189,6 +224,39 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
 
+def _encode_block(writer: _BitWriter, q: "np.ndarray", pred: int,
+                  dc_enc: dict, ac_enc: dict) -> int:
+    """Emit one quantized zigzag block (DC differential prediction, AC run-length,
+    ZRL/EOB) with the given canonical tables; returns the new DC
+    predictor.  Shared by the grayscale and color encoders."""
+    dc, diff = int(q[0]), int(q[0]) - pred
+    size, raw = _magnitude(diff)
+    code, length = dc_enc[size]
+    writer.write(code, length)
+    if size:
+        writer.write(raw, size)
+    run = 0
+    last_nz = int(np.nonzero(q[1:])[0].max()) + 1 if np.any(q[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(q[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_enc[0xF0]  # ZRL
+            writer.write(zc, zl)
+            run -= 16
+        size, raw = _magnitude(v)
+        code, length = ac_enc[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(raw, size)
+        run = 0
+    if last_nz < 63:
+        ec, el = ac_enc[0x00]  # EOB
+        writer.write(ec, el)
+    return dc
+
+
 def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
     """Real baseline JPEG: 8-bit grayscale, Annex K Huffman tables, DC
     step 16.  Dimensions not multiples of 8 are edge-replicated to the
@@ -210,32 +278,7 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
             coef = _C @ block @ _C.T
             # raster coefficients, emitted in zigzag order
             q = np.rint(coef / qt).astype(np.int64).ravel()[ZIGZAG]
-            dc, diff = int(q[0]), int(q[0]) - pred
-            pred = dc
-            size, raw = _magnitude(diff)
-            code, length = _DC_ENC[size]
-            writer.write(code, length)
-            if size:
-                writer.write(raw, size)
-            run = 0
-            last_nz = int(np.nonzero(q[1:])[0].max()) + 1 if np.any(q[1:]) else 0
-            for k in range(1, last_nz + 1):
-                v = int(q[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = _AC_ENC[0xF0]  # ZRL
-                    writer.write(zc, zl)
-                    run -= 16
-                size, raw = _magnitude(v)
-                code, length = _AC_ENC[(run << 4) | size]
-                writer.write(code, length)
-                writer.write(raw, size)
-                run = 0
-            if last_nz < 63:
-                ec, el = _AC_ENC[0x00]  # EOB
-                writer.write(ec, el)
+            pred = _encode_block(writer, q, pred, _DC_ENC, _AC_ENC)
 
     dqt = bytes([0x00]) + bytes(int(QTABLE[ZIGZAG[i]]) for i in range(64))
     # SOF carries the TRUE dimensions; block padding is encoder-internal
@@ -256,18 +299,110 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
     )
 
 
-def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
-    """General baseline decoder for the supported scope: parse
-    DQT/SOF0/DHT/SOS, entropy-decode, dequantize, IDCT, crop, clamp.
-    Raises NotImplementedError for progressive/multi-component/12-bit
-    streams — the honest remaining seam."""
+#: subsampling name -> luma sampling factors (h, v); chroma is always 1x1
+_SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+
+def _rgb_to_ycbcr(rgb: "np.ndarray") -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """JFIF / BT.601 full-range forward transform (float planes)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _pad_to(plane: "np.ndarray", rows: int, cols: int) -> "np.ndarray":
+    return np.pad(plane, ((0, rows - plane.shape[0]), (0, cols - plane.shape[1])),
+                  mode="edge")
+
+
+def encode_jpeg_color(width: int, height: int, rgb: bytes,
+                      subsampling: str = "4:2:0") -> bytes:
+    """Real baseline color JPEG: YCbCr (JFIF/BT.601), Annex K luma AND
+    chroma Huffman tables (ids 0/1), two quant tables (flat 16), one
+    interleaved scan with 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling
+    (box-mean downsample).  The decoder side is :func:`decode_jpeg`."""
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"pixel buffer is {len(rgb)} bytes; expected width*height*3 = {width * height * 3}"
+        )
+    hl, vl = _SUBSAMPLING[subsampling]
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    y, cb, cr = _rgb_to_ycbcr(img)
+
+    # MCU grid from the luma sampling factors
+    mx, my = -(-width // (8 * hl)), -(-height // (8 * vl))
+    y_p = _pad_to(y, my * vl * 8, mx * hl * 8)
+    # chroma: pad to the downsample multiple, box-mean, then pad to 8x8 grid
+    cpl = []
+    for c in (cb, cr):
+        c = _pad_to(c, -(-height // vl) * vl, -(-width // hl) * hl)
+        if hl > 1 or vl > 1:
+            c = c.reshape(c.shape[0] // vl, vl, c.shape[1] // hl, hl).mean(axis=(1, 3))
+        cpl.append(_pad_to(c, my * 8, mx * 8))
+    qt = QTABLE.reshape(8, 8).astype(np.float64)
+
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+
+    def emit(plane, by, bx, ci):
+        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coef = _C @ block @ _C.T
+        q = np.rint(coef / qt).astype(np.int64).ravel()[ZIGZAG]
+        dc_e, ac_e = (_DC_ENC, _AC_ENC) if ci == 0 else (_DC_ENC_C, _AC_ENC_C)
+        preds[ci] = _encode_block(writer, q, preds[ci], dc_e, ac_e)
+
+    for myi in range(my):
+        for mxi in range(mx):
+            for byy in range(vl):           # luma: vl x hl blocks per MCU
+                for bxx in range(hl):
+                    emit(y_p, myi * vl + byy, mxi * hl + bxx, 0)
+            emit(cpl[0], myi, mxi, 1)       # Cb: one block per MCU
+            emit(cpl[1], myi, mxi, 2)       # Cr
+
+    flat16 = bytes(int(QTABLE[ZIGZAG[i]]) for i in range(64))
+    dqt = bytes([0x00]) + flat16 + bytes([0x01]) + flat16
+    sof = (
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, (hl << 4) | vl, 0])     # Y: luma sampling, qt 0
+        + bytes([2, 0x11, 1])               # Cb
+        + bytes([3, 0x11, 1])               # Cr
+    )
+    dht = (
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+        + bytes([0x01]) + bytes(DC_BITS_C) + bytes(DC_VALS_C)
+        + bytes([0x11]) + bytes(AC_BITS_C) + bytes(AC_VALS_C)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFDB, dqt)
+        + _seg(0xFFC0, sof)
+        + _seg(0xFFC4, dht)
+        + _seg(0xFFDA, sos)
+        + writer.flush()
+        + b"\xff\xd9"
+    )
+
+
+def _parse_segments(payload: bytes):
+    """Marker-segment parse for the supported baseline scope: multi-table
+    DQT/DHT (keyed by id), SOF0 with 1 or 3 components and sampling
+    factors ≤ 2, one SOS.  Raises NotImplementedError at every honest
+    scope boundary (progressive, 12-bit, restart intervals, >3
+    components, sampling > 2)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
-    qt = None
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
     width = height = None
-    dc_dec, ac_dec = {}, {}
-    data = None
+    scan = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -287,18 +422,36 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
         body = payload[pos + 4 : pos + 2 + length]
         pos += 2 + length
         if marker == 0xFFDB:
-            if body[0] & 0xF0:
-                raise NotImplementedError("16-bit quant tables unsupported")
-            z = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
-            qt = np.empty(64, dtype=np.int64)
-            qt[ZIGZAG] = z  # stored zigzag -> raster
+            off = 0
+            while off < len(body):  # one DQT segment may carry several tables
+                pq_tq = body[off]
+                if pq_tq & 0xF0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                z = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8).astype(np.int64)
+                t = np.empty(64, dtype=np.int64)
+                t[ZIGZAG] = z  # stored zigzag -> raster
+                qts[pq_tq & 0x0F] = t
+                off += 65
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError("only baseline sequential (SOF0) is decoded here")
         elif marker == 0xFFC0:
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8 or ncomp != 1:
-                raise NotImplementedError("only 8-bit single-component JPEGs are decoded here")
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision is decoded here")
+            if ncomp not in (1, 3):
+                raise NotImplementedError("only 1- (gray) or 3-component (YCbCr) baseline")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                hh, vv = hv >> 4, hv & 0x0F
+                if ncomp == 1:
+                    # single-component scans are non-interleaved: the MCU is
+                    # one data unit and the declared factors don't scale
+                    hh = vv = 1
+                elif hh not in (1, 2) or vv not in (1, 2):
+                    raise NotImplementedError("sampling factors above 2 unsupported")
+                comps.append((cid, hh, vv, tq))
         elif marker == 0xFFC4:
             off = 0
             while off < len(body):
@@ -306,58 +459,134 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
                 bits = list(body[off + 1 : off + 17])
                 nvals = sum(bits)
                 vals = list(body[off + 17 : off + 17 + nvals])
-                table = {
+                huff[(tc_th >> 4, tc_th & 0x0F)] = {
                     (l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()
                 }
-                (ac_dec if tc_th & 0x10 else dc_dec).update(table)
                 off += 17 + nvals
         elif marker == 0xFFDD:
             raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xFFDA:
-            data = payload[pos : payload.rindex(b"\xff\xd9")]
+            ns = body[0]
+            sel = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                   for i in range(ns)]
+            scan = (sel, payload[pos : payload.rindex(b"\xff\xd9")])
             break
         # APPn/COM: skipped
-    if qt is None or width is None or data is None or not dc_dec or not ac_dec:
+    if not qts or width is None or scan is None or comps is None or not huff:
         raise ValueError("missing DQT/SOF0/DHT/SOS segment")
+    return qts, huff, comps, width, height, scan
 
-    def read_symbol(reader, table):
-        code, length = 0, 0
-        while length <= 16:
-            code = (code << 1) | reader.bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("invalid Huffman code")
 
-    bw, bh = -(-width // 8), -(-height // 8)
-    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+def _read_symbol(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _decode_block(reader: _BitReader, dc_t: dict, ac_t: dict, pred: int):
+    """Entropy-decode one block; returns (zigzag coefficients, new DC
+    predictor)."""
+    coef = np.zeros(64, dtype=np.int64)
+    size = _read_symbol(reader, dc_t)
+    pred += _extend(reader.bits(size), size)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        sym = _read_symbol(reader, ac_t)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        s = sym & 0x0F
+        coef[k] = _extend(reader.bits(s), s)
+        k += 1
+    return coef, pred
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """General baseline decoder: parse, entropy-decode the interleaved
+    scan (per-component Huffman/quant tables, sampling factors ≤ 2),
+    dequantize, IDCT, upsample chroma, color-convert.
+
+    Returns ``(width, height, n_channels, pixels)`` — grayscale bytes
+    for 1-component streams, interleaved RGB (JFIF/BT.601 inverse) for
+    3-component YCbCr.  Progressive / 12-bit / restart-interval / >2
+    sampling streams raise NotImplementedError — the honest remaining
+    seam."""
+    qts, huff, comps, width, height, (sel, data) = _parse_segments(payload)
+    if len(sel) != len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved color) unsupported")
+    tdta = {cs: (td, ta) for cs, td, ta in sel}
+    for cid, _, _, tq in comps:
+        if cid not in tdta:
+            raise ValueError(f"scan does not cover component {cid}")
+        if tq not in qts:
+            raise ValueError(f"missing quant table {tq}")
+        td, ta = tdta[cid]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError(f"missing Huffman table for component {cid}")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx, my = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    planes = [np.empty((my * vv * 8, mx * hh * 8), dtype=np.float64)
+              for _, hh, vv, _ in comps]
+    preds = [0] * len(comps)
     reader = _BitReader(data)
-    qt2 = qt.reshape(8, 8).astype(np.float64)
-    pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            coef = np.zeros(64, dtype=np.int64)
-            size = read_symbol(reader, dc_dec)
-            pred += _extend(reader.bits(size), size)
-            coef[0] = pred
-            k = 1
-            while k < 64:
-                sym = read_symbol(reader, ac_dec)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                s = sym & 0x0F
-                coef[k] = _extend(reader.bits(s), s)
-                k += 1
-            block = np.empty(64, dtype=np.float64)
-            block[ZIGZAG] = coef  # zigzag -> raster
-            block = block.reshape(8, 8) * qt2
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _C.T @ block @ _C + 128.0
-    pix = np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
-    return width, height, pix.tobytes()
+    for myi in range(my):
+        for mxi in range(mx):
+            for ci, (cid, hh, vv, tq) in enumerate(comps):
+                td, ta = tdta[cid]
+                qt2 = qts[tq].reshape(8, 8).astype(np.float64)
+                for byy in range(vv):
+                    for bxx in range(hh):
+                        coef, preds[ci] = _decode_block(
+                            reader, huff[(0, td)], huff[(1, ta)], preds[ci]
+                        )
+                        block = np.empty(64, dtype=np.float64)
+                        block[ZIGZAG] = coef  # zigzag -> raster
+                        block = block.reshape(8, 8) * qt2
+                        by, bx = myi * vv + byy, mxi * hh + bxx
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            _C.T @ block @ _C + 128.0
+                        )
+
+    if len(comps) == 1:
+        pix = np.clip(np.rint(planes[0][:height, :width]), 0, 255).astype(np.uint8)
+        return width, height, 1, pix.tobytes()
+
+    # upsample each plane to full resolution (factor replication), crop
+    full = []
+    for (cid, hh, vv, tq), p in zip(comps, planes):
+        if vv < vmax:
+            p = np.repeat(p, vmax // vv, axis=0)
+        if hh < hmax:
+            p = np.repeat(p, hmax // hh, axis=1)
+        full.append(p[:height, :width])
+    y, cb, cr = full  # component order as declared in SOF (Y, Cb, Cr)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    return width, height, 3, rgb.tobytes()
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Single-component facade over :func:`decode_jpeg` — the interface
+    the oracle-checked `jpeg_features` path consumes.  A color stream
+    here is a contract violation, not a silent luma extraction."""
+    width, height, ncomp, pix = decode_jpeg(payload)
+    if ncomp != 1:
+        raise NotImplementedError(
+            "decode_jpeg_gray expects a single-component stream; use decode_jpeg"
+        )
+    return width, height, pix
 
 
 # --- operators ---------------------------------------------------------------

@@ -107,19 +107,21 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Sniff-and-decode: PPM, PNG, or baseline JPEG → (width, height,
-    raw RGB).  JPEG (grayscale baseline, :mod:`operators.jpeg`) expands
-    luma to RGB.  Unknown containers raise — progressive/multi-component
-    JPEG raises inside the jpeg decoder (the honest remaining seam)."""
+    raw RGB).  JPEG (:mod:`operators.jpeg`) handles grayscale AND
+    3-component YCbCr with 4:4:4/4:2:2/4:2:0 subsampling; gray expands
+    luma to RGB.  Unknown containers raise — progressive/12-bit JPEG
+    raises inside the jpeg decoder (the honest remaining seam)."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(_PNG_MAGIC):
         return decode_png(payload)
     if payload.startswith(b"\xff\xd8"):
-        from pulseboard_spark.operators.jpeg import decode_jpeg_gray
+        from pulseboard_spark.operators.jpeg import decode_jpeg
 
-        w, h, gray = decode_jpeg_gray(payload)
-        rgb = np.repeat(np.frombuffer(gray, dtype=np.uint8), 3).tobytes()
-        return w, h, rgb
+        w, h, ncomp, pix = decode_jpeg(payload)
+        if ncomp == 1:
+            pix = np.repeat(np.frombuffer(pix, dtype=np.uint8), 3).tobytes()
+        return w, h, pix
     raise NotImplementedError("no codec for this payload in this environment")
 
 

@@ -434,6 +434,77 @@ class TestJpegCodec:
         with _pytest.raises(ValueError):
             encode_jpeg_gray(8, 8, img.tobytes()[:-1])
 
+    def test_color_444_round_trip(self):
+        """3-component YCbCr without subsampling: exercises multi-table
+        DQT/DHT (luma id 0 + Annex K chroma id 1), the interleaved MCU
+        scan, per-component DC predictors, and the JFIF inverse color
+        transform.  Error bound: quant step 16 on all three channels,
+        amplified ≤ ~2.8x by the inverse transform."""
+        import numpy as np
+
+        from pulseboard_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
+
+        rng = np.random.default_rng(11)
+        for _ in range(3):
+            w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            w2, h2, n, rgb = decode_jpeg(encode_jpeg_color(w, h, img.tobytes(), "4:4:4"))
+            assert (w2, h2, n) == (w, h, 3)
+            got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(int)
+            assert np.abs(got - img.astype(int)).max() <= 56
+
+    def test_color_subsampled_round_trips(self):
+        """4:2:0 and 4:2:2: luma blocks per MCU = v*h, chroma box-mean
+        downsample + replication upsample, odd dims pad-and-crop.
+        Gray-valued RGB makes chroma constant (subsampling-lossless), so
+        the bound collapses to the luma path's; a saturated constant
+        color pins the chroma transform itself."""
+        import numpy as np
+
+        from pulseboard_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
+
+        rng = np.random.default_rng(12)
+        for sub in ("4:2:0", "4:2:2"):
+            w, h = int(rng.integers(9, 40)), int(rng.integers(9, 40))
+            g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            img = np.stack([g, g, g], axis=-1)
+            w2, h2, n, rgb = decode_jpeg(encode_jpeg_color(w, h, img.tobytes(), sub))
+            assert (w2, h2, n) == (w, h, 3)
+            got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(int)
+            assert np.abs(got - img.astype(int)).max() <= 24, sub
+
+            const = np.zeros((21, 13, 3), np.uint8)
+            const[...] = (200, 30, 90)
+            _, _, _, rgb = decode_jpeg(encode_jpeg_color(13, 21, const.tobytes(), sub))
+            got = np.frombuffer(rgb, dtype=np.uint8).reshape(21, 13, 3).astype(int)
+            assert np.abs(got - const.astype(int)).max() <= 4, sub
+
+    def test_color_scope_contracts(self):
+        """Color payloads refuse the gray facade (no silent luma
+        extraction); bad subsampling names and wrong-sized buffers raise
+        contract errors; decode_image returns the color pixels."""
+        import numpy as np
+        import pytest as _pytest
+
+        from pulseboard_spark.operators.jpeg import (
+            decode_jpeg_gray, encode_jpeg_color,
+        )
+        from pulseboard_spark.operators.multimodal import decode_image
+
+        img = np.zeros((8, 8, 3), np.uint8)
+        img[...] = (10, 200, 60)
+        payload = encode_jpeg_color(8, 8, img.tobytes(), "4:2:0")
+        with _pytest.raises(NotImplementedError):
+            decode_jpeg_gray(payload)
+        with _pytest.raises(ValueError):
+            encode_jpeg_color(8, 8, img.tobytes(), "4:1:1")
+        with _pytest.raises(ValueError):
+            encode_jpeg_color(8, 8, img.tobytes()[:-1])
+        w, h, rgb = decode_image(payload)
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(8, 8, 3).astype(int)
+        assert (w, h) == (8, 8)
+        assert np.abs(got - img.astype(int)).max() <= 4
+
     def test_jpeg_features_match_block_model(self, spark, sf_dir):
         """End-to-end: synth JPEG payloads, full entropy decode, luma
         stats against the closed-form block model (the oracle's formula)."""
