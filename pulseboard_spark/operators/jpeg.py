@@ -11,9 +11,10 @@ upsampling, and the JFIF/BT.601 YCbCr color transform — runs generally
 on arbitrary 8-bit grayscale (1-component) and color (3-component
 4:4:4 / 4:2:2 / 4:2:0) input, both directions
 (:func:`encode_jpeg_gray`/:func:`encode_jpeg_color` →
-:func:`decode_jpeg`).  Remaining scope boundaries raise
-NotImplementedError: progressive, 12-bit, restart intervals, sampling
-factors above 2, multi-scan (non-interleaved) color.
+:func:`decode_jpeg`), plus DRI/RSTm restart intervals in both
+directions.  Remaining scope boundaries raise NotImplementedError:
+progressive, 12-bit, sampling factors above 2, multi-scan
+(non-interleaved) color.
 
 What makes it ORACLE-CHECKABLE: JPEG is lossy, but for an image whose
 8x8 blocks are each a constant EVEN value and a quant table whose DC
@@ -174,6 +175,19 @@ class _BitWriter:
             self.acc, self.n = 0, 0
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """1-pad to a byte boundary and emit RSTm — marker bytes are NOT
+        byte-stuffed (T.81 B.2.1: markers are the one legal 0xFF pair
+        inside entropy-coded data)."""
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (m & 7))
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -205,6 +219,21 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart_sync(self) -> int:
+        """Discard pad bits, consume the RSTm marker at the current byte
+        position, and return m (0-7).  Raises if the stream is not at a
+        restart marker — a desync here means lost MCUs, never silence."""
+        self.acc, self.n = 0, 0
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("RST marker expected in entropy data")
+        while self.pos + 1 < len(self.data) and self.data[self.pos + 1] == 0xFF:
+            self.pos += 1  # spec-legal fill bytes
+        m = self.data[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError("RST marker expected in entropy data")
+        self.pos += 2
+        return m & 7
 
 
 def _extend(v: int, size: int) -> int:
@@ -257,10 +286,14 @@ def _encode_block(writer: _BitWriter, q: "np.ndarray", pred: int,
     return dc
 
 
-def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
+def encode_jpeg_gray(width: int, height: int, gray: bytes,
+                     restart_interval: int = 0) -> bytes:
     """Real baseline JPEG: 8-bit grayscale, Annex K Huffman tables, DC
     step 16.  Dimensions not multiples of 8 are edge-replicated to the
-    block grid (standard practice); the decoder crops back."""
+    block grid (standard practice); the decoder crops back.  With
+    ``restart_interval=n`` a DRI segment is written and RSTm markers
+    reset the DC predictor every n MCUs (one MCU = one block here);
+    the default 0 emits byte-identical streams to earlier rounds."""
     if len(gray) != width * height:
         raise ValueError(
             f"pixel buffer is {len(gray)} bytes; expected width*height = {width * height}"
@@ -272,13 +305,18 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
     qt = QTABLE.reshape(8, 8).astype(np.float64)
     writer = _BitWriter()
     pred = 0
+    mcu = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.restart((mcu // restart_interval - 1) % 8)
+                pred = 0
             block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
             coef = _C @ block @ _C.T
             # raster coefficients, emitted in zigzag order
             q = np.rint(coef / qt).astype(np.int64).ravel()[ZIGZAG]
             pred = _encode_block(writer, q, pred, _DC_ENC, _AC_ENC)
+            mcu += 1
 
     dqt = bytes([0x00]) + bytes(int(QTABLE[ZIGZAG[i]]) for i in range(64))
     # SOF carries the TRUE dimensions; block padding is encoder-internal
@@ -288,11 +326,13 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
         + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
     )
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + _seg(0xFFDB, dqt)
         + _seg(0xFFC0, sof)
         + _seg(0xFFC4, dht)
+        + dri
         + _seg(0xFFDA, sos)
         + writer.flush()
         + b"\xff\xd9"
@@ -318,11 +358,14 @@ def _pad_to(plane: "np.ndarray", rows: int, cols: int) -> "np.ndarray":
 
 
 def encode_jpeg_color(width: int, height: int, rgb: bytes,
-                      subsampling: str = "4:2:0") -> bytes:
+                      subsampling: str = "4:2:0",
+                      restart_interval: int = 0) -> bytes:
     """Real baseline color JPEG: YCbCr (JFIF/BT.601), Annex K luma AND
     chroma Huffman tables (ids 0/1), two quant tables (flat 16), one
     interleaved scan with 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling
-    (box-mean downsample).  The decoder side is :func:`decode_jpeg`."""
+    (box-mean downsample).  ``restart_interval=n`` writes DRI + RSTm
+    every n MCUs (all three DC predictors reset).  The decoder side is
+    :func:`decode_jpeg`."""
     if subsampling not in _SUBSAMPLING:
         raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
     if len(rgb) != width * height * 3:
@@ -355,13 +398,18 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
         dc_e, ac_e = (_DC_ENC, _AC_ENC) if ci == 0 else (_DC_ENC_C, _AC_ENC_C)
         preds[ci] = _encode_block(writer, q, preds[ci], dc_e, ac_e)
 
+    mcu = 0
     for myi in range(my):
         for mxi in range(mx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.restart((mcu // restart_interval - 1) % 8)
+                preds[0] = preds[1] = preds[2] = 0
             for byy in range(vl):           # luma: vl x hl blocks per MCU
                 for bxx in range(hl):
                     emit(y_p, myi * vl + byy, mxi * hl + bxx, 0)
             emit(cpl[0], myi, mxi, 1)       # Cb: one block per MCU
             emit(cpl[1], myi, mxi, 2)       # Cr
+            mcu += 1
 
     flat16 = bytes(int(QTABLE[ZIGZAG[i]]) for i in range(64))
     dqt = bytes([0x00]) + flat16 + bytes([0x01]) + flat16
@@ -378,11 +426,13 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
         + bytes([0x11]) + bytes(AC_BITS_C) + bytes(AC_VALS_C)
     )
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + _seg(0xFFDB, dqt)
         + _seg(0xFFC0, sof)
         + _seg(0xFFC4, dht)
+        + dri
         + _seg(0xFFDA, sos)
         + writer.flush()
         + b"\xff\xd9"
@@ -392,9 +442,9 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
 def _parse_segments(payload: bytes):
     """Marker-segment parse for the supported baseline scope: multi-table
     DQT/DHT (keyed by id), SOF0 with 1 or 3 components and sampling
-    factors ≤ 2, one SOS.  Raises NotImplementedError at every honest
-    scope boundary (progressive, 12-bit, restart intervals, >3
-    components, sampling > 2)."""
+    factors ≤ 2, DRI, one SOS.  Raises NotImplementedError at every
+    honest scope boundary (progressive, 12-bit, >3 components,
+    sampling > 2)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -403,6 +453,7 @@ def _parse_segments(payload: bytes):
     comps = None
     width = height = None
     scan = None
+    ri = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -464,7 +515,7 @@ def _parse_segments(payload: bytes):
                 }
                 off += 17 + nvals
         elif marker == 0xFFDD:
-            raise NotImplementedError("restart intervals unsupported")
+            (ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:
             ns = body[0]
             sel = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
@@ -474,7 +525,7 @@ def _parse_segments(payload: bytes):
         # APPn/COM: skipped
     if not qts or width is None or scan is None or comps is None or not huff:
         raise ValueError("missing DQT/SOF0/DHT/SOS segment")
-    return qts, huff, comps, width, height, scan
+    return qts, huff, comps, width, height, scan, ri
 
 
 def _read_symbol(reader: _BitReader, table: dict) -> int:
@@ -516,10 +567,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
 
     Returns ``(width, height, n_channels, pixels)`` — grayscale bytes
     for 1-component streams, interleaved RGB (JFIF/BT.601 inverse) for
-    3-component YCbCr.  Progressive / 12-bit / restart-interval / >2
+    3-component YCbCr.  Restart intervals (DRI/RSTm) are honored: DC
+    predictors reset and the bit stream re-syncs at every marker, with
+    the modulo-8 restart count verified.  Progressive / 12-bit / >2
     sampling streams raise NotImplementedError — the honest remaining
     seam."""
-    qts, huff, comps, width, height, (sel, data) = _parse_segments(payload)
+    qts, huff, comps, width, height, (sel, data), ri = _parse_segments(payload)
     if len(sel) != len(comps):
         raise NotImplementedError("multi-scan (non-interleaved color) unsupported")
     tdta = {cs: (td, ta) for cs, td, ta in sel}
@@ -539,8 +592,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
               for _, hh, vv, _ in comps]
     preds = [0] * len(comps)
     reader = _BitReader(data)
+    mcu = 0
     for myi in range(my):
         for mxi in range(mx):
+            if ri and mcu and mcu % ri == 0:
+                m = reader.restart_sync()
+                want = (mcu // ri - 1) % 8
+                if m != want:
+                    raise ValueError(f"restart marker out of order: RST{m}, expected RST{want}")
+                preds = [0] * len(comps)
+            mcu += 1
             for ci, (cid, hh, vv, tq) in enumerate(comps):
                 td, ta = tdta[cid]
                 qt2 = qts[tq].reshape(8, 8).astype(np.float64)

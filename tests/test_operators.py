@@ -505,6 +505,41 @@ class TestJpegCodec:
         assert (w, h) == (8, 8)
         assert np.abs(got - img.astype(int)).max() <= 4
 
+    def test_restart_intervals_round_trip(self):
+        """DRI/RSTm both directions: encoding with a restart interval
+        yields a byte-DIFFERENT stream (markers + predictor resets) that
+        decodes byte-IDENTICAL to the unrestarted stream — the quantized
+        data is the same, only the entropy framing changes.  Interval 1
+        on a 42-MCU image wraps the RST index past 7 (modulo-8 path);
+        an out-of-order marker raises instead of desyncing.  The default
+        restart_interval=0 stays byte-identical to earlier rounds."""
+        import numpy as np
+        import pytest as _pytest
+
+        from pulseboard_spark.operators.jpeg import (
+            decode_jpeg, decode_jpeg_gray, encode_jpeg_color, encode_jpeg_gray,
+        )
+
+        rng = np.random.default_rng(21)
+        img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+        p0 = encode_jpeg_gray(40, 24, img.tobytes())
+        assert p0 == encode_jpeg_gray(40, 24, img.tobytes(), restart_interval=0)
+        p2 = encode_jpeg_gray(40, 24, img.tobytes(), restart_interval=2)
+        assert p2 != p0 and b"\xff\xdd" in p2
+        assert decode_jpeg_gray(p2) == decode_jpeg_gray(p0)
+
+        cimg = rng.integers(0, 256, size=(48, 56, 3), dtype=np.uint8)
+        for sub in ("4:4:4", "4:2:0", "4:2:2"):
+            pa = encode_jpeg_color(56, 48, cimg.tobytes(), sub)
+            pb = encode_jpeg_color(56, 48, cimg.tobytes(), sub, restart_interval=1)
+            assert decode_jpeg(pb) == decode_jpeg(pa), sub
+
+        bad = bytearray(encode_jpeg_color(56, 48, cimg.tobytes(), "4:2:0", restart_interval=2))
+        i = bad.find(b"\xff\xd0", 200)
+        bad[i + 1] = 0xD5
+        with _pytest.raises(ValueError, match="out of order"):
+            decode_jpeg(bytes(bad))
+
     def test_jpeg_features_match_block_model(self, spark, sf_dir):
         """End-to-end: synth JPEG payloads, full entropy decode, luma
         stats against the closed-form block model (the oracle's formula)."""
