@@ -460,6 +460,8 @@ def _parse_segments(payload: bytes):
         # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a marker
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 2 > len(payload):
+            raise ValueError("truncated stream at marker boundary")
         marker = struct.unpack(">H", payload[pos : pos + 2])[0]
         if marker == 0xFFD9:
             break
@@ -469,12 +471,18 @@ def _parse_segments(payload: bytes):
             raise NotImplementedError("standalone marker outside entropy data unsupported")
         if marker == 0xFF00:
             raise ValueError("0xFF00 is not a marker outside entropy data")
+        if pos + 4 > len(payload):
+            raise ValueError("truncated marker segment header")
         (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + length]
+        if length < 2 or len(body) != length - 2:
+            raise ValueError("truncated marker segment body")
         pos += 2 + length
         if marker == 0xFFDB:
             off = 0
             while off < len(body):  # one DQT segment may carry several tables
+                if off + 65 > len(body):
+                    raise ValueError("truncated DQT table")
                 pq_tq = body[off]
                 if pq_tq & 0xF0:
                     raise NotImplementedError("16-bit quant tables unsupported")
@@ -487,9 +495,13 @@ def _parse_segments(payload: bytes):
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError("only baseline sequential (SOF0) is decoded here")
         elif marker == 0xFFC0:
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("truncated SOF0 segment")
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision is decoded here")
+            if not width or not height or width * height > (1 << 28):
+                raise ValueError("zero or implausibly large frame dimensions")
             if ncomp not in (1, 3):
                 raise NotImplementedError("only 1- (gray) or 3-component (YCbCr) baseline")
             comps = []
@@ -506,21 +518,32 @@ def _parse_segments(payload: bytes):
         elif marker == 0xFFC4:
             off = 0
             while off < len(body):
+                if off + 17 > len(body):
+                    raise ValueError("truncated DHT table")
                 tc_th = body[off]
                 bits = list(body[off + 1 : off + 17])
                 nvals = sum(bits)
+                if off + 17 + nvals > len(body):
+                    raise ValueError("truncated DHT table values")
                 vals = list(body[off + 17 : off + 17 + nvals])
                 huff[(tc_th >> 4, tc_th & 0x0F)] = {
                     (l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()
                 }
                 off += 17 + nvals
         elif marker == 0xFFDD:
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             (ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
             sel = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
                    for i in range(ns)]
-            scan = (sel, payload[pos : payload.rindex(b"\xff\xd9")])
+            eoi = payload.rfind(b"\xff\xd9")
+            if eoi < 0:
+                raise ValueError("missing EOI marker")
+            scan = (sel, payload[pos:eoi])
             break
         # APPn/COM: skipped
     if not qts or width is None or scan is None or comps is None or not huff:
@@ -543,6 +566,8 @@ def _decode_block(reader: _BitReader, dc_t: dict, ac_t: dict, pred: int):
     predictor)."""
     coef = np.zeros(64, dtype=np.int64)
     size = _read_symbol(reader, dc_t)
+    if size > 15:
+        raise ValueError("invalid DC magnitude category")
     pred += _extend(reader.bits(size), size)
     coef[0] = pred
     k = 1
@@ -555,6 +580,8 @@ def _decode_block(reader: _BitReader, dc_t: dict, ac_t: dict, pred: int):
             continue
         k += sym >> 4
         s = sym & 0x0F
+        if k > 63:
+            raise ValueError("AC run-length overflows the block")
         coef[k] = _extend(reader.bits(s), s)
         k += 1
     return coef, pred

@@ -540,6 +540,46 @@ class TestJpegCodec:
         with _pytest.raises(ValueError, match="out of order"):
             decode_jpeg(bytes(bad))
 
+    def test_malformed_payload_exception_contract(self):
+        """External-corpus robustness: EVERY truncation of a valid
+        stream, random garbage after SOI, and single-byte flips must
+        raise ValueError/NotImplementedError/EOFError — never IndexError
+        / struct.error / OverflowError (the leaks this pin was written
+        against), never a hang, never silent garbage-as-success for a
+        structurally broken header.  (Bit flips inside entropy data that
+        still decode are inherent to compression and are not errors.)"""
+        import numpy as np
+        import pytest as _pytest
+
+        from pulseboard_spark.operators.jpeg import (
+            decode_jpeg, encode_jpeg_color, encode_jpeg_gray,
+        )
+
+        allowed = (ValueError, NotImplementedError, EOFError)
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        payload = encode_jpeg_color(16, 16, img.tobytes(), "4:2:0", restart_interval=2)
+        for cut in range(2, len(payload)):
+            with _pytest.raises(allowed):
+                decode_jpeg(payload[:cut])
+        gray = encode_jpeg_gray(16, 16, rng.integers(0, 256, size=(16, 16), dtype=np.uint8).tobytes())
+        for cut in range(2, len(gray)):
+            with _pytest.raises(allowed):
+                decode_jpeg(gray[:cut])
+        for _ in range(800):
+            blob = b"\xff\xd8" + rng.integers(
+                0, 256, size=int(rng.integers(0, 300)), dtype=np.uint8
+            ).tobytes()
+            with _pytest.raises(allowed):
+                decode_jpeg(blob)
+        for _ in range(1200):
+            b = bytearray(payload)
+            b[int(rng.integers(2, len(payload)))] = int(rng.integers(0, 256))
+            try:
+                decode_jpeg(bytes(b))  # entropy-area flips may legally decode
+            except allowed:
+                pass
+
     def test_jpeg_features_match_block_model(self, spark, sf_dir):
         """End-to-end: synth JPEG payloads, full entropy decode, luma
         stats against the closed-form block model (the oracle's formula)."""
