@@ -11,10 +11,11 @@ upsampling, and the JFIF/BT.601 YCbCr color transform — runs generally
 on arbitrary 8-bit grayscale (1-component) and color (3-component
 4:4:4 / 4:2:2 / 4:2:0) input, both directions
 (:func:`encode_jpeg_gray`/:func:`encode_jpeg_color` →
-:func:`decode_jpeg`), plus DRI/RSTm restart intervals in both
-directions.  Remaining scope boundaries raise NotImplementedError:
-progressive, 12-bit, sampling factors above 2, multi-scan
-(non-interleaved) color.
+:func:`decode_jpeg`), plus DRI/RSTm restart intervals and both
+baseline scan layouts (one interleaved scan, or per-component
+non-interleaved scans) in both directions.  Remaining scope boundaries
+raise NotImplementedError: progressive, 12-bit, sampling factors
+above 2.
 
 What makes it ORACLE-CHECKABLE: JPEG is lossy, but for an image whose
 8x8 blocks are each a constant EVEN value and a quant table whose DC
@@ -359,12 +360,17 @@ def _pad_to(plane: "np.ndarray", rows: int, cols: int) -> "np.ndarray":
 
 def encode_jpeg_color(width: int, height: int, rgb: bytes,
                       subsampling: str = "4:2:0",
-                      restart_interval: int = 0) -> bytes:
+                      restart_interval: int = 0,
+                      interleaved: bool = True) -> bytes:
     """Real baseline color JPEG: YCbCr (JFIF/BT.601), Annex K luma AND
-    chroma Huffman tables (ids 0/1), two quant tables (flat 16), one
-    interleaved scan with 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling
-    (box-mean downsample).  ``restart_interval=n`` writes DRI + RSTm
-    every n MCUs (all three DC predictors reset).  The decoder side is
+    chroma Huffman tables (ids 0/1), two quant tables (flat 16), with
+    4:4:4 / 4:2:2 / 4:2:0 chroma subsampling (box-mean downsample).
+    ``interleaved=True`` (the common layout) writes one scan of MCUs;
+    ``interleaved=False`` writes three non-interleaved scans (one per
+    component, block raster over each component's own grid — the other
+    spec-legal baseline layout, emitted by some encoders).
+    ``restart_interval=n`` writes DRI + RSTm every n MCUs (interleaved)
+    or every n blocks per scan (non-interleaved).  The decoder side is
     :func:`decode_jpeg`."""
     if subsampling not in _SUBSAMPLING:
         raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
@@ -398,18 +404,43 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
         dc_e, ac_e = (_DC_ENC, _AC_ENC) if ci == 0 else (_DC_ENC_C, _AC_ENC_C)
         preds[ci] = _encode_block(writer, q, preds[ci], dc_e, ac_e)
 
-    mcu = 0
-    for myi in range(my):
-        for mxi in range(mx):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                writer.restart((mcu // restart_interval - 1) % 8)
-                preds[0] = preds[1] = preds[2] = 0
-            for byy in range(vl):           # luma: vl x hl blocks per MCU
-                for bxx in range(hl):
-                    emit(y_p, myi * vl + byy, mxi * hl + bxx, 0)
-            emit(cpl[0], myi, mxi, 1)       # Cb: one block per MCU
-            emit(cpl[1], myi, mxi, 2)       # Cr
-            mcu += 1
+    scan_bytes = b""
+    if interleaved:
+        mcu = 0
+        for myi in range(my):
+            for mxi in range(mx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    writer.restart((mcu // restart_interval - 1) % 8)
+                    preds[0] = preds[1] = preds[2] = 0
+                for byy in range(vl):           # luma: vl x hl blocks per MCU
+                    for bxx in range(hl):
+                        emit(y_p, myi * vl + byy, mxi * hl + bxx, 0)
+                emit(cpl[0], myi, mxi, 1)       # Cb: one block per MCU
+                emit(cpl[1], myi, mxi, 2)       # Cr
+                mcu += 1
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        scan_bytes = _seg(0xFFDA, sos) + writer.flush()
+    else:
+        # three non-interleaved scans over each component's OWN block grid
+        cw, ch = -(-width // hl), -(-height // vl)       # chroma sample dims
+        cbw, cbh = -(-cw // 8), -(-ch // 8)
+        grids = [
+            (y_p, 0, -(-width // 8), -(-height // 8), bytes([1, 1, 0x00, 0, 63, 0])),
+            (cpl[0], 1, cbw, cbh, bytes([1, 2, 0x11, 0, 63, 0])),
+            (cpl[1], 2, cbw, cbh, bytes([1, 3, 0x11, 0, 63, 0])),
+        ]
+        for plane, ci, cbw, cbh, sos in grids:
+            writer = _BitWriter()
+            preds[ci] = 0
+            unit = 0
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        writer.restart((unit // restart_interval - 1) % 8)
+                        preds[ci] = 0
+                    unit += 1
+                    emit(plane, by, bx, ci)
+            scan_bytes += _seg(0xFFDA, sos) + writer.flush()
 
     flat16 = bytes(int(QTABLE[ZIGZAG[i]]) for i in range(64))
     dqt = bytes([0x00]) + flat16 + bytes([0x01]) + flat16
@@ -425,7 +456,6 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
         + bytes([0x01]) + bytes(DC_BITS_C) + bytes(DC_VALS_C)
         + bytes([0x11]) + bytes(AC_BITS_C) + bytes(AC_VALS_C)
     )
-    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
@@ -433,8 +463,7 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
         + _seg(0xFFC0, sof)
         + _seg(0xFFC4, dht)
         + dri
-        + _seg(0xFFDA, sos)
-        + writer.flush()
+        + scan_bytes
         + b"\xff\xd9"
     )
 
@@ -442,8 +471,9 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
 def _parse_segments(payload: bytes):
     """Marker-segment parse for the supported baseline scope: multi-table
     DQT/DHT (keyed by id), SOF0 with 1 or 3 components and sampling
-    factors ≤ 2, DRI, one SOS.  Raises NotImplementedError at every
-    honest scope boundary (progressive, 12-bit, >3 components,
+    factors ≤ 2, DRI, one or more SOS segments (each scan's entropy data
+    bounded by the next true marker).  Raises NotImplementedError at
+    every honest scope boundary (progressive, 12-bit, >3 components,
     sampling > 2)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -452,7 +482,7 @@ def _parse_segments(payload: bytes):
     huff: dict[tuple[int, int], dict] = {}
     comps = None
     width = height = None
-    scan = None
+    scans: list = []
     ri = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -540,15 +570,25 @@ def _parse_segments(payload: bytes):
             ns = body[0]
             sel = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
                    for i in range(ns)]
-            eoi = payload.rfind(b"\xff\xd9")
-            if eoi < 0:
-                raise ValueError("missing EOI marker")
-            scan = (sel, payload[pos:eoi])
-            break
+            # entropy data runs to the next true marker (0xFF followed by
+            # anything but a stuffed 0x00 or an RSTn)
+            end = pos
+            while end < len(payload):
+                nxt = payload.find(b"\xff", end)
+                if nxt < 0 or nxt + 1 >= len(payload):
+                    raise ValueError("missing EOI marker")
+                b2 = payload[nxt + 1]
+                if b2 == 0x00 or 0xD0 <= b2 <= 0xD7:
+                    end = nxt + 2
+                    continue
+                end = nxt
+                break
+            scans.append((sel, payload[pos:end], ri))
+            pos = end
         # APPn/COM: skipped
-    if not qts or width is None or scan is None or comps is None or not huff:
+    if not qts or width is None or not scans or comps is None or not huff:
         raise ValueError("missing DQT/SOF0/DHT/SOS segment")
-    return qts, huff, comps, width, height, scan, ri
+    return qts, huff, comps, width, height, scans
 
 
 def _read_symbol(reader: _BitReader, table: dict) -> int:
@@ -594,56 +634,93 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
 
     Returns ``(width, height, n_channels, pixels)`` — grayscale bytes
     for 1-component streams, interleaved RGB (JFIF/BT.601 inverse) for
-    3-component YCbCr.  Restart intervals (DRI/RSTm) are honored: DC
-    predictors reset and the bit stream re-syncs at every marker, with
-    the modulo-8 restart count verified.  Progressive / 12-bit / >2
-    sampling streams raise NotImplementedError — the honest remaining
-    seam."""
-    qts, huff, comps, width, height, (sel, data), ri = _parse_segments(payload)
-    if len(sel) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved color) unsupported")
-    tdta = {cs: (td, ta) for cs, td, ta in sel}
-    for cid, _, _, tq in comps:
-        if cid not in tdta:
-            raise ValueError(f"scan does not cover component {cid}")
-        if tq not in qts:
-            raise ValueError(f"missing quant table {tq}")
-        td, ta = tdta[cid]
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError(f"missing Huffman table for component {cid}")
-
+    3-component YCbCr.  Both scan layouts are decoded: one interleaved
+    scan, or multiple non-interleaved scans (one component each, block
+    order over the component's own grid).  Restart intervals (DRI/RSTm)
+    are honored per scan: DC predictors reset and the bit stream
+    re-syncs at every marker, with the modulo-8 restart count verified.
+    Progressive / 12-bit / >2 sampling streams raise
+    NotImplementedError — the honest remaining seam."""
+    qts, huff, comps, width, height, scans = _parse_segments(payload)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mx, my = -(-width // (8 * hmax)), -(-height // (8 * vmax))
     planes = [np.empty((my * vv * 8, mx * hh * 8), dtype=np.float64)
               for _, hh, vv, _ in comps]
-    preds = [0] * len(comps)
-    reader = _BitReader(data)
-    mcu = 0
-    for myi in range(my):
-        for mxi in range(mx):
-            if ri and mcu and mcu % ri == 0:
-                m = reader.restart_sync()
-                want = (mcu // ri - 1) % 8
-                if m != want:
-                    raise ValueError(f"restart marker out of order: RST{m}, expected RST{want}")
-                preds = [0] * len(comps)
-            mcu += 1
-            for ci, (cid, hh, vv, tq) in enumerate(comps):
-                td, ta = tdta[cid]
-                qt2 = qts[tq].reshape(8, 8).astype(np.float64)
-                for byy in range(vv):
-                    for bxx in range(hh):
-                        coef, preds[ci] = _decode_block(
-                            reader, huff[(0, td)], huff[(1, ta)], preds[ci]
-                        )
-                        block = np.empty(64, dtype=np.float64)
-                        block[ZIGZAG] = coef  # zigzag -> raster
-                        block = block.reshape(8, 8) * qt2
-                        by, bx = myi * vv + byy, mxi * hh + bxx
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                            _C.T @ block @ _C + 128.0
-                        )
+    cindex = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    covered: set[int] = set()
+
+    def idct_into(ci, coef, qt2, by, bx):
+        block = np.empty(64, dtype=np.float64)
+        block[ZIGZAG] = coef  # zigzag -> raster
+        block = block.reshape(8, 8) * qt2
+        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _C.T @ block @ _C + 128.0
+
+    def check_restart(reader, unit, ri):
+        m = reader.restart_sync()
+        want = (unit // ri - 1) % 8
+        if m != want:
+            raise ValueError(f"restart marker out of order: RST{m}, expected RST{want}")
+
+    for sel, data, ri in scans:
+        for cs, td, ta in sel:
+            if cs not in cindex:
+                raise ValueError(f"scan selects undeclared component {cs}")
+            if cs in covered:
+                raise NotImplementedError(
+                    "component appears in more than one scan (progressive?)"
+                )
+            covered.add(cs)
+            if comps[cindex[cs]][3] not in qts:
+                raise ValueError(f"missing quant table for component {cs}")
+            if (0, td) not in huff or (1, ta) not in huff:
+                raise ValueError(f"missing Huffman table for component {cs}")
+        reader = _BitReader(data)
+        if len(sel) > 1:
+            # interleaved: MCU grid from the frame's max sampling factors
+            scomps = [(cindex[cs], td, ta) for cs, td, ta in sel]
+            preds = {ci: 0 for ci, _, _ in scomps}
+            mcu = 0
+            for myi in range(my):
+                for mxi in range(mx):
+                    if ri and mcu and mcu % ri == 0:
+                        check_restart(reader, mcu, ri)
+                        preds = {ci: 0 for ci, _, _ in scomps}
+                    mcu += 1
+                    for ci, td, ta in scomps:
+                        cid, hh, vv, tq = comps[ci]
+                        qt2 = qts[tq].reshape(8, 8).astype(np.float64)
+                        for byy in range(vv):
+                            for bxx in range(hh):
+                                coef, preds[ci] = _decode_block(
+                                    reader, huff[(0, td)], huff[(1, ta)], preds[ci]
+                                )
+                                idct_into(ci, coef, qt2,
+                                          myi * vv + byy, mxi * hh + bxx)
+        else:
+            # non-interleaved: one block per data unit, over the
+            # component's OWN block grid (not the MCU-padded one)
+            cs, td, ta = sel[0]
+            ci = cindex[cs]
+            cid, hh, vv, tq = comps[ci]
+            qt2 = qts[tq].reshape(8, 8).astype(np.float64)
+            cw = -(-width * hh // hmax)
+            ch = -(-height * vv // vmax)
+            cbw, cbh = -(-cw // 8), -(-ch // 8)
+            pred = 0
+            unit = 0
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if ri and unit and unit % ri == 0:
+                        check_restart(reader, unit, ri)
+                        pred = 0
+                    unit += 1
+                    coef, pred = _decode_block(
+                        reader, huff[(0, td)], huff[(1, ta)], pred
+                    )
+                    idct_into(ci, coef, qt2, by, bx)
+    if covered != set(cindex):
+        raise ValueError("scans do not cover every frame component")
 
     if len(comps) == 1:
         pix = np.clip(np.rint(planes[0][:height, :width]), 0, 255).astype(np.uint8)

@@ -540,6 +540,28 @@ class TestJpegCodec:
         with _pytest.raises(ValueError, match="out of order"):
             decode_jpeg(bytes(bad))
 
+    def test_non_interleaved_scans_decode_identically(self):
+        """The other spec-legal baseline layout: three single-component
+        scans instead of one interleaved scan.  Same quantized
+        coefficients → the decoder must produce byte-identical pixels
+        from either layout, across all subsamplings and with restart
+        intervals (whose block-per-unit counting differs per layout)."""
+        import numpy as np
+
+        from pulseboard_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
+
+        rng = np.random.default_rng(31)
+        for sub in ("4:4:4", "4:2:0", "4:2:2"):
+            for ri in (0, 3):
+                w, h = int(rng.integers(9, 50)), int(rng.integers(9, 50))
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                pi = encode_jpeg_color(w, h, img.tobytes(), sub,
+                                       restart_interval=ri, interleaved=True)
+                pn = encode_jpeg_color(w, h, img.tobytes(), sub,
+                                       restart_interval=ri, interleaved=False)
+                assert pn.count(b"\xff\xda") == 3 and pi.count(b"\xff\xda") == 1
+                assert decode_jpeg(pi) == decode_jpeg(pn), (sub, ri)
+
     def test_malformed_payload_exception_contract(self):
         """External-corpus robustness: EVERY truncation of a valid
         stream, random garbage after SOI, and single-byte flips must
