@@ -545,6 +545,10 @@ def _parse_segments(payload: bytes):
                 elif hh not in (1, 2) or vv not in (1, 2):
                     raise NotImplementedError("sampling factors above 2 unsupported")
                 comps.append((cid, hh, vv, tq))
+            if len({c[0] for c in comps}) != ncomp:
+                # duplicate ids would let a scan-coverage check keyed by id
+                # pass while a plane is never written (r09 advisory)
+                raise ValueError("duplicate component ids in SOF0")
         elif marker == 0xFFC4:
             off = 0
             while off < len(body):
@@ -568,6 +572,10 @@ def _parse_segments(payload: bytes):
             if not body or len(body) < 1 + 2 * body[0]:
                 raise ValueError("truncated SOS segment")
             ns = body[0]
+            if not 1 <= ns <= 4:
+                # Ns=0 would make every length check above vacuous and crash
+                # component selection later (r09 advisory); >4 exceeds T.81
+                raise ValueError("SOS component count outside 1..4")
             sel = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
                    for i in range(ns)]
             # entropy data runs to the next true marker (0xFF followed by
@@ -575,11 +583,19 @@ def _parse_segments(payload: bytes):
             end = pos
             while end < len(payload):
                 nxt = payload.find(b"\xff", end)
-                if nxt < 0 or nxt + 1 >= len(payload):
+                if nxt < 0:
                     raise ValueError("missing EOI marker")
-                b2 = payload[nxt + 1]
+                # T.81 B.1.1.2: runs of 0xFF fill bytes are legal before any
+                # marker, including an in-scan RSTn (r09 advisory — a naive
+                # 0xFF 0xFF read here truncated a spec-legal scan)
+                k = nxt
+                while k + 1 < len(payload) and payload[k + 1] == 0xFF:
+                    k += 1
+                if k + 1 >= len(payload):
+                    raise ValueError("missing EOI marker")
+                b2 = payload[k + 1]
                 if b2 == 0x00 or 0xD0 <= b2 <= 0xD7:
-                    end = nxt + 2
+                    end = k + 2
                     continue
                 end = nxt
                 break
@@ -645,10 +661,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mx, my = -(-width // (8 * hmax)), -(-height // (8 * vmax))
-    planes = [np.empty((my * vv * 8, mx * hh * 8), dtype=np.float64)
+    # np.zeros, not np.empty: a coverage bug must surface as black pixels,
+    # never as leaked heap contents on an attacker-input path (r09 advisory)
+    planes = [np.zeros((my * vv * 8, mx * hh * 8), dtype=np.float64)
               for _, hh, vv, _ in comps]
     cindex = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
-    covered: set[int] = set()
+    covered: set[int] = set()  # component INDEXES (ids are checked unique at parse)
 
     def idct_into(ci, coef, qt2, by, bx):
         block = np.empty(64, dtype=np.float64)
@@ -666,11 +684,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         for cs, td, ta in sel:
             if cs not in cindex:
                 raise ValueError(f"scan selects undeclared component {cs}")
-            if cs in covered:
+            if cindex[cs] in covered:
                 raise NotImplementedError(
                     "component appears in more than one scan (progressive?)"
                 )
-            covered.add(cs)
+            covered.add(cindex[cs])
             if comps[cindex[cs]][3] not in qts:
                 raise ValueError(f"missing quant table for component {cs}")
             if (0, td) not in huff or (1, ta) not in huff:
@@ -719,7 +737,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                         reader, huff[(0, td)], huff[(1, ta)], pred
                     )
                     idct_into(ci, coef, qt2, by, bx)
-    if covered != set(cindex):
+    if covered != set(range(len(comps))):
         raise ValueError("scans do not cover every frame component")
 
     if len(comps) == 1:

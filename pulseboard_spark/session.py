@@ -7,7 +7,9 @@ must be *runtime-settable* SQL confs, not static Spark confs.
 
 from __future__ import annotations
 
+import atexit
 import os
+import re
 import tempfile
 import zipfile
 
@@ -104,6 +106,11 @@ def write_fair_allocation(pool_weights: dict[str, int],
     """
     parts = ["<?xml version=\"1.0\"?>", "<allocations>"]
     for pool, w in pool_weights.items():
+        # pool names reach this XML from CLI input (tools/probes/multi_stream.py)
+        # — a quote/angle/ampersand would be attribute-injectable, so refuse
+        # anything outside the safe identifier alphabet (r09 advisory)
+        if not re.fullmatch(r"[A-Za-z0-9_-]+", pool):
+            raise ValueError(f"pool name {pool!r} must match [A-Za-z0-9_-]+")
         ms = (min_shares or {}).get(pool, 0)
         parts += [
             f"  <pool name=\"{pool}\">",
@@ -116,7 +123,17 @@ def write_fair_allocation(pool_weights: dict[str, int],
     fd, path = tempfile.mkstemp(prefix="pb_fair_", suffix=".xml")
     with os.fdopen(fd, "w") as f:
         f.write("\n".join(parts))
+    # Spark reads the file at context creation; drop it at interpreter exit
+    # so repeated sessions don't accrete temp files (r09 advisory)
+    atexit.register(_unlink_quiet, path)
     return path
+
+
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
 
 
 def get_spark(app_name: str = "pulseboard-spark", cpus: int | None = None,

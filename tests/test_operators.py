@@ -602,6 +602,47 @@ class TestJpegCodec:
             except allowed:
                 pass
 
+    def test_r09_advisory_hardenings(self):
+        """r10 advisory closures: duplicate SOF component ids must be
+        rejected at parse (they defeated the id-keyed scan-coverage check
+        and could return uninitialized plane memory); an SOS declaring
+        Ns=0 must raise ValueError, not IndexError; spec-legal 0xFF fill
+        bytes immediately before an in-scan RSTn (and before EOI) must
+        decode identically, not truncate the scan."""
+        import numpy as np
+        import pytest as _pytest
+
+        from pulseboard_spark.operators.jpeg import (
+            decode_jpeg, encode_jpeg_color, encode_jpeg_gray,
+        )
+
+        rng = np.random.default_rng(41)
+        cimg = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        payload = encode_jpeg_color(16, 16, cimg.tobytes(), "4:2:0")
+        # duplicate component ids: SOF0 body = P(1) Y(2) X(2) Nf(1) then
+        # (Cid, HV, Tq) triples — rewrite Cb's id (2) to collide with Y (1)
+        sof = payload.index(b"\xff\xc0")
+        dup = bytearray(payload)
+        assert dup[sof + 4 + 6] == 1 and dup[sof + 4 + 9] == 2
+        dup[sof + 4 + 9] = 1
+        with _pytest.raises(ValueError, match="duplicate component ids"):
+            decode_jpeg(bytes(dup))
+        # SOS with Ns=0: the truncation guard is vacuous at 0, so the
+        # range check must fire (never IndexError at sel[0])
+        sos = payload.index(b"\xff\xda")
+        ns0 = bytearray(payload)
+        assert ns0[sos + 4] == 3
+        ns0[sos + 4] = 0
+        with _pytest.raises(ValueError, match="component count"):
+            decode_jpeg(bytes(ns0))
+        # fill bytes before an in-scan restart marker and before EOI
+        gimg = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+        gp = encode_jpeg_gray(24, 24, gimg.tobytes(), restart_interval=2)
+        rst = gp.index(b"\xff\xd0", gp.index(b"\xff\xda"))
+        filled = gp[:rst] + b"\xff\xff" + gp[rst:]
+        filled = filled[:-2] + b"\xff" + filled[-2:]  # fill before EOI too
+        assert decode_jpeg(filled) == decode_jpeg(gp)
+
     def test_jpeg_features_match_block_model(self, spark, sf_dir):
         """End-to-end: synth JPEG payloads, full entropy decode, luma
         stats against the closed-form block model (the oracle's formula)."""

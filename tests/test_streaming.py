@@ -644,6 +644,14 @@ def test_fair_allocation_file_shape():
     assert a.findtext("schedulingMode") == "FIFO"
     assert pools["pool_profiles"].findtext("weight") == "1"
     assert pools["pool_profiles"].findtext("minShare") == "0"
+    # pool names reach the XML from CLI input (tools/probes/multi_stream.py):
+    # anything outside [A-Za-z0-9_-]+ is attribute-injectable and must be
+    # refused, not interpolated (r09 advisory)
+    import pytest as _pytest
+
+    for bad in ('po"ol', "a<b", "a&b", "", "a b"):
+        with _pytest.raises(ValueError, match="pool name"):
+            write_fair_allocation({bad: 1})
 
 
 def test_r3_stream_stream_join_matches_batch(spark, sf_dir, entity_chunks_dir, small_state):
