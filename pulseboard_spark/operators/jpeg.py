@@ -44,6 +44,16 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+#: The malformed-payload exception contract every in-repo codec honors
+#: (this module's fuzz pin plus the multimodal PNG/PPM/WAV/PBV decoders):
+#: a corrupt or out-of-scope payload raises one of exactly these — never
+#: IndexError / struct.error / zlib.error / OverflowError.  Feature
+#: operators catch this tuple per object and QUARANTINE the row
+#: (``decoded=false``, NULL features) instead of failing the stage — the
+#: media twin of P1's dead-letter routing (operators/identity.py:26-42):
+#: on a 100 TB corpus one corrupt payload must cost one row, not the job.
+MEDIA_DECODE_ERRORS = (ValueError, EOFError, NotImplementedError)
+
 # --- tables (JPEG spec ITU-T T.81 Annex K — public constants) ---------------
 
 #: zigzag index of each raster position (row-major 8x8 -> zigzag order)
@@ -815,17 +825,32 @@ JPEG_SCHEMA = (
 def decoded_jpeg_features(media: DataFrame) -> DataFrame:
     """REAL JPEG decode + integer luma statistics — the grayscale twin of
     :func:`multimodal.decoded_features`; one Arrow-batched pass, payloads
-    never shuffle."""
+    never shuffle.
+
+    Corrupt-payload posture: a payload that raises inside the codec's
+    documented :data:`MEDIA_DECODE_ERRORS` contract is QUARANTINED — the
+    row is emitted with ``decoded=false`` and NULL features, and the
+    stage stays alive (count quarantined rows downstream with
+    ``sum(decoded = false)``).  Anything outside the contract still
+    propagates: an unexpected exception class is a codec bug, not a
+    corpus fact, and must fail loudly."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {c: [] for c in ("doc_id", "media_type", "width", "height",
                                    "n_pixels", "n_blocks", "sum_luma", "max_luma", "decoded")}
             for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-                w, h, gray = decode_jpeg_gray(bytes(payload))
-                px = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
                 out["doc_id"].append(int(doc_id))
                 out["media_type"].append(mtype)
+                try:
+                    w, h, gray = decode_jpeg_gray(bytes(payload))
+                except MEDIA_DECODE_ERRORS:
+                    for c in ("width", "height", "n_pixels", "n_blocks",
+                              "sum_luma", "max_luma"):
+                        out[c].append(None)
+                    out["decoded"].append(False)
+                    continue
+                px = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_pixels"].append(w * h)

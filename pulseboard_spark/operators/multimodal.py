@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pulseboard_spark.operators.jpeg import MEDIA_DECODE_ERRORS
+
 # ---------------------------------------------------------------------------
 # Pure-stdlib image codecs (no media libraries in this container): binary
 # PPM (P6), a real zlib-compressed PNG (8-bit RGB, filter 0), and — via
@@ -47,9 +49,24 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a binary PPM payload")
     # header = magic, width, height, maxval — whitespace-separated
     parts = payload.split(b"\n", 3)
-    width, height = (int(x) for x in parts[1].split())
-    rgb = parts[3][: width * height * 3]
-    return width, height, rgb
+    if len(parts) < 4:
+        raise ValueError("truncated PPM header")
+    try:
+        dims = [int(x) for x in parts[1].split()]
+        maxval = int(parts[2])
+    except ValueError:
+        raise ValueError("malformed PPM header fields") from None
+    if len(dims) != 2:
+        raise ValueError("malformed PPM dimensions")
+    width, height = dims
+    if width <= 0 or height <= 0 or width * height > (1 << 28):
+        raise ValueError("zero or implausibly large PPM dimensions")
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit (maxval 255) PPMs are decoded here")
+    rgb = parts[3]
+    if len(rgb) < width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, rgb[: width * height * 3]
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
@@ -82,20 +99,35 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a PNG payload")
     pos, width, height, idat = len(_PNG_MAGIC), 0, 0, b""
     while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk body")
         if tag == b"IHDR":
+            if len(body) < 10:
+                raise ValueError("truncated IHDR chunk")
             width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
             if (depth, ctype) != (8, 2):
                 raise NotImplementedError("only 8-bit RGB PNGs are decoded here")
+            if not width or not height or width * height > (1 << 28):
+                raise ValueError("zero or implausibly large PNG dimensions")
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
         pos += 12 + length
-    raw = zlib.decompress(idat)
+    if not width or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from None
     stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
     rows = []
     for y in range(height):
         off = y * (stride + 1)
@@ -148,11 +180,17 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
         tag = payload[pos : pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated WAV chunk body")
         if tag == b"fmt ":
+            if len(body) < 8:
+                raise ValueError("truncated WAV fmt chunk")
             audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
             if (audio_fmt, channels) != (1, 1):
                 raise NotImplementedError("only 16-bit mono PCM WAVs are decoded here")
         elif tag == b"data":
+            if length % 2:
+                raise ValueError("odd-length 16-bit PCM data chunk")
             data = np.frombuffer(body, dtype="<i2")
         pos += 8 + length + (length & 1)
     if rate is None or data is None:
@@ -233,13 +271,31 @@ def encode_ppm_video(width: int, height: int, frames: list[bytes]) -> bytes:
     )
 
 
+def pbv_geometry(payload: bytes) -> tuple[int, int, int]:
+    """Validate a PBV1 header against the payload length and return
+    ``(n_frames, width, height)`` — the malformed-payload gate shared by
+    the per-frame seek and the frame sampler (a header that declares more
+    frames than the payload carries must raise, never silently return
+    short pixel slices)."""
+    if payload[:4] != b"PBV1":
+        raise ValueError("not a PBV1 video payload")
+    if len(payload) < 16:
+        raise ValueError("truncated PBV1 header")
+    n_frames, width, height = struct.unpack(">III", payload[4:16])
+    if not n_frames or not width or not height or width * height > (1 << 28):
+        raise ValueError("zero or implausibly large PBV1 geometry")
+    if len(payload) < 16 + n_frames * width * height * 3:
+        raise ValueError("truncated PBV1 frame data")
+    return n_frames, width, height
+
+
 def decode_ppm_video_frame(payload: bytes, frame_index: int) -> tuple[int, int, int, bytes]:
     """Seek-decode ONE frame: (n_frames, width, height, rgb).  Seeking is
     O(1) via the fixed frame stride — the property a real frame sampler
-    relies on (decode only the sampled frames, never the whole clip)."""
-    if payload[:4] != b"PBV1":
-        raise ValueError("not a PBV1 video payload")
-    n_frames, width, height = struct.unpack(">III", payload[4:16])
+    relies on (decode only the sampled frames, never the whole clip).
+    An out-of-range ``frame_index`` is a caller error (IndexError), not a
+    payload error — samplers derive indexes from the parsed frame count."""
+    n_frames, width, height = pbv_geometry(payload)
     if not 0 <= frame_index < n_frames:
         raise IndexError(f"frame {frame_index} of {n_frames}")
     stride = width * height * 3
@@ -283,7 +339,10 @@ def sampled_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:
     """REAL frame sampling: decode every ``every_n``-th frame via the O(1)
     container seek and emit integer pixel sums per sampled frame — the
     video twin of :func:`decoded_features`.  Unsampled frames are never
-    materialized (the point of a sampler)."""
+    materialized (the point of a sampler).  A payload that fails the
+    :data:`~pulseboard_spark.operators.jpeg.MEDIA_DECODE_ERRORS` contract
+    is quarantined as ONE ``decoded=false`` row (NULL frame fields) —
+    the stage never dies on a corrupt clip."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -291,7 +350,15 @@ def sampled_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:
                                    "width", "height", "sum_px", "decoded")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
-                n_frames = struct.unpack(">I", payload[4:8])[0]
+                try:
+                    n_frames, _, _ = pbv_geometry(payload)
+                except MEDIA_DECODE_ERRORS:
+                    # quarantine: one decoded=false row per corrupt clip
+                    out["doc_id"].append(int(doc_id))
+                    for c in ("frame_index", "n_frames", "width", "height", "sum_px"):
+                        out[c].append(None)
+                    out["decoded"].append(False)
+                    continue
                 for f in range(0, n_frames, every_n):
                     nf, w, h, rgb = decode_ppm_video_frame(payload, f)
                     px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
@@ -340,16 +407,25 @@ AUDIO_SCHEMA = (
 def decoded_audio_features(media: DataFrame) -> DataFrame:
     """REAL WAV decode + integer signal statistics (abs-sum, peak, zero
     crossings) — the audio twin of :func:`decoded_features`; all-integer
-    surface, engine-exact against the closed-form sample model."""
+    surface, engine-exact against the closed-form sample model.  Corrupt
+    payloads quarantine (``decoded=false``, NULL features) per the codec
+    exception contract instead of failing the stage."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {c: [] for c in ("doc_id", "sample_rate", "n_samples",
                                    "sum_abs", "max_abs", "n_zero_crossings", "decoded")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, s = decode_wav(bytes(payload))
-                s64 = s.astype(np.int64)
                 out["doc_id"].append(int(doc_id))
+                try:
+                    rate, s = decode_wav(bytes(payload))
+                except MEDIA_DECODE_ERRORS:
+                    for c in ("sample_rate", "n_samples", "sum_abs",
+                              "max_abs", "n_zero_crossings"):
+                        out[c].append(None)
+                    out["decoded"].append(False)
+                    continue
+                s64 = s.astype(np.int64)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(len(s64))
                 out["sum_abs"].append(int(np.abs(s64).sum()))
@@ -377,7 +453,12 @@ def decoded_features(media: DataFrame) -> DataFrame:
 
     Scale shape: one Arrow-batched mapInPandas pass; payloads never
     shuffle (features extracted in place), and the stage parallelizes by
-    input partition exactly like a production decoder fleet."""
+    input partition exactly like a production decoder fleet.  A payload
+    that raises inside the documented codec contract
+    (:data:`~pulseboard_spark.operators.jpeg.MEDIA_DECODE_ERRORS`) is
+    quarantined — ``decoded=false``, NULL features, stage stays alive —
+    mirroring P1's dead-letter routing; unexpected exception classes
+    still propagate (codec bug, fail loudly)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -385,10 +466,16 @@ def decoded_features(media: DataFrame) -> DataFrame:
                    ("doc_id", "media_type", "width", "height", "n_pixels",
                     "sum_r", "sum_g", "sum_b", "decoded")}
             for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-                w, h, rgb = decode_image(bytes(payload))
-                px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
                 out["doc_id"].append(int(doc_id))
                 out["media_type"].append(mtype)
+                try:
+                    w, h, rgb = decode_image(bytes(payload))
+                except MEDIA_DECODE_ERRORS:
+                    for c in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"):
+                        out[c].append(None)
+                    out["decoded"].append(False)
+                    continue
+                px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_pixels"].append(w * h)

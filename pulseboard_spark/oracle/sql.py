@@ -1144,6 +1144,49 @@ FROM b
 GROUP BY doc_id, w, h
 """
 
+# Corrupt-corpus quarantine (registry.py::jpeg_features_quarantine_q):
+# corruption is injected deterministically by doc_id arithmetic (%7 in
+# (3,5)), so the expected decoded=false rows and their NULL features are
+# closed-form; intact docs reproduce the jpeg_features block model.
+ORACLE_SQL["jpeg_features_quarantine"] = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(8 * (1 + doc_id % 3) AS BIGINT) AS w,
+         CAST(8 * (1 + doc_id % 2) AS BIGINT) AS h,
+         doc_id % 7 IN (3, 5) AS corrupt
+  FROM documents
+),
+b AS (
+  SELECT doc_id, w, h,
+         2 * ((doc_id + bx + 7 * by) % 128) AS c
+  FROM m,
+       UNNEST(generate_series(0, w // 8 - 1)) AS tx(bx),
+       UNNEST(generate_series(0, h // 8 - 1)) AS ty(by)
+  WHERE NOT corrupt
+)
+SELECT doc_id, 'image/jpeg' AS media_type,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       w * h AS n_pixels,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(64 * c) AS BIGINT) AS sum_luma,
+       CAST(max(c) AS INT) AS max_luma,
+       TRUE AS decoded
+FROM b
+GROUP BY doc_id, w, h
+UNION ALL
+SELECT doc_id, 'image/jpeg' AS media_type,
+       CAST(NULL AS INT) AS width,
+       CAST(NULL AS INT) AS height,
+       CAST(NULL AS BIGINT) AS n_pixels,
+       CAST(NULL AS BIGINT) AS n_blocks,
+       CAST(NULL AS BIGINT) AS sum_luma,
+       CAST(NULL AS INT) AS max_luma,
+       FALSE AS decoded
+FROM m
+WHERE corrupt
+"""
+
 ORACLE_SQL["resize_media"] = """
 WITH media AS (
   SELECT doc_id,

@@ -1576,6 +1576,29 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decoded_features(multimodal.synth_images(_docs(spark, sf_dir)))
 
 
+def jpeg_features_quarantine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-corpus posture of `jpeg_features` (r09 verdict order #1):
+    payloads are deterministically corrupted JVM-side — doc_id % 7 == 3
+    truncated to 20 bytes (segment-body truncation), doc_id % 7 == 5 with
+    the SOI marker zeroed (not-a-JPEG) — and the decode stage must
+    QUARANTINE them (``decoded=false``, NULL features) while decoding the
+    rest exactly.  The oracle reproduces both populations closed-form:
+    corruption is injected by doc_id arithmetic, so the expected
+    ``decoded`` flag and every NULL are computable without a decoder."""
+    media = jpeg.synth_jpeg(_docs(spark, sf_dir))
+    corrupted = media.withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 7 == 3, F.expr("substring(payload, 1, 20)"))
+        .when(
+            F.col("doc_id") % 7 == 5,
+            F.concat(F.lit(bytearray(b"\x00\x00")),
+                     F.expr("substring(payload, 3, 1073741824)")),
+        )
+        .otherwise(F.col("payload")),
+    )
+    return jpeg.decoded_jpeg_features(corrupted)
+
+
 def resize_media_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media(_docs(spark, sf_dir))
     return multimodal.resize_media(media).drop("payload")
@@ -2083,6 +2106,7 @@ QUERIES: dict[str, QueryFn] = {
     # assembly) — defensive, but they sit on the query's decode path, so
     # it re-greens rather than trusting its r08 row.
     "jpeg_features": jpeg_features_q,
+    "jpeg_features_quarantine": jpeg_features_quarantine_q,
     # All 35 queries whose latest green is r05 — after r09 grades, no
     # oracle-checked query's evidence predates r06.
     "split_leakage": split_leakage_q,

@@ -319,6 +319,104 @@ class TestImageCodecs:
         assert (w, h) == (16, 8)
         assert rgb == np.repeat(img.ravel(), 3).tobytes()
 
+    def test_multimodal_codec_malformed_payload_contract(self):
+        """Corrupt-corpus robustness for the PNG/PPM/WAV/PBV codecs — the
+        same contract the JPEG codec is fuzzed against: EVERY truncation
+        of a valid payload and random garbage behind each magic must
+        raise inside MEDIA_DECODE_ERRORS, never IndexError / struct.error
+        / zlib.error, and never silently return short pixel data."""
+        import numpy as np
+        import pytest as _pytest
+
+        from pulseboard_spark.operators.jpeg import MEDIA_DECODE_ERRORS
+        from pulseboard_spark.operators.multimodal import (
+            decode_image, decode_wav, encode_png, encode_ppm,
+            encode_ppm_video, encode_wav, pbv_geometry,
+        )
+
+        rng = np.random.default_rng(9)
+        w, h = 11, 6
+        rgb = ((3 + np.arange(w * h * 3)) % 256).astype(np.uint8).tobytes()
+        clip = encode_ppm_video(w, h, [rgb, rgb])
+        wav = encode_wav(8000, ((np.arange(100) * 7) % 1999 - 999).astype(np.int16))
+
+        def wav_bytes(p):  # comparable output (ndarray == is elementwise)
+            rate, s = decode_wav(p)
+            return rate, s.tobytes()
+
+        valid = {
+            decode_image: [encode_png(w, h, rgb), encode_ppm(w, h, rgb)],
+            wav_bytes: [wav],
+            pbv_geometry: [clip],
+        }
+        for dec, payloads in valid.items():
+            for payload in payloads:
+                whole = dec(payload)
+                for cut in range(0, len(payload)):
+                    try:
+                        got = dec(payload[:cut])
+                    except MEDIA_DECODE_ERRORS:
+                        continue
+                    # only unvalidated trailers (PNG chunk CRCs / IEND) may
+                    # truncate silently — and then the decode must be
+                    # byte-identical, never short pixel data
+                    assert got == whole, cut
+                magic = payload[:8] if payload[:1] == b"\x89" else payload[:4]
+                for _ in range(300):
+                    blob = magic + rng.integers(
+                        0, 256, size=int(rng.integers(0, 120)), dtype=np.uint8
+                    ).tobytes()
+                    try:
+                        dec(blob)  # a random blob may legally parse…
+                    except MEDIA_DECODE_ERRORS:
+                        pass  # …or must fail inside the contract
+
+    def test_feature_operators_quarantine_corrupt_payloads(self, spark):
+        """r09 verdict order #1, the operator-level pin: one corrupt
+        payload in a batch must cost exactly one decoded=false row with
+        NULL features — never the stage — across all four media feature
+        operators, while intact rows keep decoding exactly."""
+        import numpy as np
+
+        from pulseboard_spark.operators.jpeg import (
+            decoded_jpeg_features, encode_jpeg_gray,
+        )
+        from pulseboard_spark.operators.multimodal import (
+            decoded_audio_features, decoded_features, encode_png,
+            encode_ppm_video, encode_wav, sampled_frame_features,
+        )
+
+        img = np.full((8, 8), 100, dtype=np.uint8)
+        jp = encode_jpeg_gray(8, 8, img.tobytes())
+        rgb = bytes(range(192))
+        png = encode_png(8, 8, rgb)
+        wav = encode_wav(8000, np.arange(50, dtype=np.int16))
+        clip = encode_ppm_video(4, 4, [bytes(48), bytes(48)])
+
+        def run(op, payloads, media_typed=True):
+            rows = [(i, "x", bytearray(p)) if media_typed else (i, bytearray(p))
+                    for i, p in enumerate(payloads)]
+            schema = ("doc_id long, media_type string, payload binary"
+                      if media_typed else "doc_id long, payload binary")
+            return {r.doc_id: r for r in op(spark.createDataFrame(rows, schema)).collect()}
+
+        for op, payload, typed in (
+            (decoded_jpeg_features, jp, True),
+            (decoded_features, png, True),
+            (decoded_audio_features, wav, False),
+            (sampled_frame_features, clip, False),
+        ):
+            got = run(op, [payload, payload[:7], b"\x00" * 9, payload], typed)
+            assert got[0].decoded and got[3].decoded
+            for bad in (1, 2):
+                r = got[bad]
+                assert r.decoded is False
+                for field, v in r.asDict().items():
+                    if field not in ("doc_id", "media_type", "decoded"):
+                        assert v is None, (op.__name__, field, v)
+            # the quarantine counter a pipeline would run
+            assert sum(not r.decoded for r in got.values()) == 2
+
     def test_decoded_features_match_pixel_model(self, spark, sf_dir):
         """End-to-end: synth PNG/PPM payloads, decode through the stdlib
         codec, and check channel sums against the closed-form model."""
