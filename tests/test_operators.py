@@ -700,6 +700,56 @@ class TestJpegCodec:
             except allowed:
                 pass
 
+    def test_golden_vectors_decode_exactly(self):
+        """Externally-derived golden vectors (r09 verdict order #3): three
+        tiny baseline JPEGs hand-assembled per ITU-T T.81 byte layout
+        (tools/golden_jpeg_vectors.py — independent of this codec, never
+        calls encode_jpeg_*), DC-only blocks so the expected pixels are
+        closed-form on paper: IDCT of a DC-only block is the flat value
+        DC*q/8 (+128 level shift), color via the published JFIF/BT.601
+        inverse.  This pins the color decode path against a mirrored
+        encoder/decoder bug that self-round-trip tests cannot catch
+        (quant step 16, custom 3-codes-len2/1-code-len3 DC table, EOB-only
+        AC table; v3 additionally chains DC predictors across the 4 luma
+        blocks of one 4:2:0 MCU and exercises chroma replication)."""
+        import numpy as np
+
+        from pulseboard_spark.operators.jpeg import decode_jpeg
+
+        _hdr = (  # shared DQT (all-16) + trailing DHT layout, see generator
+            "ffd8ffdb004300"
+            + "10" * 64
+        )
+        _dht = ("ffc40029000003010000000000000000000000000000010203"
+                "100100000000000000000000000000000000")
+        # v1: 8x8 grayscale, DC diff +5 -> every pixel 5*16/8 + 128 = 138
+        v1 = bytes.fromhex(
+            _hdr + "ffc0000b080008000801011100" + _dht
+            + "ffda0008010100003f00" + "d5" + "ffd9"
+        )
+        w, h, n, px = decode_jpeg(v1)
+        assert (w, h, n) == (8, 8, 1) and px == bytes([138]) * 64
+        # v2: 8x8 YCbCr 4:4:4 flat Y=136 Cb=132 Cr=122 -> RGB (128,139,143)
+        v2 = bytes.fromhex(
+            _hdr + "ffc00011080008000803011100021100031100" + _dht
+            + "ffda000c03010002000300003f00" + "d1487f" + "ffd9"
+        )
+        w, h, n, px = decode_jpeg(v2)
+        assert (w, h, n) == (8, 8, 3) and px == bytes((128, 139, 143)) * 64
+        # v3: 16x16 4:2:0, Y quadrants TL 132 / TR 136 / BL 140 / BR 132
+        # (DC diffs +2,+2,+2,-4), Cb=130, Cr=126
+        v3 = bytes.fromhex(
+            _hdr + "ffc00011080010001003012200021100031100" + _dht
+            + "ffda000c03010002000300003f00" + "a5299993" + "ffd9"
+        )
+        w, h, n, px = decode_jpeg(v3)
+        assert (w, h, n) == (16, 16, 3)
+        a = np.frombuffer(px, np.uint8).reshape(16, 16, 3)
+        for r0, c0, want in ((0, 0, (129, 133, 136)), (0, 8, (133, 137, 140)),
+                             (8, 0, (137, 141, 144)), (8, 8, (129, 133, 136))):
+            quad = a[r0 : r0 + 8, c0 : c0 + 8].reshape(-1, 3)
+            assert {tuple(p) for p in quad} == {want}, (r0, c0)
+
     def test_r09_advisory_hardenings(self):
         """r10 advisory closures: duplicate SOF component ids must be
         rejected at parse (they defeated the id-keyed scan-coverage check
