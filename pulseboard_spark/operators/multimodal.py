@@ -640,16 +640,26 @@ def perceptual_hash_dedup(media: DataFrame) -> DataFrame:
     dedup; banding the 64 bits into 4×16-bit keys turns it into
     Hamming-tolerant near-dup (the SimHash machinery in
     `operators/dedup.py` applies verbatim).
+
+    Corrupt-payload posture: a payload failing the codec exception
+    contract (or too small to carry 64 hash bits) is DROPPED from dedup
+    consideration — it can't be fingerprinted, and it must not kill the
+    stage.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {c: [] for c in ("doc_id", "media_type", "width", "height", "phash")}
             for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-                w, h, rgb = decode_image(bytes(payload))
+                try:
+                    w, h, rgb = decode_image(bytes(payload))
+                except MEDIA_DECODE_ERRORS:
+                    continue  # undecodable payloads can't be fingerprinted — drop, don't die
                 px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
                 gray = (px[0::3] + px[1::3] + px[2::3]) // 3
                 n = w * h
+                if n < 64:
+                    continue  # fewer pixels than hash bits — no meaningful fingerprint
                 chunk = np.arange(n) * 64 // n
                 sums = np.zeros(64, dtype=np.int64)
                 counts = np.zeros(64, dtype=np.int64)
@@ -701,15 +711,23 @@ def audio_fingerprint_dedup(media: DataFrame) -> DataFrame:
     Scale: identical posture to the image twin — one Arrow decode pass,
     payloads never shuffle, then the md5-dedup window shape over an
     8-char key; band the 32 bits for Hamming-tolerant matching.
+    Corrupt or sub-32-sample payloads are dropped from dedup
+    consideration, never fatal (same quarantine contract as the feature
+    operators).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {c: [] for c in ("doc_id", "sample_rate", "n_samples", "afp")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, samples = decode_wav(bytes(payload))
+                try:
+                    rate, samples = decode_wav(bytes(payload))
+                except MEDIA_DECODE_ERRORS:
+                    continue  # undecodable payloads can't be fingerprinted — drop, don't die
                 v = np.abs(samples.astype(np.int64))
                 n = len(v)
+                if n < 32:
+                    continue  # fewer samples than fingerprint bits (incl. empty data chunk)
                 chunk = np.arange(n) * 32 // n
                 sums = np.zeros(32, dtype=np.int64)
                 counts = np.zeros(32, dtype=np.int64)

@@ -417,6 +417,39 @@ class TestImageCodecs:
             # the quarantine counter a pipeline would run
             assert sum(not r.decoded for r in got.values()) == 2
 
+    def test_fingerprint_dedup_drops_corrupt_payloads(self, spark):
+        """The dedup twins of the quarantine contract: a payload that
+        can't be fingerprinted (corrupt, or smaller than the hash width)
+        is dropped from dedup consideration — never fatal, and never a
+        bogus group member."""
+        import numpy as np
+
+        from pulseboard_spark.operators.multimodal import (
+            audio_fingerprint_dedup, encode_ppm, encode_wav,
+            perceptual_hash_dedup,
+        )
+
+        rgb = bytes((i * 7) % 256 for i in range(192))
+        png_ok = encode_ppm(8, 8, rgb)
+        tiny = encode_ppm(4, 4, bytes(48))  # 16 px < 64 hash bits
+        rows = [(0, "x", bytearray(png_ok)), (1, "x", bytearray(png_ok[:9])),
+                (2, "x", bytearray(tiny)), (3, "x", bytearray(png_ok))]
+        got = perceptual_hash_dedup(
+            spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+        ).collect()
+        assert {r.doc_id for r in got} == {0, 3}
+        assert all(r.is_duplicate == (r.doc_id == 3) for r in got)
+
+        wav_ok = encode_wav(8000, (np.arange(100) % 7 - 3).astype(np.int16))
+        wav_tiny = encode_wav(8000, np.arange(8, dtype=np.int16))
+        arows = [(0, bytearray(wav_ok)), (1, bytearray(wav_ok[:6])),
+                 (2, bytearray(wav_tiny)), (3, bytearray(wav_ok))]
+        agot = audio_fingerprint_dedup(
+            spark.createDataFrame(arows, "doc_id long, payload binary")
+        ).collect()
+        assert {r.doc_id for r in agot} == {0, 3}
+        assert all(r.is_duplicate == (r.doc_id == 3) for r in agot)
+
     def test_decoded_features_match_pixel_model(self, spark, sf_dir):
         """End-to-end: synth PNG/PPM payloads, decode through the stdlib
         codec, and check channel sums against the closed-form model."""
