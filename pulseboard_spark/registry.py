@@ -2093,22 +2093,94 @@ def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the in-repo pinned tests + exact-twin oracle queries, and they live
 # strictly below the boundary.
 QUERIES: dict[str, QueryFn] = {
-    # ==== round-9 rotation (driver hash window = first 50) ====
+    # ==== round-10 rotation (driver hash window = first 50) ====
     # FREEZE RULE (the r06->r07 staleness recurrence, twice): this dict's
     # order is re-frozen AFTER the round's LAST plan/oracle-touching
     # commit.  Any commit that changes a query's plan or oracle after
     # this block was written must move that query into the head and
     # re-balance the window before hand-off.
     #
-    # Plan-touched this round (1): jpeg_features rides the r08-advisory
-    # decoder hardenings (0xFF fill-byte skip before markers, standalone-
-    # marker refusal, encode buffer-size contract, synth_jpeg positional
-    # assembly) — defensive, but they sit on the query's decode path, so
-    # it re-greens rather than trusting its r08 row.
-    "jpeg_features": jpeg_features_q,
+    # Plan-touched this round (7): the corrupt-payload quarantine work
+    # (r09 verdict order #1) rewired every media decode path — the four
+    # feature operators now emit decoded=false quarantine rows, the two
+    # fingerprint dedups drop undecodable payloads, and the codecs
+    # gained malformed-input validation (plus the four r09 advisory
+    # fixes inside the JPEG parser).  jpeg_features_quarantine is NEW.
     "jpeg_features_quarantine": jpeg_features_quarantine_q,
-    # All 35 queries whose latest green is r05 — after r09 grades, no
-    # oracle-checked query's evidence predates r06.
+    "jpeg_features": jpeg_features_q,
+    "multimodal_features": multimodal_features_q,
+    "audio_features": audio_features_q,
+    "video_frame_features": video_frame_features_q,
+    "media_phash_dedup": media_phash_dedup_q,
+    "audio_fingerprint_dedup": audio_fingerprint_dedup_q,
+    # All 26 queries whose latest green is r06 — after r10 grades, no
+    # oracle-checked query's evidence predates r07 (revenue cube/rollup,
+    # the TPC-H suite body, and the value-stats family).
+    "revenue_cube": revenue_cube_q,
+    "revenue_rollup": revenue_rollup_q,
+    "revenue_wow": revenue_wow_q,
+    "tpch_q1_pricing_summary": tpch_q1,
+    "tpch_q3_shipping_priority": tpch_q3,
+    "tpch_q4_priority_returns": tpch_q4_like,
+    "tpch_q5_region_revenue": tpch_q5,
+    "tpch_q6_forecast_revenue": tpch_q6,
+    "tpch_q7_nation_volume": tpch_q7_nation_volume,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q9_product_profit": tpch_q9_product_profit,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q11_share_of_total": tpch_q11_share_of_total,
+    "tpch_q12_late_shipments": tpch_q12_late_shipments,
+    "tpch_q13_order_distribution": tpch_q13_order_distribution,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q16_supplier_variety": tpch_q16_supplier_variety,
+    "tpch_q17_small_qty_revenue": tpch_q17_small_qty_revenue,
+    "tpch_q18_large_volume": tpch_q18_large_volume,
+    "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
+    "tpch_q20_half_volume_suppliers": tpch_q20_half_volume_suppliers,
+    "tpch_q21_fault_attribution": tpch_q21_fault_attribution,
+    "value_deciles": value_deciles_q,
+    "value_outliers": value_outliers_q,
+    "value_stats": value_stats_q,
+    # Oldest-r07 fill (17): the text/corpus family + decontamination and
+    # media riders directly behind the r06 set; the remaining 30
+    # r07-latest queries rotate in r11.
+    "token_stats": token_stats_q,
+    "doc_fingerprint": doc_fingerprint_q,
+    "bigram_stats": bigram_stats_q,
+    "corpus_summary": corpus_summary_q,
+    "pii_scrub": pii_scrub_q,
+    "lang_confusion": lang_confusion_q,
+    "term_df_idf": term_df_idf_q,
+    "inverted_index": inverted_index_q,
+    "token_length_histogram": token_length_histogram_q,
+    "top_terms_per_lang": top_terms_per_lang_q,
+    "ngram_novelty": ngram_novelty_q,
+    "term_cooccurrence": term_cooccurrence_q,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "decontamination": decontamination_q,
+    "embedding_decontamination": embedding_decontamination_q,
+    "resize_media": resize_media_q,
+    "media_text_pairs": media_text_pairs_q,
+    # ---- driver window boundary (50) ----
+    # Everything below has a green driver row from r07-r09 or is
+    # rows-only by design.  Rows-only queries NEVER take window slots
+    # (the driver records a no_oracle entry as a FAIL row — the r03
+    # lesson: 5 burned slots).
+    # — rows-only (approximate / iterative / no engine-portable oracle;
+    #   pinned by tests + exact twins, deliberately kept out of the hash
+    #   window) —
+    "ann_topk": ann_topk_q,  # approximate — exact twin is similarity_topk
+    "ivf_topk": ivf_topk_q,  # approximate — full-probe==exact pinned by test
+    "approx_user_counts": approx_user_counts_q,  # HLL sketch — error bound pinned by test
+    "bpe_learned_merges": bpe_learned_merges_q,  # iterative — pinned vs sequential reference
+    "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — pinned by TestBpeEncode
+    "pq_codes": pq_codes_q,  # iterative k-means trainer — pinned by TestPq
+    "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — recall+determinism pinned by TestPq
+    "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — error bound pinned by TestHllRollup
+    "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — NumPy-pinned by TestPca
+    "unicode_token_stats_casefold": unicode_token_stats_casefold_q,  # full casefold has no DuckDB mirror — pinned by CaseFolding.txt golden vectors (TestUnicodeNormalize); plan twin unicode_token_stats is hash-checked
+    # — green driver rows from rounds 7-9 —
     "split_leakage": split_leakage_q,
     "doc_repetition": doc_repetition_q,
     "identity_edge_support": identity_edge_support_q,
@@ -2144,8 +2216,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": dedup_exact_q,
     "event_transitions": event_transitions_q,
     "component_sizes": component_sizes_q,
-    # Oldest-r06 fill (14): the similarity/stateful-window/session riders
-    # that sat directly below the r08 boundary.
     "similarity_topk": similarity_topk_q,
     "dedup_embedding": dedup_embedding_q,
     "knn_label_agreement": knn_label_agreement_q,
@@ -2160,25 +2230,6 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_view_click_purchase": funnel_q,
     "retention_cohorts": retention_cohorts_q,
     "top_parts_per_brand": top_parts_per_brand_q,
-    # ---- driver window boundary (50) ----
-    # Everything below has a green driver row from r06-r08 or is
-    # rows-only by design.  Rows-only queries NEVER take window slots
-    # (the driver records a no_oracle entry as a FAIL row — the r03
-    # lesson: 5 burned slots).
-    # — rows-only (approximate / iterative / no engine-portable oracle;
-    #   pinned by tests + exact twins, deliberately kept out of the hash
-    #   window) —
-    "ann_topk": ann_topk_q,  # approximate — exact twin is similarity_topk
-    "ivf_topk": ivf_topk_q,  # approximate — full-probe==exact pinned by test
-    "approx_user_counts": approx_user_counts_q,  # HLL sketch — error bound pinned by test
-    "bpe_learned_merges": bpe_learned_merges_q,  # iterative — pinned vs sequential reference
-    "bpe_encode": bpe_encode_q,  # iterative trainer feeds the encode — pinned by TestBpeEncode
-    "pq_codes": pq_codes_q,  # iterative k-means trainer — pinned by TestPq
-    "pq_topk_rerank": pq_topk_rerank_q,  # approximate ANN — recall+determinism pinned by TestPq
-    "hll_daily_rollup": hll_daily_rollup_q,  # mergeable HLL sketch cube — error bound pinned by TestHllRollup
-    "embedding_pca": embedding_pca_q,  # driver eigensolve over executor Gram partials — NumPy-pinned by TestPca
-    "unicode_token_stats_casefold": unicode_token_stats_casefold_q,  # full casefold has no DuckDB mirror — pinned by CaseFolding.txt golden vectors (TestUnicodeNormalize); plan twin unicode_token_stats is hash-checked
-    # — green driver rows from rounds 6-8 —
     "doc_lm_score": doc_lm_score_q,
     "doc_keywords": doc_keywords_q,
     "boilerplate_lines": boilerplate_lines_q,
@@ -2201,7 +2252,6 @@ QUERIES: dict[str, QueryFn] = {
     "active_user_stickiness": active_user_stickiness_q,
     "alert_summary": alert_summary_q,
     "approx_value_quantiles": approx_value_quantiles_q,
-    "audio_fingerprint_dedup": audio_fingerprint_dedup_q,
     "cross_source_overlap": cross_source_overlap_q,
     "cusum_changepoints": cusum_changepoints_q,
     "daily_value_bands": daily_value_bands_q,
@@ -2218,7 +2268,6 @@ QUERIES: dict[str, QueryFn] = {
     "identity_triangles": identity_triangles_q,
     "key_skew_audit": key_skew_audit_q,
     "line_dedup": line_dedup_q,
-    "media_phash_dedup": media_phash_dedup_q,
     "quality_funnel": quality_funnel_q,
     "session_basket_lift": session_basket_lift_q,
     "source_quality_report": source_quality_report_q,
@@ -2239,71 +2288,25 @@ QUERIES: dict[str, QueryFn] = {
     "event_type_pivot": event_type_pivot_q,
     "gap_fill_hours": gap_fill_hours_q,
     "bpe_merge_candidates": bpe_merge_candidates_q,
-    "decontamination": decontamination_q,
-    "doc_fingerprint": doc_fingerprint_q,
     "doc_split_assign": doc_split_assign_q,
     "hourly_trending": hourly_trending_q,
     "lineitem_profile": lineitem_profile_q,
-    "media_text_pairs": media_text_pairs_q,
-    "multimodal_features": multimodal_features_q,
-    "pii_scrub": pii_scrub_q,
-    "resize_media": resize_media_q,
     "rfm_scores": rfm_scores_q,
     "seasonal_deviation": seasonal_deviation_q,
     "stratified_doc_sample": stratified_doc_sample_q,
-    "term_cooccurrence": term_cooccurrence_q,
-    "term_df_idf": term_df_idf_q,
-    "token_stats": token_stats_q,
-    "top_terms_per_lang": top_terms_per_lang_q,
     "value_drift_psi": value_drift_psi_q,
     "value_mad_outliers": value_mad_outliers_q,
-    "audio_features": audio_features_q,
-    "bigram_stats": bigram_stats_q,
     "cdp_trait_fidelity": cdp_trait_fidelity_q,
     "corpus_mixture": corpus_mixture_q,
-    "corpus_summary": corpus_summary_q,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "doc_hash_sample": doc_hash_sample_q,
     "dominant_event_type": dominant_event_type_q,
-    "embedding_decontamination": embedding_decontamination_q,
     "frame_sample_plan": frame_sample_plan_q,
     "geo_heavy_hitters": geo_heavy_hitters_q,
     "inter_event_deltas": inter_event_deltas_q,
-    "inverted_index": inverted_index_q,
     "label_centroids": label_centroids_q,
     "label_noise_suspects": label_noise_suspects_q,
-    "lang_confusion": lang_confusion_q,
-    "ngram_novelty": ngram_novelty_q,
     "pack_documents": pack_documents_q,
-    "token_length_histogram": token_length_histogram_q,
     "value_histogram": value_histogram_q,
-    "video_frame_features": video_frame_features_q,
-    "revenue_rollup": revenue_rollup_q,
-    "revenue_cube": revenue_cube_q,
-    "revenue_wow": revenue_wow_q,
-    "value_outliers": value_outliers_q,
-    "value_deciles": value_deciles_q,
-    "value_stats": value_stats_q,
-    "tpch_q1_pricing_summary": tpch_q1,
-    "tpch_q3_shipping_priority": tpch_q3,
-    "tpch_q4_priority_returns": tpch_q4_like,
-    "tpch_q5_region_revenue": tpch_q5,
-    "tpch_q6_forecast_revenue": tpch_q6,
-    "tpch_q7_nation_volume": tpch_q7_nation_volume,
-    "tpch_q8_market_share": tpch_q8_market_share,
-    "tpch_q9_product_profit": tpch_q9_product_profit,
-    "tpch_q10_returned_items": tpch_q10_returned_items,
-    "tpch_q11_share_of_total": tpch_q11_share_of_total,
-    "tpch_q12_late_shipments": tpch_q12_late_shipments,
-    "tpch_q13_order_distribution": tpch_q13_order_distribution,
-    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
-    "tpch_q15_top_supplier": tpch_q15_top_supplier,
-    "tpch_q16_supplier_variety": tpch_q16_supplier_variety,
-    "tpch_q17_small_qty_revenue": tpch_q17_small_qty_revenue,
-    "tpch_q18_large_volume": tpch_q18_large_volume,
-    "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
-    "tpch_q20_half_volume_suppliers": tpch_q20_half_volume_suppliers,
-    "tpch_q21_fault_attribution": tpch_q21_fault_attribution,
 }
 
 
