@@ -1701,7 +1701,7 @@ class TestHardNegatives:
 
 
 class TestBroadcastSizeGuard:
-    def test_exact_kernels_route_to_slices_above_ceiling(self, spark, sf_dir, monkeypatch):
+    def _route_and_compare(self, spark, sf_dir, monkeypatch, kernels):
         """Above the broadcast ceiling the exact kernels must never collect
         the whole index to the driver — they route to the sliced-broadcast
         path (one bounded collect per slice, NO full-probe cell
@@ -1713,30 +1713,42 @@ class TestBroadcastSizeGuard:
         from pulseboard_spark.sources.tables import load_table
 
         embs = load_table(spark, sf_dir, "embeddings")
-        want_topk = {tuple(r) for r in similarity.cosine_topk(embs, 5).collect()}
-        want_pairs = {tuple(r) for r in similarity.cosine_pairs_above(embs, 0.35).collect()}
-        want_hn = {tuple(r) for r in similarity.hard_negatives(embs, k=3).collect()}
-        # eval side is ~20 rows at sf0.001 — force its slicing with the
-        # explicit per-call ceiling (the 60-row global pin would leave it
-        # legitimately on the broadcast path)
-        want_dc = {tuple(r) for r in similarity.embedding_decontamination(embs).collect()}
+        want = {k: {tuple(r) for r in fn(similarity, embs, False).collect()}
+                for k, fn in kernels.items()}
 
         def boom(*a, **kw):  # the guard must keep this path unreachable
             raise AssertionError("broadcast index collected above the ceiling")
 
         monkeypatch.setattr(similarity, "MAX_BROADCAST_INDEX_ROWS", 60)
         monkeypatch.setattr(similarity, "_broadcast_index", boom)
-        got_topk = {tuple(r) for r in similarity.cosine_topk(embs, 5).collect()}
-        got_pairs = {tuple(r) for r in similarity.cosine_pairs_above(embs, 0.35).collect()}
-        got_hn = {tuple(r) for r in similarity.hard_negatives(embs, k=3).collect()}
-        got_dc = {
-            tuple(r)
-            for r in similarity.embedding_decontamination(embs, max_broadcast_rows=10).collect()
-        }
-        assert got_topk == want_topk
-        assert got_pairs == want_pairs
-        assert got_hn == want_hn
-        assert got_dc == want_dc
+        for k, fn in kernels.items():
+            got = {tuple(r) for r in fn(similarity, embs, True).collect()}
+            assert got == want[k], k
+
+    def test_exact_kernels_route_to_slices_above_ceiling(self, spark, sf_dir, monkeypatch):
+        """Fast pin of the slice-routing guard (r10 gate-budget retier):
+        the top-k kernel (the declared query path) plus decontamination —
+        whose eval side is ~20 rows at sf0.001, so its slicing is forced
+        with the explicit per-call ceiling (the 60-row global pin would
+        leave it legitimately on the broadcast path).  The pairs and
+        hard-negative kernels run the same guard in the slow tier
+        (test_pairs_and_hard_negatives_route_to_slices)."""
+        self._route_and_compare(spark, sf_dir, monkeypatch, {
+            "topk": lambda s, e, guarded: s.cosine_topk(e, 5),
+            "decontamination": lambda s, e, guarded: s.embedding_decontamination(
+                e, **({"max_broadcast_rows": 10} if guarded else {})
+            ),
+        })
+
+    @pytest.mark.slow
+    def test_pairs_and_hard_negatives_route_to_slices(self, spark, sf_dir, monkeypatch):
+        """Slow tier of the slice-routing guard: the similarity-pairs and
+        hard-negative kernels (same boom-patched ceiling, same exactness
+        equality) — fast pin above."""
+        self._route_and_compare(spark, sf_dir, monkeypatch, {
+            "pairs": lambda s, e, guarded: s.cosine_pairs_above(e, 0.35),
+            "hard_negatives": lambda s, e, guarded: s.hard_negatives(e, k=3),
+        })
 
     def test_over_ceiling_precomputed_index_warns_and_stays_exact(self, spark, sf_dir, monkeypatch):
         """A caller-built IVF index cannot rescue the exact over-ceiling

@@ -691,9 +691,12 @@ def test_r3_stream_stream_join_matches_batch(spark, sf_dir, entity_chunks_dir, s
     assert got == want and got
 
 
-def test_stream_static_enrichment(spark, sf_dir, entity_chunks_dir):
+def test_stream_static_enrichment(spark, sf_dir, entity_chunks_dir, small_state):
     """Stream-static broadcast join: streaming events enriched with a
-    static geo dim must match the batch join exactly, with no state."""
+    static geo dim must match the batch join exactly, with no state.
+    (small_state: the complete-mode groupBy re-shuffles every micro-batch;
+    32 shuffle partitions over a few thousand rows was the top single
+    entry in the r10 gate durations at 81s under load.)"""
     from pulseboard_spark.streaming.pipeline import with_dim_enrichment
 
     out, schema = entity_chunks_dir
