@@ -88,6 +88,9 @@ HEADLINE = [
     # round 8: the two new oracle-checked surfaces
     "unicode_token_stats",
     "jpeg_features",
+    # round 10: the corrupt-corpus quarantine surface (decode + injected
+    # corruption; measures that the per-row try/except costs nothing)
+    "jpeg_features_quarantine",
 ]
 
 
