@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pulseboard_spark.oracle.sql import ORACLE_SQL
 from pulseboard_spark.session import tune
 from pulseboard_spark.sources.generator import rule_firing_events
-from pulseboard_spark.sources.tables import load_table
+from pulseboard_spark.sources.tables import _plan_memo, load_table
 from pulseboard_spark.sources.tables import cdp_events as _cdp_events_raw
 from pulseboard_spark.sources.tables import entity_events as _entity_events_raw
 from pulseboard_spark.functions.core import duck_round
@@ -80,14 +80,22 @@ def entity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cache()`` is lazy — nothing plans or runs at registration — and
     Spark's CacheManager matches by canonicalized plan, so the one entry
     serves every query."""
-    df = _entity_events_raw(spark, sf_dir)
-    return df.cache() if _silver_cache_enabled() else df
+    if not _silver_cache_enabled():
+        return _entity_events_raw(spark, sf_dir)
+    return _plan_memo(
+        spark, sf_dir, "silver:entity_events",
+        lambda: _entity_events_raw(spark, sf_dir).cache(),
+    )
 
 
 def cdp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-CDP silver (caching posture as :func:`entity_events`)."""
-    df = _cdp_events_raw(spark, sf_dir)
-    return df.cache() if _silver_cache_enabled() else df
+    if not _silver_cache_enabled():
+        return _cdp_events_raw(spark, sf_dir)
+    return _plan_memo(
+        spark, sf_dir, "silver:cdp_events",
+        lambda: _cdp_events_raw(spark, sf_dir).cache(),
+    )
 
 
 # --- TPC-H-ish batch layer ---------------------------------------------------
@@ -1022,8 +1030,15 @@ def _cvalid(spark: SparkSession, sf_dir: str) -> DataFrame:
     this 3-8x (identity nodes/edges, resolve, per-concern profile aggs), and
     Spark's CacheManager matches by canonicalized plan so the one cache entry
     is shared across all CDP queries in a session.  The 100 TB twin is a
-    materialized silver table; the dedup shuffle runs once either way."""
-    return valid_cdp_events(cdp_events(spark, sf_dir)).cache()
+    materialized silver table; the dedup shuffle runs once either way.
+    The plan object is memoized too (:data:`tables._PLAN_CACHE`): the
+    validation/normalization expression tree costs ~0.2 s of driver-side
+    construction per call on top of the cdp view's ~0.4 s, and a
+    long-running engine builds its silver lineage once."""
+    return _plan_memo(
+        spark, sf_dir, "silver:cvalid",
+        lambda: valid_cdp_events(cdp_events(spark, sf_dir)).cache(),
+    )
 
 
 #: (applicationId, sf_dir) -> localCheckpointed components DataFrame.  The
@@ -1044,8 +1059,21 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _evprof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cvalid = _cvalid(spark, sf_dir)
-    return resolve_profiles(cvalid, _components(spark, sf_dir))
+    # plan memo (see _cvalid): 7 queries build on the resolved stream
+    return _plan_memo(
+        spark, sf_dir, "silver:evprof",
+        lambda: resolve_profiles(_cvalid(spark, sf_dir), _components(spark, sf_dir)),
+    )
+
+
+def _profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged profile table plan, memoized: build_profiles constructs a
+    ~0.25 s expression tree (per-concern aggs + LWW merge) reused by the
+    profile and top-20 surfaces."""
+    return _plan_memo(
+        spark, sf_dir, "silver:profiles",
+        lambda: build_profiles(_evprof(spark, sf_dir)),
+    )
 
 
 def identity_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,7 +1122,7 @@ def cdp_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pandas canonicalizer cannot sort/hash array cells (round-2 Class B),
     # and a sorted join is the same information deterministically encoded.
     # The operator API (build_profiles) keeps the typed arrays.
-    return build_profiles(_evprof(spark, sf_dir)).select(
+    return _profiles(spark, sf_dir).select(
         "profile_id",
         F.array_join("user_ids", ",").alias("user_ids"),
         F.array_join("emails", ",").alias("emails"),
@@ -1127,7 +1155,7 @@ def segment_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top20_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Comma-join the stripped identifier arrays at the surface (driver
     # Class B); the underlying arrays are already sorted (build_profiles).
-    return top20_summaries(build_profiles(_evprof(spark, sf_dir))).select(
+    return top20_summaries(_profiles(spark, sf_dir)).select(
         "profile_id",
         F.array_join("user_ids", ",").alias("user_ids"),
         F.array_join("emails", ",").alias("emails"),
