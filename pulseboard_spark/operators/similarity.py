@@ -214,19 +214,56 @@ def _budgeted(batches, m_rows: int):
         yield from _query_chunks(pdf, m_rows)
 
 
+#: (applicationId, tag, semanticHash(analyzed plan), schema json) -> size
+#: verdict / broadcast index.  A session's source tables are immutable (the
+#: same assumption every silver cache in the registry makes), so the guard
+#: probe and the collected index are pure functions of the *plan* — yet both
+#: ran a Spark job on EVERY query invocation (the probe one count job, the
+#: index a full collect + broadcast, ~0.5-1 s warm at bench scale).  The
+#: 100 TB twin is a persisted index table (same posture as the registry's
+#: _IVF_CACHE); keying by the canonicalized plan's semanticHash + schema
+#: means semantically identical lineages share one probe / one index.
+_PLAN_PROBE_CACHE: dict = {}
+
+
+def _plan_probe(df: DataFrame, tag: str, compute):
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        tag,
+        df._jdf.queryExecution().analyzed().semanticHash(),
+        df.schema.json(),
+    )
+    if key not in _PLAN_PROBE_CACHE:
+        _PLAN_PROBE_CACHE[key] = compute()
+    return _PLAN_PROBE_CACHE[key]
+
+
 def _index_too_big(embeddings: DataFrame, max_rows: int | None) -> bool:
     limit = MAX_BROADCAST_INDEX_ROWS if max_rows is None else max_rows
     # LIMIT-probe: one early-stopping job, nothing shipped to the driver
     # but the single count (collecting limit+1 Row objects just for len()
     # would move ~limit rows driver-side on every call)
-    return embeddings.select(F.lit(1).alias("one")).limit(limit + 1).count() > limit
+    return _plan_probe(
+        embeddings,
+        f"guard:{limit}",
+        lambda: embeddings.select(F.lit(1).alias("one")).limit(limit + 1).count() > limit,
+    )
 
 
 def _broadcast_index(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
     """Collect the index side (small, broadcast-class — same memory contract
     as ``F.broadcast``) and ship it to executors once.  Callers are
     size-guarded (:func:`_index_too_big`) — this must never see an
-    unbounded table."""
+    unbounded table.  Memoized per session plan (:data:`_PLAN_PROBE_CACHE`)
+    so repeated queries share one collect and one executor broadcast."""
+    return _plan_probe(
+        embeddings,
+        f"index:{id_col}:{vec_col}",
+        lambda: _broadcast_index_build(embeddings, id_col, vec_col),
+    )
+
+
+def _broadcast_index_build(embeddings: DataFrame, id_col: str, vec_col: str):
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     # empty index must keep a 2-D shape: (0,)-shaped M breaks every kernel
@@ -1076,22 +1113,32 @@ def hard_negatives(
     negatives that actually teach the model something sit right at the
     decision boundary).
 
-    Runs on the cogrouped IVF-cell kernel (:func:`_ivf_knn`) with the
-    label mask inside the cell kernel — NO driver-side collect of the
-    embeddings table, unlike the broadcast twin
-    (:func:`hard_negatives_broadcast`), which dies at 100× scale.  The
-    default ``nprobe=None`` probes every cell, making the result exactly
-    the broadcast answer (pinned by test and by the DuckDB oracle); at
-    true scale set ``nprobe`` ≪ n_cells for the approximate fast path.
+    Size-tiered exactly like :func:`cosine_topk` (r10 optimization — guide
+    §2.4/§3.1: the under-ceiling full-probe IVF route replicated every
+    query vector to every cell, a √n data amplification that shuffled
+    ~80 MB of embeddings at bench scale for an answer a broadcast-index
+    kernel computes with NO embedding shuffle at all; measured 2.1-3.1 s
+    → ~0.6 s, same rows):
 
-    Above the broadcast ceiling the exact default reroutes to the
-    sliced-broadcast kernel (:func:`_sliced_exact_topk` with the label
-    mask): full-probe's every-query-to-every-cell replication is ~√n data
-    amplification, measured fatal at 128k vectors in the amplified tier.
-    A precomputed ``index`` does not override the reroute — the index is
-    a candidate-generation artifact with no bearing on the exact answer,
-    and at full probe it cannot rescue the replication cost (callers that
-    really want cell-cogrouped full probe call :func:`_ivf_knn`).
+    * **under the broadcast ceiling, exact** (``nprobe=None``,
+      ``index=None``): the label-masked broadcast-index block kernel —
+      index broadcast once per session (memoized like cosine_topk's), the
+      query side streams, nothing else moves;
+    * **above the ceiling, exact**: the sliced-broadcast kernel
+      (:func:`_sliced_exact_topk` with the label mask) — full-probe's
+      every-query-to-every-cell replication is ~√n data amplification,
+      measured fatal at 128k vectors in the amplified tier.  A precomputed
+      ``index`` does not override this reroute — the index is a
+      candidate-generation artifact with no bearing on the exact answer,
+      and at full probe it cannot rescue the replication cost;
+    * **explicit ``index`` or ``nprobe``** (under ceiling): the cogrouped
+      IVF-cell kernel (:func:`_ivf_knn`) — the distributed candidate-gen
+      path, exact at full probe (equality pinned by test), approximate at
+      ``nprobe`` ≪ n_cells.
+
+    All three tiers share the single scoring/rounding/tie-break contract
+    (:func:`_cosine_block` + ``_topk_order``), so tier choice can never
+    change the rows — pinned by TestHardNegatives and the DuckDB oracle.
 
     NULL-label vectors are excluded entirely: a query without a label has
     no "different label" to mine against, and a candidate without a label
@@ -1117,27 +1164,38 @@ def hard_negatives(
                 stacklevel=2,
             )
         return _sliced_exact_topk(embeddings, k=k, cross_label=True)
+    if nprobe is None and index is None:
+        # under-ceiling exact: broadcast label-masked kernel, memoized index
+        b = _plan_probe(
+            embeddings,
+            "index:labeled",
+            lambda: _labeled_index_build(embeddings),
+        )
+        return _label_block_topk(embeddings, b, k)
     return _ivf_knn(
         embeddings, k=k, n_cells=n_cells, nprobe=nprobe, iters=iters,
         cross_label=True, index=index,
     )
 
 
-def hard_negatives_broadcast(embeddings: DataFrame, k: int = 3) -> DataFrame:
-    """Broadcast-kernel twin of :func:`hard_negatives` — exact and fast for
-    broadcast-class inputs, but collects the whole table to the driver:
-    kept as the small-input path and the equivalence oracle for the IVF
-    kernel, NOT the declared query path.
-
-    Same block kernel as :func:`cosine_topk` with a label mask inside the
-    batch: similarity never leaves the kernel for same-label pairs.
-    Selection is deterministic on (cosine rounded to 6 desc, neighbor_id).
-    """
+def _labeled_index_build(embeddings: DataFrame):
     rows = embeddings.select("vec_id", "embedding", "label").collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    M = (
+        np.array([list(r[1]) for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 0), dtype=np.float64)
+    )
     labels = np.array([r[2] for r in rows], dtype=np.int64)
-    b = embeddings.sparkSession.sparkContext.broadcast((ids, M, _safe_norms(M), labels))
+    return embeddings.sparkSession.sparkContext.broadcast(
+        (ids, M, _safe_norms(M), labels)
+    )
+
+
+def _label_block_topk(embeddings: DataFrame, b, k: int) -> DataFrame:
+    """Label-masked broadcast block kernel — identical scoring contract to
+    :func:`cosine_topk` / :func:`_ivf_knn` (``_cosine_block`` +
+    ``_topk_order`` with the different-label mask)."""
 
     def block(batches):
         ids_, M_, norms, labels_ = b.value
@@ -1158,12 +1216,8 @@ def hard_negatives_broadcast(embeddings: DataFrame, k: int = 3) -> DataFrame:
                 out["rank"].extend(range(1, len(order) + 1))
             yield pd.DataFrame(
                 {
-                    "vec_id": pd.Series(out["vec_id"], dtype="int64"),
-                    "label": pd.Series(out["label"], dtype="int64"),
-                    "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
-                    "neighbor_label": pd.Series(out["neighbor_label"], dtype="int64"),
-                    "cosine": pd.Series(out["cosine"], dtype="float64"),
-                    "rank": pd.Series(out["rank"], dtype="int64"),
+                    c: pd.Series(out[c], dtype="float64" if c == "cosine" else "int64")
+                    for c in ("vec_id", "label", "neighbor_id", "neighbor_label", "cosine", "rank")
                 }
             )
 
@@ -1171,6 +1225,20 @@ def hard_negatives_broadcast(embeddings: DataFrame, k: int = 3) -> DataFrame:
         block,
         schema="vec_id bigint, label bigint, neighbor_id bigint, neighbor_label bigint, cosine double, rank bigint",
     )
+
+
+def hard_negatives_broadcast(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """Broadcast-kernel twin of :func:`hard_negatives` — exact and fast for
+    broadcast-class inputs, but collects the whole table to the driver:
+    kept as the small-input path and the equivalence oracle for the IVF
+    kernel, NOT the declared query path.
+
+    Same block kernel as :func:`cosine_topk` with a label mask inside the
+    batch: similarity never leaves the kernel for same-label pairs.
+    Selection is deterministic on (cosine rounded to 6 desc, neighbor_id).
+    """
+    # own (unmemoized) collect so the twin stays an independent index build
+    return _label_block_topk(embeddings, _labeled_index_build(embeddings), k)
 
 
 def embedding_norm_outliers(embeddings: DataFrame, k: float = 3.0) -> DataFrame:

@@ -1341,6 +1341,24 @@ def label_noise_suspects_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CACHE: dict = {}
 
 
+def clear_memo_caches() -> None:
+    """Drop every per-session memo (checkpointed artifacts, plan objects,
+    probe verdicts, broadcast indexes).  Harness hook for probes/tests
+    that re-point one session at mutated or rewritten source data."""
+    from pulseboard_spark.operators import similarity as _sim
+    from pulseboard_spark.sources import tables as _tables
+
+    for c in (
+        _COMP_CACHE,
+        _PAIR_CACHE,
+        _CLUSTER_CACHE,
+        _IVF_CACHE,
+        _tables._PLAN_CACHE,
+        _sim._PLAN_PROBE_CACHE,
+    ):
+        c.clear()
+
+
 def _ivf(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     idx = _IVF_CACHE.get(key)
@@ -1352,7 +1370,11 @@ def _ivf(spark: SparkSession, sf_dir: str):
 
 
 def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.hard_negatives(_embs(spark, sf_dir), index=_ivf(spark, sf_dir))
+    # No precomputed IVF index: under the broadcast ceiling the exact path
+    # is the label-masked broadcast kernel (index memoized in-module, like
+    # cosine_topk's); over it, the sliced-broadcast kernel.  The IVF index
+    # is a candidate-generation artifact for the approximate (nprobe) path.
+    return similarity.hard_negatives(_embs(spark, sf_dir))
 
 
 def approx_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,8 +38,7 @@ def _run_empty(spark, empty_dir, name):
     # memo caches would hand back another test's sf-dir artifacts
     from pulseboard_spark import registry
 
-    for cache in ("_COMP_CACHE", "_PAIR_CACHE", "_CLUSTER_CACHE", "_IVF_CACHE"):
-        getattr(registry, cache).clear()
+    registry.clear_memo_caches()
     assert QUERIES[name](spark, empty_dir).count() == 0
 
 

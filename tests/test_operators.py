@@ -1686,18 +1686,26 @@ class TestHardNegatives:
         assert with_junk == clean
 
     def test_ivf_kernel_matches_broadcast_twin(self, spark, sf_dir):
-        """The declared (distributed, no-driver-collect) hard_negatives must
-        equal the broadcast-kernel twin exactly at full probe."""
+        """The cogrouped IVF-cell kernel at full probe (forced via an
+        explicit precomputed index — the declared under-ceiling path now
+        takes the broadcast label kernel, r10 optimization) must equal the
+        broadcast-kernel twin exactly, and so must the declared path."""
         from pulseboard_spark.operators.similarity import (
             hard_negatives,
             hard_negatives_broadcast,
+            ivf_index,
         )
         from pulseboard_spark.sources.tables import load_table
 
         embs = load_table(spark, sf_dir, "embeddings")
-        got = {tuple(r) for r in hard_negatives(embs, k=3).collect()}
         want = {tuple(r) for r in hard_negatives_broadcast(embs, k=3).collect()}
-        assert got == want
+        got_declared = {tuple(r) for r in hard_negatives(embs, k=3).collect()}
+        idx = ivf_index(
+            embs.filter("label is not null and embedding is not null"), iters=0
+        )
+        got_ivf = {tuple(r) for r in hard_negatives(embs, k=3, index=idx).collect()}
+        assert got_declared == want
+        assert got_ivf == want
 
 
 class TestBroadcastSizeGuard:

@@ -58,8 +58,7 @@ CONFIGS = {
 def _clear_caches():
     from pulseboard_spark import registry
 
-    for cache in ("_COMP_CACHE", "_PAIR_CACHE", "_CLUSTER_CACHE", "_IVF_CACHE"):
-        getattr(registry, cache).clear()
+    registry.clear_memo_caches()
 
 
 def main() -> int:

@@ -284,8 +284,7 @@ def make_fuzzed_dir(profile: str, seed: int, sf_src: str, out_root: str) -> str:
 def _clear_caches():
     from pulseboard_spark import registry
 
-    for cache in ("_COMP_CACHE", "_PAIR_CACHE", "_CLUSTER_CACHE", "_IVF_CACHE"):
-        getattr(registry, cache).clear()
+    registry.clear_memo_caches()
 
 
 def main() -> int:

@@ -111,8 +111,7 @@ def _clear_memo_caches():
     re-read parquet through the patched reader."""
     from pulseboard_spark import registry
 
-    for cache in ("_COMP_CACHE", "_PAIR_CACHE", "_CLUSTER_CACHE", "_IVF_CACHE"):
-        getattr(registry, cache).clear()
+    registry.clear_memo_caches()
 
 
 def run_batch(spark) -> list[tuple[str, bool, bool, int, int]]:
