@@ -792,28 +792,28 @@ def synth_jpeg(documents: DataFrame) -> DataFrame:
     with DC step 16 round-trips bit-exactly (module docstring), so the
     DuckDB oracle reproduces every decoded statistic from the block grid
     arithmetically while the decoder runs the full entropy pipeline."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            # to_numpy(): the plain-list columns below must align by POSITION,
-            # not by whatever index this batch's Series carries
-            out = {"doc_id": pdf["doc_id"].to_numpy(), "media_type": [], "payload": []}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
-                img = np.empty((h, w), dtype=np.uint8)
-                for by in range(h // 8):
-                    for bx in range(w // 8):
-                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                            2 * ((d + bx + 7 * by) % 128)
-                        )
-                out["media_type"].append("image/jpeg")
-                out["payload"].append(encode_jpeg_gray(w, h, img.tobytes()))
-            yield pd.DataFrame(out)
-
     return documents.select("doc_id").mapInPandas(
-        batches, schema="doc_id bigint, media_type string, payload binary"
+        _synth_jpeg_batches, schema="doc_id bigint, media_type string, payload binary"
     )
+
+
+def _synth_jpeg_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        # to_numpy(): the plain-list columns below must align by POSITION,
+        # not by whatever index this batch's Series carries
+        out = {"doc_id": pdf["doc_id"].to_numpy(), "media_type": [], "payload": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+            img = np.empty((h, w), dtype=np.uint8)
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        2 * ((d + bx + 7 * by) % 128)
+                    )
+            out["media_type"].append("image/jpeg")
+            out["payload"].append(encode_jpeg_gray(w, h, img.tobytes()))
+        yield pd.DataFrame(out)
 
 
 JPEG_SCHEMA = (
@@ -834,32 +834,32 @@ def decoded_jpeg_features(media: DataFrame) -> DataFrame:
     ``sum(decoded = false)``).  Anything outside the contract still
     propagates: an unexpected exception class is a codec bug, not a
     corpus fact, and must fail loudly."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {c: [] for c in ("doc_id", "media_type", "width", "height",
-                                   "n_pixels", "n_blocks", "sum_luma", "max_luma", "decoded")}
-            for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-                out["doc_id"].append(int(doc_id))
-                out["media_type"].append(mtype)
-                try:
-                    w, h, gray = decode_jpeg_gray(bytes(payload))
-                except MEDIA_DECODE_ERRORS:
-                    for c in ("width", "height", "n_pixels", "n_blocks",
-                              "sum_luma", "max_luma"):
-                        out[c].append(None)
-                    out["decoded"].append(False)
-                    continue
-                px = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_pixels"].append(w * h)
-                out["n_blocks"].append(-(-w // 8) * -(-h // 8))
-                out["sum_luma"].append(int(px.sum()))
-                out["max_luma"].append(int(px.max()) if len(px) else 0)
-                out["decoded"].append(True)
-            yield pd.DataFrame(out)
-
     return media.select("doc_id", "media_type", "payload").mapInPandas(
-        batches, schema=JPEG_SCHEMA
+        _jpeg_feature_batches, schema=JPEG_SCHEMA
     )
+
+
+def _jpeg_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = {c: [] for c in ("doc_id", "media_type", "width", "height",
+                               "n_pixels", "n_blocks", "sum_luma", "max_luma", "decoded")}
+        for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+            out["doc_id"].append(int(doc_id))
+            out["media_type"].append(mtype)
+            try:
+                w, h, gray = decode_jpeg_gray(bytes(payload))
+            except MEDIA_DECODE_ERRORS:
+                for c in ("width", "height", "n_pixels", "n_blocks",
+                          "sum_luma", "max_luma"):
+                    out[c].append(None)
+                out["decoded"].append(False)
+                continue
+            px = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_pixels"].append(w * h)
+            out["n_blocks"].append(-(-w // 8) * -(-h // 8))
+            out["sum_luma"].append(int(px.sum()))
+            out["max_luma"].append(int(px.max()) if len(px) else 0)
+            out["decoded"].append(True)
+        yield pd.DataFrame(out)
