@@ -33,10 +33,6 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the few applyInPandas operators (EWMA); batched transfer.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Test-harness scale: AQE coalesces upward on a real cluster; a foreign
-    # session's default 200 shuffle partitions just adds task overhead at
-    # local data sizes.
-    "spark.sql.shuffle.partitions": "32",
 }
 
 
@@ -84,6 +80,23 @@ def tune(spark: SparkSession) -> SparkSession:
             # Conf not settable at runtime in this build — proceed; loaders
             # have a pyarrow fallback for the nanos issue.
             pass
+    try:
+        # Scale-adaptive shuffle width: one reduce partition per task slot
+        # (defaultParallelism = total cores in local mode AND on a cluster)
+        # instead of a constant tuned for any one machine.  A foreign
+        # session's default 200 partitions is pure task overhead at harness
+        # scale; a hard-coded 32 mis-sizes any session not on 32 cores.  On
+        # a big cluster this is the *initial* width only — AQE coalescing
+        # (enabled above) re-sizes every post-shuffle stage by bytes.
+        # Result-safe: no declared query's output depends on partition
+        # count (the two-level ntile computes exact global ranks; skew
+        # salts are dropped post-aggregation).
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    except Exception:
+        pass
     _ship_package(spark)
     return spark
 
