@@ -839,6 +839,24 @@ def decoded_jpeg_features(media: DataFrame) -> DataFrame:
     )
 
 
+def synth_jpeg_features(documents: DataFrame) -> DataFrame:
+    """Fused :func:`synth_jpeg` → :func:`decoded_jpeg_features`: the same
+    two batch kernels composed inside ONE Arrow-batched ``mapInPandas``
+    stage, so the synthesized payload bytes never cross the Python↔JVM
+    boundary at all — only ``doc_id`` enters and the integer feature row
+    leaves (guide §4: pass only the columns the function needs; §8: move
+    heavy bytes as few times as possible — here zero).  Row-for-row
+    identical to the chained form by construction (iterator composition of
+    the identical kernels, pinned by ``TestJpegOperators`` equality)."""
+    return documents.select("doc_id").mapInPandas(
+        _synth_jpeg_feature_batches, schema=JPEG_SCHEMA
+    )
+
+
+def _synth_jpeg_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    return _jpeg_feature_batches(_synth_jpeg_batches(it))
+
+
 def _jpeg_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         out = {c: [] for c in ("doc_id", "media_type", "width", "height",

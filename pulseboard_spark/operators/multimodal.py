@@ -14,6 +14,7 @@ repartitioning on a content key before the mapInPandas pass.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 from collections.abc import Iterator
@@ -234,28 +235,29 @@ def synth_images(documents: DataFrame) -> DataFrame:
     statistic arithmetically — the codec round-trip is the thing under
     test, the pixels are closed-form."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {"doc_id": pdf["doc_id"], "media_type": [], "payload": [],
-                   "meta_width": [], "meta_height": []}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 8 + d % 16, 8 + d % 12
-                rgb = ((d + np.arange(w * h * 3)) % 256).astype(np.uint8).tobytes()
-                if d % 2 == 0:
-                    out["media_type"].append("image/png")
-                    out["payload"].append(encode_png(w, h, rgb))
-                else:
-                    out["media_type"].append("image/ppm")
-                    out["payload"].append(encode_ppm(w, h, rgb))
-                out["meta_width"].append(w)
-                out["meta_height"].append(h)
-            yield pd.DataFrame(out)
-
     return documents.select("doc_id").mapInPandas(
-        batches,
+        _synth_image_batches,
         schema="doc_id bigint, media_type string, payload binary, meta_width int, meta_height int",
     )
+
+
+def _synth_image_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = {"doc_id": pdf["doc_id"], "media_type": [], "payload": [],
+               "meta_width": [], "meta_height": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 + d % 16, 8 + d % 12
+            rgb = ((d + np.arange(w * h * 3)) % 256).astype(np.uint8).tobytes()
+            if d % 2 == 0:
+                out["media_type"].append("image/png")
+                out["payload"].append(encode_png(w, h, rgb))
+            else:
+                out["media_type"].append("image/ppm")
+                out["payload"].append(encode_ppm(w, h, rgb))
+            out["meta_width"].append(w)
+            out["meta_height"].append(h)
+        yield pd.DataFrame(out)
 
 
 def encode_ppm_video(width: int, height: int, frames: list[bytes]) -> bytes:
@@ -308,25 +310,26 @@ def synth_video(documents: DataFrame) -> DataFrame:
     8+id%8 × 8+id%4 clip; frame f's pixel i is ``(doc_id + 31·f + i) % 256``
     — closed-form for the oracle, genuinely containerized for the parser."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {"doc_id": pdf["doc_id"], "media_type": [], "payload": [], "meta_n_frames": []}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h, nf = 8 + d % 8, 8 + d % 4, 4 + d % 5
-                frames = [
-                    ((d + 31 * f + np.arange(w * h * 3)) % 256).astype(np.uint8).tobytes()
-                    for f in range(nf)
-                ]
-                out["media_type"].append("video/pbv")
-                out["payload"].append(encode_ppm_video(w, h, frames))
-                out["meta_n_frames"].append(nf)
-            yield pd.DataFrame(out)
-
     return documents.select("doc_id").mapInPandas(
-        batches,
+        _synth_video_batches,
         schema="doc_id bigint, media_type string, payload binary, meta_n_frames int",
     )
+
+
+def _synth_video_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = {"doc_id": pdf["doc_id"], "media_type": [], "payload": [], "meta_n_frames": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h, nf = 8 + d % 8, 8 + d % 4, 4 + d % 5
+            frames = [
+                ((d + 31 * f + np.arange(w * h * 3)) % 256).astype(np.uint8).tobytes()
+                for f in range(nf)
+            ]
+            out["media_type"].append("video/pbv")
+            out["payload"].append(encode_ppm_video(w, h, frames))
+            out["meta_n_frames"].append(nf)
+        yield pd.DataFrame(out)
 
 
 FRAME_SCHEMA = (
@@ -344,34 +347,56 @@ def sampled_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:
     is quarantined as ONE ``decoded=false`` row (NULL frame fields) —
     the stage never dies on a corrupt clip."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {c: [] for c in ("doc_id", "frame_index", "n_frames",
-                                   "width", "height", "sum_px", "decoded")}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                payload = bytes(payload)
-                try:
-                    n_frames, _, _ = pbv_geometry(payload)
-                except MEDIA_DECODE_ERRORS:
-                    # quarantine: one decoded=false row per corrupt clip
-                    out["doc_id"].append(int(doc_id))
-                    for c in ("frame_index", "n_frames", "width", "height", "sum_px"):
-                        out[c].append(None)
-                    out["decoded"].append(False)
-                    continue
-                for f in range(0, n_frames, every_n):
-                    nf, w, h, rgb = decode_ppm_video_frame(payload, f)
-                    px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
-                    out["doc_id"].append(int(doc_id))
-                    out["frame_index"].append(f)
-                    out["n_frames"].append(nf)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["sum_px"].append(int(px.sum()))
-                    out["decoded"].append(True)
-            yield pd.DataFrame(out)
+    return media.select("doc_id", "payload").mapInPandas(
+        functools.partial(_frame_feature_batches, every_n=every_n), schema=FRAME_SCHEMA
+    )
 
-    return media.select("doc_id", "payload").mapInPandas(batches, schema=FRAME_SCHEMA)
+
+def _frame_feature_batches(
+    it: Iterator[pd.DataFrame], every_n: int = 2
+) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = {c: [] for c in ("doc_id", "frame_index", "n_frames",
+                               "width", "height", "sum_px", "decoded")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            try:
+                n_frames, _, _ = pbv_geometry(payload)
+            except MEDIA_DECODE_ERRORS:
+                # quarantine: one decoded=false row per corrupt clip
+                out["doc_id"].append(int(doc_id))
+                for c in ("frame_index", "n_frames", "width", "height", "sum_px"):
+                    out[c].append(None)
+                out["decoded"].append(False)
+                continue
+            for f in range(0, n_frames, every_n):
+                nf, w, h, rgb = decode_ppm_video_frame(payload, f)
+                px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["frame_index"].append(f)
+                out["n_frames"].append(nf)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_px"].append(int(px.sum()))
+                out["decoded"].append(True)
+        yield pd.DataFrame(out)
+
+
+def synth_video_frame_features(documents: DataFrame, every_n: int = 2) -> DataFrame:
+    """Fused :func:`synth_video` → :func:`sampled_frame_features`: one
+    Arrow stage, clip payloads never cross the Python↔JVM boundary (guide
+    §4/§8) — row-identical to the chained form by iterator composition of
+    the same kernels (pinned by test)."""
+    return documents.select("doc_id").mapInPandas(
+        functools.partial(_synth_video_frame_batches, every_n=every_n),
+        schema=FRAME_SCHEMA,
+    )
+
+
+def _synth_video_frame_batches(
+    it: Iterator[pd.DataFrame], every_n: int = 2
+) -> Iterator[pd.DataFrame]:
+    return _frame_feature_batches(_synth_video_batches(it), every_n=every_n)
 
 
 def synth_audio(documents: DataFrame) -> DataFrame:
@@ -380,22 +405,23 @@ def synth_audio(documents: DataFrame) -> DataFrame:
     samples = 64 + doc_id % 192, rate 8000 — closed-form so the DuckDB
     oracle reproduces every decoded statistic arithmetically."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {"doc_id": pdf["doc_id"], "media_type": [], "payload": [], "meta_n_samples": []}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                n = 64 + d % 192
-                samples = (d * 7 + np.arange(n) * 13) % 2001 - 1000
-                out["media_type"].append("audio/wav")
-                out["payload"].append(encode_wav(8000, samples))
-                out["meta_n_samples"].append(n)
-            yield pd.DataFrame(out)
-
     return documents.select("doc_id").mapInPandas(
-        batches,
+        _synth_audio_batches,
         schema="doc_id bigint, media_type string, payload binary, meta_n_samples int",
     )
+
+
+def _synth_audio_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = {"doc_id": pdf["doc_id"], "media_type": [], "payload": [], "meta_n_samples": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = 64 + d % 192
+            samples = (d * 7 + np.arange(n) * 13) % 2001 - 1000
+            out["media_type"].append("audio/wav")
+            out["payload"].append(encode_wav(8000, samples))
+            out["meta_n_samples"].append(n)
+        yield pd.DataFrame(out)
 
 
 AUDIO_SCHEMA = (
@@ -411,32 +437,49 @@ def decoded_audio_features(media: DataFrame) -> DataFrame:
     payloads quarantine (``decoded=false``, NULL features) per the codec
     exception contract instead of failing the stage."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {c: [] for c in ("doc_id", "sample_rate", "n_samples",
-                                   "sum_abs", "max_abs", "n_zero_crossings", "decoded")}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                out["doc_id"].append(int(doc_id))
-                try:
-                    rate, s = decode_wav(bytes(payload))
-                except MEDIA_DECODE_ERRORS:
-                    for c in ("sample_rate", "n_samples", "sum_abs",
-                              "max_abs", "n_zero_crossings"):
-                        out[c].append(None)
-                    out["decoded"].append(False)
-                    continue
-                s64 = s.astype(np.int64)
-                out["sample_rate"].append(rate)
-                out["n_samples"].append(len(s64))
-                out["sum_abs"].append(int(np.abs(s64).sum()))
-                out["max_abs"].append(int(np.abs(s64).max()) if len(s64) else 0)
-                # sign flips between consecutive samples (zeros break runs)
-                sgn = np.sign(s64)
-                out["n_zero_crossings"].append(int(np.sum(sgn[1:] * sgn[:-1] < 0)))
-                out["decoded"].append(True)
-            yield pd.DataFrame(out)
+    return media.select("doc_id", "payload").mapInPandas(
+        _audio_feature_batches, schema=AUDIO_SCHEMA
+    )
 
-    return media.select("doc_id", "payload").mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+def _audio_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = {c: [] for c in ("doc_id", "sample_rate", "n_samples",
+                               "sum_abs", "max_abs", "n_zero_crossings", "decoded")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            out["doc_id"].append(int(doc_id))
+            try:
+                rate, s = decode_wav(bytes(payload))
+            except MEDIA_DECODE_ERRORS:
+                for c in ("sample_rate", "n_samples", "sum_abs",
+                          "max_abs", "n_zero_crossings"):
+                    out[c].append(None)
+                out["decoded"].append(False)
+                continue
+            s64 = s.astype(np.int64)
+            out["sample_rate"].append(rate)
+            out["n_samples"].append(len(s64))
+            out["sum_abs"].append(int(np.abs(s64).sum()))
+            out["max_abs"].append(int(np.abs(s64).max()) if len(s64) else 0)
+            # sign flips between consecutive samples (zeros break runs)
+            sgn = np.sign(s64)
+            out["n_zero_crossings"].append(int(np.sum(sgn[1:] * sgn[:-1] < 0)))
+            out["decoded"].append(True)
+        yield pd.DataFrame(out)
+
+
+def synth_audio_features(documents: DataFrame) -> DataFrame:
+    """Fused :func:`synth_audio` → :func:`decoded_audio_features`: one
+    Arrow stage, WAV payloads never cross the Python↔JVM boundary (guide
+    §4/§8) — row-identical to the chained form by iterator composition of
+    the same kernels (pinned by test)."""
+    return documents.select("doc_id").mapInPandas(
+        _synth_audio_feature_batches, schema=AUDIO_SCHEMA
+    )
+
+
+def _synth_audio_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    return _audio_feature_batches(_synth_audio_batches(it))
 
 
 DECODED_SCHEMA = (
@@ -460,34 +503,49 @@ def decoded_features(media: DataFrame) -> DataFrame:
     mirroring P1's dead-letter routing; unexpected exception classes
     still propagate (codec bug, fail loudly)."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {c: [] for c in
-                   ("doc_id", "media_type", "width", "height", "n_pixels",
-                    "sum_r", "sum_g", "sum_b", "decoded")}
-            for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-                out["doc_id"].append(int(doc_id))
-                out["media_type"].append(mtype)
-                try:
-                    w, h, rgb = decode_image(bytes(payload))
-                except MEDIA_DECODE_ERRORS:
-                    for c in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"):
-                        out[c].append(None)
-                    out["decoded"].append(False)
-                    continue
-                px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_pixels"].append(w * h)
-                out["sum_r"].append(int(px[0::3].sum()))
-                out["sum_g"].append(int(px[1::3].sum()))
-                out["sum_b"].append(int(px[2::3].sum()))
-                out["decoded"].append(True)
-            yield pd.DataFrame(out)
-
     return media.select("doc_id", "media_type", "payload").mapInPandas(
-        batches, schema=DECODED_SCHEMA
+        _image_feature_batches, schema=DECODED_SCHEMA
     )
+
+
+def _image_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = {c: [] for c in
+               ("doc_id", "media_type", "width", "height", "n_pixels",
+                "sum_r", "sum_g", "sum_b", "decoded")}
+        for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+            out["doc_id"].append(int(doc_id))
+            out["media_type"].append(mtype)
+            try:
+                w, h, rgb = decode_image(bytes(payload))
+            except MEDIA_DECODE_ERRORS:
+                for c in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"):
+                    out[c].append(None)
+                out["decoded"].append(False)
+                continue
+            px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_pixels"].append(w * h)
+            out["sum_r"].append(int(px[0::3].sum()))
+            out["sum_g"].append(int(px[1::3].sum()))
+            out["sum_b"].append(int(px[2::3].sum()))
+            out["decoded"].append(True)
+        yield pd.DataFrame(out)
+
+
+def synth_image_features(documents: DataFrame) -> DataFrame:
+    """Fused :func:`synth_images` → :func:`decoded_features`: one Arrow
+    stage, PNG/PPM payloads never cross the Python↔JVM boundary (guide
+    §4/§8) — row-identical to the chained form by iterator composition of
+    the same kernels (pinned by test)."""
+    return documents.select("doc_id").mapInPandas(
+        _synth_image_feature_batches, schema=DECODED_SCHEMA
+    )
+
+
+def _synth_image_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    return _image_feature_batches(_synth_image_batches(it))
 
 
 FEATURE_SCHEMA = "doc_id bigint, media_type string, n_bytes bigint, checksum bigint, decoded boolean"

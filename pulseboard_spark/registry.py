@@ -1595,8 +1595,10 @@ def geo_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def video_frame_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling: containerized multi-frame clips, O(1) seek
     decode of every 2nd frame, integer pixel sums — oracle-checked
-    against the closed-form frame model."""
-    return multimodal.sampled_frame_features(multimodal.synth_video(_docs(spark, sf_dir)))
+    against the closed-form frame model.  Fused synth→sample stage: same
+    kernels, one Arrow pass, clip payloads never cross the Python↔JVM
+    boundary (guide §4; equality pinned by TestMediaFusion)."""
+    return multimodal.synth_video_frame_features(_docs(spark, sf_dir))
 
 
 def embedding_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1606,8 +1608,11 @@ def embedding_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV decode: synthesize 16-bit mono PCM payloads, decode with
     the in-module stdlib parser, emit integer signal stats — oracle-checked
-    against the closed-form sample model."""
-    return multimodal.decoded_audio_features(multimodal.synth_audio(_docs(spark, sf_dir)))
+    against the closed-form sample model.  Fused synth→decode stage: same
+    kernels, composed in ONE Arrow pass so payloads never cross the
+    Python↔JVM boundary (guide §4; equality with the chained form pinned
+    by TestMediaFusion)."""
+    return multimodal.synth_audio_features(_docs(spark, sf_dir))
 
 
 def jpeg_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1615,38 +1620,66 @@ def jpeg_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Huffman + DCT), decode them with the in-module codec, and emit
     integer luma statistics — oracle-checked against the closed-form
     constant-block pixel model for which the lossy round trip is
-    bit-exact (operators/jpeg.py module docstring)."""
-    return jpeg.decoded_jpeg_features(jpeg.synth_jpeg(_docs(spark, sf_dir)))
+    bit-exact (operators/jpeg.py module docstring).  Fused synth→decode
+    stage: same kernels, one Arrow pass, payloads never cross the
+    Python↔JVM boundary (guide §4; equality pinned by TestMediaFusion)."""
+    return jpeg.synth_jpeg_features(_docs(spark, sf_dir))
 
 
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode: synthesize genuine PNG/PPM payloads, decode them
     with the in-module stdlib codec, and emit integer channel statistics —
-    oracle-checked against the closed-form pixel model."""
-    return multimodal.decoded_features(multimodal.synth_images(_docs(spark, sf_dir)))
+    oracle-checked against the closed-form pixel model.  Fused synth→decode
+    stage: same kernels, one Arrow pass, payloads never cross the
+    Python↔JVM boundary (guide §4; equality pinned by TestMediaFusion)."""
+    return multimodal.synth_image_features(_docs(spark, sf_dir))
+
+
+def _jpeg_corrupt_batches(it):
+    """Deterministic corruption kernel — byte-identical to the original
+    JVM expressions it replaces (``substring(payload, 1, 20)`` ≡
+    ``payload[:20]``; ``concat(X'0000', substring(payload, 3, 2^30))`` ≡
+    ``b"\\x00\\x00" + payload[2:]`` for payloads under 1 GiB): doc_id%7==3
+    truncated to 20 bytes (segment-body truncation), doc_id%7==5 with the
+    SOI marker zeroed (not-a-JPEG).  Lives between the synth and decode
+    kernels inside ONE fused Arrow stage so the corrupt corpus never
+    crosses the Python↔JVM boundary (guide §4); equivalence pinned by
+    TestMediaFusion and the unchanged oracle."""
+    for pdf in it:
+        payloads = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            d = int(doc_id)
+            if d % 7 == 3:
+                payload = payload[:20]
+            elif d % 7 == 5:
+                payload = b"\x00\x00" + payload[2:]
+            payloads.append(payload)
+        pdf = pdf.copy()
+        pdf["payload"] = payloads
+        yield pdf
+
+
+def _jpeg_quarantine_batches(it):
+    return jpeg._jpeg_feature_batches(
+        _jpeg_corrupt_batches(jpeg._synth_jpeg_batches(it))
+    )
 
 
 def jpeg_features_quarantine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-corpus posture of `jpeg_features` (r09 verdict order #1):
-    payloads are deterministically corrupted JVM-side — doc_id % 7 == 3
-    truncated to 20 bytes (segment-body truncation), doc_id % 7 == 5 with
-    the SOI marker zeroed (not-a-JPEG) — and the decode stage must
-    QUARANTINE them (``decoded=false``, NULL features) while decoding the
-    rest exactly.  The oracle reproduces both populations closed-form:
+    payloads are deterministically corrupted — doc_id % 7 == 3 truncated
+    to 20 bytes (segment-body truncation), doc_id % 7 == 5 with the SOI
+    marker zeroed (not-a-JPEG) — and the decode stage must QUARANTINE
+    them (``decoded=false``, NULL features) while decoding the rest
+    exactly.  The oracle reproduces both populations closed-form:
     corruption is injected by doc_id arithmetic, so the expected
-    ``decoded`` flag and every NULL are computable without a decoder."""
-    media = jpeg.synth_jpeg(_docs(spark, sf_dir))
-    corrupted = media.withColumn(
-        "payload",
-        F.when(F.col("doc_id") % 7 == 3, F.expr("substring(payload, 1, 20)"))
-        .when(
-            F.col("doc_id") % 7 == 5,
-            F.concat(F.lit(bytearray(b"\x00\x00")),
-                     F.expr("substring(payload, 3, 1073741824)")),
-        )
-        .otherwise(F.col("payload")),
+    ``decoded`` flag and every NULL are computable without a decoder.
+    Synth→corrupt→decode run fused in one Arrow stage (see
+    :func:`_jpeg_corrupt_batches` for the byte-equivalence argument)."""
+    return _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        _jpeg_quarantine_batches, schema=jpeg.JPEG_SCHEMA
     )
-    return jpeg.decoded_jpeg_features(corrupted)
 
 
 def resize_media_q(spark: SparkSession, sf_dir: str) -> DataFrame:

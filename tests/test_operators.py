@@ -472,6 +472,64 @@ class TestImageCodecs:
             assert r.decoded
 
 
+class TestMediaFusion:
+    """The fused synth→decode stages (r10 optimization: one Arrow pass,
+    payloads never cross the Python↔JVM boundary) must be row-identical
+    to the chained two-stage forms they replace."""
+
+    @staticmethod
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_fused_pipelines_match_chained(self, spark, sf_dir):
+        from pulseboard_spark.operators import jpeg, multimodal
+        from pulseboard_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = [
+            (jpeg.synth_jpeg_features(docs),
+             jpeg.decoded_jpeg_features(jpeg.synth_jpeg(docs))),
+            (multimodal.synth_image_features(docs),
+             multimodal.decoded_features(multimodal.synth_images(docs))),
+            (multimodal.synth_audio_features(docs),
+             multimodal.decoded_audio_features(multimodal.synth_audio(docs))),
+            (multimodal.synth_video_frame_features(docs),
+             multimodal.sampled_frame_features(multimodal.synth_video(docs))),
+        ]
+        for fused, chained in pairs:
+            assert fused.schema == chained.schema
+            assert self._rows(fused) == self._rows(chained)
+
+    def test_fused_quarantine_matches_jvm_corruption(self, spark, sf_dir):
+        """The Python corruption kernel must be byte-equivalent to the JVM
+        expressions it replaced (substring/concat on binary)."""
+        from pyspark.sql import functions as F
+
+        from pulseboard_spark.operators import jpeg
+        from pulseboard_spark.registry import QUERIES
+        from pulseboard_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        media = jpeg.synth_jpeg(docs)
+        jvm_corrupted = media.withColumn(
+            "payload",
+            F.when(F.col("doc_id") % 7 == 3, F.expr("substring(payload, 1, 20)"))
+            .when(
+                F.col("doc_id") % 7 == 5,
+                F.concat(F.lit(bytearray(b"\x00\x00")),
+                         F.expr("substring(payload, 3, 1073741824)")),
+            )
+            .otherwise(F.col("payload")),
+        )
+        chained = jpeg.decoded_jpeg_features(jvm_corrupted)
+        fused = QUERIES["jpeg_features_quarantine"](spark, sf_dir)
+        assert fused.schema == chained.schema
+        assert self._rows(fused) == self._rows(chained)
+        # both corrupt populations actually present
+        flags = {r[0] % 7: r[-1] for r in fused.collect()}
+        assert flags.get(3) is False and flags.get(5) is False
+
+
 class TestJpegCodec:
     """The general lossy baseline-JPEG path (nonzero AC, run-length,
     stuffing, cropping) — the parts the oracle's exact constant-block
