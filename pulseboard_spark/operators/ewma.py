@@ -89,3 +89,71 @@ def with_ewma(
         .mapInPandas(_scan, schema=f"event_id {id_type}, {out} double")
     )
     return df.join(ewma_rows, "event_id", "left")
+
+
+def ewma_scan(
+    df: DataFrame,
+    partition_cols: list[str] = ("entity_id", "type"),
+    value_col: str = "value",
+    alpha: float = 0.1,
+    out: str = "ewma",
+    carry: list[str] = (),
+    clustered: bool = False,
+) -> DataFrame:
+    """Fused EWMA scan over the NON-NULL-value rows only — the shape both
+    declared consumers actually need (`ewma_q` and R2 both filter
+    ``value IS NOT NULL`` immediately after :func:`with_ewma`, discarding
+    the null rows the left join re-attached).
+
+    Instead of computing ewma on a narrow side table and joining it back
+    on event_id (which re-shuffles BOTH sides of the join by event_id —
+    two extra Exchanges on top of the scan's own repartition), the listed
+    ``carry`` columns ride through the Arrow pass and come back alongside
+    ``out``: zero joins, and with ``clustered=True`` zero added shuffles.
+
+    ``clustered=True`` skips the repartition: the caller guarantees the
+    input is already hash-clustered by ``partition_cols`` (e.g. the output
+    of :func:`~pulseboard_spark.operators.windows.with_trailing_aggs`,
+    whose window Exchange partitions by the same keys — AQE coalescing
+    merges whole partitions so key-locality survives it).  Only the local
+    per-partition sort remains.
+
+    Identical EWMA values to :func:`with_ewma`: the scan sees exactly the
+    same rows in the same (key, ts_us, event_id) order, so every per-key
+    state sequence is unchanged; the re-attach join keyed on the unique
+    event_id is replaced by in-row pass-through (equality pinned by
+    TestEwmaScan and the unchanged ewma/r2 oracles)."""
+    cols = list(partition_cols)
+    beta = float(Decimal(1) - Decimal(str(alpha)))
+    passthrough = [c for c in carry if c not in cols]
+    sel = (
+        [F.col(c) for c in cols]
+        + [F.col(c) for c in passthrough if c not in ("ts_us", "event_id")]
+        + [F.col("ts_us"), F.col("event_id")]
+        + [F.col(value_col).cast("double").alias(value_col)]
+    )
+    narrow = df.filter(F.col(value_col).isNotNull()).select(*sel)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in narrow.schema.fields
+    ) + f", {out} double"
+
+    def _scan(batches):
+        state: dict = {}
+        for pdf in batches:
+            v = pdf[value_col].to_numpy(dtype="float64")
+            kcols = [pdf[c].to_numpy() for c in cols]
+            e = np.empty(len(v), dtype="float64")
+            get = state.get
+            for i in range(len(v)):
+                k = tuple(kc[i] for kc in kcols)
+                prev = get(k)
+                cur = v[i] if prev is None else alpha * v[i] + beta * prev
+                state[k] = cur
+                e[i] = cur
+            pdf[out] = e
+            yield pdf
+
+    shaped = narrow if clustered else narrow.repartition(*cols)
+    return shaped.sortWithinPartitions(*cols, "ts_us", "event_id").mapInPandas(
+        _scan, schema=schema
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pulseboard_spark.functions.core import duck_round, severity
-from pulseboard_spark.operators.ewma import with_ewma
+from pulseboard_spark.operators.ewma import ewma_scan
 from pulseboard_spark.operators.windows import with_trailing_aggs
 
 _R = lambda c, n=4: F.round(c, n)  # noqa: E731 — oracle-stable rounding
@@ -64,8 +64,18 @@ def r2_value_eval(
 ) -> DataFrame:
     """R2 value spike: value > multiplier·ewma_updated AND count_60s >= min_count.
 
-    Null-valued events are skipped (`core/Rules.kt:66`)."""
-    df = with_ewma(with_trailing_aggs(entity)).filter(F.col("value").isNotNull())
+    Null-valued events are skipped (`core/Rules.kt:66`).
+
+    Physical shape: the windows' Exchange on (entity_id, type) is the
+    query's ONLY shuffle — the EWMA scan rides the same clustering
+    (``clustered=True``) and carries the evidence columns through the
+    Arrow pass instead of re-attaching them with an event_id join (which
+    re-shuffled both sides; 4 Exchanges → 1)."""
+    df = ewma_scan(
+        with_trailing_aggs(entity),
+        carry=["profile", "ts_ms", "count_60s"],
+        clustered=True,
+    )
     threshold = F.col("ewma") * multiplier
     fired = (F.col("value") > threshold) & (F.col("count_60s") >= min_count)
     return df.select(

@@ -22,7 +22,7 @@ from pulseboard_spark.sources.tables import entity_events as _entity_events_raw
 from pulseboard_spark.functions.core import duck_round
 from pulseboard_spark.functions.ids import normalize_id
 from pulseboard_spark.operators import corpus, dedup, jpeg, mlprep, multimodal, relational, rules, scd, sessions, similarity, text, timeseries, unicode_text
-from pulseboard_spark.operators.ewma import with_ewma
+from pulseboard_spark.operators.ewma import ewma_scan
 from pulseboard_spark.operators.identity import (
     components_for,
     resolve_profiles,
@@ -935,7 +935,9 @@ def unique_entities_5m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = with_ewma(entity_events(spark, sf_dir)).filter(F.col("value").isNotNull())
+    # fused scan: carry ts_ms through the Arrow pass instead of joining the
+    # ewma side table back on event_id (3 Exchanges -> 1, same rows/values)
+    df = ewma_scan(entity_events(spark, sf_dir), carry=["ts_ms"])
     return df.select(
         "event_id", "entity_id", "type", "ts_ms", duck_round(F.col("ewma"), 6).alias("ewma")
     )

@@ -103,6 +103,43 @@ def test_ewma_recurrence(spark):
     assert got[3] == pytest.approx(0.1 * 40 + 0.9 * got[2])
 
 
+def test_ewma_scan_matches_with_ewma(spark, sf_dir):
+    """The fused ewma_scan (r10 optimization: carry columns through the
+    Arrow pass, no re-attach join) must equal with_ewma + null filter on
+    real data — values, carried columns, and row set."""
+    from pulseboard_spark.operators.ewma import ewma_scan
+    from pulseboard_spark.registry import entity_events
+
+    ev = entity_events(spark, sf_dir)
+    old = (
+        with_ewma(ev)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "entity_id", "type", "ts_ms", "value", "ewma")
+    )
+    new = ewma_scan(ev, carry=["ts_ms"]).select(
+        "event_id", "entity_id", "type", "ts_ms", "value", "ewma"
+    )
+    assert old.schema == new.schema
+    o = sorted(tuple(r) for r in old.collect())
+    n = sorted(tuple(r) for r in new.collect())
+    assert o == n and len(o) > 0
+
+
+def test_ewma_scan_clustered_matches(spark, sf_dir):
+    """clustered=True over a window-partitioned input (the R2 shape) must
+    produce the same ewma sequence as the repartitioning form."""
+    from pulseboard_spark.operators.ewma import ewma_scan
+    from pulseboard_spark.operators.windows import with_trailing_aggs
+    from pulseboard_spark.registry import entity_events
+
+    win = with_trailing_aggs(entity_events(spark, sf_dir))
+    a = ewma_scan(win, carry=["ts_ms", "count_60s"], clustered=True)
+    b = ewma_scan(win, carry=["ts_ms", "count_60s"], clustered=False)
+    ra = sorted(tuple(r) for r in a.select("event_id", "ewma", "count_60s").collect())
+    rb = sorted(tuple(r) for r in b.select("event_id", "ewma", "count_60s").collect())
+    assert ra == rb and len(ra) > 0
+
+
 # --- Window inclusivity (`WindowStoreTest.kt:79-105`) -----------------------
 
 
