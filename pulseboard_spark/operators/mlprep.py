@@ -451,9 +451,18 @@ def value_drift_psi(ev: DataFrame, n_bins: int = 10) -> DataFrame:
     Periods split at the integer midpoint of the global [min_ts, max_ts];
     both halves share fixed equal-width bins from per-type global
     min/max (broadcast stats — the fact shuffles once, for the final
-    (type, period, bin) count).  Laplace-smoothed shares avoid ln(0);
-    each bin's PSI term is rounded then summed through DECIMAL so the
-    ≤ n_bins additions are order-insensitive and engine-exact.
+    (type, bin) count).  Laplace-smoothed shares avoid ln(0); each bin's
+    PSI term is rounded then summed through DECIMAL so the ≤ n_bins
+    additions are order-insensitive and engine-exact.
+
+    Physical shape (r10): three passes over the fact, the minimum —
+    bounds, per-type stats, per-bin counts.  The per-type min/max and the
+    period totals come from ONE fused aggregate (they were two separate
+    passes), and the per-(type, bin) a/b counts are direct conditional
+    sums (the (type, period, bin) pre-count + pivot + fill they replace
+    produced the identical row set: a (type, bin) row exists iff at least
+    one value landed in it, and an absent period sums to 0 exactly where
+    the pivot filled NULL with 0).
     """
     # integer midpoint: `div` truncates identically on both engines; the
     # double-divide-then-cast it replaces truncated in Spark but rounded in
@@ -470,7 +479,12 @@ def value_drift_psi(ev: DataFrame, n_bins: int = 10) -> DataFrame:
             F.when(F.col("ts_ms") < F.col("mid_ms"), F.lit("a")).otherwise(F.lit("b")).alias("period"),
         )
     )
-    stats = vals.groupBy("type").agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    stats = vals.groupBy("type").agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.sum((F.col("period") == "a").cast("long")).alias("n_a"),
+        F.sum((F.col("period") == "b").cast("long")).alias("n_b"),
+    )
     width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
     binned = vals.join(F.broadcast(stats), "type").withColumn(
         "bin",
@@ -478,18 +492,11 @@ def value_drift_psi(ev: DataFrame, n_bins: int = 10) -> DataFrame:
         .otherwise(F.least(F.floor((F.col("v") - F.col("vmin")) / width), F.lit(n_bins - 1)))
         .cast("int"),
     )
-    counts = binned.groupBy("type", "period", "bin").agg(F.count(F.lit(1)).alias("n"))
-    wide = (
-        counts.groupBy("type", "bin")
-        .pivot("period", ["a", "b"])
-        .agg(F.first("n"))
-        .na.fill(0, ["a", "b"])
+    wide = binned.groupBy("type", "bin").agg(
+        F.sum((F.col("period") == "a").cast("long")).alias("a"),
+        F.sum((F.col("period") == "b").cast("long")).alias("b"),
     )
-    totals = vals.groupBy("type").agg(
-        F.sum((F.col("period") == "a").cast("long")).alias("n_a"),
-        F.sum((F.col("period") == "b").cast("long")).alias("n_b"),
-    )
-    j = wide.join(F.broadcast(totals), "type")
+    j = wide.join(F.broadcast(stats.select("type", "n_a", "n_b")), "type")
     p = (F.col("a") + F.lit(0.5)) / (F.col("n_a") + F.lit(0.5) * n_bins)
     q = (F.col("b") + F.lit(0.5)) / (F.col("n_b") + F.lit(0.5) * n_bins)
     term = F.round((p - q) * F.log(p / q), 10).cast("decimal(27,12)")
