@@ -198,9 +198,14 @@ def seasonal_deviation(ev: DataFrame, z_threshold: float = 3.0) -> DataFrame:
     Degenerate baselines (std = 0) flag any deviation from the mean.
     """
     hour_ms = (F.col("ts_ms") - (F.col("ts_ms") % 3_600_000)).alias("hour_ms")
+    # cache the hourly rollup: both consumers below (baseline moments and
+    # the scored side of the join) read it, and Spark shares no duplicate
+    # subtrees — uncached, the fact-sized groupBy ran TWICE (r10; same
+    # lifecycle convention as mad_outliers/cusum/doc_lm_score: tiny
+    # |type × hours| table, materialized by the first action)
     hourly = ev.select("type", hour_ms).groupBy("type", "hour_ms").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).cache()
     hod = ((F.col("hour_ms") / 3_600_000).cast("long") % 24).cast("int")
     with_hod = hourly.withColumn("hod", hod)
     base = with_hod.groupBy("type", "hod").agg(
