@@ -216,14 +216,21 @@ def synth_media(documents: DataFrame) -> DataFrame:
     payload = F.encode(F.col("text"), "UTF-8")
     return documents.select(
         "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
-        .otherwise(F.lit("video/mp4"))
-        .alias("media_type"),
+        _media_type_col().alias("media_type"),
         payload.alias("payload"),
         (F.col("n_chars") % 1024 + 16).cast("int").alias("meta_width"),
         (F.col("n_chars") % 768 + 16).cast("int").alias("meta_height"),
         F.length(payload).cast("bigint").alias("meta_n_bytes"),
+    )
+
+
+def _media_type_col():
+    """The synth_media media-type assignment, shared with the inline
+    manifest projection in :func:`media_text_pairs`."""
+    return (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
     )
 
 
@@ -649,26 +656,35 @@ def media_text_pairs(documents: DataFrame, caption_chars: int = 100) -> DataFram
     Chains the multimodal metadata (:func:`synth_media`), the Gopher
     quality gate (`text.gopher_quality`) and the deterministic split
     (`sampling.train_val_test_split`) — captions are the leading
-    ``caption_chars`` characters of the paired text.  Everything is
-    metadata + narrow joins on doc_id; payload bytes never shuffle for
-    the manifest (column pruning drops them at the scan).
+    ``caption_chars`` characters of the paired text.
+
+    Physical shape (r10): ONE join.  The media metadata, caption, and
+    split columns are all per-row projections of the same document row
+    (the split is a pure hash bucket, the media columns are
+    :func:`synth_media`'s own expressions), so they compute inline in a
+    single pass instead of three 1:1 self-joins on doc_id; only the
+    Gopher gate genuinely aggregates (its top-word share) and re-attaches
+    by join.  gopher_quality runs on the non-null-text subset — its
+    per-doc metrics depend only on the doc's own text, so the surviving
+    rows are identical to gating the full corpus and inner-joining
+    (pinned by the unchanged oracle).
     """
     from pulseboard_spark.operators.sampling import train_val_test_split
     from pulseboard_spark.operators.text import gopher_quality
 
-    media = synth_media(documents).select("doc_id", "media_type", "meta_n_bytes")
-    quality = gopher_quality(documents).select("doc_id", "passes")
-    split = train_val_test_split(documents.select("doc_id"), "doc_id").select(
-        "doc_id", "split"
+    docs = documents.filter(F.col("text").isNotNull())
+    quality = gopher_quality(docs).select("doc_id", "passes")
+    manifest = train_val_test_split(
+        docs.select(
+            "doc_id",
+            _media_type_col().alias("media_type"),
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("meta_n_bytes"),
+            F.substring(F.col("text"), 1, caption_chars).alias("caption"),
+        ),
+        "doc_id",
     )
-    captions = documents.select(
-        "doc_id", F.substring(F.col("text"), 1, caption_chars).alias("caption")
-    )
-    return (
-        media.join(captions, "doc_id")
-        .join(quality, "doc_id")
-        .join(split, "doc_id")
-        .select("doc_id", "media_type", "meta_n_bytes", "caption", "passes", "split")
+    return manifest.join(quality, "doc_id").select(
+        "doc_id", "media_type", "meta_n_bytes", "caption", "passes", "split"
     )
 
 
