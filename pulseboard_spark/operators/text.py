@@ -242,6 +242,15 @@ def term_cooccurrence(documents: DataFrame, min_pairs: int = 2) -> DataFrame:
     vocabulary squared — corpus size only scales the (map-side combined)
     pair counting, never the join fan-out.  Per-term document frequencies
     ride in via a broadcast of the (tiny) vocabulary table.
+
+    Physical shape (r10): ONE tokenization pass.  Singleton terms ride
+    the same explode as the pairs (term_b = NULL marks a df row — terms
+    themselves are never NULL, they match [a-z]+), so the per-doc
+    regexp/distinct/sort work runs once instead of three times (pair
+    pass + each df broadcast build re-derived it), and one exchange
+    aggregates both surfaces; the combined count table is cached (tiny:
+    |vocab| + |co-occurring pairs|) so the two df broadcast builds read
+    it instead of replaying the corpus.
     """
     toks = F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     # Per-doc sorted distinct vocabulary; pair generation is pure array
@@ -257,14 +266,22 @@ def term_cooccurrence(documents: DataFrame, min_pairs: int = 2) -> DataFrame:
             ),
         )
     )
-    pair_counts = (
-        per_doc.select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.term_a").alias("term_a"), F.col("p.term_b").alias("term_b"))
-        .agg(F.count(F.lit(1)).alias("n_docs_both"))
-        .where(F.col("n_docs_both") >= min_pairs)
+    single_expr = F.transform(
+        "ts",
+        lambda x: F.struct(x.alias("term_a"), F.lit(None).cast("string").alias("term_b")),
     )
-    df_counts = per_doc.select(F.explode("ts").alias("term")).groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+    counts = (
+        per_doc.select(F.explode(F.concat(pair_expr, single_expr)).alias("p"))
+        .groupBy(F.col("p.term_a").alias("term_a"), F.col("p.term_b").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    pair_counts = (
+        counts.where(F.col("term_b").isNotNull() & (F.col("n") >= min_pairs))
+        .withColumnRenamed("n", "n_docs_both")
+    )
+    df_counts = counts.where(F.col("term_b").isNull()).select(
+        F.col("term_a").alias("term"), F.col("n").alias("df")
     )
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_corpus"))
     return (
