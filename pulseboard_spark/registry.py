@@ -74,6 +74,20 @@ def _silver_cache_enabled() -> bool:
     return os.environ.get("PB_SILVER_CACHE", "1") != "0"
 
 
+def _cached_memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    """Plan memo for the CACHED silver views: like ``_plan_memo`` but
+    re-registers the cache if something dropped it (``clearCache()`` /
+    ``unpersist`` leave the memoized plan object valid-but-uncached, which
+    silently degrades every silver consumer to re-scanning parquet — found
+    by test_silver_cache_opt_out after the r10 memoization).  The storage
+    probe is a cheap local lookup, no job."""
+    df = _plan_memo(spark, sf_dir, name, build)
+    sl = df.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        df.persist()
+    return df
+
+
 def entity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity silver; cached per-session unless ``PB_SILVER_CACHE=0``
     (see :func:`_silver_cache_enabled` for the 100 TB rationale).
@@ -82,9 +96,16 @@ def entity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves every query."""
     if not _silver_cache_enabled():
         return _entity_events_raw(spark, sf_dir)
-    return _plan_memo(
+    return _cached_memo(
         spark, sf_dir, "silver:entity_events",
-        lambda: _entity_events_raw(spark, sf_dir).cache(),
+        # select("*"): a fresh Dataset whose canonical plan DIFFERS from the
+        # shared tables-layer view — otherwise (a) the cached and uncached
+        # postures share one object and whichever resolves its (lazy)
+        # query execution first pins the other's plan, and (b) CacheManager
+        # substitutes the registration into PB_SILVER_CACHE=0 plans by
+        # canonical-plan match, hiding the parquet scan the opt-out exists
+        # to expose (both found by test_silver_cache_opt_out, r10)
+        lambda: _entity_events_raw(spark, sf_dir).select("*").cache(),
     )
 
 
@@ -92,9 +113,10 @@ def cdp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-CDP silver (caching posture as :func:`entity_events`)."""
     if not _silver_cache_enabled():
         return _cdp_events_raw(spark, sf_dir)
-    return _plan_memo(
+    return _cached_memo(
         spark, sf_dir, "silver:cdp_events",
-        lambda: _cdp_events_raw(spark, sf_dir).cache(),
+        # select("*"): see entity_events
+        lambda: _cdp_events_raw(spark, sf_dir).select("*").cache(),
     )
 
 
@@ -1037,7 +1059,7 @@ def _cvalid(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation/normalization expression tree costs ~0.2 s of driver-side
     construction per call on top of the cdp view's ~0.4 s, and a
     long-running engine builds its silver lineage once."""
-    return _plan_memo(
+    return _cached_memo(
         spark, sf_dir, "silver:cvalid",
         lambda: valid_cdp_events(cdp_events(spark, sf_dir)).cache(),
     )
@@ -1195,7 +1217,18 @@ def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    """Documents silver — same dual cache posture as :func:`entity_events`
+    (r10): ~25 text/media/corpus queries scan it per session and each was
+    re-paying the degenerate-parquet spread exchange per action; cached
+    once unless ``PB_SILVER_CACHE=0`` (at 100 TB you scan the corpus
+    table directly so pruning reaches the files)."""
+    if not _silver_cache_enabled():
+        return load_table(spark, sf_dir, "documents")
+    return _cached_memo(
+        spark, sf_dir, "silver:documents",
+        # select("*"): see entity_events
+        lambda: load_table(spark, sf_dir, "documents").select("*").cache(),
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1203,9 +1236,21 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector — it cannot score, bucket, or vote — so no declared query sees
     one (the numpy kernels would otherwise crash building the matrix, per
     the oracle-fuzz nulls profile).  Every oracle embeddings scan mirrors
-    the same ``WHERE embedding IS NOT NULL``."""
-    return load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+    the same ``WHERE embedding IS NOT NULL``.  Cached under the dual
+    silver posture (r10, see :func:`_docs`) — the similarity family scans
+    this filtered view once per query side on top of the memoized
+    broadcast index."""
+    if not _silver_cache_enabled():
+        return load_table(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()
+        )
+    return _cached_memo(
+        spark, sf_dir, "silver:embeddings",
+        # select("*"): see entity_events
+        lambda: load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("*")
+        .cache(),
     )
 
 

@@ -21,6 +21,30 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _plan_uncached(spark, sf_dir, name: str) -> str:
+    """Plan under the PB_SILVER_CACHE=0 (100 TB) posture: scan-level
+    properties — predicate pushdown, ReadSchema pruning, single-scan
+    pipelines — are only observable against parquet FileScans; the
+    default cached posture substitutes an all-columns InMemoryRelation
+    (the documented trade of :func:`registry._silver_cache_enabled`)."""
+    import os
+
+    old = os.environ.get("PB_SILVER_CACHE")
+    os.environ["PB_SILVER_CACHE"] = "0"
+    # CacheManager substitutes registered fragments by canonicalized-plan
+    # match regardless of the env var (same caveat as
+    # test_silver_cache_opt_out), so drop registrations first; the
+    # registry's _cached_memo re-persists the silver for later tests.
+    spark.catalog.clearCache()
+    try:
+        return _plan(spark, sf_dir, name)
+    finally:
+        if old is None:
+            os.environ.pop("PB_SILVER_CACHE", None)
+        else:
+            os.environ["PB_SILVER_CACHE"] = old
+
+
 def _read_schemas(plan: str) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
 
@@ -72,7 +96,8 @@ def test_ewma_exactly_one_python_seam(spark, sf_dir):
 
 
 def test_profile_aggs_prune_text(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "text_quality")
+    # uncached posture: pruning is a parquet-scan property (see _plan_uncached)
+    plan = _plan_uncached(spark, sf_dir, "text_quality")
     schemas = _read_schemas(plan)
     assert schemas and all("source" not in s for s in schemas), "unused doc columns pruned"
 
@@ -115,7 +140,7 @@ def test_q22_anti_join(spark, sf_dir):
 def test_hash_sample_no_shuffle(spark, sf_dir):
     """Deterministic sampling is a pure narrow filter below the
     parallelism repartition — no hash/range shuffle anywhere."""
-    plan = _plan(spark, sf_dir, "doc_hash_sample")
+    plan = _plan_uncached(spark, sf_dir, "doc_hash_sample")
     assert _shuffles(plan) == 0
     assert "Filter" in plan and plan.index("Filter") > plan.index("RoundRobin"), \
         "filter must sit below the repartition (evaluated before the exchange)"
@@ -377,7 +402,7 @@ def test_ngram_novelty_single_scan(spark, sf_dir):
 
 
 def test_doc_keywords_single_scan_pipeline(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "doc_keywords")
+    plan = _plan_uncached(spark, sf_dir, "doc_keywords")
     assert plan.count("FileScan parquet") == 1, "tf and df must share one corpus scan"
     assert "Join" not in plan, "doc_freq is a count window over tf, not a join"
     assert not PY_NODES.search(plan), "keyword extraction must stay JVM-side"
@@ -478,7 +503,7 @@ def test_open_orders_timeline_shape(spark, sf_dir):
 
 
 def test_label_balance_single_scan(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "label_balance")
+    plan = _plan_uncached(spark, sf_dir, "label_balance")
     assert plan.count("FileScan parquet") == 1, "embeddings must be scanned once"
     assert not PY_NODES.search(plan)
 
@@ -505,7 +530,7 @@ def test_embedding_dim_stats_one_shuffle(spark, sf_dir):
 def test_split_leakage_reuses_pair_silver(spark, sf_dir):
     """The verified pair graph is the memoized session silver — the plan
     must read the checkpointed RDD, not rebuild MinHash from documents."""
-    plan = _plan(spark, sf_dir, "split_leakage")
+    plan = _plan_uncached(spark, sf_dir, "split_leakage")
     assert "Scan ExistingRDD" in plan, "must consume the localCheckpointed pair silver"
     # every documents scan is id-only (split hashing): a scan reading the
     # text column would mean the MinHash pipeline is being rebuilt
@@ -516,7 +541,7 @@ def test_split_leakage_reuses_pair_silver(spark, sf_dir):
 def test_mixture_plan_single_corpus_scan(spark, sf_dir):
     """mixture_plan reduces the corpus once; every later step (fair share,
     caps, water-filling) must run over the |sources|-row table only."""
-    plan = _plan(spark, sf_dir, "mixture_plan")
+    plan = _plan_uncached(spark, sf_dir, "mixture_plan")
     assert plan.count("FileScan parquet") == 1, "allocation math must not rescan the corpus"
     assert not PY_NODES.search(plan)
 
