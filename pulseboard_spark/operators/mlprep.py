@@ -455,19 +455,37 @@ def value_drift_psi(ev: DataFrame, n_bins: int = 10) -> DataFrame:
     PSI term is rounded then summed through DECIMAL so the ≤ n_bins
     additions are order-insensitive and engine-exact.
 
-    Physical shape (r10): three passes over the fact, the minimum —
-    bounds, per-type stats, per-bin counts.  The per-type min/max and the
-    period totals come from ONE fused aggregate (they were two separate
-    passes), and the per-(type, bin) a/b counts are direct conditional
-    sums (the (type, period, bin) pre-count + pivot + fill they replace
-    produced the identical row set: a (type, bin) row exists iff at least
-    one value landed in it, and an absent period sums to 0 exactly where
-    the pivot filled NULL with 0).
+    Physical shape (r10): TWO passes over the fact, the minimum — one
+    per-type rollup (ts bounds + value bounds, cached: |types| rows), one
+    per-bin count.  The global ts midpoint derives from the per-type ts
+    bounds (min-of-mins/max-of-maxes — includes NULL-value rows, exactly
+    like the standalone bounds pass it replaces), and the period totals
+    n_a/n_b derive from the bin counts themselves (every non-NULL value
+    lands in exactly one bin, so the per-type sum over bins IS the period
+    total) via a window over the tiny (type, bin) table — the fused
+    stats+totals pass this replaces was still a second fact scan.  The
+    per-(type, bin) a/b counts are direct conditional sums (the (type,
+    period, bin) pre-count + pivot + fill they replaced produced the
+    identical row set: a (type, bin) row exists iff at least one value
+    landed in it, and an absent period sums to 0 exactly where the pivot
+    filled NULL with 0).
     """
+    # ONE fact pass: per-type ts bounds (over ALL rows, NULL values too —
+    # the global midpoint must match the old unfiltered bounds pass) and
+    # per-type value bounds (min/max skip NULLs natively).  Cached: both
+    # the midpoint derivation and the bin join read it, and Spark shares
+    # no duplicate subtrees (same tiny-rollup lifecycle convention as
+    # seasonal_deviation / doc_lm_score).
+    stats = ev.groupBy("type").agg(
+        F.min("ts_ms").alias("_tmn"),
+        F.max("ts_ms").alias("_tmx"),
+        F.min(F.col("value").cast("double")).alias("vmin"),
+        F.max(F.col("value").cast("double")).alias("vmax"),
+    ).cache()
     # integer midpoint: `div` truncates identically on both engines; the
     # double-divide-then-cast it replaces truncated in Spark but rounded in
     # DuckDB, flipping the period of boundary events when min+max is odd
-    bounds = ev.agg(F.min("ts_ms").alias("_mn"), F.max("ts_ms").alias("_mx")).select(
+    bounds = stats.agg(F.min("_tmn").alias("_mn"), F.max("_tmx").alias("_mx")).select(
         F.expr("(_mn + _mx) div 2").alias("mid_ms")
     )
     vals = (
@@ -479,14 +497,8 @@ def value_drift_psi(ev: DataFrame, n_bins: int = 10) -> DataFrame:
             F.when(F.col("ts_ms") < F.col("mid_ms"), F.lit("a")).otherwise(F.lit("b")).alias("period"),
         )
     )
-    stats = vals.groupBy("type").agg(
-        F.min("v").alias("vmin"),
-        F.max("v").alias("vmax"),
-        F.sum((F.col("period") == "a").cast("long")).alias("n_a"),
-        F.sum((F.col("period") == "b").cast("long")).alias("n_b"),
-    )
     width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
-    binned = vals.join(F.broadcast(stats), "type").withColumn(
+    binned = vals.join(F.broadcast(stats.select("type", "vmin", "vmax")), "type").withColumn(
         "bin",
         F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
         .otherwise(F.least(F.floor((F.col("v") - F.col("vmin")) / width), F.lit(n_bins - 1)))
@@ -496,7 +508,10 @@ def value_drift_psi(ev: DataFrame, n_bins: int = 10) -> DataFrame:
         F.sum((F.col("period") == "a").cast("long")).alias("a"),
         F.sum((F.col("period") == "b").cast("long")).alias("b"),
     )
-    j = wide.join(F.broadcast(stats.select("type", "n_a", "n_b")), "type")
+    # period totals from the bin counts: exact BIGINT sums over the tiny
+    # |type × bins| table — no third fact pass, no broadcast stats join
+    wt = Window.partitionBy("type")
+    j = wide.withColumn("n_a", F.sum("a").over(wt)).withColumn("n_b", F.sum("b").over(wt))
     p = (F.col("a") + F.lit(0.5)) / (F.col("n_a") + F.lit(0.5) * n_bins)
     q = (F.col("b") + F.lit(0.5)) / (F.col("n_b") + F.lit(0.5) * n_bins)
     term = F.round((p - q) * F.log(p / q), 10).cast("decimal(27,12)")

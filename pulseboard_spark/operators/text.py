@@ -382,7 +382,12 @@ def doc_lm_score(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("m"))
     )
     doc_pairs.cache()
-    lm_pair = doc_pairs.groupBy("w1", "w2").agg(F.sum("m").alias("n"))
+    # lm_pair is cached too: lm_first AND the vocabulary both derive from
+    # it, and without the cache each broadcast side re-aggregated the full
+    # doc-pair table from the pair cache (three in-memory re-aggregation
+    # passes per action; |distinct corpus bigrams| rows is broadcast-sized
+    # by construction since the plan ships it in a BroadcastExchange)
+    lm_pair = doc_pairs.groupBy("w1", "w2").agg(F.sum("m").alias("n")).cache()
     lm_first = lm_pair.groupBy("w1").agg(F.sum("n").alias("n_first"))
     vocab = (
         lm_pair.select(F.explode(F.array("w1", "w2")).alias("w"))
