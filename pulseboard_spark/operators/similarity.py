@@ -1012,12 +1012,18 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         F.sum("vu").alias("s"),
         F.count(F.lit(1)).alias("n"),
     ).select("label", "pos", F.expr("s div n").alias("m"), "n")
+    # cache(): the centroid table is |labels| rows but costs a full corpus
+    # posexplode to build, and TWO declared queries consume it in a session
+    # (label_centroids itself and label_noise_suspects' broadcast side) —
+    # CacheManager dedupes by canonical plan, so the consumers share one
+    # build (same lifecycle convention as centroid_distances' per_dim /
+    # doc_lm_score's lm_pair: lazy, materialized by the first action)
     return per_dim.groupBy("label").agg(
         F.min("n").alias("n_vecs"),
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x.m
         ).alias("centroid_micro"),
-    )
+    ).cache()
 
 
 def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
@@ -1081,14 +1087,19 @@ def label_noise_suspects(embeddings: DataFrame, top_n: int = 10) -> DataFrame:
     # edges profile); the final long cast keeps the output schema and
     # fails loudly — in both engines — only when the distance itself
     # exceeds int64
+    # quantize ONCE per element: HOF lambdas get no common-subexpression
+    # elimination, so writing (qx(x) - y)·(qx(x) - y) inline evaluated the
+    # duck_round quantization twice per component (r10: ~15% of the scan);
+    # binding the diff to a lambda variable squares an already-computed
+    # value — same types (decimal(38,0) · BIGINT), bit-identical result
     dist = F.aggregate(
         F.zip_with(
-            "embedding",
-            "centroid_micro",
-            lambda x, y: (qx(x) - y).cast("decimal(38,0)") * (qx(x) - y),
+            F.transform("embedding", qx),
+            F.col("centroid_micro"),
+            lambda x, y: x - y,
         ),
         F.lit(0).cast("decimal(38,0)"),
-        lambda acc, d: acc + d,
+        lambda acc, d: acc + d.cast("decimal(38,0)") * d,
     ).cast("long")
     scored = embeddings.join(F.broadcast(cents), "label").select(
         "label", "vec_id", dist.alias("sq_dist_micro2")
