@@ -442,7 +442,9 @@ def rfm_scores(ev: DataFrame, n_tiles: int = 5) -> DataFrame:
     )
 
 
-def value_drift_psi(ev: DataFrame, n_bins: int = 10) -> DataFrame:
+def value_drift_psi(
+    ev: DataFrame, n_bins: int = 10, value_rows: DataFrame | None = None
+) -> DataFrame:
     """Population stability index per event type: how far the value
     distribution drifted between the first and second half of the time
     range — the standard feature-drift monitor a training pipeline runs
@@ -488,8 +490,12 @@ def value_drift_psi(ev: DataFrame, n_bins: int = 10) -> DataFrame:
     bounds = stats.agg(F.min("_tmn").alias("_mn"), F.max("_tmx").alias("_mx")).select(
         F.expr("(_mn + _mx) div 2").alias("mid_ms")
     )
+    # the bin pass only ever sees non-null-value rows, so a caller holding
+    # the pre-filtered slice (registry ``_value_events``) passes it here;
+    # the stats pass above MUST keep the full table (ts bounds include
+    # NULL-value rows — the midpoint contract)
     vals = (
-        ev.filter(F.col("value").isNotNull())
+        (value_rows if value_rows is not None else ev.filter(F.col("value").isNotNull()))
         .crossJoin(F.broadcast(bounds))
         .select(
             "type",

@@ -382,29 +382,42 @@ def doc_lm_score(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("m"))
     )
     doc_pairs.cache()
-    # lm_pair is cached too: lm_first AND the vocabulary both derive from
-    # it, and without the cache each broadcast side re-aggregated the full
-    # doc-pair table from the pair cache (three in-memory re-aggregation
-    # passes per action; |distinct corpus bigrams| rows is broadcast-sized
-    # by construction since the plan ships it in a BroadcastExchange)
+    # The whole LM folds into ONE broadcast-sized coefficient table:
+    # c(w1,w2) = ln(n+1) − ln(n_first+V) depends only on the pair, so the
+    # pair counts, the w1 totals, and the vocabulary scalar are joined
+    # ONCE at cache-build time.  The scoring pass then pays a single
+    # BroadcastHashJoin and a double multiply per fact row, where the
+    # unfused plan paid two BHJs + a BroadcastNestedLoopJoin and both
+    # ln() calls per row.  Bit-identical: c is computed by the exact
+    # expression tree (same ln / subtract in double) the per-row version
+    # used, and m·(a−b) ≡ m·c when c IS that a−b double.
+    # lm_pair stays cached for the build: lm_coef reads it three times
+    # (join left, w1 totals, vocabulary) and each read would otherwise
+    # re-aggregate the full doc-pair table
     lm_pair = doc_pairs.groupBy("w1", "w2").agg(F.sum("m").alias("n")).cache()
     lm_first = lm_pair.groupBy("w1").agg(F.sum("n").alias("n_first"))
     vocab = (
         lm_pair.select(F.explode(F.array("w1", "w2")).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
     )
+    lm_coef = (
+        lm_pair.join(lm_first, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.log(F.col("n") + F.lit(1.0))
+                - F.log(F.col("n_first") + F.col("v"))
+            ).alias("c"),
+        )
+        .cache()
+    )
     # each term is rounded then summed through DECIMAL (the repo's PSI
     # convention) so partition order cannot perturb the float sum
-    term = (
-        F.col("m") * (
-            F.log(F.col("n") + F.lit(1.0)) - F.log(F.col("n_first") + F.col("v"))
-        )
-    )
-    term_dec = F.round(term, 10).cast("decimal(27,12)")
+    term_dec = F.round(F.col("m") * F.col("c"), 10).cast("decimal(27,12)")
     return (
-        doc_pairs.join(lm_pair, ["w1", "w2"])
-        .join(lm_first, "w1")
-        .crossJoin(F.broadcast(vocab))
+        doc_pairs.join(F.broadcast(lm_coef), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.sum("m").alias("n_bigrams"),

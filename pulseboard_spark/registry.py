@@ -120,6 +120,33 @@ def cdp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-null-``value`` slice of the entity silver, cached (r10).
+
+    The value family's first act is ``filter(value IS NOT NULL)`` — at
+    ~10% selectivity each of those queries was scanning 10× the rows it
+    needed out of the full silver IMTS (measured: the scan+filter stage
+    is the dominant task-time term of ``ewma``).  One shared slice pays
+    the filter once per session.  Only queries whose ENTIRE input is the
+    non-null slice ride it; anything that also counts null-value rows
+    (R2's count_60s, rfm_scores' n_events, value_stats_per_type,
+    value_decile_profile's null-bucketed ntile, seasonal/weekly counts)
+    keeps the full silver.  Same dual posture as the other silvers: at
+    100 TB this is a predicate-pushed scan of the silver table, not a
+    cache."""
+    if not _silver_cache_enabled():
+        return _entity_events_raw(spark, sf_dir).filter(F.col("value").isNotNull())
+    return _cached_memo(
+        spark, sf_dir, "silver:value_events",
+        # built FROM the cached silver (one cheap pass when that is warm);
+        # select("*"): see entity_events
+        lambda: entity_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("*")
+        .cache(),
+    )
+
+
 # --- TPC-H-ish batch layer ---------------------------------------------------
 
 
@@ -873,7 +900,9 @@ def revenue_wow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def value_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mlprep.value_outliers(entity_events(spark, sf_dir))
+    # non-null slice: z-scores attach NULL on null values and the >N-sigma
+    # cut drops them, so moments and output rows are the slice's exactly
+    return mlprep.value_outliers(_value_events(spark, sf_dir))
 
 
 def value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,7 +988,7 @@ def unique_entities_5m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused scan: carry ts_ms through the Arrow pass instead of joining the
     # ewma side table back on event_id (3 Exchanges -> 1, same rows/values)
-    df = ewma_scan(entity_events(spark, sf_dir), carry=["ts_ms"])
+    df = ewma_scan(_value_events(spark, sf_dir), carry=["ts_ms"])
     return df.select(
         "event_id", "entity_id", "type", "ts_ms", duck_round(F.col("ewma"), 6).alias("ewma")
     )
@@ -1210,7 +1239,7 @@ def component_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mlprep.value_histogram(entity_events(spark, sf_dir))
+    return mlprep.value_histogram(_value_events(spark, sf_dir))
 
 
 # --- Beyond-reference: documents / embeddings --------------------------------
@@ -1597,7 +1626,7 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def value_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mlprep.mad_outliers(entity_events(spark, sf_dir))
+    return mlprep.mad_outliers(_value_events(spark, sf_dir))
 
 
 def hourly_trending_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1609,7 +1638,11 @@ def rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def value_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mlprep.value_drift_psi(entity_events(spark, sf_dir))
+    # stats pass keeps the full silver (ts bounds span NULL-value rows);
+    # the bin pass rides the non-null slice
+    return mlprep.value_drift_psi(
+        entity_events(spark, sf_dir), value_rows=_value_events(spark, sf_dir)
+    )
 
 
 def seasonal_deviation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1806,7 +1839,7 @@ def audio_fingerprint_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return timeseries.cusum_changepoints(entity_events(spark, sf_dir))
+    return timeseries.cusum_changepoints(_value_events(spark, sf_dir))
 
 
 def active_user_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1814,11 +1847,11 @@ def active_user_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def daily_value_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return timeseries.daily_value_bands(entity_events(spark, sf_dir))
+    return timeseries.daily_value_bands(_value_events(spark, sf_dir))
 
 
 def holt_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return timeseries.holt_forecast(entity_events(spark, sf_dir))
+    return timeseries.holt_forecast(_value_events(spark, sf_dir))
 
 
 def session_basket_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
