@@ -504,7 +504,14 @@ def blocked_fuzzy_pairs(
     if neighborhood:
         if max_dist != 1:
             raise ValueError("neighborhood blocking implements max_dist=1 only")
-        nbr = df.select(
+        # Spread the BASE rows round-robin BEFORE the fan-out (r10): the
+        # scan of a small dim table is one file -> one partition, which
+        # serialized the len+1 variant explode — for BOTH the probe side
+        # and the broadcast build — onto a single task (measured: ~1.0 s
+        # of the query was those two 1-task stages).  Moving |rows|
+        # pre-explosion rows once parallelizes both, and the exploded
+        # probe side then needs NO (blk, variant) exchange at all.
+        nbr = df.repartition(n_parts).select(
             F.col(block).alias("blk"),
             F.col(key).alias("k"),
             F.col(name).alias("nm"),
@@ -513,8 +520,7 @@ def blocked_fuzzy_pairs(
         a = nbr.select("blk", "variant", F.col("k").alias("a_key"), F.col("nm").alias("a_name"))
         b = nbr.select("blk", "variant", F.col("k").alias("b_key"), F.col("nm").alias("b_name"))
         pairs = (
-            a.repartition(n_parts, "blk", "variant")
-            .join(b, ["blk", "variant"])
+            a.join(b, ["blk", "variant"])
             .where(F.col("a_key") < F.col("b_key"))
             # a pair can share several variants (equal strings share them
             # all) — dedup BEFORE the levenshtein so the kernel runs once

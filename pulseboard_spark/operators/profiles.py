@@ -57,32 +57,50 @@ def build_profiles(evprof: DataFrame) -> DataFrame:
         & (F.col("name") == "Feature Used")
         & (_bucket_ms(F.col("ts_ms")) >= cutoff)
     )
+    # Identifier sets ride the SAME aggregation (r10: one fact pass and no
+    # join, where the exploded (profile, id) grain cost a second full scan
+    # of the silver plus a profile_id join).  normalize_id can RE-TYPE an
+    # id (a user_id containing "@" normalizes to "email:…"), so each
+    # target set is partitioned by PREFIX across all three source columns
+    # — nine in-buffer collect_sets (deduped per group, never a per-event
+    # list), concatenated per target.  Set semantics identical to the
+    # explode: when() yields NULL off-prefix and collect_set skips NULLs.
+    srcs = ("nuser", "nanon", "nemail")
+
+    def _psets(prefix: str, tag: str):
+        return [
+            F.collect_set(F.when(F.col(c).startswith(prefix), F.col(c))).alias(f"_{tag}{i}")
+            for i, c in enumerate(srcs)
+        ]
+
+    def _merged(tag: str):
+        return F.array_sort(
+            F.array_distinct(F.concat(*[F.col(f"_{tag}{i}") for i in range(len(srcs))]))
+        )
+
     per = (
         evprof.crossJoin(F.broadcast(as_of))
         .groupBy("profile_id")
         .agg(
+            *_psets("user:", "u"),
+            *_psets("email:", "e"),
+            *_psets("anon:", "a"),
             F.max_by("plan", plan_okey).alias("plan"),
             F.max_by("country", country_okey).alias("country"),
             F.max("ts_ms").alias("last_seen_ms"),
             F.sum(feat.cast("long")).cast("long").alias("feature_used_24h"),
         )
     )
-
-    # Pass 2 — identifier sets need the exploded (profile, id) grain: one
-    # explode over the three normalized id columns (a single scan, where a
-    # 3-way union re-derives the input three times).
-    ids = evprof.select(
-        "profile_id", F.explode(F.array("nuser", "nanon", "nemail")).alias("id")
-    ).filter(F.col("id").isNotNull())
-    id_lists = ids.groupBy("profile_id").agg(
-        F.array_sort(F.collect_set(F.when(F.col("id").startswith("user:"), F.col("id")))).alias("user_ids"),
-        F.array_sort(F.collect_set(F.when(F.col("id").startswith("email:"), F.col("id")))).alias("emails"),
-        F.array_sort(F.collect_set(F.when(F.col("id").startswith("anon:"), F.col("id")))).alias("anonymous_ids"),
+    return per.select(
+        "profile_id",
+        _merged("u").alias("user_ids"),
+        _merged("e").alias("emails"),
+        _merged("a").alias("anonymous_ids"),
+        "plan",
+        "country",
+        "last_seen_ms",
+        "feature_used_24h",
     )
-
-    # Valid events carry ≥1 identifier (P1), so both sides hold exactly the
-    # profiles with any event — inner join, no null-padding needed.
-    return id_lists.join(per, "profile_id")
 
 
 def top20_summaries(profiles: DataFrame) -> DataFrame:
