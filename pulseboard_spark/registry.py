@@ -8,6 +8,8 @@ sf0.001 before the driver ever runs it at sf0.01.
 
 from __future__ import annotations
 
+import os as _os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2472,6 +2474,93 @@ QUERIES: dict[str, QueryFn] = {
     "value_histogram": value_histogram_q,
 }
 
+
+def _ensure_silvers_persisted(spark: SparkSession, sf_dir: str) -> None:
+    """Re-persist any silver whose cache was dropped (guide §5.4 lifecycle).
+
+    A memo HIT on a final query plan (see :func:`_memo_query`) skips the
+    registry builders, so the re-persist probe inside :func:`_cached_memo`
+    would never run after a ``clearCache()`` — the exact
+    valid-but-uncached degradation that probe exists to repair.  This is
+    the same probe, hoisted to the hit path: a storage-level lookup per
+    registered silver of THIS session+corpus (a local py4j getter, no
+    job), re-persisting only entries something dropped."""
+    from pulseboard_spark.sources import tables as _tables
+
+    app = spark.sparkContext.applicationId
+    sfa = _os.path.abspath(sf_dir)
+    for (kapp, ksf, kname), df in list(_tables._PLAN_CACHE.items()):
+        if kapp == app and ksf == sfa and kname.startswith("silver:"):
+            sl = df.storageLevel
+            if not (sl.useMemory or sl.useDisk):
+                df.persist()
+
+
+def _memo_query(name: str, fn: QueryFn) -> QueryFn:
+    """Memoize the CONSTRUCTED DataFrame of a declared query per
+    (session, corpus dir, silver-cache posture).
+
+    Guide §1.2/§5.3 (driver work), same posture as the table/silver plan
+    memos (`739aded`): measured on the warm bench, rebuilding a declared
+    query's expression tree costs 0.02-0.17 s of pure driver-side Python
+    (py4j round trips per Column op) BEFORE any task runs — for the ~40
+    sub-half-second headline queries that is up to half their warm
+    number.  A long-running engine prepares its declared statements once;
+    the memo is that posture.  A PLAN memo, not a result cache: every
+    ``count()``/collect/write on the memoized DataFrame still executes
+    the full job from the parquet inputs (or the in-session silver IMTS),
+    and a fresh driver process rebuilds everything.  Keyed additionally
+    on :func:`_silver_cache_enabled` so the PB_SILVER_CACHE=0 posture
+    builds (and keeps) its own uncached plans."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pulseboard_spark.sources import tables as _tables
+
+        key = (
+            spark.sparkContext.applicationId,
+            _os.path.abspath(sf_dir),
+            f"query:{name}:{_silver_cache_enabled()}",
+        )
+        df = _tables._PLAN_CACHE.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            _tables._PLAN_CACHE[key] = df
+        elif _silver_cache_enabled():
+            _ensure_silvers_persisted(spark, sf_dir)
+        return df
+
+    wrapped.__name__ = fn.__name__
+    wrapped._raw = fn  # unmemoized builder (probes, construction-cost audits)
+    return wrapped
+
+
+#: Queries whose CONSTRUCTION runs Spark jobs every time (driver-loop
+#: trainers, incremental twins that replay state, index/codebook builds not
+#: under a session memo, job-probing quantile builders).  Memoizing these
+#: would hide real per-invocation compute behind the plan memo — the line
+#: between a plan memo and a result cache — so they are excluded and build
+#: fresh on every call, exactly as before.  List derived empirically: build
+#: every registry query twice in one session and flag any that still runs
+#: jobs on the SECOND construction (first build warms the documented
+#: session memos: broadcast index, component map, near-dup artifacts).
+_CONSTRUCTION_COMPUTE = {
+    "bpe_encode",            # 5-round BPE driver loop per build
+    "bpe_learned_merges",    # same loop
+    "dedup_clusters_incremental",    # replays the incremental fixpoint
+    "dedup_threshold_sweep",         # per-threshold probe jobs
+    "embedding_pca",         # d×d Gram collect + driver eigensolve
+    "identity_components_incremental",
+    "identity_pagerank",     # per-iteration driver loop
+    "ivf_topk",              # explicit-index kmeans build per call
+    "pq_topk_rerank",        # PQ query-slice collect per call
+    "rfm_scores",     # localCheckpoints + size-probes the fact agg per build
+    "value_deciles",  # same guarded-ntile checkpoint pattern
+}
+
+QUERIES = {
+    name: (fn if name in _CONSTRUCTION_COMPUTE else _memo_query(name, fn))
+    for name, fn in QUERIES.items()
+}
 
 
 def wrap_tuned(fn: QueryFn) -> QueryFn:

@@ -645,3 +645,41 @@ def test_fuzzy_neighborhood_plan_shape(spark, sf_dir):
     assert "variant" in plan, "join must include the deletion-variant key"
     assert "levenshtein" in plan, "distance filter must be the JVM function"
     assert not PY_NODES.search(plan), "fuzzy matching must stay codegen'd"
+
+
+def test_query_plan_memo_semantics(spark, sf_dir, monkeypatch):
+    """The final-DF plan memo (r10) must stay a PLAN memo, not a result
+    cache: same session+corpus+posture returns the same constructed
+    DataFrame (skipping ~0.1s of driver-side expression building), every
+    action on it still executes, the PB_SILVER_CACHE=0 posture builds its
+    own plans, and construction-compute queries are never memoized."""
+    from pulseboard_spark import registry
+    from pulseboard_spark.registry import QUERIES, _CONSTRUCTION_COMPUTE
+
+    # (a) memo hit: same object per (session, corpus, posture) — and the
+    # count still runs a real job each time (it's a plan, not a result)
+    a = QUERIES["revenue_wow"](spark, sf_dir)
+    b = QUERIES["revenue_wow"](spark, sf_dir)
+    assert a is b
+    assert a.count() == b.count() > 0
+
+    # (b) posture flip builds a DIFFERENT plan object (uncached lineage)
+    monkeypatch.setenv("PB_SILVER_CACHE", "0")
+    spark.catalog.clearCache()
+    c = QUERIES["revenue_wow"](spark, sf_dir)
+    assert c is not a
+    monkeypatch.setenv("PB_SILVER_CACHE", "1")
+
+    # (c) a memo hit after clearCache re-persists the dropped silvers
+    # (the _cached_memo re-persist probe, hoisted to the hit path)
+    d = QUERIES["revenue_wow"](spark, sf_dir)  # hit under posture=1
+    assert d is a
+    ent = registry.entity_events(spark, sf_dir)
+    sl = ent.storageLevel
+    assert sl.useMemory or sl.useDisk, "silver must be re-persisted on memo hit"
+
+    # (d) construction-compute queries build fresh every call
+    assert "rfm_scores" in _CONSTRUCTION_COMPUTE
+    r1 = QUERIES["rfm_scores"](spark, sf_dir)
+    r2 = QUERIES["rfm_scores"](spark, sf_dir)
+    assert r1 is not r2
