@@ -76,6 +76,17 @@ def _silver_cache_enabled() -> bool:
     return os.environ.get("PB_SILVER_CACHE", "1") != "0"
 
 
+#: Keys of _cached_memo registrations — the entries whose persistence the
+#: memo-hit repair (:func:`_ensure_silvers_persisted`) may restore.  The
+#: plan-ONLY memos sharing the ``silver:`` prefix (``silver:evprof``,
+#: ``silver:profiles``) must never be persisted by that repair: they ARE
+#: declared queries' own output plans, and caching a query's own result to
+#: serve its warm runs is result caching, not plan memoization (caught by
+#: the r10 bench A/B: cdp_profiles' warm run briefly read its own output
+#: cache).
+_CACHED_MEMO_KEYS: set = set()
+
+
 def _cached_memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     """Plan memo for the CACHED silver views: like ``_plan_memo`` but
     re-registers the cache if something dropped it (``clearCache()`` /
@@ -84,6 +95,9 @@ def _cached_memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFram
     by test_silver_cache_opt_out after the r10 memoization).  The storage
     probe is a cheap local lookup, no job."""
     df = _plan_memo(spark, sf_dir, name, build)
+    _CACHED_MEMO_KEYS.add(
+        (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), name)
+    )
     sl = df.storageLevel
     if not (sl.useMemory or sl.useDisk):
         df.persist()
@@ -2490,7 +2504,7 @@ def _ensure_silvers_persisted(spark: SparkSession, sf_dir: str) -> None:
     app = spark.sparkContext.applicationId
     sfa = _os.path.abspath(sf_dir)
     for (kapp, ksf, kname), df in list(_tables._PLAN_CACHE.items()):
-        if kapp == app and ksf == sfa and kname.startswith("silver:"):
+        if (kapp, ksf, kname) in _CACHED_MEMO_KEYS and kapp == app and ksf == sfa:
             sl = df.storageLevel
             if not (sl.useMemory or sl.useDisk):
                 df.persist()

@@ -683,3 +683,16 @@ def test_query_plan_memo_semantics(spark, sf_dir, monkeypatch):
     r1 = QUERIES["rfm_scores"](spark, sf_dir)
     r2 = QUERIES["rfm_scores"](spark, sf_dir)
     assert r1 is not r2
+
+    # (e) the hit-path re-persist must ONLY restore _cached_memo silvers:
+    # the plan-only memos (silver:profiles IS cdp_profiles' own output)
+    # must never be persisted — that would serve a query's warm runs from
+    # a cache of its own result
+    from pulseboard_spark.sources import tables as T
+
+    for _ in range(3):
+        QUERIES["cdp_profiles"](spark, sf_dir).count()
+    for (kapp, ksf, kname), df in T._PLAN_CACHE.items():
+        if kname in ("silver:profiles", "silver:evprof"):
+            sl = df.storageLevel
+            assert not (sl.useMemory or sl.useDisk), f"{kname} must stay plan-only"
