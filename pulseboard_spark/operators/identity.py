@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pulseboard_spark.functions.ids import normalize_id
+from pulseboard_spark.session import local_df
 
 
 def validate_cdp(cdp: DataFrame) -> DataFrame:
@@ -197,8 +198,8 @@ def connected_components(
             # drop them here too (and keep sorted() away from None)
             probe = [r for r in probe if r[0] is not None and r[1] is not None]
             endpoint_ids = sorted({x for r in probe for x in (r[0], r[1])})
-            inc_df = spark.createDataFrame(
-                [(i,) for i in endpoint_ids], schema=nodes.select("id").schema
+            inc_df = local_df(
+                spark, [(i,) for i in endpoint_ids], nodes.select("id").schema
             )
             # endpoints that are REAL nodes — matching the distributed
             # fixpoint, which neither labels nor propagates through ids
@@ -211,7 +212,7 @@ def connected_components(
                 (r[0], r[1]) for r in probe if r[0] in node_inc and r[1] in node_inc
             ]
             rows = _local_components([(n,) for n in sorted(node_inc)], local_edges)
-            labels = spark.createDataFrame(rows, schema=out_schema)
+            labels = local_df(spark, rows, out_schema)
             isolated_rest = nodes.join(labels.select("id"), "id", "left_anti").select(
                 "id", F.col("id").alias("component")
             )

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pulseboard_spark.session import local_df
+
 
 def profile_table(df: DataFrame, approx: bool = False, rsd: float = 0.05) -> DataFrame:
     """One row per column: total rows, non-null count, distinct count —
@@ -62,8 +64,8 @@ def profile_table(df: DataFrame, approx: bool = False, rsd: float = 0.05) -> Dat
     # table explodes to zero pairs, but the census contract — like the
     # wide-agg form, the approx path, and the oracle's N UNION branches —
     # is one all-zeros row per column, not a vanishing schema.
-    names_df = df.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(cols)], "i int, column_name string"
+    names_df = local_df(
+        df.sparkSession, [(i, c) for i, c in enumerate(cols)], "i int, column_name string"
     )
     return (
         # broadcast the aggregated (right) side — the preserved side of a

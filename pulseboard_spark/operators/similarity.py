@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pulseboard_spark.functions.core import duck_round
+from pulseboard_spark.session import local_df
 
 
 def _as_double(col):
@@ -1497,7 +1498,8 @@ def pq_topk(
     q_rows = queries.select("vec_id", "embedding").collect()
     if not q_rows:  # empty query slice: empty result, like the sibling
         # embedding_decontamination — not a kernel crash
-        return embeddings.sparkSession.createDataFrame(
+        return local_df(
+            embeddings.sparkSession,
             [], "vec_id bigint, neighbor_id bigint, adc_dist double, rank bigint"
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -1711,7 +1713,8 @@ def embedding_pca(embeddings: DataFrame, k: int = 8) -> DataFrame:
     """
     d_probe = embeddings.select(F.size("embedding").alias("d")).first()
     if d_probe is None:
-        return embeddings.sparkSession.createDataFrame(
+        return local_df(
+            embeddings.sparkSession,
             [], "component bigint, eigenvalue double, explained_bp bigint, cum_explained_bp bigint"
         )
     d = int(d_probe[0])
@@ -1736,7 +1739,8 @@ def embedding_pca(embeddings: DataFrame, k: int = 8) -> DataFrame:
         partial, schema="g array<double>, s array<double>, n bigint"
     ).collect()
     if not parts:
-        return embeddings.sparkSession.createDataFrame(
+        return local_df(
+            embeddings.sparkSession,
             [], "component bigint, eigenvalue double, explained_bp bigint, cum_explained_bp bigint"
         )
     G = np.zeros((d, d))
@@ -1763,7 +1767,8 @@ def embedding_pca(embeddings: DataFrame, k: int = 8) -> DataFrame:
                 int(cum / total * 10000),
             )
         )
-    return embeddings.sparkSession.createDataFrame(
+    return local_df(
+        embeddings.sparkSession,
         rows, "component bigint, eigenvalue double, explained_bp bigint, cum_explained_bp bigint"
     )
 

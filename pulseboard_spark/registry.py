@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulseboard_spark.oracle.sql import ORACLE_SQL
-from pulseboard_spark.session import tune
+from pulseboard_spark.session import local_df, tune
 from pulseboard_spark.sources.generator import rule_firing_events
 from pulseboard_spark.sources.tables import _plan_memo, load_table
 from pulseboard_spark.sources.tables import cdp_events as _cdp_events_raw
@@ -1623,7 +1623,8 @@ def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle exists; the learned sequence is pinned against a verbatim
     sequential BPE reference in ``TestBpeTrain``."""
     merges = text.bpe_train(_docs(spark, sf_dir), n_merges=5)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_round int, left string, right string, n bigint",
     )

@@ -13,7 +13,20 @@ import re
 import tempfile
 import zipfile
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+# The python-worker DAEMON (spawned by the executor with the process env,
+# BEFORE any addPyFile path exists on its sys.path) must be able to import
+# pulseboard_spark.daemon_prewarm.  Exporting the repo root here — at import
+# time, before any JVM launch — covers every local session this package
+# builds; a cluster deployment sets spark.executorEnv.PYTHONPATH instead.
+_PKG_PARENT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _PKG_PARENT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _PKG_PARENT + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _PKG_PARENT
+    )
 
 #: Runtime-settable confs applied to any session we touch.
 #:
@@ -101,6 +114,40 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def local_df(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
+    """Driver-local rows → DataFrame WITHOUT the python-RDD execution path.
+
+    ``createDataFrame(list)`` parallelizes PICKLED python rows: every action
+    on the result unpickles them through python workers on the RDD code
+    path, whose worker-factory key (no SPARK_SIMPLIFIED_TRACEBACK in the
+    env) differs from the SQL/Arrow runners' — so the first such action
+    spawns a SECOND pyspark.daemon plus up to ``defaultParallelism``
+    workers that the SQL path can never reuse (measured: +32 idle workers,
+    ~2.5 GB RSS, and a multi-second spawn inside whichever query hits it
+    first — OPTIMIZATION_r10.md "worker pool").  Routing the same rows
+    through a pandas DataFrame takes the Arrow path instead: batches are
+    converted JVM-side, no python worker ever runs.  Falls back to the
+    plain list path when pandas/Arrow is unavailable (identical result,
+    just the old cost).
+    """
+    try:
+        import pandas as pd
+
+        names = [f.name for f in schema.fields] if hasattr(schema, "fields") else None
+        if names is None:  # DDL-string schema: let Spark parse it first
+            from pyspark.sql.types import _parse_datatype_string
+
+            schema = _parse_datatype_string(schema)
+            names = [f.name for f in schema.fields]
+        # object dtype end-to-end: pandas must not coerce (int columns with
+        # None would become float and corrupt values via NaN); the Arrow
+        # conversion types each column from the EXPLICIT schema instead.
+        pdf = pd.DataFrame.from_records(list(rows), columns=names).astype(object)
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema=schema)
+
+
 def write_fair_allocation(pool_weights: dict[str, int],
                           min_shares: dict[str, int] | None = None) -> str:
     """Write a FAIR scheduler allocation XML and return its path.
@@ -180,6 +227,11 @@ def get_spark(app_name: str = "pulseboard-spark", cpus: int | None = None,
         .config("spark.driver.memory", os.environ.get("PB_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Pre-import numpy/pandas/pyarrow in the worker daemon so forked
+        # workers inherit them via COW (guide §4.5; daemon_prewarm docstring
+        # has the measurements).  Static conf — factories read it at
+        # creation, so it must be set before the context exists.
+        .config("spark.python.daemon.module", "pulseboard_spark.daemon_prewarm")
     )
     if fair:
         builder = builder.config("spark.scheduler.mode", "FAIR")

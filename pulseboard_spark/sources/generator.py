@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pulseboard_spark.session import local_df
+
 GEO_POOL = ["US", "UK", "DE", "FR", "CA"]
 DEVICE_POOL = ["desktop", "mobile", "tablet"]
 BROWSER_POOL = ["chrome", "firefox", "safari", "edge"]
@@ -242,7 +244,8 @@ def rule_firing_events(spark: SparkSession) -> DataFrame:
             rows.append(
                 (eid_base + i, ts_us // 1000, entity_id, profile, etype, value, "US", "desktop")
             )
-    df = spark.createDataFrame(
+    df = local_df(
+        spark,
         rows,
         "event_id long, ts_ms long, entity_id string, profile string, "
         "type string, value double, geo string, device string",
