@@ -25,29 +25,47 @@ module.  On a cluster the equivalent is ``--conf spark.python.daemon.module
 daemon — behavior is identical either way.
 """
 
-# The preload: order matches the worker's own lazy import chain.
-import numpy  # noqa: F401
-import pandas  # noqa: F401
-import pyarrow  # noqa: F401
-
-# The serializer layer pyspark.worker reaches for on the first Arrow batch
-# (pulls pyspark.sql.pandas.types and friends).
-import pyspark.sql.pandas.serializers  # noqa: F401
-
-# Freeze the preloaded object graph into the permanent generation.  The
-# worker loop runs ``gc.collect()`` after EVERY task (pyspark/daemon.py
-# reuse loop); without the freeze each collect traverses the ~10^5
-# inherited module objects and dirties their gc headers — breaking the
-# fork's copy-on-write sharing AND paying the traversal per task (measured:
-# +0.2-0.5 s per warm kernel run).  This is exactly the fork-server pattern
-# gc.freeze() is documented for; module objects are immortal in practice,
-# so excluding them from collection loses nothing.
-import gc
-
-gc.collect()
-gc.freeze()
-
 if __name__ == "__main__":
+    # Everything — preload AND gc.freeze — runs only under the __main__
+    # guard (r10 advisory): Spark launches the daemon as
+    # ``python -m pulseboard_spark.daemon_prewarm``, which executes this
+    # block, while a stray ``import pulseboard_spark.daemon_prewarm`` from
+    # driver or test code stays side-effect-free (a module-level freeze
+    # would permanently exempt the importer's entire current heap from
+    # garbage collection).
+
+    # One BLAS thread per worker (set BEFORE numpy loads OpenBLAS): task
+    # slots already equal cores, so BLAS-side threading (used by the
+    # audited-BLAS cosine kernels, similarity._gram6) can only oversubscribe
+    # — 32 workers × N threads fight for 32 cores.  Inherited by every
+    # forked worker via the daemon env.
+    import os
+
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
+
+    # The preload: order matches the worker's own lazy import chain.
+    import numpy  # noqa: F401
+    import pandas  # noqa: F401
+    import pyarrow  # noqa: F401
+
+    # The serializer layer pyspark.worker reaches for on the first Arrow
+    # batch (pulls pyspark.sql.pandas.types and friends).
+    import pyspark.sql.pandas.serializers  # noqa: F401
+
+    # Freeze the preloaded object graph into the permanent generation.  The
+    # worker loop runs ``gc.collect()`` after EVERY task (pyspark/daemon.py
+    # reuse loop); without the freeze each collect traverses the ~10^5
+    # inherited module objects and dirties their gc headers — breaking the
+    # fork's copy-on-write sharing AND paying the traversal per task
+    # (measured: +0.2-0.5 s per warm kernel run).  This is exactly the
+    # fork-server pattern gc.freeze() is documented for; module objects are
+    # immortal in practice, so excluding them from collection loses nothing.
+    import gc
+
+    gc.collect()
+    gc.freeze()
+
     # pyspark.daemon resolves the worker module from sys.argv at import
     # time (daemon.py:34-40); `python -m pulseboard_spark.daemon_prewarm
     # pyspark.worker` leaves argv[1] exactly where it expects it.

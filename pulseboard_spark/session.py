@@ -17,16 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 # The python-worker DAEMON (spawned by the executor with the process env,
 # BEFORE any addPyFile path exists on its sys.path) must be able to import
-# pulseboard_spark.daemon_prewarm.  Exporting the repo root here — at import
-# time, before any JVM launch — covers every local session this package
-# builds; a cluster deployment sets spark.executorEnv.PYTHONPATH instead.
+# pulseboard_spark.daemon_prewarm.  :func:`_export_pythonpath` prepends the
+# repo root to ``PYTHONPATH`` from :func:`get_spark` just before the JVM
+# launches (the only moment the local daemon needs it) — NOT at module
+# import time, so merely importing this package no longer mutates the
+# process env of foreign drivers (r10 advisory).  A cluster deployment sets
+# spark.executorEnv.PYTHONPATH instead.
 _PKG_PARENT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if _PKG_PARENT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
-    os.environ["PYTHONPATH"] = (
-        _PKG_PARENT + os.pathsep + os.environ["PYTHONPATH"]
-        if os.environ.get("PYTHONPATH")
-        else _PKG_PARENT
-    )
+
+
+def _export_pythonpath() -> None:
+    if _PKG_PARENT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _PKG_PARENT + os.pathsep + os.environ["PYTHONPATH"]
+            if os.environ.get("PYTHONPATH")
+            else _PKG_PARENT
+        )
 
 #: Runtime-settable confs applied to any session we touch.
 #:
@@ -132,19 +138,35 @@ def local_df(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
     """
     try:
         import pandas as pd
-
+    except ImportError:  # pandas absent: the old (slower) path is the API
+        return spark.createDataFrame(rows, schema=schema)
+    try:
         names = [f.name for f in schema.fields] if hasattr(schema, "fields") else None
-        if names is None:  # DDL-string schema: let Spark parse it first
-            from pyspark.sql.types import _parse_datatype_string
+        if names is None:  # DDL-string schema: parse via the public API
+            from pyspark.sql.types import StructType
 
-            schema = _parse_datatype_string(schema)
+            schema = StructType.fromDDL(schema)
             names = [f.name for f in schema.fields]
-        # object dtype end-to-end: pandas must not coerce (int columns with
-        # None would become float and corrupt values via NaN); the Arrow
-        # conversion types each column from the EXPLICIT schema instead.
-        pdf = pd.DataFrame.from_records(list(rows), columns=names).astype(object)
+        # Build each column as a TRUE object Series before pandas ever sees
+        # the rows: DataFrame.from_records would infer dtypes first, and an
+        # int column containing a None is coerced to float64 BEFORE any
+        # .astype(object) could run — silently corrupting ints above 2^53
+        # (r10 advisory, verified live).  With dtype=object up front no
+        # numeric coercion happens and the Arrow conversion types each
+        # column from the EXPLICIT schema instead.
+        rows = list(rows)
+        pdf = pd.DataFrame(
+            {n: pd.Series([r[i] for r in rows], dtype=object) for i, n in enumerate(names)},
+            columns=names,
+        )
         return spark.createDataFrame(pdf, schema=schema)
-    except Exception:
+    except Exception as e:
+        # Unexpected Arrow/pandas-path failure: fall back to the plain list
+        # path (identical result), but say so — a silent fallback would make
+        # regressions of the intended optimization invisible (r10 advisory).
+        import warnings
+
+        warnings.warn(f"local_df: Arrow path failed ({e!r}); using the row-pickle path")
         return spark.createDataFrame(rows, schema=schema)
 
 
@@ -218,6 +240,9 @@ def get_spark(app_name: str = "pulseboard-spark", cpus: int | None = None,
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # must precede getOrCreate(): the JVM (and therefore the executor env
+    # the python daemon inherits) is launched by the first builder call
+    _export_pythonpath()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
