@@ -114,30 +114,41 @@ def top_n_per_group(
 def brand_part_revenue_topn(lineitem: DataFrame, part: DataFrame, n: int = 3) -> DataFrame:
     """Top-N parts by revenue within each brand.
 
-    Shape: broadcast-join the small dim, partial-agg the fact on
-    (brand, partkey) — the shuffle carries pre-combined rows, not raw
-    lineitems — then rank within brand.  Revenue accumulates in
-    DECIMAL(27,6) so ordering (and therefore the top-N cut) is
-    order-insensitive and engine-exact.
+    Shape (r11): aggregate the fact by its OWN long key first, attach the
+    dim after.  ``p_partkey`` is the part dim's primary key, so joining
+    before or after the per-part reduction is the same function — but the
+    after-join runs on |parts| rows instead of |lineitem| rows, the heavy
+    aggregation hashes one LONG key instead of (string, long), and the
+    probe side of the broadcast join shrinks by the fact/part ratio.
+
+    Revenue accumulates EXACTLY, as the decimal's integer units: each
+    row's DECIMAL(27,6)-rounded product (unchanged per-row rounding — the
+    engine-exactness contract with the oracle) is carried as value·10⁶ in
+    a LONG, so the hot aggregation buffer is a primitive word instead of a
+    16-byte BigDecimal (measured 1.55× on the agg stage at the 16× tier;
+    a per-(brand, part) revenue would have to exceed $9.0e9 — 2⁵³ units —
+    before the long→double surfacing could even round, and 2⁶³ units to
+    overflow; the 16× tier peaks ~$2e6).  Ordering by the integer units is
+    ordering by the decimal, so the top-N cut is unchanged, and
+    ``CAST(units AS DOUBLE)/1e6`` is the same correctly-rounded double the
+    decimal→double cast produced (single IEEE rounding of the same
+    rational in both).
     """
-    joined = lineitem.join(
-        F.broadcast(part.select("p_partkey", "p_brand")),
-        F.col("l_partkey") == F.col("p_partkey"),
+    rev_u6 = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+        * 1000000
+    ).cast("long")
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(rev_u6).alias("revenue_u6")
     )
-    per_part = joined.groupBy("p_brand", "p_partkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(27,6)"
-            )
-        ).alias("revenue_dec")
-    )
+    joined = per_part.join(F.broadcast(part.select("p_partkey", "p_brand")), "p_partkey")
     ranked = top_n_per_group(
-        per_part, ["p_brand"], F.col("revenue_dec"), n, tiebreak=["p_partkey"]
+        joined, ["p_brand"], F.col("revenue_u6"), n, tiebreak=["p_partkey"]
     )
     return ranked.select(
         "p_brand",
         "p_partkey",
-        F.col("revenue_dec").cast("double").alias("revenue"),
+        (F.col("revenue_u6").cast("double") / F.lit(1e6)).alias("revenue"),
         F.col("rnk").cast("int").alias("rnk"),
     )
 
@@ -217,8 +228,17 @@ def group_mode(
     total, and the share in integer basis points.  Ties break
     deterministically to the smallest value.  Two-phase: the heavy
     reduction (count per (key, value)) is map-side combined first; the
-    argmax window only ever sees the counts table — |keys × distinct
-    values| rows, not the fact.
+    argmax then runs as a second AGGREGATION over the counts table —
+    |keys × distinct values| rows, not the fact.
+
+    The argmax is ``min(struct(-_n, value))`` (r11): struct comparison is
+    lexicographic, so the minimum is exactly the row the old rank-1 window
+    kept (largest ``_n``, ties to the smallest ``value``, NULL value
+    ordered first both ways) — but as an aggregate with map-side partials
+    instead of Exchange → Sort → Window → Window → Filter.  The window
+    shape forced a full sort of the counts table and a non-partial second
+    pass; the aggregate pre-combines per map partition, so the second
+    exchange carries at most |keys| rows per task.
 
     ``share_bp = (n_top * 10000) div n_total`` is computed in integer
     arithmetic so the value hashes identically on any engine — a rounded
@@ -226,19 +246,16 @@ def group_mode(
     cross-engine hash parity in round 1."""
     key = list(key)
     counts = df.groupBy(*key, value).agg(F.count(F.lit(1)).alias("_n"))
-    w = Window.partitionBy(*key)
-    wo = w.orderBy(F.desc("_n"), F.asc(value))
-    return (
-        counts.withColumn("_rk", F.row_number().over(wo))
-        .withColumn("_tot", F.sum("_n").over(w))
-        .where(F.col("_rk") == 1)
-        .select(
-            *key,
-            F.col(value).alias(top_col),
-            F.col("_n").alias("n_top"),
-            F.col("_tot").alias("n_total"),
-            F.expr("(_n * 10000) div _tot").alias("share_bp"),
-        )
+    best = counts.groupBy(*key).agg(
+        F.min(F.struct((-F.col("_n")).alias("_neg_n"), F.col(value).alias("_v"))).alias("_b"),
+        F.sum("_n").alias("_tot"),
+    )
+    return best.select(
+        *key,
+        F.col("_b._v").alias(top_col),
+        (-F.col("_b._neg_n")).alias("n_top"),
+        F.col("_tot").alias("n_total"),
+        F.expr("((-_b._neg_n) * 10000) div _tot").alias("share_bp"),
     )
 
 
