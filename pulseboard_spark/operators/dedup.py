@@ -528,8 +528,13 @@ def blocked_fuzzy_pairs(
             .distinct()
         )
         return (
-            pairs.withColumn("dist", F.levenshtein("a_name", "b_name"))
-            .where(F.col("dist") <= max_dist)
+            # threshold'd levenshtein (r11): the banded DP computes only the
+            # 2·max_dist+1 diagonal and bails out early, O(len·k) instead of
+            # O(len²) per pair, returning -1 when the distance exceeds the
+            # threshold — for kept rows (0 ≤ dist ≤ max_dist) it returns the
+            # exact distance, so the output is unchanged.
+            pairs.withColumn("dist", F.levenshtein("a_name", "b_name", int(max_dist)))
+            .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
             .select(F.col("blk").alias(block), "a_key", "b_key", "dist")
         )
     a = df.select(
@@ -545,8 +550,9 @@ def blocked_fuzzy_pairs(
     return (
         a.join(b, "blk")
         .where(F.col("a_key") < F.col("b_key"))
-        .withColumn("dist", F.levenshtein("a_name", "b_name"))
-        .where(F.col("dist") <= max_dist)
+        # same banded-DP threshold as the neighborhood path (r11)
+        .withColumn("dist", F.levenshtein("a_name", "b_name", int(max_dist)))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select(F.col("blk").alias(block), "a_key", "b_key", "dist")
     )
 

@@ -3598,3 +3598,136 @@ class TestUnicodeNormalize:
         # 3, not 4: the \p{M} continuation keeps casefolded 'İ' (i+U+0307,
         # no precomposed NFC form) inside one token
         assert {r["n_letter_tokens"] for r in rows} == {3}
+
+
+class TestScaledLongExactSums:
+    """r11: the hot decimal(27,6) sums in brand_part_revenue_topn and
+    tpch_q2 now accumulate the decimal's integer units (value·10⁶) in a
+    LONG.  The per-row rounding is the unchanged decimal cast, so the sum
+    — and the double it surfaces as — must be bit-identical to the
+    straight decimal formulation.  Pinned here against the literal old
+    expressions on real data (the oracle pins the same thing against
+    DuckDB at every SF)."""
+
+    def test_brand_topn_matches_decimal_formulation(self, spark, sf_dir):
+        from pulseboard_spark.operators.relational import (
+            brand_part_revenue_topn,
+            top_n_per_group,
+        )
+
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        got = {
+            (r.p_brand, r.p_partkey): (r.revenue, r.rnk)
+            for r in brand_part_revenue_topn(lineitem, part).collect()
+        }
+        # the pre-r11 formulation, verbatim
+        joined = lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        per_part = joined.groupBy("p_brand", "p_partkey").agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+            ).alias("revenue_dec")
+        )
+        ranked = top_n_per_group(
+            per_part, ["p_brand"], F.col("revenue_dec"), 3, tiebreak=["p_partkey"]
+        )
+        want = {
+            (r.p_brand, r.p_partkey): (r.revenue, r.rnk)
+            for r in ranked.select(
+                "p_brand",
+                "p_partkey",
+                F.col("revenue_dec").cast("double").alias("revenue"),
+                F.col("rnk").cast("int").alias("rnk"),
+            ).collect()
+        }
+        assert got == want  # exact ==, doubles included: bit-identical
+
+    def test_q2_unit_cost_matches_decimal_formulation(self, spark, sf_dir):
+        from pulseboard_spark.registry import QUERIES
+
+        got = {
+            (r.p_partkey, r.s_name): r.min_unit_cost
+            for r in QUERIES["tpch_q2_min_cost_supplier"](spark, sf_dir).collect()
+        }
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        # the pre-r11 per-(part, supplier) cost, verbatim
+        cost_dec = F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+        ).cast("double") / F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double")
+        u6 = (
+            lambda c: F.sum((c.cast("decimal(27,6)") * 1000000).cast("long")).cast("double")
+            / F.lit(1e6)
+        )
+        cost_u6 = u6(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / u6(
+            F.col("l_quantity")
+        )
+        cmp = l.groupBy("l_partkey", "l_suppkey").agg(
+            cost_dec.alias("dec"), cost_u6.alias("u6")
+        )
+        # bit-identical per group, not just on the argmin winners
+        assert cmp.filter(~F.col("dec").eqNullSafe(F.col("u6"))).count() == 0
+        assert len(got) > 0
+
+
+class TestGram6Audit:
+    """r11: the shared rounded-cosine kernel (_cosine_block and friends)
+    now computes the gram with BLAS plus a rounding-boundary audit
+    (similarity._gram6).  Contract: bit-identical to the exact
+    sequential-fold formulation after round-to-6 — pinned here on random
+    matrices INCLUDING values planted exactly on round boundaries (the
+    audit path), zero vectors (norm guard), and empty blocks."""
+
+    def test_matches_fold_random(self):
+        import numpy as np
+
+        from pulseboard_spark.operators.similarity import (
+            _gram6,
+            _safe_norms,
+            _seq_gram,
+        )
+
+        rng = np.random.default_rng(7)
+        for n, m, d in [(200, 300, 64), (64, 64, 7), (1, 500, 64), (3, 2, 1)]:
+            A = rng.standard_normal((n, d))
+            M = rng.standard_normal((m, d))
+            A[0, :] = 0.0  # zero vector: the norm guard must behave alike
+            want = np.round(
+                _seq_gram(A, M) / (_safe_norms(A)[:, None] * _safe_norms(M)[None, :]), 6
+            )
+            got = _gram6(A, M)
+            assert got.shape == want.shape
+            assert np.array_equal(got, want)  # bit-exact, no tolerance
+
+    def test_boundary_values_hit_audit(self):
+        import numpy as np
+
+        from pulseboard_spark.operators.similarity import (
+            _gram6,
+            _safe_norms,
+            _seq_gram,
+        )
+
+        # engineer cosines that land exactly on x.xxxxxx5 boundaries:
+        # unit-ish vectors whose dot is k/2e6 for odd k
+        d = 2
+        A = np.array([[1.0, 0.0]] * 8)
+        ks = [1, 3, 5, -1, -3, 999999, 1000001, -999999]
+        M = np.array([[k / 2e6, np.sqrt(max(0.0, 1 - (k / 2e6) ** 2))] for k in ks])
+        # do NOT normalize away the planted dot: norms divide it but the
+        # scaled value stays within the audit margin of a boundary
+        want = np.round(
+            _seq_gram(A, M) / (_safe_norms(A)[:, None] * _safe_norms(M)[None, :]), 6
+        )
+        got = _gram6(A, M)
+        assert np.array_equal(got, want)
+
+    def test_empty_blocks(self):
+        import numpy as np
+
+        from pulseboard_spark.operators.similarity import _gram6
+
+        assert _gram6(np.zeros((0, 4)), np.zeros((5, 4))).shape == (0, 5)
+        assert _gram6(np.zeros((3, 0)), np.zeros((5, 0))).shape == (3, 5)
