@@ -93,10 +93,60 @@ def _safe_norms(M: np.ndarray) -> np.ndarray:
     return np.where(n == 0, 1.0, n)
 
 
+#: Rounding-boundary audit margin for :func:`_gram6`, in round-to-6 units
+#: (1e-4 ⇒ cosines within 1e-10 of a ½·1e-6 rounding boundary are
+#: recomputed with the exact fold).  The real BLAS-vs-fold divergence is
+#: bounded by ~2·d·u·‖a‖‖b‖/(nₐ·n_b) ≈ 1.5e-14 in cosine units (u = 2⁻⁵³,
+#: d = 64; Cauchy-Schwarz on the |a|·|b| fold, norms identical on both
+#: paths), so the margin is ~10⁴× the bound while flagging only ~2e-4 of
+#: pairs for the (cheap, d-op) exact recompute.
+_GRAM6_AUDIT_TOL = 1e-4
+
+
+def _gram6(A: np.ndarray, M: np.ndarray, na: np.ndarray | None = None,
+           nb: np.ndarray | None = None) -> np.ndarray:
+    """Rounded cosine block — bit-identical to
+    ``np.round(_seq_gram(A, M) / (na[:, None] * nb[None, :]), 6)`` but
+    computed with BLAS (guide §4.2: ~9× on this host; the fold's d rank-1
+    passes were the dominant task-time term of every broadcast kernel at
+    the 16× tier).
+
+    Exactness argument: the fold and the matmul differ by at most
+    ~2·d·u·‖a‖‖b‖, so after the shared norm division the two cosines sit
+    within ~1.5e-14 of each other — they can only ROUND differently when
+    the value lies within that distance of a half-ulp-of-1e-6 boundary.
+    Every entry within :data:`_GRAM6_AUDIT_TOL`·1e-6 of a boundary (a
+    ~10⁴× safety margin) is recomputed with the exact sequential fold and
+    divided by the identical norm product, so the array handed to
+    ``np.round`` carries fold semantics wherever rounding could possibly
+    disagree; everywhere else the boundary gap proves round(BLAS) ==
+    round(fold).  NaN/±inf propagate identically on both paths (audit
+    comparisons are False for NaN, and both paths yield the same NaN).
+    """
+    if na is None:
+        na = _safe_norms(A)
+    if nb is None:
+        nb = _safe_norms(M)
+    if A.size == 0 or M.size == 0:
+        return np.zeros((A.shape[0], M.shape[0]), dtype=np.float64)
+    D = (A @ M.T) / (na[:, None] * nb[None, :])
+    y = D * 1e6
+    risky = np.abs(y - np.rint(y)) >= 0.5 - _GRAM6_AUDIT_TOL
+    if risky.any():
+        ii, jj = np.nonzero(risky)
+        Af, Mf = A[ii], M[jj]
+        dots = np.zeros(len(ii), dtype=np.float64)
+        for j in range(A.shape[1]):  # the exact left fold, j-major
+            dots += Af[:, j] * Mf[:, j]
+        D[ii, jj] = dots / (na[ii] * nb[jj])
+    return np.round(D, 6)
+
+
 def _cosine_block(A: np.ndarray, M: np.ndarray) -> np.ndarray:
     """The ONE scoring contract shared by all kernels: sequential-fold dot
-    products, zero-guarded norms, round to 6."""
-    return np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * _safe_norms(M)[None, :]), 6)
+    products (audited BLAS — :func:`_gram6`), zero-guarded norms, round
+    to 6."""
+    return _gram6(A, M)
 
 
 def _topk_order(row: np.ndarray, ids: np.ndarray, k: int, keep: np.ndarray) -> np.ndarray:
@@ -312,7 +362,7 @@ def cosine_topk(
         for pdf in _budgeted(batches, M.shape[0]):
             A = _batch_matrix(pdf["embedding"])
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            C = np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
+            C = _gram6(A, M, nb=norms)
             out_q, out_n, out_c, out_r = [], [], [], []
             for i in range(A.shape[0]):
                 row = C[i]
@@ -396,7 +446,7 @@ def _sliced_exact_topk(
                 A = _batch_matrix(pdf["embedding"])
                 a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
                 a_lbl = pdf["label"].to_numpy(dtype=np.int64) if lbl is not None else None
-                C = np.round(_seq_gram(A, M_) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
+                C = _gram6(A, M_, nb=norms)
                 out = {c: [] for c in cols}
                 for i in range(A.shape[0]):
                     row = C[i]
@@ -451,7 +501,7 @@ def _sliced_pairs_above(
             for pdf in _budgeted(batches, M_.shape[0]):
                 A = _batch_matrix(pdf["embedding"])
                 a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                C = np.round(_seq_gram(A, M_) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
+                C = _gram6(A, M_, nb=norms)
                 ii, jj = np.nonzero((C >= threshold) & (a_ids[:, None] < ids_[None, :]))
                 yield pd.DataFrame(
                     {
@@ -528,7 +578,7 @@ def cosine_pairs_above(
         for pdf in _budgeted(batches, M.shape[0]):
             A = _batch_matrix(pdf["embedding"])
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            C = np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
+            C = _gram6(A, M, nb=norms)
             ii, jj = np.nonzero((C >= threshold) & (a_ids[:, None] < ids[None, :]))
             yield pd.DataFrame(
                 {
@@ -576,7 +626,7 @@ def embedding_decontamination(
                 for pdf in _budgeted(batches, M.shape[0]):
                     A = _batch_matrix(pdf["embedding"])
                     a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                    C = np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
+                    C = _gram6(A, M, nb=norms)
                     ii, jj = np.nonzero(C >= threshold)
                     yield pd.DataFrame(
                         {
@@ -601,7 +651,7 @@ def embedding_decontamination(
             for pdf in _budgeted(batches, M.shape[0]):
                 A = _batch_matrix(pdf["embedding"])
                 a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                C = np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
+                C = _gram6(A, M, nb=norms)
                 ii, jj = np.nonzero(C >= threshold)
                 yield pd.DataFrame(
                     {
@@ -963,7 +1013,7 @@ def _ann_topk_single(embeddings: DataFrame, k: int, n_planes: int, seed: int) ->
         for chunk in _query_chunks(pdf, M.shape[0]):
             A = _batch_matrix(chunk["embedding"])
             a_ids = chunk["vec_id"].to_numpy(np.int64)
-            C = np.round(_seq_gram(A, M) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
+            C = _gram6(A, M, nb=norms)
             for i in range(A.shape[0]):
                 row = C[i]
                 order = _topk_order(row, ids, k, ids != a_ids[i])
@@ -1215,7 +1265,7 @@ def _label_block_topk(embeddings: DataFrame, b, k: int) -> DataFrame:
             A = _batch_matrix(pdf["embedding"])
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_labels = pdf["label"].to_numpy(dtype=np.int64)
-            C = np.round(_seq_gram(A, M_) / (_safe_norms(A)[:, None] * norms[None, :]), 6)
+            C = _gram6(A, M_, nb=norms)
             out = {c: [] for c in ("vec_id", "label", "neighbor_id", "neighbor_label", "cosine", "rank")}
             for i in range(A.shape[0]):
                 row = C[i]

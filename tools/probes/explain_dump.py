@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for headline queries to plans/r10/<q>_<tag>.txt.
+"""Dump .explain("formatted") for headline queries to plans/$PB_PLANS_ROUND/<q>_<tag>.txt.
 
 Usage: python tools/probes/explain_dump.py <tag> [query ...]
   tag: "before" / "after" (file suffix)
@@ -27,7 +27,10 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "plans", "r10")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", "plans",
+        os.environ.get("PB_PLANS_ROUND", "r11"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("pulseboard-explain")
     spark.sparkContext.setLogLevel("ERROR")
