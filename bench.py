@@ -208,10 +208,23 @@ def main() -> None:
         print(f"# {name}: warm {timings[name]:.3f}s cold {cold[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    # cold timings go to STDERR: the recorder keeps only a bounded tail of
-    # stdout, and round 1 proved a >2 KB JSON line gets truncated into an
-    # unparseable record — the stdout line must stay compact
+    # The recorder keeps only the LAST 2000 BYTES of output and parses the
+    # final JSON line from that window (measured r11: BENCH_r01 is a real
+    # parse failure, every recorded tail is exactly 2000 bytes, and the r10
+    # line was 1984 bytes — 16 bytes of slack).  The full 66-entry cold map
+    # therefore CANNOT ride the stdout line (~1.7 KB on its own): it goes to
+    # stderr, to a best-effort sidecar file, and the line carries the
+    # aggregate "cold_total" (r10 verdict item 8, adapted to the window).
     print("# cold: " + json.dumps(cold), file=sys.stderr)
+    # per-pass stream rates: diagnostics, stderr (freed ~45 bytes of window)
+    print("# stream_eps_passes: " + json.dumps([round(e) for e in stream_pass_eps]), file=sys.stderr)
+    try:  # sidecar with both maps, for the committed evidence trail
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r11")
+        os.makedirs(side, exist_ok=True)
+        with open(os.path.join(side, "bench_cold_last.json"), "w") as f:
+            json.dump({"queries": timings, "queries_cold": cold, "sf": sf}, f)
+    except OSError as e:  # read-only checkout etc. — the sidecar is best-effort
+        print(f"# cold sidecar not written: {e!r}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -219,22 +232,26 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in timings.items()},
+                # sum of each query's FIRST run (incl. one-time silver/cache
+                # builds) — pins the cold story in the parsed artifact; the
+                # per-query cold map is on stderr + the sidecar file
+                "cold_total": round(sum(cold.values()), 2),
                 "stream_eps": round(stream_eps),
-                "stream_eps_passes": [round(e) for e in stream_pass_eps],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # host-contention self-adjudication (SCALE.md "Reading the
-                # bench artifact"): loadavg at start/end + a fixed-work
-                # single-core spin (median of 5) at start/end.  Idle host:
-                # ~0.20-0.45s; a throttled/contended run inflates the
-                # spin by the same factor it inflates single-thread spans.
-                "loadavg": {"start": load_start, "end": _loadavg()},
-                "spin_canary_sec": {"start": spin_start, "end": _spin_canary()},
-                # 8-process spin: catches aggregate-CPU throttling the
-                # single-core canary is blind to (idle ~0.5-0.8s)
-                "spin_canary_mc_sec": {"start": spin_mc_start, "end": _spin_canary_mc()},
-                # big-array copy GB/s: catches memory/IPC throttling both
-                # spins are blind to (the mode that slows Arrow paths)
-                "membw_canary_gbps": {"start": membw_start, "end": _membw_canary()},
+                # bench artifact"), [start, end] pairs (compact names r11 —
+                # the 2000-byte window forced the rename):
+                # load: 1/5/15-min loadavg.
+                # spin: fixed single-core spin, median of 5 (idle 0.20-0.45s).
+                # mcspin: the same spin in 8 concurrent procs (idle 0.5-0.8s)
+                #   — catches aggregate-CPU throttle the single spin misses.
+                # membw: big-array copy GB/s (idle ~5-8) — catches the
+                #   memory/IPC throttle mode that slows Arrow paths while
+                #   both spins sit in their idle bands.
+                "load": [load_start, _loadavg()],
+                "spin": [spin_start, _spin_canary()],
+                "mcspin": [spin_mc_start, _spin_canary_mc()],
+                "membw": [membw_start, _membw_canary()],
             },
             separators=(",", ":"),
         )

@@ -71,10 +71,10 @@ EAGER_QUERIES = frozenset(
         "dedup_embedding",
         # _index_too_big runs a limit-probe count job during plan construction
         "embedding_decontamination",
-        # distributed_ntile pins (localCheckpoints) its ranked layout at
-        # plan time; rfm_scores additionally checkpoints its entity base
+        # rfm's routing size probe runs one memoized count job on first
+        # construction per session (value_deciles left this set in r11:
+        # the deterministic two-level rank runs no plan-time jobs at all)
         "rfm_scores",
-        "value_deciles",
         # runs the bpe_train driver loop at plan time
         "bpe_encode",
         # power iteration localCheckpoints each superstep at build time

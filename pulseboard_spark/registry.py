@@ -929,7 +929,13 @@ def value_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mlprep.value_decile_profile(entity_events(spark, sf_dir))
+    # non-null slice (r11): quantile_bins' FIRST act is
+    # ``where(value IS NOT NULL)`` — no null bucket exists in the binning —
+    # so the shared slice is the query's entire input, exactly like the
+    # other slice riders.  Matters more since the deterministic two-level
+    # rank (three passes over its input): each pass reads the 10×-smaller
+    # slice.  Oracle-pinned at both SFs + the nulls fuzz profile.
+    return mlprep.value_decile_profile(_value_events(spark, sf_dir))
 
 
 def dominant_event_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2575,8 +2581,12 @@ _CONSTRUCTION_COMPUTE = {
     "identity_pagerank",     # per-iteration driver loop
     "ivf_topk",              # explicit-index kmeans build per call
     "pq_topk_rerank",        # PQ query-slice collect per call
-    "rfm_scores",     # localCheckpoints + size-probes the fact agg per build
-    "value_deciles",  # same guarded-ntile checkpoint pattern
+    # rfm_scores / value_deciles left this list in r11 (verdict item 5):
+    # distributed_ntile's deterministic value binning removed the per-build
+    # localCheckpoint, and rfm's routing count is a session-memoized
+    # _plan_probe (one job on first construction, exactly like
+    # hard_negatives' index guard) — construction is otherwise job-free,
+    # so the plan memo hides no per-invocation compute.
 }
 
 QUERIES = {

@@ -678,11 +678,20 @@ def test_query_plan_memo_semantics(spark, sf_dir, monkeypatch):
     sl = ent.storageLevel
     assert sl.useMemory or sl.useDisk, "silver must be re-persisted on memo hit"
 
-    # (d) construction-compute queries build fresh every call
-    assert "rfm_scores" in _CONSTRUCTION_COMPUTE
-    r1 = QUERIES["rfm_scores"](spark, sf_dir)
-    r2 = QUERIES["rfm_scores"](spark, sf_dir)
+    # (d) construction-compute queries build fresh every call (rfm_scores
+    # and value_deciles LEFT this set in r11 — the deterministic two-level
+    # rank removed their per-build checkpoint jobs, so they memoize like
+    # any other query and every action still recomputes from the source)
+    assert "rfm_scores" not in _CONSTRUCTION_COMPUTE
+    assert "value_deciles" not in _CONSTRUCTION_COMPUTE
+    assert "ivf_topk" in _CONSTRUCTION_COMPUTE
+    r1 = QUERIES["ivf_topk"](spark, sf_dir)
+    r2 = QUERIES["ivf_topk"](spark, sf_dir)
     assert r1 is not r2
+    m1 = QUERIES["rfm_scores"](spark, sf_dir)
+    m2 = QUERIES["rfm_scores"](spark, sf_dir)
+    assert m1 is m2
+    assert m1.count() == m2.count() > 0
 
     # (e) the hit-path re-persist must ONLY restore _cached_memo silvers:
     # the plan-only memos (silver:profiles IS cdp_profiles' own output)
